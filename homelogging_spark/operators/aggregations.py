@@ -1,0 +1,137 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Every operator here is a pure DataFrame transformation built from JVM-side
+built-ins: Catalyst plans them as partial + final hash aggregates (map-side
+combine), so at 100 TB each group-by shuffles only the per-partition partial
+state, not raw rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.timeutils import time_bucket
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    bucket_alias: str = "bucket",
+) -> DataFrame:
+    """Tumbling-window aggregation (A1/A2: server-side ``GroupBy(Hours(1))
+    .Select(Average())`` parity — ``RandomQueries/Program.cs:73-75``).
+
+    ``bucket`` is a calendar unit ('hour', 'minute', 'day'). One shuffle on
+    (bucket, *keys); partial aggregation happens map-side.
+    """
+    bucket_col = time_bucket(F.col(ts_col), bucket).alias(bucket_alias)
+    return df.groupBy(bucket_col, *[F.col(k) for k in keys]).agg(*aggs)
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], ts_col: str = "ts") -> DataFrame:
+    """Latest row per key (A3 ``Last()`` / W2 ``entries.Last()`` —
+    ``Kasa/KasaLogger.cs:59-62``).
+
+    max_by-style via row_number over a descending window: a single shuffle
+    on the keys; AQE handles skewed keys. Ties on ts are broken by keeping
+    the greatest full row ordering, so results are deterministic.
+    """
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in df.columns if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def trailing_percentile(
+    df: DataFrame,
+    value: Column,
+    pct: float,
+    cutoff: Column,
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    alias: str = "pct",
+) -> DataFrame:
+    """Exact percentile over a trailing window anchored at a cutoff
+    (A5: RQL ``last 5 minutes select percentile(50)`` —
+    ``Deploy/switchboiler.sh:5``).
+
+    Uses exact ``percentile`` (matches ANSI percentile_cont interpolation).
+    At very large groups switch to ``percentile_approx`` — the API shape is
+    identical.
+    """
+    filtered = df.where(F.col(ts_col) >= cutoff)
+    return filtered.groupBy(*[F.col(k) for k in keys]).agg(
+        F.percentile(value, F.lit(pct)).alias(alias)
+    )
+
+
+def all_gate(
+    df: DataFrame,
+    keys: Sequence[str],
+    cond: Column,
+    min_count: int = 0,
+) -> DataFrame:
+    """Universal/existential gates over a window of entries (A7 —
+    ``Ebus/EbusThermostatSwitcher.cs:64-76``): per key, whether *all*
+    entries satisfy ``cond``, whether none do, and how many do; guarded by
+    a minimum sample count (the reference requires >= 10 points).
+    """
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(cond, 1).otherwise(0)).alias("__all"),
+        F.max(F.when(cond, 1).otherwise(0)).alias("__any"),
+        F.sum(F.when(cond, 1).otherwise(0)).alias("n_true"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_true",
+        ((F.col("n") >= min_count) & (F.col("__all") == 1)).alias("all_true"),
+        ((F.col("n") >= min_count) & (F.col("__any") == 0)).alias("none_true"),
+    )
+
+
+def weighted_totals(
+    df: DataFrame,
+    keys: Sequence[str],
+    usage: Column,
+    weight: Column,
+    usage_alias: str = "total_usage",
+    weighted_alias: str = "total_cost",
+    ratio_alias: str = "avg_rate",
+) -> DataFrame:
+    """Client-side totals (A6 — ``RandomQueries/Program.cs:48-58``):
+    sum(usage), weighted sum(usage*weight), and their ratio."""
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(usage).alias(usage_alias),
+        F.sum(usage * weight).alias(weighted_alias),
+    )
+    return out.withColumn(ratio_alias, F.col(weighted_alias) / F.col(usage_alias))
+
+
+def running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    ts_col: str = "ts",
+    alias: str = "running_total",
+) -> DataFrame:
+    """Cumulative accumulation per key in time order (A8 pulse counting —
+    ``Gpio/GpioLogger.cs:88-97``). One shuffle + in-partition sort."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))

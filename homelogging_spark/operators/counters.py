@@ -1,0 +1,199 @@
+"""Stateful counter-correction operators (SURVEY.md §2.7 ST1-ST3, A8).
+
+These are the reference's order-dependent computations, re-expressed as
+window functions wherever the recurrence is linear (cumulative sums with
+conditional resets), and as ``applyInPandas`` only where it is not.
+
+Window-function form matters at scale: a per-key ordered window is one
+shuffle + sort, fully distributed across keys; an applyInPandas fold
+materializes each group in Python. Every operator here partitions by the
+meter key, so 1000 executors process 1000s of meters concurrently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_window(keys: Sequence[str], ts_col: str) -> Window:
+    return Window.partitionBy(*keys).orderBy(F.col(ts_col))
+
+
+def counter_rollover_correct(
+    df: DataFrame,
+    keys: Sequence[str],
+    raw_col: str,
+    ts_col: str = "ts",
+    epsilon: float = 0.0,
+    corrected_alias: str = "corrected",
+    offset_alias: str = "offset",
+) -> DataFrame:
+    """Monotonic-counter rollover correction (ST2/ST3 —
+    ``Kasa/KasaLogger.cs:55-75``, ``Tapo/TapoLogger.cs:87-107``).
+
+    A reset is detected when the raw counter drops below its previous value
+    by more than ``epsilon``; the pre-reset raw value is added to a running
+    offset, and ``corrected = raw + offset``. Both the Kasa form (offset :=
+    last emitted total, which telescopes to the same accumulation) and the
+    Tapo form (offset += last raw) are this cumulative sum — pure window
+    functions, no UDF:
+
+        reset_i   = raw_i < raw_{i-1} - eps
+        offset_i  = sum_{j<=i, reset_j} raw_{j-1}
+        corrected = raw_i + offset_i
+    """
+    w = _ordered_window(keys, ts_col)
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(F.col(raw_col)).over(w)
+    reset = (prev.isNotNull()) & (F.col(raw_col) < prev - F.lit(epsilon))
+    offset = F.coalesce(
+        F.sum(F.when(reset, prev).otherwise(F.lit(0.0))).over(cum), F.lit(0.0)
+    )
+    return df.withColumn(offset_alias, offset).withColumn(
+        corrected_alias, F.col(raw_col) + F.col(offset_alias)
+    )
+
+
+def segmented_running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    delta: Column,
+    reset: Column,
+    ts_col: str = "ts",
+    alias: str = "seg_sum",
+) -> DataFrame:
+    """Conditional-reset running sum: the segment-id trick behind ST1
+    (energy-counter fraction interpolation, ``Mbus/MbusLogger.cs:116-149``).
+
+    ``delta`` accumulates in time order per key; whenever ``reset`` is true
+    the accumulator restarts from that row. Implemented as a cumulative sum
+    of reset flags (segment id) + a cumulative sum partitioned by segment —
+    two window passes over ONE shuffle/sort (same partitioning + ordering,
+    Spark reuses the sort).
+    """
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = F.sum(F.when(reset, 1).otherwise(0)).over(cum)
+    out = df.withColumn("__seg", seg)
+    cum_seg = (
+        Window.partitionBy(*list(keys), "__seg")
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn(alias, F.sum(delta).over(cum_seg)).drop("__seg")
+
+
+def energy_fraction_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    energy_col: str,
+    power_col: str,
+    ts_col: str = "ts",
+    alias: str = "interpolated_energy",
+) -> DataFrame:
+    """ST1: whole-unit energy counter + instantaneous power → interpolated
+    counter with a trapezoid-integrated fractional part
+    (``Mbus/MbusLogger.cs:116-149`` semantics).
+
+    Per key in time order:
+      frac += (P_prev + P_now)/2 * dt_hours / 1000   (kW·h from W)
+      skip negative power contributions (defrost);
+      when the whole counter ticks up, the fraction resets;
+      the fraction is clamped to <= 0.99 so interpolation never
+      contradicts the whole-unit counter.
+    """
+    w = _ordered_window(keys, ts_col)
+    p_prev = F.lag(F.col(power_col)).over(w)
+    t_prev = F.lag(F.col(ts_col)).over(w)
+    e_prev = F.lag(F.col(energy_col)).over(w)
+    dt_h = (F.unix_millis(F.col(ts_col)) - F.unix_millis(t_prev)) / F.lit(3_600_000.0)
+    contrib = (p_prev + F.col(power_col)) / F.lit(2.0) * dt_h / F.lit(1000.0)
+    delta = F.when(
+        p_prev.isNull() | (contrib < 0), F.lit(0.0)
+    ).otherwise(contrib)
+    reset = e_prev.isNotNull() & (F.col(energy_col) > e_prev)
+    out = segmented_running_sum(
+        df.withColumn("__delta", delta).withColumn("__reset", reset),
+        keys,
+        F.col("__delta"),
+        F.col("__reset"),
+        ts_col,
+        alias="__frac",
+    )
+    frac = F.least(F.col("__frac"), F.lit(0.99))
+    return (
+        out.withColumn(alias, F.round(F.col(energy_col) + frac, 3))
+        .drop("__delta", "__reset", "__frac")
+    )
+
+
+def pulse_accumulate(
+    df: DataFrame,
+    keys: Sequence[str],
+    quantity_per_pulse: Column,
+    ts_col: str = "ts",
+    debounce_ms: int = 0,
+    step_emit_ms: int | None = None,
+) -> DataFrame:
+    """A8: pulse-event accumulation (``Gpio/GpioLogger.cs:74-99``).
+
+    Each row is one pulse. Output: cumulative quantity, instantaneous rate
+    (quantity / seconds since previous pulse), and optionally the
+    reference's step-function emission — an extra row ``step_emit_ms``
+    before each pulse carrying the previous cumulative value, so plotted
+    lines are steps instead of ramps (``:92-93``).
+
+    Debounce drops pulses closer than ``debounce_ms`` to their predecessor
+    (``:47,57-60``), evaluated before accumulation.
+    """
+    w = _ordered_window(keys, ts_col)
+    if debounce_ms > 0:
+        gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(F.col(ts_col)).over(w))
+        df = df.withColumn("__gap", gap).where(
+            F.col("__gap").isNull() | (F.col("__gap") >= debounce_ms)
+        ).drop("__gap")
+        w = _ordered_window(keys, ts_col)
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("quantity", F.sum(quantity_per_pulse).over(cum))
+    dt_s = (
+        F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(F.col(ts_col)).over(w))
+    ) / F.lit(1000.0)
+    out = out.withColumn("rate", quantity_per_pulse / dt_s)
+    if step_emit_ms is None:
+        return out
+    pre = F.struct(
+        (F.timestamp_millis(F.unix_millis(F.col(ts_col)) - step_emit_ms)).alias("ts2"),
+        (F.col("quantity") - quantity_per_pulse).alias("q2"),
+        F.lit(None).cast("double").alias("r2"),
+        F.lit(0).alias("is_pulse"),
+    )
+    post = F.struct(
+        F.col(ts_col).alias("ts2"),
+        F.col("quantity").alias("q2"),
+        F.col("rate").alias("r2"),
+        F.lit(1).alias("is_pulse"),
+    )
+    exploded = out.select(
+        *keys, F.explode(F.array(pre, post)).alias("__e")
+    ).select(
+        *keys,
+        F.col("__e.ts2").alias(ts_col),
+        F.col("__e.q2").alias("quantity"),
+        F.col("__e.r2").alias("rate"),
+        F.col("__e.is_pulse").alias("is_pulse"),
+    )
+    return exploded

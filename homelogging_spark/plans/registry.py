@@ -1,0 +1,414 @@
+"""Query registry: every implemented SURVEY.md §2 operator as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL string.
+
+Mapping of operators onto the driver testdata follows FIXTURES.md §4:
+``events`` stands in for the telemetry ``readings`` fact table
+(event_type = series name, user_id = meter key, value = measurement);
+``lineitem``/``orders``/``customer`` supply the join/agg workloads.
+
+Determinism rule: every float column that passes through a commutative
+aggregate is rounded to 6 decimals on BOTH sides (Spark partial
+aggregation sums in partition order; single-threaded oracles sum
+sequentially — rounding makes the results bit-identical). Sequential
+window sums (cumulative, lag) are order-fixed and match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.aggregations import (
+    all_gate,
+    latest_per_key,
+    running_sum,
+    time_bucket_agg,
+    trailing_percentile,
+    weighted_totals,
+)
+from homelogging_spark.operators.counters import counter_rollover_correct
+from homelogging_spark.plans import flagship
+from homelogging_spark.functions.numeric import quantize
+from homelogging_spark.tables import load_table
+
+PCT_CUTOFF = "2024-01-25 00:00:00"
+
+
+# --- A1: tumbling hourly average, per series --------------------------------
+def q_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_agg(
+        events,
+        "ts",
+        "hour",
+        keys=["event_type"],
+        aggs=[
+            quantize(F.avg("value")).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+        bucket_alias="bucket",
+    )
+
+
+ORACLE_HOURLY_AVG = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- A2: minute downsample of one series (ZeroExport.cs:86-104) -------------
+def q_minute_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_agg(
+        events.where(F.col("event_type") == "click"),
+        "ts",
+        "minute",
+        aggs=[quantize(F.avg("value")).alias("avg_value")],
+        bucket_alias="bucket",
+    )
+
+
+ORACLE_MINUTE_DOWNSAMPLE = """
+SELECT date_trunc('minute', ts) AS bucket, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+
+# --- A3/W2: latest entry per key (Kasa/KasaLogger.cs:59-62) ------------------
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(
+        events.select("user_id", "ts", "event_type", "value"), ["user_id"], "ts"
+    )
+    return latest.select("user_id", "ts", "event_type", "value")
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, ts, event_type, value FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, value DESC, event_type DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- A4: count per series (Gpio/GpioLogger.cs:79-85) -------------------------
+def q_count_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_COUNT_BY_SERIES = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+# --- A5: percentile over trailing window (Deploy/switchboiler.sh:5) ----------
+def q_trailing_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = trailing_percentile(
+        events,
+        F.col("value"),
+        0.5,
+        F.lit(PCT_CUTOFF).cast("timestamp"),
+        ts_col="ts",
+        keys=["event_type"],
+        alias="median_value",
+    )
+    return out.select("event_type", quantize("median_value").alias("median_value"))
+
+
+ORACLE_TRAILING_PERCENTILE = f"""
+SELECT event_type, floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS median_value
+FROM events WHERE ts >= TIMESTAMP '{PCT_CUTOFF}'
+GROUP BY 1
+"""
+
+
+# --- A6: weighted sums + ratio (RandomQueries/Program.cs:48-58) --------------
+def q_weighted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = weighted_totals(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.col("l_quantity"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity"),
+        usage_alias="sum_qty",
+        weighted_alias="sum_revenue",
+        ratio_alias="avg_rate",
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        quantize("sum_qty").alias("sum_qty"),
+        quantize("sum_revenue").alias("sum_revenue"),
+        quantize("avg_rate").alias("avg_rate"),
+    )
+
+
+ORACLE_WEIGHTED_TOTALS = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS sum_qty,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000 AS sum_revenue,
+       floor((sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_rate
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# --- A7: universal/existential gates (EbusThermostatSwitcher.cs:64-76) -------
+def q_all_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.withColumn("day", F.to_date("ts"))
+    return all_gate(daily, ["day", "event_type"], F.col("value") > 50.0, min_count=10)
+
+
+ORACLE_ALL_GATE = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n,
+       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_true,
+       (count(*) >= 10 AND bool_and(value > 50.0)) AS all_true,
+       (count(*) >= 10 AND NOT bool_or(value > 50.0)) AS none_true
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- A8: pulse accumulation + rate (Gpio/GpioLogger.cs:74-99) ----------------
+def q_pulse_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pulses = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = running_sum(pulses, ["user_id"], F.col("value"), "ts", alias="quantity")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dt_s = (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0
+    return out.select(
+        "user_id",
+        "ts",
+        quantize("quantity").alias("quantity"),
+        quantize(F.col("value") / dt_s).alias("rate"),
+    )
+
+
+ORACLE_PULSE_ACCUMULATE = """
+SELECT user_id, ts,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS quantity,
+       floor((value / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0)) * 1000000 + 0.5) / 1000000 AS rate
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- ST2/ST3: counter rollover correction (Tapo/TapoLogger.cs:87-107) --------
+def q_counter_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counters = events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("raw")
+    )
+    out = counter_rollover_correct(counters, ["user_id"], "raw", "ts")
+    return out.select(
+        "user_id",
+        "ts",
+        "raw",
+        quantize("offset").alias("offset"),
+        quantize("corrected").alias("corrected"),
+    )
+
+
+ORACLE_COUNTER_ROLLOVER = """
+WITH t AS (
+  SELECT user_id, ts, value AS raw,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE event_type = 'signup'
+), r AS (
+  SELECT user_id, ts, raw,
+         CASE WHEN prev IS NOT NULL AND raw < prev THEN prev ELSE 0.0 END AS reset_add
+  FROM t
+)
+SELECT user_id, ts, raw,
+       floor((sum(reset_add) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS offset,
+       floor((raw + sum(reset_add) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS corrected
+FROM r
+"""
+
+
+# --- W1: lag / previous-reading delta (Mbus/MbusLogger.cs:122-149) -----------
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        events.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            quantize(F.col("value") - F.lag("value").over(w)).alias("delta"),
+            quantize((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0).alias("dt_seconds"),
+        )
+    )
+
+
+ORACLE_LAG_DELTA = """
+SELECT user_id, ts, value,
+       floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) * 1000000 + 0.5) / 1000000 AS delta,
+       floor(((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) * 1000000 + 0.5) / 1000000 AS dt_seconds
+FROM events WHERE event_type = 'error'
+"""
+
+
+# --- W4: day-boundary report over a cumulative output (ZeroExport.cs:43-48) --
+def q_daily_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pulses = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    cum = running_sum(pulses, ["user_id"], F.col("value"), "ts", alias="quantity")
+    return (
+        cum.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            quantize(F.max("quantity") - F.min("quantity")).alias("daily_delta"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_DAILY_CYCLES = """
+WITH cum AS (
+  SELECT user_id, ts,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS quantity
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(ts AS DATE) AS day,
+       floor((max(quantity) - min(quantity)) * 1000000 + 0.5) / 1000000 AS daily_delta,
+       count(*) AS n
+FROM cum GROUP BY 1
+"""
+
+
+# --- F1/F3: time-range + id filter with projection ---------------------------
+def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 10)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+ORACLE_TIME_RANGE_FILTER = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+  AND user_id < 10
+"""
+
+
+# --- S1-ish: JSON path extraction (Ebus/EbusLogger.cs:113-119) ---------------
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# --- A10/A11: variadic least/greatest ----------------------------------------
+def q_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        quantize(F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0, F.lit(25.0))).alias("capped_low"),
+        quantize(F.greatest(F.col("l_discount") * 100.0, F.col("l_tax") * 100.0, F.lit(1.0))).alias("capped_high"),
+    )
+
+
+ORACLE_LEAST_GREATEST = """
+SELECT l_orderkey, l_linenumber,
+       floor((least(l_quantity, l_extendedprice / 1000.0, 25.0)) * 1000000 + 0.5) / 1000000 AS capped_low,
+       floor((greatest(l_discount * 100.0, l_tax * 100.0, 1.0)) * 1000000 + 0.5) / 1000000 AS capped_high
+FROM lineitem
+"""
+
+
+# --- J1 on the star schema: customer ⟕ order totals with coalesce-0 ---------
+def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        quantize(F.sum("o_totalprice")).alias("total_spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        customer.join(F.broadcast(totals), customer.c_custkey == totals.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_TOTALS = """
+WITH totals AS (
+  SELECT o_custkey, floor((sum(o_totalprice)) * 1000000 + 0.5) / 1000000 AS total_spent, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_name,
+       COALESCE(total_spent, 0.0) AS total_spent,
+       COALESCE(n_orders, 0) AS n_orders
+FROM customer LEFT JOIN totals ON c_custkey = o_custkey
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_hourly_cost": flagship.hourly_cost_analysis,
+    "cost_totals": flagship.cost_totals,
+    "hourly_avg": q_hourly_avg,
+    "minute_downsample": q_minute_downsample,
+    "latest_per_key": q_latest_per_key,
+    "count_by_series": q_count_by_series,
+    "trailing_percentile": q_trailing_percentile,
+    "weighted_totals": q_weighted_totals,
+    "all_gate": q_all_gate,
+    "pulse_accumulate": q_pulse_accumulate,
+    "counter_rollover": q_counter_rollover,
+    "lag_delta": q_lag_delta,
+    "daily_cycles": q_daily_cycles,
+    "time_range_filter": q_time_range_filter,
+    "json_extract": q_json_extract,
+    "least_greatest": q_least_greatest,
+    "customer_order_totals": q_customer_order_totals,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_hourly_cost": flagship.FLAGSHIP_ORACLE,
+    "cost_totals": flagship.COST_TOTALS_ORACLE,
+    "hourly_avg": ORACLE_HOURLY_AVG,
+    "minute_downsample": ORACLE_MINUTE_DOWNSAMPLE,
+    "latest_per_key": ORACLE_LATEST_PER_KEY,
+    "count_by_series": ORACLE_COUNT_BY_SERIES,
+    "trailing_percentile": ORACLE_TRAILING_PERCENTILE,
+    "weighted_totals": ORACLE_WEIGHTED_TOTALS,
+    "all_gate": ORACLE_ALL_GATE,
+    "pulse_accumulate": ORACLE_PULSE_ACCUMULATE,
+    "counter_rollover": ORACLE_COUNTER_ROLLOVER,
+    "lag_delta": ORACLE_LAG_DELTA,
+    "daily_cycles": ORACLE_DAILY_CYCLES,
+    "time_range_filter": ORACLE_TIME_RANGE_FILTER,
+    "json_extract": ORACLE_JSON_EXTRACT,
+    "least_greatest": ORACLE_LEAST_GREATEST,
+    "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
+}

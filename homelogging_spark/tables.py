@@ -1,0 +1,59 @@
+"""Loaders for the driver test tables (TESTDATA.md star schema).
+
+All operators take DataFrames, so these helpers are thin: a scan per table
+with column pruning / predicate pushdown left entirely to Catalyst. At
+100 TB the same tables would be date/key-partitioned parquet or Delta; the
+reader code is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # Runtime-settable; required to read TIMESTAMP(NANOS) parquet when
+        # the caller's session (e.g. the driver's) didn't set it at build.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as nanosecond longs (see
+    # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
+    # microsecond timestamps, matching what any other engine reads.
+    for field in df.schema.fields:
+        if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every test table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view for spark.sql() use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
