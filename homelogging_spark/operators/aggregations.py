@@ -39,11 +39,13 @@ def latest_per_key(df: DataFrame, keys: Sequence[str], ts_col: str = "ts") -> Da
     ``Kasa/KasaLogger.cs:59-62``).
 
     max_by-style via row_number over a descending window: a single shuffle
-    on the keys; AQE handles skewed keys. Ties on ts are broken by keeping
-    the greatest full row ordering, so results are deterministic.
+    on the keys; AQE handles skewed keys. Ties on ts are broken by the
+    remaining columns in NAME-sorted order (not df.columns order), so the
+    choice is deterministic and independent of projection order — oracles
+    must use the same ORDER BY ts DESC, <non-key cols sorted by name> DESC.
     """
     order = [F.col(ts_col).desc()] + [
-        F.col(c).desc() for c in df.columns if c not in keys and c != ts_col
+        F.col(c).desc() for c in sorted(df.columns) if c not in keys and c != ts_col
     ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -106,16 +108,27 @@ def weighted_totals(
     df: DataFrame,
     keys: Sequence[str],
     usage: Column,
-    weight: Column,
+    weight: Column | None = None,
     usage_alias: str = "total_usage",
     weighted_alias: str = "total_cost",
     ratio_alias: str = "avg_rate",
+    weighted: Column | None = None,
 ) -> DataFrame:
     """Client-side totals (A6 — ``RandomQueries/Program.cs:48-58``):
-    sum(usage), weighted sum(usage*weight), and their ratio."""
+    sum(usage), weighted sum, and their ratio.
+
+    Pass either ``weight`` (summed as usage*weight) or ``weighted`` (the
+    already-multiplied term, summed directly). Prefer ``weighted`` when the
+    caller has the product available: ``sum(q * (p/q))`` is not bit-identical
+    to ``sum(p)`` under IEEE-754, which makes hash-exact oracle comparison
+    fragile.
+    """
+    if (weight is None) == (weighted is None):
+        raise ValueError("pass exactly one of weight= or weighted=")
+    weighted_term = usage * weight if weighted is None else weighted
     out = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.sum(usage).alias(usage_alias),
-        F.sum(usage * weight).alias(weighted_alias),
+        F.sum(weighted_term).alias(weighted_alias),
     )
     return out.withColumn(ratio_alias, F.col(weighted_alias) / F.col(usage_alias))
 

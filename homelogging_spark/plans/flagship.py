@@ -10,10 +10,14 @@ the long-format fact table; ``event_type`` stands in for the series name.
   click    → grid Power        purchase → Apx price
   view     → solar inverter 1  signup   → solar inverter 2
 
-Plan shape at scale: ONE scan of the fact table (all four series filtered
-from it), hash-aggregated per hour map-side, then three broadcast joins —
-no shuffle of unaggregated data, no repeated scans (the per-series frames
-prune on the same partition column).
+Plan shape at scale: ONE scan of the fact table with a pushed
+``event_type IN (...)`` filter, ONE hash aggregate per hour computing all
+four series as conditional averages (``avg(when(event_type == s, value))``)
+— partial aggregation map-side, a single shuffle on the hour key, and zero
+joins. At 100 TB this reads the fact table once instead of four times; the
+bucket-aligned-join formulation (kept as the general J1 operator in
+``operators/joins.py``) is only needed when the series genuinely live in
+different tables.
 
 All float outputs are rounded to 6 decimals so results are bit-stable
 across summation orders (Spark partial aggs vs single-threaded oracles).
@@ -21,10 +25,9 @@ across summation orders (Spark partial aggs vs single-threaded oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from homelogging_spark.operators.joins import bucket_aligned_left_join
 from homelogging_spark.functions.numeric import quantize
 from homelogging_spark.tables import load_table
 
@@ -32,6 +35,8 @@ SERIES = {"power": "click", "price": "purchase", "solar1": "view", "solar2": "si
 
 
 def hourly_series(events: DataFrame, event_type: str, alias: str) -> DataFrame:
+    """Single-series hourly average (building block kept for callers that
+    join series from different tables via ``bucket_aligned_left_join``)."""
     return (
         events.where(F.col("event_type") == event_type)
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
@@ -40,17 +45,29 @@ def hourly_series(events: DataFrame, event_type: str, alias: str) -> DataFrame:
 
 
 def hourly_cost_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour joined series + derived usage/cost (EP1 steps 1-5)."""
-    events = load_table(spark, sf_dir, "events")
-    power = hourly_series(events, SERIES["power"], "power")
-    price = hourly_series(events, SERIES["price"], "price")
-    solar1 = hourly_series(events, SERIES["solar1"], "solar1")
-    solar2 = hourly_series(events, SERIES["solar2"], "solar2")
+    """Per-hour joined series + derived usage/cost (EP1 steps 1-5).
 
-    joined = bucket_aligned_left_join(
-        power,
-        [(price, ["price"], 0.0), (solar1, ["solar1"], 0.0), (solar2, ["solar2"], 0.0)],
-        on=["hour"],
+    One scan, one aggregate: ``avg`` ignores the NULLs produced by the
+    non-matching ``when`` branches, so each conditional average equals the
+    per-series average; hours with no power rows are dropped (the reference
+    iterates the power dict) and missing price/solar hours coalesce to 0.0
+    (dict ``TryGetValue`` default) — identical semantics to the four-way
+    bucket-aligned left join, at a quarter of the scan cost.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def series_avg(name: str) -> Column:
+        cond = F.when(F.col("event_type") == SERIES[name], F.col("value"))
+        return quantize(F.avg(cond)).alias(name)
+
+    joined = (
+        events.where(F.col("event_type").isin(list(SERIES.values())))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(*[series_avg(n) for n in ("power", "price", "solar1", "solar2")])
+        .where(F.col("power").isNotNull())
+        .withColumns(
+            {n: F.coalesce(F.col(n), F.lit(0.0)) for n in ("price", "solar1", "solar2")}
+        )
     )
     return joined.select(
         "hour",
@@ -69,7 +86,11 @@ def hourly_cost_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cost_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 step 6 (``RandomQueries/Program.cs:47-58``): coverage %, total
-    usage, total cost, and the usage-weighted average rate."""
+    usage, total cost, and the usage-weighted average rate.
+
+    Derived from the same single-scan hourly frame as the flagship: the
+    whole report is one fact scan + one hour-key shuffle + a final global
+    aggregate over ~hours rows (trivially small)."""
     hourly = hourly_cost_analysis(spark, sf_dir)
     return hourly.agg(
         F.count(F.lit(1)).alias("n_hours"),

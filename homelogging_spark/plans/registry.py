@@ -90,7 +90,7 @@ ORACLE_LATEST_PER_KEY = """
 SELECT user_id, ts, event_type, value FROM (
   SELECT user_id, ts, event_type, value,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, value DESC, event_type DESC) AS rn
+                            ORDER BY ts DESC, event_type DESC, value DESC) AS rn
   FROM events
 ) WHERE rn = 1
 """
@@ -134,7 +134,7 @@ def q_weighted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag", "l_linestatus"],
         F.col("l_quantity"),
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.col("l_quantity"),
+        weighted=F.col("l_extendedprice") * (1 - F.col("l_discount")),
         usage_alias="sum_qty",
         weighted_alias="sum_revenue",
         ratio_alias="avg_rate",
@@ -167,7 +167,7 @@ def q_all_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ALL_GATE = """
 SELECT CAST(ts AS DATE) AS day, event_type,
        count(*) AS n,
-       sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_true,
+       CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
        (count(*) >= 10 AND bool_and(value > 50.0)) AS all_true,
        (count(*) >= 10 AND NOT bool_or(value > 50.0)) AS none_true
 FROM events GROUP BY 1, 2

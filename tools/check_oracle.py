@@ -63,6 +63,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
     ok = True
     max_dev = 0.0
     for c in a.columns:
+        # The driver's value hash is dtype-strict: int64 3 != float64 3.0.
+        # Fail on int-vs-float mismatches instead of silently coercing, so
+        # this local gate predicts the driver (the round-1 all_gate bug).
+        if pd.api.types.is_integer_dtype(a[c]) != pd.api.types.is_integer_dtype(b[c]):
+            ok = False
+            print(
+                f"  col {c}: dtype mismatch spark={a[c].dtype} duck={b[c].dtype}"
+                " (driver hash distinguishes int from float — CAST the oracle)"
+            )
+            continue
         if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
             av = a[c].astype(float).to_numpy()
             bv = b[c].astype(float).to_numpy()
