@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale text corpora.
+
+The training-data-pipeline tier: exact dedup, MinHash-LSH near-dedup,
+and SimHash fingerprinting over a ``documents(doc_id, text, ...)`` table.
+The reference system never needed these (its dedup is the idempotent
+``(series, ts)`` append key — see SURVEY.md §2.9); they are the
+engine-side extensions a 100 TB corpus requires.
+
+Scale design (the part that matters more than the math):
+
+- **Never all-pairs.** Candidate generation shuffles on *band-hash
+  buckets*: a doc emits ``n_bands`` (bucket-key, doc) rows, pairs are
+  formed only inside a bucket, and the expected bucket size at uniform
+  hashing is ``n_docs / 16^32`` per distinct band value — collisions are
+  almost exclusively true near-dups. The verify join then touches only
+  candidate pairs. An all-pairs cross join at 1e9 docs is 1e18 rows; this
+  plan is ``O(docs * bands + candidates)``.
+- **Column expressions end-to-end.** Signatures are md5 built-ins
+  (``functions/texthash.py``) inside whole-stage codegen — no Python in
+  the hot path, and every stage is oracle-replicable in SQL.
+- **Skew**: a degenerate band value (e.g. empty docs sharing one
+  signature) creates a hot bucket; AQE skew-join splitting handles the
+  join, and upstream hygiene (drop empty docs) handles the cause.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.texthash import (
+    band_hashes,
+    minhash_signature,
+    simhash16,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: every row keyed by ``md5(text)`` with
+    its duplicate-group size and the canonical (minimum) id of the group.
+
+    One shuffle on the content hash; at 100 TB hash first, shuffle the
+    16-byte digest + id only — never the text bodies.
+    """
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles per doc."""
+    return df.select(
+        F.col(id_col), word_shingles(tokens(F.col(text_col)), n=n).alias("shingles")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard verify.
+
+    Pipeline: shingle -> 16-hash MinHash signature -> 4 bands of 4 ->
+    shuffle on (band_idx, band_hash) -> in-bucket candidate pairs ->
+    join back the shingle sets -> keep pairs with Jaccard >= threshold.
+    With (b=4, r=4) the LSH S-curve centers at (1/4)^(1/4) ≈ 0.71, so the
+    candidate set at threshold 0.7 has high recall; verification makes
+    precision exact.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // n_bands
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    sigs = sets.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc 16-bit SimHash + bucket size (docs sharing the exact
+    fingerprint). At scale, Hamming-distance<=k search splits the
+    fingerprint into k+1 bands (pigeonhole: a pair within distance k
+    matches at least one band exactly) — same shuffle-on-bucket shape as
+    MinHash-LSH, never all-pairs.
+    """
+    w = Window.partitionBy("simhash")
+    return (
+        df.select(F.col(id_col), simhash16(tokens(F.col(text_col))).alias("simhash"))
+        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def fingerprint_anchors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_anchors: int = 4,
+) -> DataFrame:
+    """Document fingerprint from the ``n_anchors`` smallest shingle hashes
+    (winnowing-style selection: content-defined, stable under reordering
+    of unrelated edits). ``fingerprint`` digests the anchor set; two docs
+    sharing it agree on their most extreme shingle hashes.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n=shingle_n)
+    anchors = F.slice(F.array_sort(F.transform(sh, F.md5)), 1, n_anchors)
+    return df.select(
+        F.col(id_col),
+        anchors.alias("anchors"),
+        F.md5(F.concat_ws(",", anchors)).alias("fingerprint"),
+    ).select(
+        id_col, F.concat_ws(",", "anchors").alias("anchors"), "fingerprint"
+    )

@@ -1,0 +1,220 @@
+"""Vector-similarity operators over an embedding column (array<float>).
+
+The training-data-pipeline tier for embeddings: exact cosine top-k as the
+correctness baseline, and random-hyperplane LSH (SRP — sign random
+projections, Charikar 2002) as the scale path for both ANN search and
+near-duplicate pair mining.
+
+Determinism contract: hyperplanes are *derived from md5*, not drawn from
+an RNG — component ``i`` of plane ``j`` is ``md5int(f"{j}|{i}") / 2^31 -
+1``, precomputed driver-side and embedded as double literals in the plan.
+The DuckDB oracle embeds the identical literals, so bucket assignments
+and cosines are bit-for-bit replicable (all folds are sequential
+left-associated double additions on both engines).
+
+Scale design:
+- **Exact top-k** is O(Q·N) with the query side broadcast: a single scan
+  of the corpus, no shuffle of the big side, a per-partition top-k then a
+  tiny final merge (window over Q·N_partition rows). Right answer for
+  small query sets; never for pair mining.
+- **LSH** shuffles on (table, bucket): a vector emits ``n_tables`` rows;
+  candidate pairs form inside buckets only. Cost is O(N·tables +
+  candidates), tunable via (tables, planes) along the standard S-curve —
+  more planes → smaller buckets → higher precision, more tables → higher
+  recall. All-pairs at 1e9 vectors is 5e17 — the bucket join is what
+  survives scale-up.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_unit(s: str) -> float:
+    """Deterministic pseudo-uniform double in [-1, 1) from a string key."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """md5-derived hyperplane matrix (n_planes x dim), identical on any
+    engine that evaluates the same literals — no RNG seed to ship."""
+    return [[_md5_unit(f"{j}|{i}") for i in range(dim)] for j in range(n_planes)]
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left fold — same bracketing as SQL ``list_reduce``:
+    (0.0 + p1) + p2 + ... ≡ (p1 + p2) + ... bit-for-bit (0.0 + x == x)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity, computed entirely in double precision with
+    index-order summation (cross-engine reproducible)."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    dot = _fold_sum(F.zip_with(a, b, lambda x, y: d(x) * d(y)))
+    na = F.sqrt(_fold_sum(F.transform(a, lambda x: d(x) * d(x))))
+    nb = F.sqrt(_fold_sum(F.transform(b, lambda x: d(x) * d(x))))
+    return dot / (na * nb)
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    prod = (
+        f"list_reduce(list_transform(range({dim}), "
+        f"i -> CAST(({a})[i+1] AS DOUBLE) * CAST(({b})[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    norm = lambda v: (  # noqa: E731
+        f"sqrt(list_reduce(list_transform(range({dim}), "
+        f"i -> CAST(({v})[i+1] AS DOUBLE) * CAST(({v})[i+1] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"({prod} / ({norm(a)} * {norm(b)}))"
+
+
+def _plane_literal_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from sign bits of the projections onto ``planes``."""
+    bits = []
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        dot = _fold_sum(F.zip_with(emb, plane_col, lambda x, y: x.cast("double") * y))
+        bits.append(F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0)))
+    return reduce(lambda x, y: x + y, bits).cast("bigint")
+
+
+def lsh_bucket_sql(emb: str, planes: list[list[float]]) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = _plane_literal_sql(plane)
+        dot = (
+            f"list_reduce(list_transform(range({len(plane)}), "
+            f"i -> CAST(({emb})[i+1] AS DOUBLE) * ({lit})[i+1]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**j} ELSE 0 END)")
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
+
+
+def lsh_table_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 2,
+    planes_per_table: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table_idx, bucket) — one row per LSH table. The shuffle key of
+    every downstream candidate join."""
+    all_planes = hyperplanes(n_tables * planes_per_table, dim)
+    buckets = F.array(
+        *[
+            lsh_bucket(
+                F.col(emb_col),
+                all_planes[t * planes_per_table : (t + 1) * planes_per_table],
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(buckets).alias("table_idx", "bucket")
+    )
+
+
+def exact_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side over one corpus
+    scan, rank per query. Returns (query_id, rank, vec_id, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    scored = corpus.select(F.col(id_col), F.col(emb_col)).crossJoin(
+        F.broadcast(q)
+    ).select(
+        "query_id", id_col, cosine(F.col("q_emb"), F.col(emb_col)).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), id_col, "cosine")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 2,
+    planes_per_table: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates = corpus vectors sharing an LSH bucket with
+    the query in any table; verified by exact cosine; top-k per query.
+    Recall < 1 by design — the tradeoff is the (tables, planes) S-curve
+    (see module docstring); cost is the bucket join, not N·Q."""
+    qb = lsh_table_buckets(queries, id_col, emb_col, n_tables, planes_per_table, dim)
+    cb = lsh_table_buckets(corpus, id_col, emb_col, n_tables, planes_per_table, dim)
+    cand = (
+        qb.select(F.col(id_col).alias("query_id"), "table_idx", "bucket")
+        .join(cb.withColumnRenamed(id_col, "cand_id"), ["table_idx", "bucket"])
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"))
+    scored = cand.join(F.broadcast(q), "query_id").join(c, "cand_id").select(
+        "query_id", "cand_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"), "cand_id", "cosine"
+        )
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidates (self-join
+    on (table, bucket), id_a < id_b), exact-cosine verified against
+    ``threshold``. More tables of fewer planes than top-k search — pair
+    mining wants recall at moderate similarity, so the S-curve is shifted
+    left ((1 - θ/π)^4 per table, 4 chances)."""
+    b = lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim)
+    left = b.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (
+        left.join(right, ["table_idx", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cosine(F.col("emb_a"), F.col("emb_b")))
+        .where(F.col("cosine") > F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language identification, quality scoring, token counting, and corpus
+statistics over a ``documents(doc_id, text, lang, source, n_chars)``
+table. Like the dedup tier, these are engine-side extensions beyond the
+reference's telemetry scope, built the same way: pure ``pyspark.sql``
+column expressions (JVM-side, codegen'd, no UDFs), each with a
+DuckDB-replicable formulation so the driver's oracle can hash-check it.
+
+Scale: every operator here is embarrassingly parallel per document (map
+side only) until the final aggregate; corpus stats shuffle only partial
+aggregation state. At 100 TB the scan dominates — which is the right
+bottleneck.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.texthash import tokens, tokens_sql
+
+# Stopword anchors per language — high-frequency function words that are
+# near-unique to each language (overlapping forms like es/fr 'la' are kept:
+# scoring is by total hits, not exclusivity).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr": ("le", "la", "les", "de", "et", "est", "une", "que", "pour", "dans"),
+}
+# Fixed priority order for argmax ties (first wins).
+LANG_ORDER: tuple[str, ...] = ("en", "de", "es", "fr")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+# Identical regex semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in ``lang``'s stopword list."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(toks: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> t IN ({words})))"
+
+
+def language_id(toks: Column) -> Column:
+    """Predicted language: argmax of stopword hit counts, ties resolved in
+    ``LANG_ORDER``. A deliberately simple, deterministic n-gram-free
+    heuristic — real corpora route through fastText-style models, but the
+    *plumbing* (per-doc map-side classify, no shuffle) is identical.
+    """
+    hits = {lang: stopword_hits(toks, lang) for lang in LANG_ORDER}
+
+    expr = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [l for l in LANG_ORDER if LANG_ORDER.index(l) > LANG_ORDER.index(lang)]
+        cond = reduce(lambda a, b: a & b, [hits[lang] >= hits[l] for l in later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def language_id_sql(toks: str) -> str:
+    hits = {lang: stopword_hits_sql(toks, lang) for lang in LANG_ORDER}
+    clauses = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        conds = " AND ".join(
+            f"({hits[lang]}) >= ({hits[l]})" for l in LANG_ORDER[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return f"CASE {' '.join(clauses)} ELSE '{LANG_ORDER[-1]}' END"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-style pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}'))"
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-signal columns (all doubles, deterministic):
+
+    - ``n_tokens``, ``mean_token_len``: length profile
+    - ``stopword_ratio``: English stopword mass (fluency proxy)
+    - ``punct_ratio``: non-alphanumeric density (boilerplate/markup proxy)
+    - ``quality_score``: bounded linear combination in [0, 1]
+    """
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    stop_ratio = stopword_hits(toks, "en") / n_tokens
+    punct_ratio = n_punct / n_chars
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * F.lit(4.0)) * 0.3
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))) * 0.3
+    )
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": tok_chars / n_tokens,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_columns_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    n_tokens = f"len({toks})"
+    tok_chars = f"COALESCE(list_sum(list_transform({toks}, t -> length(t))), 0)"
+    n_chars = f"length({expr})"
+    n_punct = f"({n_chars} - length(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g')))"
+    stop_ratio = f"(({stopword_hits_sql(toks, 'en')}) * 1.0 / ({n_tokens}))"
+    punct_ratio = f"(({n_punct}) * 1.0 / ({n_chars}))"
+    score = (
+        f"least(1.0, ({n_tokens}) / 100.0) * 0.4"
+        f" + least(1.0, {stop_ratio} * 4.0) * 0.3"
+        f" + (1.0 - least(1.0, {punct_ratio} * 5.0)) * 0.3"
+    )
+    return {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "mean_token_len": f"(({tok_chars}) * 1.0 / ({n_tokens}))",
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": f"({score})",
+    }
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Per-group corpus statistics: doc counts, char/token length profile,
+    median length. Classic partial-aggregation shape; the exact median is
+    the only full-sort piece (swap for approx at very large groups)."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(group_col),
+            F.length(text_col).alias("len"),
+            F.size(toks).alias("ntok"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").cast("bigint").alias("total_chars"),
+            F.avg("len").alias("avg_chars"),
+            F.avg("ntok").alias("avg_tokens"),
+            F.percentile("len", F.lit(0.5)).alias("median_chars"),
+        )
+    )

@@ -1,0 +1,372 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search,
+multimodal — the training-corpus tier over ``documents`` / ``embeddings``.
+
+Every query has a DuckDB oracle that replicates the *same algorithm*
+bit-for-bit (md5-derived hashing, literal hyperplanes, sequential double
+folds — see ``functions/texthash.py`` and ``operators/similarity.py``),
+so the driver's hash gate verifies signatures and bucket assignments,
+not just row counts.
+
+Dtype rule: every integer output is CAST to BIGINT on both sides; every
+float output goes through ``quantize``/``quantize_sql``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.numeric import quantize, quantize_sql
+from homelogging_spark.functions.texthash import (
+    band_hashes_sql,
+    minhash_signature_sql,
+    simhash16_sql,
+    tokens,
+    tokens_sql,
+    word_shingles_sql,
+)
+from homelogging_spark.operators import dedup, multimodal, similarity, textops
+from homelogging_spark.tables import load_table
+
+EMB_DIM = 64
+N_QUERY_VECS = 5  # vec_id < 5 are the query set; the rest are the corpus
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.corpus_stats(docs, "text", "lang")
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "total_chars",
+        quantize("avg_chars").alias("avg_chars"),
+        quantize("avg_tokens").alias("avg_tokens"),
+        quantize("median_chars").alias("median_chars"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       {quantize_sql('avg(length(text))')} AS avg_chars,
+       {quantize_sql(f'avg(len({tokens_sql("text")}))')} AS avg_tokens,
+       {quantize_sql('quantile_cont(length(text), 0.5)')} AS median_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({tokens_sql('text')}) AS BIGINT) AS n_ws_tokens,
+       CAST({textops.bpe_ish_token_count_sql('text')} AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        textops.language_id(toks).alias("pred_lang"),
+        F.col("lang").alias("label_lang"),
+        (textops.language_id(toks) == F.col("lang")).alias("agree"),
+    )
+
+
+ORACLE_LANGUAGE_ID = f"""
+WITH t AS (SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       {textops.language_id_sql('toks')} AS pred_lang,
+       lang AS label_lang,
+       ({textops.language_id_sql('toks')} = lang) AS agree
+FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = textops.quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        quantize(cols["mean_token_len"]).alias("mean_token_len"),
+        quantize(cols["stopword_ratio"]).alias("stopword_ratio"),
+        quantize(cols["punct_ratio"]).alias("punct_ratio"),
+        quantize(cols["quality_score"]).alias("quality_score"),
+    )
+
+
+_QC = textops.quality_columns_sql("text")
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       {_QC['n_tokens']} AS n_tokens,
+       {quantize_sql(_QC['mean_token_len'])} AS mean_token_len,
+       {quantize_sql(_QC['stopword_ratio'])} AS stopword_ratio,
+       {quantize_sql(_QC['punct_ratio'])} AS punct_ratio,
+       {quantize_sql(_QC['quality_score'])} AS quality_score
+FROM documents
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs)
+    return out.select(
+        "doc_id",
+        "content_hash",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        "canonical_id",
+        "is_canonical",
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+FROM documents
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
+    return out.select("doc_a", "doc_b", quantize("jaccard").alias("jaccard"))
+
+
+def _minhash_near_dup_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+    rows = n_hashes // n_bands
+    bands_sql = band_hashes_sql("sig", n_bands, rows)
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_hash FROM sig"
+        for b, expr in enumerate(bands_sql)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
+sig AS (SELECT doc_id, {minhash_signature_sql('sh', n_hashes)} AS sig FROM sh),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(x.sh || y.sh)) AS j
+  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, {quantize_sql('j')} AS jaccard FROM v WHERE j >= 0.7
+"""
+
+
+ORACLE_MINHASH_NEAR_DUP = _minhash_near_dup_oracle()
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_fingerprints(docs)
+    return out.select(
+        "doc_id", "simhash", F.col("bucket_size").cast("bigint").alias("bucket_size")
+    )
+
+
+ORACLE_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, {simhash16_sql(tokens_sql('text'))} AS simhash FROM documents
+)
+SELECT doc_id, simhash,
+       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_anchors(docs)
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
+a AS (
+  SELECT doc_id,
+         (list_sort(list_transform(sh, s -> md5(s))))[1:4] AS anchors
+  FROM sh
+)
+SELECT doc_id,
+       array_to_string(anchors, ',') AS anchors,
+       md5(array_to_string(anchors, ',')) AS fingerprint
+FROM a
+"""
+
+
+# --- similarity search -------------------------------------------------------
+
+def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < N_QUERY_VECS),
+        emb.where(F.col("vec_id") >= N_QUERY_VECS),
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _emb_split(spark, sf_dir)
+    out = similarity.exact_topk(queries, corpus, k=5)
+    return out.select("query_id", "rank", "vec_id", quantize("cosine").alias("cosine"))
+
+
+ORACLE_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+s AS (SELECT query_id, vec_id,
+             {similarity.cosine_sql('q_emb', 'embedding', EMB_DIM)} AS cos
+      FROM q, c),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, {quantize_sql('cos')} AS cosine
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _emb_split(spark, sf_dir)
+    out = similarity.lsh_topk(queries, corpus, k=3, n_tables=2, planes_per_table=6)
+    return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
+
+
+def _ann_lsh_topk_oracle(n_tables: int = 2, planes_per_table: int = 6, k: int = 3) -> str:
+    planes = similarity.hyperplanes(n_tables * planes_per_table, EMB_DIM)
+    bucket_selects = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, "
+        + similarity.lsh_bucket_sql(
+            "embedding", planes[t * planes_per_table : (t + 1) * planes_per_table]
+        )
+        + " AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH b AS ({bucket_selects}),
+qb AS (SELECT vec_id AS query_id, table_idx, bucket FROM b WHERE vec_id < {N_QUERY_VECS}),
+cb AS (SELECT vec_id AS cand_id, table_idx, bucket FROM b WHERE vec_id >= {N_QUERY_VECS}),
+cand AS (SELECT DISTINCT query_id, cand_id FROM qb JOIN cb USING (table_idx, bucket)),
+s AS (SELECT cand.query_id, cand.cand_id,
+             {similarity.cosine_sql('q.embedding', 'c.embedding', EMB_DIM)} AS cos
+      FROM cand
+      JOIN embeddings q ON cand.query_id = q.vec_id
+      JOIN embeddings c ON cand.cand_id = c.vec_id),
+r AS (SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, {quantize_sql('cos')} AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_LSH_TOPK = _ann_lsh_topk_oracle()
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", quantize("cosine").alias("cosine"))
+
+
+def _embedding_near_dup_oracle(n_tables: int = 4, planes_per_table: int = 4) -> str:
+    planes = similarity.hyperplanes(n_tables * planes_per_table, EMB_DIM)
+    bucket_selects = "\nUNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, "
+        + similarity.lsh_bucket_sql(
+            "embedding", planes[t * planes_per_table : (t + 1) * planes_per_table]
+        )
+        + " AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH b AS ({bucket_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2
+    ON a.table_idx = b2.table_idx AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+s AS (SELECT cand.id_a, cand.id_b,
+             {similarity.cosine_sql('x.embedding', 'y.embedding', EMB_DIM)} AS cos
+      FROM cand
+      JOIN embeddings x ON cand.id_a = x.vec_id
+      JOIN embeddings y ON cand.id_b = y.vec_id)
+SELECT id_a, id_b, {quantize_sql('cos')} AS cosine FROM s WHERE cos > 0.4
+"""
+
+
+ORACLE_EMBEDDING_NEAR_DUP = _embedding_near_dup_oracle()
+
+
+# --- multimodal --------------------------------------------------------------
+
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.byte_stats(multimodal.with_payload(docs))
+
+
+ORACLE_MULTIMODAL_BYTE_STATS = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1)))) AS BIGINT) AS byte_sum,
+       CAST(len(list_distinct(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1))))) AS BIGINT) AS n_unique_bytes,
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+FROM documents
+"""
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "exact_dedup": q_exact_dedup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_buckets": q_simhash_buckets,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_byte_stats": q_multimodal_byte_stats,
+}
+
+LLM_ORACLES: dict[str, str] = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
+    "simhash_buckets": ORACLE_SIMHASH,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
+}

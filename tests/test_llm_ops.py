@@ -1,0 +1,213 @@
+"""Unit tests for the LLM-data-pipeline tier (dedup, text analysis,
+similarity, multimodal) on small hand-built frames — the oracle parity
+tests in ``plans/llm_registry.py`` cover the driver tables; these cover
+the semantics the synthetic corpus can't (real duplicates, real
+multilingual text, planted nearest neighbors, decoder injection)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators import dedup, multimodal, similarity, textops
+from homelogging_spark.functions.texthash import tokens
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun every single day"
+)
+
+
+class TestExactDedup:
+    def test_groups_and_canonical(self, spark):
+        df = docs_df(spark, [BASE, "unique one", BASE, "unique two", BASE])
+        out = dedup.exact_dedup(df).orderBy("doc_id").collect()
+        assert [r.n_copies for r in out] == [3, 1, 3, 1, 3]
+        assert [r.canonical_id for r in out] == [0, 1, 0, 3, 0]
+        assert [r.is_canonical for r in out] == [True, True, False, True, False]
+        # same text -> same hash; different -> different
+        assert out[0].content_hash == out[2].content_hash
+        assert out[0].content_hash != out[1].content_hash
+
+
+class TestMinHashLSH:
+    def test_near_dup_pair_found_and_verified(self, spark):
+        near = BASE.replace("lazy", "sleepy")  # one-token edit, J ~ 0.76
+        far = "completely different content about spark shuffle partitions and hash joins at scale"
+        df = docs_df(spark, [BASE, near, far])
+        # J~0.76 sits below the default (b=4, r=4) S-curve knee (~0.71 with
+        # sharp falloff); moderate-similarity mining shifts the curve left
+        # with more, narrower bands: (b=8, r=2) centers at ~0.35.
+        pairs = dedup.minhash_near_dup_pairs(
+            df, threshold=0.5, n_hashes=16, n_bands=8
+        ).collect()
+        assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+        assert 0.5 <= pairs[0].jaccard < 1.0
+
+    def test_identical_docs_jaccard_one(self, spark):
+        df = docs_df(spark, [BASE, BASE])
+        pairs = dedup.minhash_near_dup_pairs(df, threshold=0.9).collect()
+        assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+    def test_jaccard_exact_value(self, spark):
+        df = spark.range(1).select(
+            dedup.jaccard(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+            ).alias("j")
+        )
+        assert df.first().j == pytest.approx(2 / 4)
+
+
+class TestSimHash:
+    def test_identical_same_hash_small_edit_small_distance(self, spark):
+        near = BASE.replace("lazy", "sleepy")
+        far = "totally unrelated words about columnar execution engines and arrow buffers everywhere"
+        df = docs_df(spark, [BASE, BASE, near, far])
+        rows = dedup.simhash_fingerprints(df).orderBy("doc_id").collect()
+        assert rows[0].simhash == rows[1].simhash
+        assert rows[0].bucket_size >= 2
+        # one-token edit flips few (here: zero) of 16 bits ...
+        assert bin(rows[0].simhash ^ rows[2].simhash).count("1") <= 4
+        # ... while unrelated content lands far away
+        assert bin(rows[0].simhash ^ rows[3].simhash).count("1") >= 4
+
+    def test_range(self, spark):
+        df = docs_df(spark, [BASE])
+        h = dedup.simhash_fingerprints(df).first().simhash
+        assert 0 <= h < 2**16
+
+
+class TestFingerprint:
+    def test_stable_and_content_defined(self, spark):
+        df = docs_df(spark, [BASE, BASE, "other words entirely here now"])
+        rows = dedup.fingerprint_anchors(df).orderBy("doc_id").collect()
+        assert rows[0].fingerprint == rows[1].fingerprint
+        assert rows[0].fingerprint != rows[2].fingerprint
+        assert len(rows[0].anchors.split(",")) == 4
+
+
+class TestLanguageId:
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("the cat sat on the mat and it is happy", "en"),
+            ("der Hund ist nicht mit der Katze und das ist gut", "de"),
+            ("el perro es grande y la casa de los gatos", "es"),
+            ("le chien est dans les jardins pour une promenade", "fr"),
+        ],
+    )
+    def test_real_sentences(self, spark, text, expected):
+        df = docs_df(spark, [text])
+        pred = df.select(textops.language_id(tokens(F.col("text"))).alias("p")).first().p
+        assert pred == expected
+
+    def test_tie_breaks_to_order(self, spark):
+        df = docs_df(spark, ["xyzzy plugh"])  # zero hits everywhere
+        pred = df.select(textops.language_id(tokens(F.col("text"))).alias("p")).first().p
+        assert pred == "en"
+
+
+class TestQualityAndTokens:
+    def test_quality_components(self, spark):
+        df = docs_df(spark, ["the cat!! sat?? on,, the mat"])
+        cols = textops.quality_columns(F.col("text"))
+        row = df.select(*[c.alias(n) for n, c in cols.items()]).first()
+        assert row.n_tokens == 6
+        assert row.punct_ratio == pytest.approx(6 / 28)
+        assert row.stopword_ratio == pytest.approx(2 / 6)
+        assert 0.0 <= row.quality_score <= 1.0
+
+    def test_bpe_ish_counts(self, spark):
+        df = docs_df(spark, ["hello world42!"])
+        n = df.select(textops.bpe_ish_token_count(F.col("text")).alias("n")).first().n
+        assert n == 4  # hello, world, 42, !
+
+
+class TestSimilarity:
+    def vectors_df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_cosine_identities(self, spark):
+        df = self.vectors_df(spark, [[1, 0, 0], [1, 0, 0]])
+        a = df.where("vec_id=0").select(F.col("embedding").alias("a"))
+        b = df.where("vec_id=1").select(F.col("embedding").alias("b"))
+        row = a.crossJoin(b).select(
+            similarity.cosine(F.col("a"), F.col("b")).alias("c")
+        ).first()
+        assert row.c == pytest.approx(1.0)
+
+    def test_exact_topk_finds_planted_neighbor(self, spark):
+        base = [1.0, 2.0, -1.0, 0.5]
+        near = [1.01, 2.0, -1.0, 0.5]
+        ortho = [-2.0, 1.0, 0.0, 0.0]
+        anti = [-1.0, -2.0, 1.0, -0.5]
+        df = self.vectors_df(spark, [base, near, ortho, anti])
+        out = similarity.exact_topk(
+            df.where("vec_id = 0"), df.where("vec_id > 0"), k=3
+        ).collect()
+        assert [r.vec_id for r in out] == [1, 2, 3]
+        assert out[0].cosine > 0.999
+        assert out[2].cosine == pytest.approx(-1.0)
+
+    def test_lsh_near_dup_finds_duplicate_vector(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+        vecs.append(list(vecs[0]))  # exact duplicate of vec 0 -> id 20
+        df = self.vectors_df(spark, vecs)
+        pairs = similarity.lsh_near_dup_pairs(df, threshold=0.99).collect()
+        assert (0, 20) in [(p.id_a, p.id_b) for p in pairs]
+
+    def test_hyperplanes_deterministic(self):
+        a = similarity.hyperplanes(2, 8)
+        b = similarity.hyperplanes(2, 8)
+        assert a == b
+        assert all(-1.0 <= v < 1.0 for row in a for v in row)
+
+
+class TestMultimodal:
+    def test_byte_stats_match_python(self, spark):
+        df = multimodal.with_payload(docs_df(spark, ["abc", "aaa", "hello world"]))
+        rows = {r.doc_id: r for r in multimodal.byte_stats(df).collect()}
+        for i, text in enumerate(["abc", "aaa", "hello world"]):
+            raw = text.encode()
+            assert rows[i].n_bytes == len(raw)
+            assert rows[i].byte_sum == sum(raw)
+            assert rows[i].n_unique_bytes == len(set(raw))
+            assert rows[i].head_hex == raw[:8].hex()
+
+    def test_decode_image_stub_raises(self, spark):
+        df = multimodal.with_payload(docs_df(spark, ["x"]))
+        with pytest.raises(Exception) as exc_info:
+            multimodal.decode_image(df).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+    def test_decode_image_with_injected_decoder(self, spark):
+        df = multimodal.with_payload(docs_df(spark, ["abcd", "xy"]))
+
+        def fake_decoder(b: bytes):
+            return (len(b), 2, float(b[0]) / 255.0)
+
+        rows = {
+            r.doc_id: r
+            for r in multimodal.decode_image(df, decoder=fake_decoder).collect()
+        }
+        assert rows[0].width == 4 and rows[0].height == 2
+        assert rows[0].mean_luma == pytest.approx(ord("a") / 255.0)
+        assert rows[1].width == 2
