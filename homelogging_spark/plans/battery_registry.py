@@ -1,0 +1,150 @@
+"""ST4 battery-simulation queries + recursive-CTE oracles.
+
+The fold is a nonlinear recurrence (SoC clamps), so the DuckDB oracle
+cannot be a window function — instead a RECURSIVE CTE advances every
+meter in lockstep, one row-number per iteration (depth = max rows per
+meter). Both engines fold the *same quantized* minute averages with the
+same sequence of IEEE double operations, so even this stateful operator
+hash-matches exactly — no rows-only fallback needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.numeric import quantize, quantize_sql
+from homelogging_spark.operators.aggregations import time_bucket_agg
+from homelogging_spark.operators.battery import battery_zero_export, daily_cycles_report
+from homelogging_spark.tables import load_table
+
+# Reference constants (ZeroExport.cs:35-38)
+CAPACITY = 2.7
+EFFICIENCY = 0.9
+MAX_POWER_KW = 0.8
+
+
+def _minute_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized per-meter minute averages of the grid-power stand-in
+    series ('click'). Quantization happens BEFORE the fold so the oracle
+    consumes bit-identical inputs."""
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_agg(
+        events.where(F.col("event_type") == "click"),
+        "ts",
+        "minute",
+        keys=["user_id"],
+        aggs=[quantize(F.avg("value")).alias("power")],
+        bucket_alias="bucket",
+    )
+
+
+def q_battery_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = battery_zero_export(
+        _minute_power(spark, sf_dir),
+        keys=["user_id"],
+        power_col="power",
+        ts_col="bucket",
+        capacity=CAPACITY,
+        efficiency=EFFICIENCY,
+        max_power_kw=MAX_POWER_KW,
+    )
+    return sim.select(
+        "user_id",
+        "bucket",
+        "power",
+        quantize("soc").alias("soc"),
+        quantize("total_charged").alias("total_charged"),
+        quantize("total_discharged").alias("total_discharged"),
+        quantize("cycles").alias("cycles"),
+    )
+
+
+def q_battery_daily_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = battery_zero_export(
+        _minute_power(spark, sf_dir),
+        keys=["user_id"],
+        power_col="power",
+        ts_col="bucket",
+        capacity=CAPACITY,
+        efficiency=EFFICIENCY,
+        max_power_kw=MAX_POWER_KW,
+    )
+    out = daily_cycles_report(sim, keys=["user_id"], ts_col="bucket")
+    return out.select(
+        "user_id", "day", quantize("cycles_delta").alias("cycles_delta")
+    )
+
+
+def _sim_cte() -> str:
+    """The shared recursive-CTE SQL computing the fold for every meter."""
+    me = f"({MAX_POWER_KW}/60.0)"  # same ops as python max_power_kw/60.0
+    eff, cap = repr(EFFICIENCY), repr(CAPACITY)
+
+    def step(ge: str, soc: str, ch: str, dch: str) -> tuple[str, str, str]:
+        d = f"least({me}/{eff}, {ge}/{eff}, {soc})"
+        c = f"least({me}*{eff}, -{ge}*{eff}, {cap} - {soc})"
+        return (
+            f"CASE WHEN {ge} > 0 THEN {soc} - {d} ELSE {soc} + {c} END",
+            f"CASE WHEN {ge} > 0 THEN {ch} ELSE {ch} + {c} END",
+            f"CASE WHEN {ge} > 0 THEN {dch} + {d} ELSE {dch} END",
+        )
+
+    ge0 = "(power / 1000.0 / 60.0)"
+    soc0, ch0, dch0 = step(ge0, "0.0", "0.0", "0.0")
+    gen = "(m.power / 1000.0 / 60.0)"
+    socn, chn, dchn = step(gen, "sim.soc", "sim.total_charged", "sim.total_discharged")
+    return f"""
+m AS (
+  SELECT user_id, bucket, power,
+         row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+  FROM (SELECT user_id, date_trunc('minute', ts) AS bucket,
+               {quantize_sql('avg(value)')} AS power
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+),
+sim AS (
+  SELECT user_id, bucket, power, rn,
+         {soc0} AS soc, {ch0} AS total_charged, {dch0} AS total_discharged
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.user_id, m.bucket, m.power, m.rn,
+         {socn}, {chn}, {dchn}
+  FROM sim JOIN m ON m.user_id = sim.user_id AND m.rn = sim.rn + 1
+)"""
+
+
+_CYCLES = f"((total_charged + total_discharged) / 2.0 / {CAPACITY!r})"
+
+ORACLE_BATTERY_SIM = f"""
+WITH RECURSIVE {_sim_cte()}
+SELECT user_id, bucket, power,
+       {quantize_sql('soc')} AS soc,
+       {quantize_sql('total_charged')} AS total_charged,
+       {quantize_sql('total_discharged')} AS total_discharged,
+       {quantize_sql(_CYCLES)} AS cycles
+FROM sim
+"""
+
+ORACLE_BATTERY_DAILY_CYCLES = f"""
+WITH RECURSIVE {_sim_cte()},
+daily AS (
+  SELECT user_id, CAST(bucket AS DATE) AS day, max({_CYCLES}) AS eod_cycles
+  FROM sim GROUP BY 1, 2
+)
+SELECT user_id, day,
+       {quantize_sql('eod_cycles - COALESCE(lag(eod_cycles) OVER (PARTITION BY user_id ORDER BY day), 0.0)')} AS cycles_delta
+FROM daily
+"""
+
+
+BATTERY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "battery_sim": q_battery_sim,
+    "battery_daily_cycles": q_battery_daily_cycles,
+}
+
+BATTERY_ORACLES: dict[str, str] = {
+    "battery_sim": ORACLE_BATTERY_SIM,
+    "battery_daily_cycles": ORACLE_BATTERY_DAILY_CYCLES,
+}

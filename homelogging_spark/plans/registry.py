@@ -30,6 +30,7 @@ from homelogging_spark.operators.aggregations import (
 )
 from homelogging_spark.operators.counters import counter_rollover_correct
 from homelogging_spark.plans import flagship
+from homelogging_spark.plans.battery_registry import BATTERY_ORACLES, BATTERY_QUERIES
 from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
 from homelogging_spark.functions.numeric import quantize
 from homelogging_spark.tables import load_table
@@ -393,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "least_greatest": q_least_greatest,
     "customer_order_totals": q_customer_order_totals,
     **LLM_QUERIES,
+    **BATTERY_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -414,4 +416,5 @@ ORACLES: dict[str, str] = {
     "least_greatest": ORACLE_LEAST_GREATEST,
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
     **LLM_ORACLES,
+    **BATTERY_ORACLES,
 }
