@@ -344,6 +344,120 @@ FROM lineitem
 """
 
 
+# --- F7/K3: multi-valued entries + registered value names --------------------
+def _power_energy_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PowerEnergy-shaped multi-valued readings frame derived from the
+    events table: values = [power_w, energy_kwh, energy_raw_kwh]
+    (``Kasa/KasaLogger.cs:45-46`` layout, registered in
+    ``functions/values.SERIES_SCHEMAS``)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        F.lit("PowerEnergy").alias("series"),
+        F.array(
+            F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
+        ).alias("values"),
+    )
+
+
+_PE_VALS = "[value, value*0.001, value+1.0]"
+
+
+def q_values_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: named projection of value-array components via the
+    series_schema dim, then A3 latest-per-meter over the projected
+    columns. Kasa reads index 1 (0-based) = ``energy_kwh``; Tapo reads
+    index 2 = ``energy_raw_kwh`` (``Tapo/TapoLogger.cs:100``) — the
+    name-driven accessor makes that off-by-one unexpressible."""
+    from homelogging_spark.functions.values import with_named_components
+
+    named = with_named_components(
+        _power_energy_readings(spark, sf_dir),
+        spark,
+        ["power_w", "energy_kwh", "energy_raw_kwh"],
+    )
+    latest = latest_per_key(
+        named.select("meter_id", "ts", "power_w", "energy_kwh", "energy_raw_kwh"),
+        ["meter_id"],
+        "ts",
+    )
+    return latest.select(
+        "meter_id",
+        "ts",
+        quantize("power_w").alias("power_w"),
+        quantize("energy_kwh").alias("energy_kwh"),
+        quantize("energy_raw_kwh").alias("energy_raw_kwh"),
+    )
+
+
+ORACLE_VALUES_PROJECTION = f"""
+WITH dim AS (
+  SELECT * FROM (VALUES ('PowerEnergy', ['power_w','energy_kwh','energy_raw_kwh']))
+       AS t(series, value_names)
+), r AS (
+  SELECT user_id AS meter_id, ts, 'PowerEnergy' AS series, {_PE_VALS} AS vals
+  FROM events WHERE event_type = 'signup'
+), n AS (
+  SELECT meter_id, ts,
+         vals[list_position(value_names, 'power_w')] AS power_w,
+         vals[list_position(value_names, 'energy_kwh')] AS energy_kwh,
+         vals[list_position(value_names, 'energy_raw_kwh')] AS energy_raw_kwh
+  FROM r JOIN dim USING (series)
+), l AS (
+  SELECT *, row_number() OVER (PARTITION BY meter_id
+             ORDER BY ts DESC, energy_kwh DESC, energy_raw_kwh DESC, power_w DESC) AS rn
+  FROM n
+)
+SELECT meter_id, ts,
+       floor((power_w) * 1000000 + 0.5) / 1000000 AS power_w,
+       floor((energy_kwh) * 1000000 + 0.5) / 1000000 AS energy_kwh,
+       floor((energy_raw_kwh) * 1000000 + 0.5) / 1000000 AS energy_raw_kwh
+FROM l WHERE rn = 1
+"""
+
+
+def q_counter_rollover_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 re-expressed over the multi-valued model: the raw counter is
+    component 3 of the PowerEnergy array (Tapo's ``Last[2]``,
+    ``Tapo/TapoLogger.cs:100``) — proving rollover correction composes
+    with array projection."""
+    from homelogging_spark.functions.values import component
+
+    readings = _power_energy_readings(spark, sf_dir)
+    counters = readings.select(
+        "meter_id", "ts", component("values", 3).alias("raw")
+    )
+    out = counter_rollover_correct(counters, ["meter_id"], "raw", "ts")
+    return out.select(
+        "meter_id",
+        "ts",
+        quantize("raw").alias("raw"),
+        quantize("offset").alias("offset"),
+        quantize("corrected").alias("corrected"),
+    )
+
+
+ORACLE_COUNTER_ROLLOVER_VALUES = f"""
+WITH t AS (
+  SELECT user_id AS meter_id, ts, ({_PE_VALS})[3] AS raw,
+         lag(({_PE_VALS})[3]) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE event_type = 'signup'
+), r AS (
+  SELECT meter_id, ts, raw,
+         CASE WHEN prev IS NOT NULL AND raw < prev THEN prev ELSE 0.0 END AS reset_add
+  FROM t
+)
+SELECT meter_id, ts,
+       floor((raw) * 1000000 + 0.5) / 1000000 AS raw,
+       floor((sum(reset_add) OVER (PARTITION BY meter_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS offset,
+       floor((raw + sum(reset_add) OVER (PARTITION BY meter_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS corrected
+FROM r
+"""
+
+
 # --- J1 on the star schema: customer ⟕ order totals with coalesce-0 ---------
 def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -393,6 +507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "least_greatest": q_least_greatest,
     "customer_order_totals": q_customer_order_totals,
+    "values_projection": q_values_projection,
+    "counter_rollover_values": q_counter_rollover_values,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
 }
@@ -415,6 +531,8 @@ ORACLES: dict[str, str] = {
     "json_extract": ORACLE_JSON_EXTRACT,
     "least_greatest": ORACLE_LEAST_GREATEST,
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
+    "values_projection": ORACLE_VALUES_PROJECTION,
+    "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
 }
