@@ -32,6 +32,7 @@ from homelogging_spark.operators.counters import counter_rollover_correct
 from homelogging_spark.plans import flagship
 from homelogging_spark.plans.battery_registry import BATTERY_ORACLES, BATTERY_QUERIES
 from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
+from homelogging_spark.plans.sources_registry import SOURCES_ORACLES, SOURCES_QUERIES
 from homelogging_spark.functions.numeric import quantize
 from homelogging_spark.tables import load_table
 
@@ -511,6 +512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rollover_values": q_counter_rollover_values,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
+    **SOURCES_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -535,4 +537,5 @@ ORACLES: dict[str, str] = {
     "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
+    **SOURCES_ORACLES,
 }

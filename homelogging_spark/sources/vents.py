@@ -1,0 +1,39 @@
+"""S9: Vents Micra ventilation-unit item decoding
+(``Vents/Device.cs:34-161``, ``Vents/ItemDictionaryExtensions.cs:8-26``).
+
+The unit answers page/item requests with per-item byte payloads: 1-byte
+booleans and bytes, and little-endian signed int16 values scaled /10
+(temperatures). Items arrive as (item_address, payload) rows; decoding
+is pure column expressions over the binary payload — the protocol's
+framing/checksum lives in the connector, out of batch scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _byte_at(payload: Column, pos: int) -> Column:
+    return F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("int")
+
+
+def item_bool(payload: Column | str) -> Column:
+    """1-byte item -> boolean (``ItemDictionaryExtensions.cs:8-13``)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.when(F.length(c) == 1, _byte_at(c, 1) != 0)
+
+
+def item_byte(payload: Column | str) -> Column:
+    """1-byte item -> unsigned byte (``:21-26``)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.when(F.length(c) == 1, _byte_at(c, 1))
+
+
+def item_temperature(payload: Column | str) -> Column:
+    """2-byte item -> little-endian signed int16 / 10.0 (``:15-20``,
+    ``BitConverter.ToInt16`` on little-endian hosts)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    raw = _byte_at(c, 1) + _byte_at(c, 2) * 256  # little-endian
+    signed = F.when(raw >= 32768, raw - 65536).otherwise(raw)
+    return F.when(F.length(c) == 2, signed / 10.0)
