@@ -9,7 +9,7 @@ aligned joins, counter correction, and a battery simulation over them
 those operators Spark-first:
 
 - data model: long-format ``readings`` fact table + ``meters``/``series_schema``
-  dims (``homelogging_spark.tables``, ``homelogging_spark.fixtures``)
+  dims (``homelogging_spark.tables``, ``homelogging_spark.functions.values``)
 - operators: pure ``pyspark.sql`` column expressions wherever possible
   (``operators/``), ``applyInPandas`` only for the genuinely sequential folds
 - sources: parser stages for each telemetry wire format (``sources/``)

@@ -100,6 +100,7 @@ def energy_fraction_interpolate(
     power_col: str,
     ts_col: str = "ts",
     alias: str = "interpolated_energy",
+    round_digits: int | None = 3,
 ) -> DataFrame:
     """ST1: whole-unit energy counter + instantaneous power → interpolated
     counter with a trapezoid-integrated fractional part
@@ -131,10 +132,14 @@ def energy_fraction_interpolate(
         alias="__frac",
     )
     frac = F.least(F.col("__frac"), F.lit(0.99))
-    return (
-        out.withColumn(alias, F.round(F.col(energy_col) + frac, 3))
-        .drop("__delta", "__reset", "__frac")
-    )
+    interpolated = F.col(energy_col) + frac
+    if round_digits is not None:
+        # reference emits round(., 3) (``MbusLogger.cs:147``); callers that
+        # hash-compare against an external oracle pass None and quantize
+        # instead (Spark round() on double rounds the decimal *rendering* —
+        # not reproducible in double-math engines).
+        interpolated = F.round(interpolated, round_digits)
+    return out.withColumn(alias, interpolated).drop("__delta", "__reset", "__frac")
 
 
 def pulse_accumulate(

@@ -1,0 +1,93 @@
+"""Sinks K1-K3: the engine's write path (SURVEY §2.2).
+
+The reference appends batched time-series entries per session
+(``P1/P1Logger.cs:131-156``), upserts mutable meter documents (K2 —
+``Kasa/KasaLogger.cs:44,73`` mutates ``EnergyOffset``), and registers
+series value-names (K3). RavenDB appends are idempotent per
+``(series, ts)`` — re-appending overwrites — so the Spark sink's
+contract is *last-write-wins dedup on (meter_id, series, ts)*.
+
+Layout for 100 TB: parquet partitioned by ``(series, date)`` —
+partition pruning serves both access patterns the reference has
+(per-series scans, time-range scans). Within a batch, dedup is a
+window over the natural key; across batches, plain parquet append
+relies on batch-disjoint time ranges (the polling reality), while a
+table format with MERGE (Delta/Iceberg) is the drop-in upgrade for
+true cross-batch idempotence — the call-site API here stays the same.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+READING_KEY = ("meter_id", "series", "ts")
+
+
+def dedup_readings(
+    df: DataFrame,
+    key: Sequence[str] = READING_KEY,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Last-write-wins dedup on the natural key. With no ``order_col``
+    the arrival order is meaningless in batch, so ties break by the
+    remaining columns (deterministic); with one (e.g. an ingest sequence
+    number), the greatest wins — RavenDB overwrite semantics."""
+    order = (
+        [F.col(order_col).desc()]
+        if order_col
+        else [F.col(c).desc() for c in sorted(df.columns) if c not in key]
+    )
+    w = Window.partitionBy(*key).orderBy(*order) if order else Window.partitionBy(*key).orderBy(F.lit(1))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def append_readings(
+    df: DataFrame,
+    path: str,
+    key: Sequence[str] = READING_KEY,
+    partition_cols: Sequence[str] = ("series", "date"),
+    order_col: str | None = None,
+) -> None:
+    """K1: partitioned, deduped append of a readings batch. Adds a
+    ``date`` partition column from ``ts`` when requested."""
+    out = dedup_readings(df, key, order_col)
+    if "date" in partition_cols and "date" not in out.columns:
+        out = out.withColumn("date", F.to_date("ts"))
+    out.write.mode("append").partitionBy(*partition_cols).parquet(path)
+
+
+def read_readings(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def upsert_meters(existing: DataFrame, updates: DataFrame, key: str = "meter_id") -> DataFrame:
+    """K2: document upsert for the small ``meters`` dimension —
+    updates win over existing rows, new keys are inserted. Dimension
+    tables are tiny; overwrite-on-write (or Delta MERGE at scale) is the
+    strategy, this computes the merged state."""
+    tagged = updates.withColumn("__new", F.lit(1)).unionByName(
+        existing.withColumn("__new", F.lit(0)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__new").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__new")
+    )
+
+
+def register_series(existing: DataFrame, series: str, value_names: Sequence[str]) -> DataFrame:
+    """K3: series-schema registration — append-or-replace one series'
+    advisory value-name layout (``P1/P1Logger.cs:103-125``)."""
+    spark = existing.sparkSession
+    update = spark.createDataFrame(
+        [(series, list(value_names))], "series string, value_names array<string>"
+    )
+    return upsert_meters(existing, update, key="series")

@@ -34,7 +34,7 @@ from homelogging_spark.plans.battery_registry import BATTERY_ORACLES, BATTERY_QU
 from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
 from homelogging_spark.plans.sources_registry import SOURCES_ORACLES, SOURCES_QUERIES
 from homelogging_spark.functions.numeric import quantize
-from homelogging_spark.tables import load_table
+from homelogging_spark.tables import METERS_DIM_SQL, load_table
 
 PCT_CUTOFF = "2024-01-25 00:00:00"
 
@@ -345,6 +345,156 @@ FROM lineitem
 """
 
 
+# --- ST1: energy-counter fraction interpolation (Mbus) -----------------------
+def q_energy_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-unit counter + instantaneous power -> trapezoid-interpolated
+    counter (``Mbus/MbusLogger.cs:116-149``). The counter is derived from
+    the events stream (floor of a running sum) so it genuinely ticks in
+    whole units; rounding is quantize (not the reference's round(,3)) for
+    cross-engine hash stability."""
+    from homelogging_spark.operators.counters import energy_fraction_interpolate
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    src = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "ts",
+            (F.col("value") * 10.0).alias("power"),
+            F.floor(F.sum(F.col("value")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ) / 50.0).cast("double").alias("energy"),
+        )
+    )
+    out = energy_fraction_interpolate(
+        src, ["user_id"], "energy", "power", "ts", round_digits=None
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        quantize("power").alias("power"),
+        "energy",
+        quantize("interpolated_energy").alias("interpolated_energy"),
+    )
+
+
+ORACLE_ENERGY_INTERPOLATE = """
+WITH src AS (
+  SELECT user_id, ts, value * 10.0 AS power,
+         CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) / 50.0) AS DOUBLE) AS energy
+  FROM events WHERE event_type = 'error'
+), lagged AS (
+  SELECT *, lag(power) OVER w AS p_prev, lag(ts) OVER w AS t_prev,
+         lag(energy) OVER w AS e_prev
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), stepped AS (
+  SELECT *,
+         CASE WHEN p_prev IS NULL
+                   OR ((p_prev + power) / 2.0 * ((epoch_ms(ts) - epoch_ms(t_prev)) / 3600000.0) / 1000.0) < 0
+              THEN 0.0
+              ELSE (p_prev + power) / 2.0 * ((epoch_ms(ts) - epoch_ms(t_prev)) / 3600000.0) / 1000.0 END AS delta,
+         CASE WHEN e_prev IS NOT NULL AND energy > e_prev THEN 1 ELSE 0 END AS reset
+  FROM lagged
+), seg AS (
+  SELECT *, sum(reset) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM stepped
+), frac AS (
+  SELECT *, sum(delta) OVER (PARTITION BY user_id, seg_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS f
+  FROM seg
+)
+SELECT user_id, ts,
+       floor((power) * 1000000 + 0.5) / 1000000 AS power,
+       energy,
+       floor((energy + least(f, 0.99)) * 1000000 + 0.5) / 1000000 AS interpolated_energy
+FROM frac
+"""
+
+
+# --- J3: normalized-key identity join ---------------------------------------
+def q_key_normalized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovered-device list matched to registered meters by MAC,
+    case/separator-insensitively (``Tapo/TapoLogger.cs:158-161``)."""
+    from homelogging_spark.operators.joins import key_normalized_join
+    from homelogging_spark.tables import meters_dim
+
+    events = load_table(spark, sf_dir, "events")
+    registered = meters_dim(events)
+    discovered = (
+        events.select("user_id").distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .select(
+            F.concat(F.lit("AA:BB:"), F.col("user_id").cast("string")).alias("found_mac")
+        )
+    )
+    joined = key_normalized_join(registered, discovered, "mac", "found_mac", "inner")
+    return joined.select("meter_id", "vendor_info", "mac", "found_mac")
+
+
+ORACLE_KEY_NORMALIZED_JOIN = f"""
+WITH m AS ({METERS_DIM_SQL}),
+d AS (
+  SELECT 'AA:BB:' || CAST(user_id AS VARCHAR) AS found_mac
+  FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 2 = 0
+)
+SELECT meter_id, vendor_info, mac, found_mac
+FROM m JOIN d
+  ON upper(replace(replace(replace(mac, ':', ''), '-', ''), '.', ''))
+   = upper(replace(replace(replace(found_mac, ':', ''), '-', ''), '.', ''))
+"""
+
+
+# --- F2: device-class scan over the meters dim -------------------------------
+def q_device_class_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Where(m => m.VendorInfo == ...)`` (``Sdm/SdmLogger.cs:65-67``):
+    scan the meters dim for one device class, broadcast-join its readings
+    (J2), count per meter."""
+    from homelogging_spark.tables import meters_dim
+
+    events = load_table(spark, sf_dir, "events")
+    kasa_meters = meters_dim(events).where(F.col("vendor_info") == "Kasa")
+    return (
+        events.join(F.broadcast(kasa_meters), "user_id")
+        .groupBy("meter_id", "vendor_info", "medium")
+        .agg(F.count(F.lit(1)).alias("n_readings"),
+             quantize(F.avg("value")).alias("avg_value"))
+    )
+
+
+ORACLE_DEVICE_CLASS_SCAN = f"""
+WITH m AS ({METERS_DIM_SQL})
+SELECT meter_id, vendor_info, medium,
+       count(*) AS n_readings,
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+FROM events e JOIN m ON e.user_id = m.user_id
+WHERE vendor_info = 'Kasa'
+GROUP BY 1, 2, 3
+"""
+
+
+# --- F8: first-match limit 1 -------------------------------------------------
+def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Where(...).FirstOrDefault()`` (``Tapo/TapoLogger.cs:52``) — made
+    deterministic with an explicit order key before limit(1)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(F.col("value") > 99.0)
+        .orderBy("event_id")
+        .limit(1)
+        .select("event_id", "user_id", "event_type", quantize("value").alias("value"))
+    )
+
+
+ORACLE_FIRST_MATCH = """
+SELECT event_id, user_id, event_type,
+       floor((value) * 1000000 + 0.5) / 1000000 AS value
+FROM events WHERE value > 99.0 ORDER BY event_id LIMIT 1
+"""
+
+
 # --- F7/K3: multi-valued entries + registered value names --------------------
 def _power_energy_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A PowerEnergy-shaped multi-valued readings frame derived from the
@@ -510,6 +660,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_totals": q_customer_order_totals,
     "values_projection": q_values_projection,
     "counter_rollover_values": q_counter_rollover_values,
+    "energy_interpolate": q_energy_interpolate,
+    "key_normalized_join": q_key_normalized_join,
+    "device_class_scan": q_device_class_scan,
+    "first_match": q_first_match,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -535,6 +689,10 @@ ORACLES: dict[str, str] = {
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
     "values_projection": ORACLE_VALUES_PROJECTION,
     "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
+    "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
+    "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
+    "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,
+    "first_match": ORACLE_FIRST_MATCH,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

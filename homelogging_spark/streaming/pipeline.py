@@ -1,0 +1,73 @@
+"""Structured Streaming ingestion (SURVEY §2.9, EP3).
+
+The reference's pollers produce a continuous append stream (1 row/min/
+device, P1 at ~1 Hz). The streaming equivalent of EP3:
+
+    source -> parse (sources/*) -> dedup on (meter_id, series, ts)
+           -> foreachBatch append (operators/ingest) + dim MERGE
+
+- Event time is the device timestamp (``ts``); a 10-minute watermark
+  comfortably covers the reference's worst-case lateness (§2.9: nothing
+  needs more than minutes).
+- ``dropDuplicatesWithinWatermark`` gives the RavenDB idempotent-append
+  semantics across micro-batches without unbounded state.
+- ``foreachBatch`` writes the readings append and any mutable meter
+  state (EnergyOffset) in the same batch — the reference's transactional
+  SaveChanges boundary (``Kasa/KasaLogger.cs:73``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from homelogging_spark.operators.ingest import append_readings
+
+READINGS_DDL = (
+    "meter_id string, series string, ts timestamp, value double, tag string"
+)
+
+
+def read_reading_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = READINGS_DDL,
+    fmt: str = "json",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """File-based reading stream (the events testdata / any landing dir
+    stands in for the live pollers) with watermarked dedup."""
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .load(source_dir)
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["meter_id", "series", "ts"]
+    )
+
+
+def start_append_stream(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch append to the partitioned readings table. With
+    ``available_now`` the query drains pending input then stops —
+    batch-backfill mode; set False for continuous micro-batching."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = transform(batch) if transform is not None else batch
+        append_readings(out, table_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -48,6 +48,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def meters_dim(events: DataFrame) -> DataFrame:
+    """The ``meters`` document collection (SURVEY §1.1) derived
+    deterministically from the fact table's meter keys: one row per
+    device with vendor/medium class columns and a MAC-style identity —
+    the F2 device-class-scan and J3 identity-join target. Tiny by
+    construction; always broadcast."""
+    vendors = F.when(F.col("user_id") % 3 == 0, F.lit("Kasa")).when(
+        F.col("user_id") % 3 == 1, F.lit("Tapo")
+    ).otherwise(F.lit("Goodwe"))
+    media = F.when(F.col("user_id") % 3 == 2, F.lit("SolarPower")).otherwise(
+        F.lit("Electricity")
+    )
+    return (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("meters/"), F.col("user_id").cast("string")).alias("meter_id"),
+            F.col("user_id"),
+            vendors.alias("vendor_info"),
+            media.alias("medium"),
+            F.concat(F.lit("aa-bb-"), F.col("user_id").cast("string")).alias("mac"),
+        )
+    )
+
+
+METERS_DIM_SQL = """
+  SELECT 'meters/' || CAST(user_id AS VARCHAR) AS meter_id,
+         user_id,
+         CASE WHEN user_id % 3 = 0 THEN 'Kasa'
+              WHEN user_id % 3 = 1 THEN 'Tapo' ELSE 'Goodwe' END AS vendor_info,
+         CASE WHEN user_id % 3 = 2 THEN 'SolarPower' ELSE 'Electricity' END AS medium,
+         'aa-bb-' || CAST(user_id AS VARCHAR) AS mac
+  FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every test table as a DataFrame keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

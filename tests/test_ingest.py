@@ -1,0 +1,137 @@
+"""K1-K3 write-path and streaming-ingest tests: round-trip parity,
+last-write-wins dedup, dim upsert, and an end-to-end availableNow
+streaming drain into the partitioned readings table."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.ingest import (
+    append_readings,
+    dedup_readings,
+    read_readings,
+    register_series,
+    upsert_meters,
+)
+
+
+def readings_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "meter_id string, series string, ts timestamp, value double, tag string"
+    )
+
+
+T0 = datetime(2024, 4, 1, 12, 0, 0)
+
+
+class TestDedupReadings:
+    def test_last_write_wins_with_order(self, spark):
+        df = readings_df(
+            spark,
+            [
+                ("m1", "Power", T0, 100.0, "W"),
+                ("m1", "Power", T0, 200.0, "W"),  # overwrite, later ingest
+                ("m1", "Power", T0 + timedelta(seconds=1), 300.0, "W"),
+            ],
+        ).withColumn("seq", F.monotonically_increasing_id())
+        out = dedup_readings(df, order_col="seq").orderBy("ts").collect()
+        assert [r.value for r in out] == [200.0, 300.0]
+
+    def test_deterministic_without_order(self, spark):
+        df = readings_df(
+            spark,
+            [("m1", "Power", T0, 100.0, "W"), ("m1", "Power", T0, 200.0, "W")],
+        )
+        out = dedup_readings(df).collect()
+        assert len(out) == 1 and out[0].value == 200.0  # greatest remaining cols
+
+
+class TestAppendRoundTrip:
+    def test_partitioned_write_and_query_parity(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        rows = [
+            ("m1", "Power", T0 + timedelta(minutes=i), float(i), "W") for i in range(5)
+        ] + [("m2", "Water", T0 + timedelta(days=1), 42.0, "L")]
+        append_readings(readings_df(spark, rows), path)
+        back = read_readings(spark, path)
+        assert back.count() == 6
+        # partition layout: series + date directories exist
+        assert any(d.startswith("series=") for d in os.listdir(path))
+        sub = os.path.join(path, "series=Power")
+        assert any(d.startswith("date=") for d in os.listdir(sub))
+        # partition pruning serves the per-series scan
+        assert back.where("series = 'Power'").count() == 5
+        got = back.where("series = 'Power'").agg(F.sum("value")).first()[0]
+        assert got == pytest.approx(sum(range(5)))
+
+    def test_append_is_additive(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        append_readings(readings_df(spark, [("m1", "Power", T0, 1.0, "W")]), path)
+        append_readings(
+            readings_df(spark, [("m1", "Power", T0 + timedelta(minutes=1), 2.0, "W")]),
+            path,
+        )
+        assert read_readings(spark, path).count() == 2
+
+
+class TestDimUpserts:
+    def test_upsert_meters_update_and_insert(self, spark):
+        existing = spark.createDataFrame(
+            [("m1", "Kasa", 10.5), ("m2", "Tapo", 0.0)],
+            "meter_id string, vendor_info string, energy_offset double",
+        )
+        updates = spark.createDataFrame(
+            [("m1", "Kasa", 12.25), ("m3", "Goodwe", 0.0)],
+            "meter_id string, vendor_info string, energy_offset double",
+        )
+        out = {r.meter_id: r for r in upsert_meters(existing, updates).collect()}
+        assert len(out) == 3
+        assert out["m1"].energy_offset == 12.25  # K2 mutable state updated
+        assert out["m2"].energy_offset == 0.0
+        assert out["m3"].vendor_info == "Goodwe"
+
+    def test_register_series(self, spark):
+        from homelogging_spark.functions.values import series_schema_dim
+
+        dim = series_schema_dim(spark)
+        out = register_series(dim, "NewSeries", ["a", "b"])
+        rows = {r.series: r.value_names for r in out.collect()}
+        assert rows["NewSeries"] == ["a", "b"]
+        assert "PowerEnergy" in rows  # existing registrations preserved
+        # re-register replaces, never duplicates
+        out2 = register_series(out, "NewSeries", ["x"])
+        assert out2.where("series = 'NewSeries'").count() == 1
+
+
+class TestStreamingIngest:
+    def test_available_now_drain_to_table(self, spark, tmp_path):
+        from homelogging_spark.streaming.pipeline import (
+            read_reading_stream,
+            start_append_stream,
+        )
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        rows = [
+            {"meter_id": "m1", "series": "Power", "ts": "2024-04-01T12:00:00Z",
+             "value": 240.0, "tag": "W"},
+            {"meter_id": "m1", "series": "Power", "ts": "2024-04-01T12:00:00Z",
+             "value": 240.0, "tag": "W"},  # duplicate append (idempotent key)
+            {"meter_id": "m2", "series": "Water", "ts": "2024-04-01T12:01:00Z",
+             "value": 1.0, "tag": "L"},
+        ]
+        (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+        table = str(tmp_path / "table")
+        stream = read_reading_stream(spark, str(src))
+        q = start_append_stream(stream, table, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        back = read_readings(spark, table)
+        assert back.count() == 2  # watermarked dedup dropped the re-append
+        assert {r.series for r in back.collect()} == {"Power", "Water"}
