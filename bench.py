@@ -55,17 +55,43 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Regression visibility: per-query delta vs the previous round's
+    # recorded bench (queries slower by >25% + overall ratio).
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_PREV_BENCH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"),
     )
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            if "parsed" in prev:  # driver BENCH_r{N}.json wraps the bench line
+                prev = prev["parsed"] or {}
+            prev_q = prev.get("queries", {})
+            shared = {k: v for k, v in timings.items() if k in prev_q}
+            if shared:
+                prev_total = sum(prev_q[k] for k in shared)
+                cur_total = sum(shared.values())
+                out["vs_prev"] = {
+                    "prev_round_total_shared": round(prev_total, 3),
+                    "this_round_total_shared": round(cur_total, 3),
+                    "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+                    "regressed": {
+                        k: {"prev": prev_q[k], "now": v}
+                        for k, v in shared.items()
+                        if prev_q[k] > 0.2 and v > prev_q[k] * 1.25
+                    },
+                }
+        except (OSError, ValueError, KeyError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -68,23 +68,72 @@ def word_shingles_sql(toks: str, n: int = 3, distinct: bool = True) -> str:
 
 # --- MinHash -----------------------------------------------------------------
 
-def _salted_min(shingles: Column, h: int) -> Column:
-    # NB: a plain single-arg lambda — pyspark treats a 2-parameter function
-    # (even via default args) as the (element, index) transform variant.
-    salt = F.lit(f"{h}|")
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(salt, s))))
+# Multiply-mod permutation family over a single md5 base hash: one md5 per
+# shingle (the expensive part), then n cheap integer maps
+#     pi_h(x) = (a_h * (x mod 2^31) + b_h) mod (2^61 - 1)
+# with (a_h, b_h) themselves md5-derived constants — the standard universal
+# hash family, 16x fewer digest computations than per-salt md5, and pure
+# 64-bit arithmetic (no overflow: a < 2^31, x mod 2^31 < 2^31 -> product
+# < 2^62).
+MINHASH_PRIME = (1 << 61) - 1
+_MOD31 = 1 << 31
+
+
+def _perm_consts(h: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"perm-a|{h}".encode()).hexdigest()[:8], 16) | 1
+    b = int(hashlib.md5(f"perm-b|{h}".encode()).hexdigest()[:8], 16)
+    return a, b
+
+
+def shingle_base_hash(shingles: Column) -> Column:
+    """array<bigint>: 60-bit base hash per shingle (first 15 md5 hex)."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+
+
+def shingle_base_hash_sql(shingles: str) -> str:
+    return (
+        f"list_transform({shingles}, s -> "
+        f"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+    )
+
+
+def minhash_from_base(base: Column, n_hashes: int = 16) -> Column:
+    """Signature from a *materialized* base-hash array column. Callers
+    must compute ``shingle_base_hash`` into its own column first — the
+    base expression is referenced once per permutation, and only a
+    materialized column keeps the md5 pass from being replayed 16x
+    (Catalyst will not inline a multiply-referenced expensive alias)."""
+
+    def perm_min(h: int) -> Column:
+        a, b = _perm_consts(h)
+        return F.array_min(
+            F.transform(
+                base,
+                lambda x: (F.lit(a) * (x % F.lit(_MOD31)) + F.lit(b))
+                % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    return F.array(*[perm_min(h) for h in range(n_hashes)])
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """Array of ``n_hashes`` min-wise hashes (hex strings) of the shingle
-    set. Element ``h`` is ``min(md5('<h>|' || s))`` over shingles ``s``."""
-    return F.array(*[_salted_min(shingles, h) for h in range(n_hashes)])
+    """Convenience one-expression form (fine for tests/small frames; the
+    pair-mining pipeline materializes the base hashes instead)."""
+    return minhash_from_base(shingle_base_hash(shingles), n_hashes)
 
 
-def minhash_signature_sql(shingles: str, n_hashes: int = 16) -> str:
+def minhash_from_base_sql(base: str, n_hashes: int = 16) -> str:
+    """DuckDB twin of ``minhash_from_base`` — pass a CTE column holding
+    the base-hash list so the md5 pass runs once there too."""
     comps = ", ".join(
-        f"list_min(list_transform({shingles}, s -> md5('{h}|' || s)))"
-        for h in range(n_hashes)
+        f"list_min(list_transform({base}, "
+        f"x -> ({a} * (x % {_MOD31}) + {b}) % {MINHASH_PRIME}))"
+        for a, b in (_perm_consts(h) for h in range(n_hashes))
     )
     return f"[{comps}]"
 
@@ -93,25 +142,37 @@ def band_hashes(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> Column
     """LSH banding: one md5 per band of ``rows_per_band`` signature rows.
     Two docs collide in band ``b`` iff that whole band matches — the
     standard (b, r) S-curve tuning (threshold ≈ (1/b)^(1/r))."""
-    return F.array(
-        *[
-            F.md5(F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)))
-            for b in range(n_bands)
-        ]
-    )
+
+    def band(b: int) -> Column:
+        part = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        return F.md5(F.concat_ws(",", F.transform(part, lambda x: x.cast("string"))))
+
+    return F.array(*[band(b) for b in range(n_bands)])
 
 
 def band_hashes_sql(sig: str, n_bands: int = 4, rows_per_band: int = 4) -> list[str]:
     return [
-        f"md5(array_to_string(({sig})[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], ','))"
+        "md5(array_to_string(list_transform("
+        f"({sig})[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], "
+        "x -> CAST(x AS VARCHAR)), ','))"
         for b in range(n_bands)
     ]
 
 
 # --- SimHash -----------------------------------------------------------------
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over the token multiset.
+def token_md5(toks: Column) -> Column:
+    """Per-token md5 hex — materialize this ONCE (own column) before
+    feeding :func:`simhash16`, which references it 16 times."""
+    return F.transform(toks, F.md5)
+
+
+def token_md5_sql(toks: str) -> str:
+    return f"list_transform({toks}, t -> md5(t))"
+
+
+def simhash16(hashed_toks: Column) -> Column:
+    """16-bit SimHash over a pre-hashed token multiset (``token_md5``).
 
     Bit ``j`` of a token's hash is the high bit of hex digit ``j`` of its
     md5 (digit >= 8). Each token votes +1/-1 per bit; the fingerprint bit
@@ -120,10 +181,10 @@ def simhash16(toks: Column) -> Column:
     """
     def vote(j: int) -> Column:
         return F.aggregate(
-            toks,
+            hashed_toks,
             F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(t), j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1),
+            lambda acc, hx: acc
+            + F.when(F.substring(hx, j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1),
         )
 
     bits = [
@@ -133,13 +194,14 @@ def simhash16(toks: Column) -> Column:
     return reduce(lambda a, b: a + b, bits).cast("bigint")
 
 
-def simhash16_sql(toks: str) -> str:
+def simhash16_sql(hashed_toks: str) -> str:
+    """DuckDB twin over a pre-hashed CTE column (``token_md5_sql``)."""
     highs = ", ".join(f"'{c}'" for c in HEX_HIGH)
     terms = []
     for j in range(16):
         vote = (
-            f"COALESCE(list_sum(list_transform({toks}, "
-            f"t -> CASE WHEN substr(md5(t), {j + 1}, 1) IN ({highs}) THEN 1 ELSE -1 END)), 0)"
+            f"COALESCE(list_sum(list_transform({hashed_toks}, "
+            f"hx -> CASE WHEN substr(hx, {j + 1}, 1) IN ({highs}) THEN 1 ELSE -1 END)), 0)"
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN {2**j} ELSE 0 END)")
     return f"CAST({' + '.join(terms)} AS BIGINT)"

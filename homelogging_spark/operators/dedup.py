@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 
 from homelogging_spark.functions.texthash import (
     band_hashes,
-    minhash_signature,
+    minhash_from_base,
+    shingle_base_hash,
     simhash16,
+    token_md5,
     tokens,
     word_shingles,
 )
@@ -89,7 +91,17 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sets = shingle_sets(df, id_col, text_col, shingle_n)
-    sigs = sets.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    # ONE md5 pass: hash the shingle set to 60-bit ints, persist, and run
+    # everything downstream (signature, bands, Jaccard verify) over the
+    # hashed sets. The frame is referenced by four plan branches (two
+    # sides of the band self-join, two sides of the verify join); without
+    # persist each branch would re-scan and re-hash the corpus. At real
+    # scale this frame is a materialized signatures table.
+    base = sets.select(
+        F.col(id_col),
+        F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
+    ).persist()
+    sigs = base.withColumn("sig", minhash_from_base(F.col("bh"), n_hashes))
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
@@ -109,8 +121,11 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # verify on the hashed sets (8-byte elements, not shingle strings);
+    # Jaccard over 60-bit hashes == shingle Jaccard up to negligible
+    # collision mass, and the oracle replicates the same hashed form.
+    sa = base.select(F.col(id_col).alias("doc_a"), F.col("bh").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("doc_b"), F.col("bh").alias("sh_b"))
     verified = (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -129,8 +144,11 @@ def simhash_fingerprints(
     MinHash-LSH, never all-pairs.
     """
     w = Window.partitionBy("simhash")
+    hashed = df.select(
+        F.col(id_col), token_md5(tokens(F.col(text_col))).alias("__hmd5")
+    )
     return (
-        df.select(F.col(id_col), simhash16(tokens(F.col(text_col))).alias("simhash"))
+        hashed.select(F.col(id_col), simhash16(F.col("__hmd5")).alias("simhash"))
         .withColumn("bucket_size", F.count(F.lit(1)).over(w))
     )
 

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.functions.texthash import (
     band_hashes_sql,
-    minhash_signature_sql,
+    minhash_from_base_sql,
+    shingle_base_hash_sql,
     simhash16_sql,
+    token_md5_sql,
     tokens,
     tokens_sql,
     word_shingles_sql,
@@ -165,7 +167,8 @@ def _minhash_near_dup_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
-sig AS (SELECT doc_id, {minhash_signature_sql('sh', n_hashes)} AS sig FROM sh),
+bh AS (SELECT doc_id, list_distinct({shingle_base_hash_sql('sh')}) AS bh FROM sh),
+sig AS (SELECT doc_id, {minhash_from_base_sql('bh', n_hashes)} AS sig FROM bh),
 bands AS ({band_selects}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -174,8 +177,8 @@ pairs AS (
 ),
 v AS (
   SELECT p.doc_a, p.doc_b,
-         len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(x.sh || y.sh)) AS j
-  FROM pairs p JOIN sh x ON p.doc_a = x.doc_id JOIN sh y ON p.doc_b = y.doc_id
+         len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
+  FROM pairs p JOIN bh x ON p.doc_a = x.doc_id JOIN bh y ON p.doc_b = y.doc_id
 )
 SELECT doc_a, doc_b, {quantize_sql('j')} AS jaccard FROM v WHERE j >= 0.7
 """
@@ -193,8 +196,10 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIMHASH = f"""
-WITH t AS (
-  SELECT doc_id, {simhash16_sql(tokens_sql('text'))} AS simhash FROM documents
+WITH h AS (
+  SELECT doc_id, {token_md5_sql(tokens_sql('text'))} AS hmd5 FROM documents
+), t AS (
+  SELECT doc_id, {simhash16_sql('hmd5')} AS simhash FROM h
 )
 SELECT doc_id, simhash,
        CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
