@@ -63,19 +63,27 @@ def trailing_percentile(
     ts_col: str = "ts",
     keys: Sequence[str] = (),
     alias: str = "pct",
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Exact percentile over a trailing window anchored at a cutoff
     (A5: RQL ``last 5 minutes select percentile(50)`` —
     ``Deploy/switchboiler.sh:5``).
 
-    Uses exact ``percentile`` (matches ANSI percentile_cont interpolation).
-    At very large groups switch to ``percentile_approx`` — the API shape is
-    identical.
+    ``approx=True`` switches to ``percentile_approx`` (GK sketch,
+    mergeable map-side — no per-group full sort/materialization), the
+    default to reach for above ~1e6 rows per group. Exact ``percentile``
+    matches ANSI percentile_cont interpolation and stays the oracle-
+    parity form; the reference's own use is a 5-minute window (~300
+    points) where exact is free.
     """
     filtered = df.where(F.col(ts_col) >= cutoff)
-    return filtered.groupBy(*[F.col(k) for k in keys]).agg(
-        F.percentile(value, F.lit(pct)).alias(alias)
+    agg = (
+        F.percentile_approx(value, F.lit(pct), F.lit(accuracy))
+        if approx
+        else F.percentile(value, F.lit(pct))
     )
+    return filtered.groupBy(*[F.col(k) for k in keys]).agg(agg.alias(alias))
 
 
 def all_gate(

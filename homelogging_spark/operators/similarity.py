@@ -186,6 +186,70 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_cells: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector mapped to its ``n_cells``
+    nearest centroids by cosine (1 for indexing, >1 for query-side
+    multi-probe). Centroids broadcast — the corpus streams through one
+    scan, no shuffle until the final rank-per-vector.
+
+    Centroid choice is the caller's: real systems run k-means; for
+    deterministic oracle parity any fixed seed set works (the index is
+    an *accelerator* — correctness comes from the exact-cosine verify).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("c_emb")
+    )
+    scored = df.select(F.col(id_col), F.col(emb_col)).crossJoin(F.broadcast(c)).select(
+        id_col, emb_col, "centroid_id",
+        cosine(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.col("centroid_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_cells)
+        .select(id_col, emb_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus bucketed into centroid cells (one
+    each), queries probe their ``nprobe`` nearest cells, candidates
+    verified by exact cosine. The scale shape: shuffle on centroid_id
+    (cells ~ corpus/K vectors), query work ~ nprobe/K of the corpus —
+    the classic recall/cost dial alongside the LSH variant."""
+    cells = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
+        F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"), "centroid_id"
+    )
+    probes = ivf_assign(queries, centroids, nprobe, id_col, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "centroid_id"
+    )
+    scored = probes.join(cells, "centroid_id").select(
+        "query_id", "cand_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("bigint").alias("rank"), "cand_id", "cosine"
+        )
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -294,6 +294,60 @@ FROM r WHERE rank <= {k}
 ORACLE_ANN_LSH_TOPK = _ann_lsh_topk_oracle()
 
 
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the coarse-quantizer alternative to LSH):
+    corpus assigned to its nearest of 8 fixed centroids, queries probe
+    their 2 nearest cells, exact-cosine verify, top-3. Centroids are a
+    deterministic seed subset (first 8 corpus vectors) so the oracle
+    replicates assignment exactly; production swaps in k-means without
+    touching the query shape."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    centroids = corpus.where(
+        F.col("vec_id") < N_QUERY_VECS + IVF_N_CENTROIDS
+    )
+    out = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=IVF_NPROBE)
+    return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
+
+
+def _ann_ivf_topk_oracle(k: int = 3) -> str:
+    cos = similarity.cosine_sql("t.embedding", "c.c_emb", EMB_DIM)
+    qc_cos = similarity.cosine_sql("q.q_emb", "cl.c_emb2", EMB_DIM)
+    lo, hi = N_QUERY_VECS, N_QUERY_VECS + IVF_N_CENTROIDS
+    return f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id >= {lo} AND vec_id < {hi}),
+assign_corpus AS (
+  SELECT vec_id, embedding, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos} DESC, centroid_id) AS r
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {lo}) t, c
+),
+cells AS (SELECT vec_id AS cand_id, embedding AS c_emb2, centroid_id
+          FROM assign_corpus WHERE r = 1),
+assign_q AS (
+  SELECT vec_id, embedding, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos} DESC, centroid_id) AS r
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}) t, c
+),
+probes AS (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+           FROM assign_q WHERE r <= {IVF_NPROBE}),
+s AS (
+  SELECT DISTINCT q.query_id, cl.cand_id, {qc_cos} AS cos
+  FROM probes q JOIN cells cl USING (centroid_id)
+),
+r AS (SELECT query_id, cand_id, cos, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, {quantize_sql('cos')} AS cosine
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
@@ -357,6 +411,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_byte_stats": q_multimodal_byte_stats,
 }
@@ -372,6 +427,7 @@ LLM_ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
+    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
 }

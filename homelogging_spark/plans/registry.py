@@ -203,6 +203,112 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+# --- A8 (full): debounced pulse accumulation with step-function emission -----
+def q_pulse_step_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete GPIO pulse treatment (``Gpio/GpioLogger.cs:74-99``):
+    200 ms debounce, cumulative quantity, and the two-rows-per-pulse
+    step emission (a point ``step_emit_ms`` before each pulse carrying
+    the previous cumulative value, ``:92-93``)."""
+    from homelogging_spark.operators.counters import pulse_accumulate
+
+    events = load_table(spark, sf_dir, "events")
+    pulses = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("qty")
+    )
+    out = pulse_accumulate(
+        pulses, ["user_id"], F.col("qty"), "ts", debounce_ms=200, step_emit_ms=10
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        quantize("quantity").alias("quantity"),
+        quantize("rate").alias("rate"),
+        F.col("is_pulse").cast("bigint").alias("is_pulse"),
+    )
+
+
+ORACLE_PULSE_STEP_EMIT = """
+WITH p AS (
+  SELECT user_id, ts, value AS qty,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+  FROM events WHERE event_type = 'purchase'
+), deb AS (
+  SELECT user_id, ts, qty FROM p WHERE gap IS NULL OR gap >= 200
+), acc AS (
+  SELECT user_id, ts, qty,
+         sum(qty) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS quantity,
+         qty / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) AS rate
+  FROM deb
+)
+SELECT user_id, make_timestamp(epoch_ms(ts) * 1000 - 10000) AS ts,
+       floor((quantity - qty) * 1000000 + 0.5) / 1000000 AS quantity,
+       CAST(NULL AS DOUBLE) AS rate, CAST(0 AS BIGINT) AS is_pulse
+FROM acc
+UNION ALL
+SELECT user_id, ts,
+       floor((quantity) * 1000000 + 0.5) / 1000000 AS quantity,
+       floor((rate) * 1000000 + 0.5) / 1000000 AS rate, CAST(1 AS BIGINT) AS is_pulse
+FROM acc
+"""
+
+
+# --- ST6: composed thermostat switcher over window gates ---------------------
+def q_thermostat_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 end-to-end: per (day, meter) A7 gates over the value stream +
+    time-of-day off-period + permanent-switch outside temperature
+    (``Ebus/EbusThermostatSwitcher.cs:18-104``), emitting the switch
+    decision per day boundary row."""
+    from homelogging_spark.operators.aggregations import all_gate
+    from homelogging_spark.operators.controllers import thermostat_mode
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.withColumn("day", F.to_date("ts"))
+    gates = all_gate(daily, ["day", "user_id"], F.col("value") > 50.0, min_count=10)
+    # outside temp proxy + a representative in-day timestamp, both
+    # integer-derived so the oracle mirrors exactly
+    src = gates.select(
+        "day",
+        "user_id",
+        (F.col("user_id") % 30).cast("double").alias("outside_temp"),
+        F.to_timestamp(
+            F.concat(F.col("day").cast("string"), F.lit(" 0"),
+                     (F.col("user_id") % 10).cast("string"), F.lit(":00:00"))
+        ).alias("ts"),
+        F.col("all_true").alias("all_on"),
+        F.col("none_true").alias("none_on"),
+    )
+    mode = thermostat_mode(
+        F.col("outside_temp"), F.col("ts"), F.col("all_on"), F.col("none_on"),
+        permanent_switch_temp=2.0, off_periods=[(23 * 60, 6 * 60)],
+    )
+    return src.select("day", "user_id", "outside_temp", mode.alias("mode"))
+
+
+ORACLE_THERMOSTAT_MODE = """
+WITH g AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         count(*) AS n,
+         (count(*) >= 10 AND bool_and(value > 50.0)) AS all_on,
+         (count(*) >= 10 AND NOT bool_or(value > 50.0)) AS none_on
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT day, user_id,
+         CAST(user_id % 30 AS DOUBLE) AS outside_temp,
+         CAST(user_id % 10 AS INTEGER) AS hh,
+         all_on, none_on
+  FROM g
+)
+SELECT day, user_id, outside_temp,
+       CASE WHEN outside_temp <= 2.0 THEN 'on'
+            WHEN (hh * 60 >= 1380) OR (hh * 60 < 360) THEN 'off'
+            WHEN all_on THEN 'on'
+            WHEN none_on THEN 'off'
+       END AS mode
+FROM s
+"""
+
+
 # --- ST2/ST3: counter rollover correction (Tapo/TapoLogger.cs:87-107) --------
 def q_counter_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -664,6 +770,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_normalized_join": q_key_normalized_join,
     "device_class_scan": q_device_class_scan,
     "first_match": q_first_match,
+    "pulse_step_emit": q_pulse_step_emit,
+    "thermostat_mode": q_thermostat_mode,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -693,6 +801,8 @@ ORACLES: dict[str, str] = {
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,
     "first_match": ORACLE_FIRST_MATCH,
+    "pulse_step_emit": ORACLE_PULSE_STEP_EMIT,
+    "thermostat_mode": ORACLE_THERMOSTAT_MODE,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

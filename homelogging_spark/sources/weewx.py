@@ -62,6 +62,38 @@ def normalize_label(label: Column | str) -> Column:
     return F.replace(c, F.lit(" "), F.lit(""))
 
 
+ROW_REGEX = r"(?s)<tr[^>]*>.*?</tr>"
+CELL_REGEX = r'(?s)<td[^>]*class="label"[^>]*>\s*([^<]*?)\s*</td>.*?<td[^>]*class="data"[^>]*>\s*([^<]*?)\s*</td>'
+LASTUPDATE_REGEX = r'(?s)class="lastupdate"[^>]*>\s*([^<]*?)\s*<'
+
+
+def extract_widget_rows(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """The HTML-scrape stage (``WeewxLogger.cs:26-53`` CSS-selects
+    ``#current_widget tr`` label/data cell pairs): one row per widget
+    table row with raw (label, data) strings plus the page's
+    ``lastupdate`` cell — ``dd/MM/yy HH:mm:ss`` local, parsed with
+    ``to_timestamp`` by the caller that knows its zone.
+
+    Regex-based extraction (Spark-side, codegen'd) instead of a DOM
+    parser: the widget markup is machine-generated and regular; an
+    lxml/AngleSharp pass would force every page through Python.
+    """
+    c = F.col(html_col)
+    rows = F.regexp_extract_all(c, F.lit(ROW_REGEX), F.lit(0))
+    exploded = df.withColumn(
+        "lastupdate_raw", F.regexp_extract(c, LASTUPDATE_REGEX, 1)
+    ).select(
+        "*", F.explode(rows).alias("__row")
+    )
+    out = exploded.withColumns(
+        {
+            "label": F.regexp_extract(F.col("__row"), CELL_REGEX, 1),
+            "data": F.regexp_extract(F.col("__row"), CELL_REGEX, 2),
+        }
+    ).where(F.col("label") != "")
+    return out.drop("__row")
+
+
 def parse_weather_rows(df: DataFrame, label_col: str = "label", data_col: str = "data") -> DataFrame:
     """(series, values, unit) per label/data pair; unparseable rows keep
     NULL parsed fields (caller filters, as the reference skips)."""

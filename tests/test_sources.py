@@ -78,6 +78,32 @@ class TestWeewx:
         row = weewx.parse_weather_rows(df).first()
         assert row.values is None and row.unit is None
 
+    WIDGET_HTML = """<html><body>
+    <p class="lastupdate"> 21/04/22 16:05:00 </p>
+    <div id="current_widget"><table>
+      <tr><td class="label">Outside Temperature</td><td class="data">7.3°C (45.1°F)</td></tr>
+      <tr><td class="label">Wind</td><td class="data">0.9 m/s ESE (110°)</td></tr>
+      <tr><td class="label">Outside Humidity</td><td class="data">83%</td></tr>
+    </table></div></body></html>"""
+
+    def test_extract_widget_rows_end_to_end(self, spark):
+        df = spark.createDataFrame([(self.WIDGET_HTML,)], "html string")
+        cells = weewx.extract_widget_rows(df)
+        parsed = weewx.parse_weather_rows(cells)
+        rows = {r.series: r for r in parsed.collect()}
+        assert set(rows) == {"OutsideTemperature", "Wind", "OutsideHumidity"}
+        assert rows["OutsideTemperature"].values == [
+            pytest.approx(7.3), pytest.approx(45.1)]
+        assert rows["OutsideTemperature"].unit == "°C;°F"
+        assert rows["Wind"].values == [pytest.approx(0.9), pytest.approx(110.0)]
+        # lastupdate cell travels with every row for timestamping
+        lu = cells.select("lastupdate_raw").first().lastupdate_raw
+        assert lu == "21/04/22 16:05:00"
+        ts = cells.select(
+            F.to_timestamp("lastupdate_raw", "dd/MM/yy HH:mm:ss").alias("ts")
+        ).first().ts
+        assert ts.year == 2022 and ts.month == 4 and ts.day == 21
+
 
 MBUS_XML = """<MBusData><SlaveInformation><Id>10758808</Id>
 <Manufacturer>ZRI</Manufacturer><Medium>Heat: Outlet</Medium></SlaveInformation>
