@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def _ordered_window(keys: Sequence[str], ts_col: str) -> Window:
@@ -59,6 +60,52 @@ def counter_rollover_correct(
     return df.withColumn(offset_alias, offset).withColumn(
         corrected_alias, F.col(raw_col) + F.col(offset_alias)
     )
+
+
+def kasa_offset_replace(
+    df: DataFrame,
+    keys: Sequence[str],
+    raw_col: str = "raw",
+    ts_col: str = "ts",
+    epsilon: float = 0.01,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ST2 *exact* Kasa semantics (``Kasa/KasaLogger.cs:55-75``): on a
+    reset (raw drops below previous raw by > epsilon) the offset is
+    REPLACED with ``round(last emitted total, round_digits)`` — not
+    accumulated. Because each total already contains the prior offset,
+    this telescopes to the ST3 accumulation *except* for the per-reset
+    round(., 4), which makes the recurrence nonlinear — hence the one
+    ``applyInPandas`` fold in the counter family (the reference stores
+    the rounded offset in the meter document between polls).
+
+    ``counter_rollover_correct`` is the window-function form to prefer
+    when sub-1e-4 drift per reset is acceptable (see its epsilon test).
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("offset", DoubleType(), True),
+            StructField("corrected", DoubleType(), True),
+        ]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        offset, last_raw, last_total = 0.0, None, None
+        offsets, totals = [], []
+        for raw in pdf[raw_col]:
+            if last_raw is not None and raw < last_raw - epsilon:
+                offset = round(last_total, round_digits)
+            total = raw + offset
+            offsets.append(offset)
+            totals.append(total)
+            last_raw, last_total = raw, total
+        return pdf.assign(offset=offsets, corrected=totals)
+
+    return df.groupBy(*keys).applyInPandas(fold, out_schema)
 
 
 def segmented_running_sum(

@@ -1,0 +1,67 @@
+"""Stateful streaming operators (SURVEY §2.9: ST2/ST3 as streams).
+
+In batch, counter-rollover correction is a window function
+(``operators/counters.py``). As a *stream*, the (last_raw, offset)
+pair must survive across micro-batches per meter — exactly what
+``applyInPandasWithState`` provides: grouped state keyed by meter,
+Arrow-batched updates, GroupStateTimeout handling left to the caller's
+watermark policy.
+
+This is the streaming form of the reference's mutable ``EnergyOffset``
+document state (``Kasa/KasaLogger.cs:55-75``, ``Tapo/TapoLogger.cs:
+87-107``): the device doc carried the offset between polls; here the
+state store does.
+
+Scale notes: state is per meter (thousands of keys, ~3 doubles each —
+trivially small); the shuffle is the same groupBy-meter exchange the
+batch form pays. State store default (HDFS-backed) is fine at this
+size; RocksDB for millions of keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_DDL = "meter_id string, ts timestamp, raw double, offset double, corrected double"
+STATE_DDL = "last_raw double, offset double"
+
+
+def _apply_rollover(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-meter update: detect raw-counter drops, accumulate the
+    pre-reset raw into the running offset (ST3 accumulate semantics),
+    emit corrected = raw + offset. State = (last_raw, offset)."""
+    last_raw, offset = state.get if state.exists else (None, 0.0)
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        out_offset = []
+        out_corrected = []
+        for raw in pdf["raw"]:
+            if last_raw is not None and raw < last_raw:
+                offset += last_raw
+            out_offset.append(offset)
+            out_corrected.append(raw + offset)
+            last_raw = raw
+        pdf = pdf.assign(offset=out_offset, corrected=out_corrected)
+        yield pdf[["meter_id", "ts", "raw", "offset", "corrected"]]
+    state.update((last_raw, offset))
+
+
+def streaming_counter_rollover(stream: DataFrame) -> DataFrame:
+    """Counter-rollover correction over a streaming frame with columns
+    (meter_id, ts, raw). Offsets persist across micro-batches via the
+    state store; output schema adds (offset, corrected)."""
+    return stream.groupBy("meter_id").applyInPandasWithState(
+        _apply_rollover,
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from homelogging_spark.operators.counters import (
     counter_rollover_correct,
     energy_fraction_interpolate,
+    kasa_offset_replace,
     pulse_accumulate,
     segmented_running_sum,
 )
@@ -58,6 +59,40 @@ def test_counter_rollover_epsilon_ignores_jitter(spark):
     df = spark.createDataFrame(rows, "meter_id string, ts timestamp, raw double")
     out = counter_rollover_correct(df, ["meter_id"], "raw", epsilon=0.01)
     assert [r.offset for r in out.orderBy("ts").collect()] == [0.0, 0.0, 0.0]
+
+
+def test_kasa_offset_replace_exact_semantics(spark):
+    # ST2 exact: on reset the offset is REPLACED with round(last_total, 4)
+    rows = [
+        ("m1", ts(0), 10.00015),
+        ("m1", ts(1), 12.00015),
+        ("m1", ts(2), 0.5),   # reset: offset := round(12.00015, 4) = 12.0002
+        ("m1", ts(3), 1.0),
+        ("m1", ts(4), 0.2),   # reset: offset := round(1.0 + 12.0002, 4)
+        ("m2", ts(0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "meter_id string, ts timestamp, raw double")
+    out = {(r.meter_id, r.ts): r for r in kasa_offset_replace(df, ["meter_id"]).collect()}
+    assert out[("m1", ts(2))].offset == round(12.00015, 4)
+    assert out[("m1", ts(2))].corrected == 0.5 + round(12.00015, 4)
+    assert out[("m1", ts(4))].offset == round(1.0 + round(12.00015, 4), 4)
+    assert out[("m2", ts(0))].offset == 0.0
+    # epsilon: a sub-0.01 dip is jitter, not a reset
+    jitter = spark.createDataFrame(
+        [("m", ts(0), 10.0), ("m", ts(1), 9.995)],
+        "meter_id string, ts timestamp, raw double",
+    )
+    jrows = kasa_offset_replace(jitter, ["meter_id"]).orderBy("ts").collect()
+    assert [r.offset for r in jrows] == [0.0, 0.0]
+
+
+def test_kasa_replace_telescopes_to_accumulate_within_rounding(spark):
+    # on round raw values the replace and accumulate forms coincide
+    rows = [("m", ts(i), v) for i, v in enumerate([10.0, 12.5, 0.5, 3.0, 1.0])]
+    df = spark.createDataFrame(rows, "meter_id string, ts timestamp, raw double")
+    replace = kasa_offset_replace(df, ["meter_id"]).orderBy("ts").collect()
+    accum = counter_rollover_correct(df, ["meter_id"], "raw").orderBy("ts").collect()
+    assert [r.corrected for r in replace] == [r.corrected for r in accum]
 
 
 def test_segmented_running_sum_resets(spark):
