@@ -50,6 +50,32 @@ def read_reading_stream(
     )
 
 
+def windowed_downsample(
+    stream: DataFrame,
+    bucket: str = "1 minute",
+    keys: tuple[str, ...] = ("meter_id", "series"),
+    value_col: str = "value",
+) -> DataFrame:
+    """A2 as a stream: tumbling-window average with watermark-driven
+    finalization — the streaming form of the reference's hand-rolled
+    emit-on-bucket-change fold (``RandomQueries/ZeroExport.cs:86-104``).
+    Late rows inside the watermark still amend their bucket; buckets
+    older than the watermark finalize and emit (append mode)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.groupBy(F.window("ts", bucket).alias("w"), *keys)
+        .agg(F.avg(value_col).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            *keys,
+            "avg_value",
+            "n",
+        )
+    )
+
+
 def start_append_stream(
     stream: DataFrame,
     table_path: str,

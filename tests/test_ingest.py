@@ -69,6 +69,29 @@ class TestAppendRoundTrip:
         got = back.where("series = 'Power'").agg(F.sum("value")).first()[0]
         assert got == pytest.approx(sum(range(5)))
 
+    def test_partition_pruning_on_series_and_date(self, spark, tmp_path):
+        # the layout exists to serve the reference's two access patterns:
+        # per-series scans and time-range scans must NOT read all files
+        path = str(tmp_path / "readings")
+        rows = [
+            (m, s, T0 + timedelta(days=d), 1.0, "u")
+            for m in ("m1", "m2")
+            for s in ("Power", "Water")
+            for d in range(3)
+        ]
+        append_readings(readings_df(spark, rows), path)
+        back = read_readings(spark, path)
+        pruned = back.where(
+            (F.col("series") == "Power") & (F.col("date") == "2024-04-02")
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # both predicates must land as partition filters on the scan,
+        # not post-scan row filters
+        assert "PartitionFilters" in plan
+        partition_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "series" in partition_filters and "date" in partition_filters
+        assert pruned.count() == 2
+
     def test_append_is_additive(self, spark, tmp_path):
         path = str(tmp_path / "readings")
         append_readings(readings_df(spark, [("m1", "Power", T0, 1.0, "W")]), path)
@@ -135,3 +158,39 @@ class TestStreamingIngest:
         back = read_readings(spark, table)
         assert back.count() == 2  # watermarked dedup dropped the re-append
         assert {r.series for r in back.collect()} == {"Power", "Water"}
+
+    def test_windowed_downsample_stream(self, spark, tmp_path):
+        from homelogging_spark.streaming.pipeline import (
+            read_reading_stream,
+            windowed_downsample,
+        )
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        rows = [
+            {"meter_id": "m1", "series": "Power", "ts": f"2024-04-01T12:00:{s:02d}Z",
+             "value": v, "tag": "W"}
+            for s, v in [(0, 100.0), (30, 200.0)]
+        ] + [
+            {"meter_id": "m1", "series": "Power", "ts": "2024-04-01T12:01:00Z",
+             "value": 50.0, "tag": "W"},
+        ]
+        (src / "data.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+        stream = read_reading_stream(spark, str(src), watermark="1 minute")
+        agg = windowed_downsample(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("mini_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.bucket_start.isoformat(): (r.avg_value, r.n)
+            for r in spark.sql("SELECT * FROM mini_agg").collect()
+        }
+        assert got["2024-04-01T12:00:00"] == (pytest.approx(150.0), 2)
+        assert got["2024-04-01T12:01:00"] == (pytest.approx(50.0), 1)
