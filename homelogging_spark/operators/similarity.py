@@ -264,7 +264,9 @@ def lsh_near_dup_pairs(
     ``threshold``. More tables of fewer planes than top-k search — pair
     mining wants recall at moderate similarity, so the S-curve is shifted
     left ((1 - θ/π)^4 per table, 4 chances)."""
-    b = lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim)
+    # persist: the bucket frame feeds both sides of the self-join; without
+    # it the 16 projection folds run twice over the corpus
+    b = lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim).persist()
     left = b.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     right = b.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (
