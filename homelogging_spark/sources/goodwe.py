@@ -52,34 +52,54 @@ def crc16_modbus(data: bytes) -> int:
 
 @F.pandas_udf(BooleanType())
 def crc_ok(payload: pd.Series) -> pd.Series:
-    """Frame check: last two bytes are the little-endian CRC of the rest."""
+    """Frame check (``GoodwePoller.cs:70-80``): header must be 0xAA55 and
+    the last two bytes are the little-endian CRC of everything between
+    header and CRC."""
 
     def check(b: bytes) -> bool:
-        if len(b) < 3:
+        if len(b) < 5 or b[0] != 0xAA or b[1] != 0x55:
             return False
-        crc = crc16_modbus(b[:-2])
+        crc = crc16_modbus(b[2:-2])
         return b[-2] == (crc & 0xFF) and b[-1] == (crc >> 8)
 
     return payload.map(check)
 
 
-# Telemetry field layout for the reference's consumed series
-# (``GoodweLogger.cs:74-83``): offsets into the response payload.
+def device_timestamp(payload: Column | str) -> Column:
+    """Device-local timestamp packed as bytes 5-10: (year-2000, month,
+    day, hour, minute, second) — ``GoodwePoller.cs:84-86``. The inverter
+    clock is local time (``DateTimeKind.Local``); callers convert with
+    the site zone."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.make_timestamp(
+        (be_uint(c, 5, 1) + 2000).cast("int"),
+        be_uint(c, 6, 1).cast("int"),
+        be_uint(c, 7, 1).cast("int"),
+        be_uint(c, 8, 1).cast("int"),
+        be_uint(c, 9, 1).cast("int"),
+        be_uint(c, 10, 1).cast("decimal(8,6)"),
+    )
+
+
+# Field offsets follow the reference's frame decode exactly
+# (``GoodwePoller.cs:82-97``).
 def parse_inverter_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """CRC-gate then field extraction. Offsets follow the frame layout the
-    reference decodes: Vpv/Ipv (MPPT1), Vac/Iac, grid frequency, power,
-    temperature, lifetime/daily energy."""
+    """Header+CRC gate, device timestamp, then field extraction: Vpv/Ipv
+    (MPPT1), Vac/Iac, grid frequency, power, status, temperature,
+    daily/lifetime energy."""
     p = F.col(payload_col)
     return df.withColumn("crc_valid", crc_ok(p)).withColumns(
         {
-            "vpv_v": scaled16(p, 7, 0.1, 1),
-            "ipv_a": scaled16(p, 9, 0.1, 1),
-            "vac_v": scaled16(p, 11, 0.1, 1),
-            "iac_a": scaled16(p, 13, 0.1, 1),
-            "grid_hz": scaled16(p, 15, 0.01, 2),
-            "power_w": be_uint(p, 17, 2).cast("double"),
-            "temperature_c": scaled16(p, 19, 0.1, 1),
-            "energy_lifetime_kwh": scaled32(p, 21, 0.1, 1),
-            "energy_today_kwh": scaled16(p, 25, 0.1, 1),
+            "event_ts": device_timestamp(p),
+            "vpv_v": scaled16(p, 11, 0.1, 1),
+            "ipv_a": scaled16(p, 13, 0.1, 1),
+            "vac_v": scaled16(p, 41, 0.1, 1),
+            "iac_a": scaled16(p, 47, 0.1, 1),
+            "grid_hz": scaled16(p, 53, 0.01, 2),
+            "power_w": be_uint(p, 61, 2).cast("double"),
+            "status": be_uint(p, 63, 1).cast("int"),
+            "temperature_c": scaled16(p, 87, 0.1, 1),
+            "energy_today_kwh": scaled16(p, 93, 0.1, 1),
+            "energy_lifetime_kwh": scaled32(p, 95, 0.1, 1),
         }
     )

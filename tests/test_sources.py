@@ -185,37 +185,52 @@ class TestTapo:
 
 class TestGoodwe:
     def frame(self, **fields) -> bytes:
-        body = bytearray(27)
-        struct.pack_into(">H", body, 7, fields.get("vpv", 0))
-        struct.pack_into(">H", body, 9, fields.get("ipv", 0))
-        struct.pack_into(">H", body, 11, fields.get("vac", 0))
-        struct.pack_into(">H", body, 13, fields.get("iac", 0))
-        struct.pack_into(">H", body, 15, fields.get("hz", 0))
-        struct.pack_into(">H", body, 17, fields.get("power", 0))
-        struct.pack_into(">H", body, 19, fields.get("temp", 0))
-        struct.pack_into(">I", body, 21, fields.get("elife", 0))
-        struct.pack_into(">H", body, 25, fields.get("etoday", 0))
-        crc = goodwe.crc16_modbus(bytes(body))
+        # real response layout (GoodwePoller.cs:82-97): 0xAA55 header,
+        # packed local timestamp at 5-10, fields at fixed offsets, CRC
+        # over bytes [2, len-2) appended little-endian
+        body = bytearray(99)
+        body[0], body[1] = 0xAA, 0x55
+        body[5:11] = bytes(fields.get("ts", (24, 4, 1, 12, 30, 15)))
+        struct.pack_into(">H", body, 11, fields.get("vpv", 0))
+        struct.pack_into(">H", body, 13, fields.get("ipv", 0))
+        struct.pack_into(">H", body, 41, fields.get("vac", 0))
+        struct.pack_into(">H", body, 47, fields.get("iac", 0))
+        struct.pack_into(">H", body, 53, fields.get("hz", 0))
+        struct.pack_into(">H", body, 61, fields.get("power", 0))
+        body[63] = fields.get("status", 1)
+        struct.pack_into(">H", body, 87, fields.get("temp", 0))
+        struct.pack_into(">H", body, 93, fields.get("etoday", 0))
+        struct.pack_into(">I", body, 95, fields.get("elife", 0))
+        crc = goodwe.crc16_modbus(bytes(body[2:]))
         return bytes(body) + bytes([crc & 0xFF, crc >> 8])
 
-    def test_crc_and_fields(self, spark):
+    def test_crc_timestamp_and_fields(self, spark):
         payload = self.frame(vpv=3101, ipv=52, vac=2302, iac=31, hz=4999,
                              power=713, temp=412, elife=102345, etoday=87)
         df = spark.createDataFrame([(payload,)], "payload binary")
         row = goodwe.parse_inverter_frame(df).first()
         assert row.crc_valid is True
+        assert (row.event_ts.year, row.event_ts.month, row.event_ts.day) == (2024, 4, 1)
+        assert (row.event_ts.hour, row.event_ts.minute, row.event_ts.second) == (12, 30, 15)
         assert row.vpv_v == pytest.approx(310.1)
         assert row.ipv_a == pytest.approx(5.2)
         assert row.vac_v == pytest.approx(230.2)
         assert row.grid_hz == pytest.approx(49.99)
         assert row.power_w == pytest.approx(713.0)
+        assert row.status == 1
         assert row.temperature_c == pytest.approx(41.2)
         assert row.energy_lifetime_kwh == pytest.approx(10234.5)
         assert row.energy_today_kwh == pytest.approx(8.7)
 
     def test_corrupted_frame_fails_crc(self, spark):
         payload = bytearray(self.frame(power=713))
-        payload[17] ^= 0xFF
+        payload[61] ^= 0xFF
+        df = spark.createDataFrame([(bytes(payload),)], "payload binary")
+        assert goodwe.parse_inverter_frame(df).first().crc_valid is False
+
+    def test_bad_header_fails(self, spark):
+        payload = bytearray(self.frame())
+        payload[0] = 0x00
         df = spark.createDataFrame([(bytes(payload),)], "payload binary")
         assert goodwe.parse_inverter_frame(df).first().crc_valid is False
 
