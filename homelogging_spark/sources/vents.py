@@ -37,3 +37,27 @@ def item_temperature(payload: Column | str) -> Column:
     raw = _byte_at(c, 1) + _byte_at(c, 2) * 256  # little-endian
     signed = F.when(raw >= 32768, raw - 65536).otherwise(raw)
     return F.when(F.length(c) == 2, signed / 10.0)
+
+
+def frame_checksum_ok(frame: Column | str) -> Column:
+    """Protocol frame check (``Vents/Device.cs:131-143``): the trailing
+    two bytes are the little-endian 16-bit sum of the frame body (bytes
+    after the 2-byte preamble, before the checksum). Pure column
+    arithmetic via an unrolled byte fold — no UDF.
+
+    Note: Spark lacks a per-byte fold over binary without exploding, so
+    this uses aggregate over a position sequence — still JVM-side.
+    """
+    c = F.col(frame) if isinstance(frame, str) else frame
+    body_len = F.length(c) - 4  # minus preamble and checksum
+    positions = F.sequence(F.lit(3), F.length(c) - 2)  # 1-based body span
+    sum16 = F.aggregate(
+        positions,
+        F.lit(0),
+        lambda acc, p: acc + F.conv(F.hex(F.substring(c, p, 1)), 16, 10).cast("int"),
+    ) % 65536
+    stored = (
+        F.conv(F.hex(F.substring(c, F.length(c) - 1, 1)), 16, 10).cast("int")
+        + F.conv(F.hex(F.substring(c, F.length(c), 1)), 16, 10).cast("int") * 256
+    )
+    return F.when(body_len > 0, sum16 == stored)

@@ -288,6 +288,15 @@ def parse_zy(df):
 
 
 class TestVents:
+    def test_frame_checksum(self, spark):
+        body = bytes([0x01, 0x02, 0xFF, 0x10])
+        total = sum(body) % 65536
+        good = b"\xfd\xfd" + body + struct.pack("<H", total)
+        bad = b"\xfd\xfd" + body + struct.pack("<H", (total + 1) % 65536)
+        df = spark.createDataFrame([(good,), (bad,)], "frame binary")
+        got = [r.ok for r in df.select(vents.frame_checksum_ok("frame").alias("ok")).collect()]
+        assert got == [True, False]
+
     def test_item_decoders(self, spark):
         rows = [
             (struct.pack("<h", 215),),   # 21.5 C little-endian int16
