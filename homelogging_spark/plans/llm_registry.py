@@ -30,16 +30,22 @@ from homelogging_spark.functions.texthash import (
     word_shingles_sql,
 )
 from homelogging_spark.operators import dedup, multimodal, similarity, textops
-from homelogging_spark.tables import load_table
+from homelogging_spark.tables import load_table, spread
 
 EMB_DIM = 64
 N_QUERY_VECS = 5  # vec_id < 5 are the query set; the rest are the corpus
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across cores — every query here is CPU-bound
+    per-row hashing/regex work, not I/O (see ``tables.spread``)."""
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
 # --- text analysis -----------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = textops.corpus_stats(docs, "text", "lang")
     return out.select(
         "lang",
@@ -63,7 +69,7 @@ FROM documents GROUP BY 1
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
@@ -82,7 +88,7 @@ FROM documents
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -103,7 +109,7 @@ FROM t
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     cols = textops.quality_columns(F.col("text"))
     return docs.select(
         "doc_id",
@@ -130,7 +136,7 @@ FROM documents
 # --- dedup -------------------------------------------------------------------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = dedup.exact_dedup(docs)
     return out.select(
         "doc_id",
@@ -152,7 +158,7 @@ FROM documents
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
     return out.select("doc_a", "doc_b", quantize("jaccard").alias("jaccard"))
 
@@ -188,7 +194,7 @@ ORACLE_MINHASH_NEAR_DUP = _minhash_near_dup_oracle()
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = dedup.simhash_fingerprints(docs)
     return out.select(
         "doc_id", "simhash", F.col("bucket_size").cast("bigint").alias("bucket_size")
@@ -208,7 +214,7 @@ FROM t
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.fingerprint_anchors(docs)
 
 
@@ -230,6 +236,8 @@ FROM a
 # --- similarity search -------------------------------------------------------
 
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # no spread: the top-k queries broadcast a 5-row query side over one
+    # corpus scan — the extra exchange costs more than it parallelizes
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.where(F.col("vec_id") < N_QUERY_VECS),
@@ -349,7 +357,7 @@ ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
     return out.select("id_a", "id_b", quantize("cosine").alias("cosine"))
 
@@ -386,7 +394,7 @@ ORACLE_EMBEDDING_NEAR_DUP = _embedding_near_dup_oracle()
 # --- multimodal --------------------------------------------------------------
 
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return multimodal.byte_stats(multimodal.with_payload(docs))
 
 

@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.operators.controllers import flow_temp_decision, pv_mode_decision
 from homelogging_spark.sources import dsmr, ebusd, kasa, mbus, tapo, weewx
-from homelogging_spark.tables import load_table
+from homelogging_spark.tables import load_table, spread
 
 
 def _ints(df: DataFrame) -> DataFrame:
     """Deterministic small integers derived from events (identical SQL:
-    see _INTS_SQL)."""
+    see _INTS_SQL). ``spread`` parallelizes the payload construct+parse
+    work across cores (single-split local input; no-op at scale)."""
+    df = spread(df)
     return df.withColumns(
         {
             "iv": F.floor(F.col("value")).cast("bigint"),

@@ -48,6 +48,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small input across the session's cores
+    before CPU-heavy per-row work (md5/shingle hashing, regex parsing,
+    hyperplane projections).
+
+    The local test files are a single parquet split, so without this
+    every hash and regex of a 5 MB table runs on ONE thread of a 32-core
+    box. At 100 TB the scan already yields thousands of splits and this
+    must NOT become a full shuffle of the payload — hence the gate: it is
+    a no-op whenever the scan's own parallelism already covers the
+    cluster's cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def meters_dim(events: DataFrame) -> DataFrame:
     """The ``meters`` document collection (SURVEY §1.1) derived
     deterministically from the fact table's meter keys: one row per
