@@ -21,7 +21,19 @@ from pyspark.sql import functions as F
 
 from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.operators.controllers import flow_temp_decision, pv_mode_decision
-from homelogging_spark.sources import dsmr, ebusd, kasa, mbus, tapo, weewx
+from homelogging_spark.sources import (
+    dsmr,
+    ebusd,
+    goodwe,
+    kasa,
+    mbus,
+    sdm,
+    tapo,
+    vents,
+    weewx,
+    zyco2,
+)
+from homelogging_spark.sources.zyco2 import OP_CO2, OP_TEMP
 from homelogging_spark.tables import load_table, spread
 
 
@@ -384,12 +396,294 @@ FROM events
 """
 
 
+# --- binary-frame sources (S4/S5/S7/S9/S11) ----------------------------------
+#
+# Same construct-then-parse pattern as the text sources: the query builds
+# the device's wire frame from integer-derived columns (hex-string concat
+# -> unhex, all JVM-side), runs the REAL parser — CRC/checksum gates,
+# decrypt UDFs, IEEE-754 reassembly included — and the oracle computes
+# the expected readings directly from the same integers. A hash match
+# therefore proves the parser exactly inverts the construction.
+
+
+def _hexn(c: F.Column, n: int) -> F.Column:
+    """Fixed-width lowercase hex of a non-negative integer column."""
+    return F.lpad(F.lower(F.hex(c)), n, "0")
+
+
+# --- S5: SDM Modbus u16-pair -> float32 --------------------------------------
+
+def q_sdm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register pairs constructed so the u32 is a *normal* float32
+    (exponent byte in [117, 137]) — its exact value is then representable
+    in double on both engines, so even the bit-reinterpretation step
+    hash-matches (``SdmLogger.cs:90-94`` semantics)."""
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    src = ev.select(
+        "event_id",
+        (F.col("iv") % 2).alias("sign"),
+        (F.lit(117) + F.col("mv") % 21).alias("expb"),
+        (F.col("iv") % 128).alias("m_hi7"),
+        ((F.col("iv") * 131 + F.col("mv") * 17) % 65536).alias("lo"),
+    ).withColumn(
+        "hi", F.col("sign") * 32768 + F.col("expb") * 128 + F.col("m_hi7")
+    )
+    out = sdm.parse_registers(
+        src, {"power_w": ("hi", "lo", 0.0), "voltage_v": ("hi", "lo", 1.5)}
+    )
+    return out.select(
+        "event_id",
+        quantize("power_w").alias("power_w"),
+        quantize("voltage_v").alias("voltage_v"),
+    )
+
+
+def _pow2_case(expr: str) -> str:
+    """2.0^(expb-127) as literal doubles (exact; no cross-engine pow)."""
+    whens = " ".join(
+        f"WHEN {e} THEN {2.0 ** (e - 127)!r}" for e in range(117, 138)
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+ORACLE_SDM_PARSE = f"""
+WITH e AS ({_INTS_SQL}),
+r AS (SELECT event_id, iv % 2 AS sign, 117 + mv % 21 AS expb, iv % 128 AS m_hi7,
+             (iv * 131 + mv * 17) % 65536 AS lo
+      FROM e),
+v AS (SELECT event_id,
+             (CASE WHEN sign = 1 THEN -1.0 ELSE 1.0 END)
+             * (1.0 + (m_hi7 * 65536 + lo) / 8388608.0)
+             * {_pow2_case('expb')} AS val
+      FROM r)
+SELECT event_id,
+       {quantize_sql('round(val, 4)')} AS power_w,
+       {quantize_sql('round(val, 4) + 1.5')} AS voltage_v
+FROM v
+"""
+
+
+# --- S7: Kasa XOR-autokey TCP payload ----------------------------------------
+
+def q_kasa_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypt the plug's JSON with the real forward autokey, decrypt
+    with the real parser (pandas-UDF path), and additionally prove the
+    JVM-expression decode path returns the identical plaintext."""
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    plain = F.concat(
+        F.lit('{"emeter":{"get_realtime":{"power_mw":'),
+        F.col("iv").cast("string"),
+        F.lit(',"total_wh":'),
+        F.col("mv").cast("string"),
+        F.lit("}}}"),
+    )
+    src = ev.select("event_id", plain.alias("plain")).withColumn(
+        "payload", kasa.encrypt_payload(F.encode(F.col("plain"), "UTF-8"))
+    )
+    parsed = kasa.parse_kasa(src, "payload")
+    return parsed.select(
+        "event_id",
+        quantize("power_w").alias("power_w"),
+        quantize("energy_kwh").alias("energy_kwh"),
+        (kasa.decrypt_payload_expr("payload") == F.col("plain")).alias(
+            "expr_decode_ok"
+        ),
+    )
+
+
+ORACLE_KASA_PARSE = f"""
+WITH e AS ({_INTS_SQL})
+SELECT event_id,
+       {quantize_sql('iv / 1000.0')} AS power_w,
+       {quantize_sql('mv / 1000.0')} AS energy_kwh,
+       TRUE AS expr_decode_ok
+FROM e
+"""
+
+
+# --- S4: Goodwe UDP inverter frame -------------------------------------------
+
+def q_goodwe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 101-byte frame: AA55 header, packed device-local timestamp,
+    big-endian fields at the reference offsets, trailing CRC16-Modbus
+    computed by the column-expression CRC — then parsed by the real
+    header+CRC-gated parser."""
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    iv, mv = F.col("iv"), F.col("mv")
+
+    def b(c: F.Column) -> F.Column:
+        return _hexn(c, 2)
+
+    def w(c: F.Column) -> F.Column:
+        return _hexn(c, 4)
+
+    head_hex = F.concat(
+        F.lit("aa55" + "00" * 3),
+        b(F.lit(24)), b(iv % 12 + 1), b(mv % 28 + 1),
+        b(iv % 24), b(mv % 60), b((iv + mv) % 60),
+        w((iv * 30 + mv) % 5000),            # vpv   @11
+        w(mv % 200),                         # ipv   @13
+        F.lit("00" * 26),
+        w(iv % 300 + 2200),                  # vac   @41
+        F.lit("00" * 4),
+        w((iv + mv) % 300),                  # iac   @47
+        F.lit("00" * 4),
+        w(mv % 100 + 4950),                  # hz    @53
+        F.lit("00" * 6),
+        w((iv * 13 + mv * 7) % 10000),       # power @61
+        b(iv % 4),                           # status @63
+        F.lit("00" * 23),
+        w(mv % 500 + 200),                   # temp  @87
+        F.lit("00" * 4),
+        w(mv % 1000),                        # etoday @93
+        _hexn((iv % 100) * 100000 + mv, 8),  # elifetime @95
+    )
+    # materialize head+crc as named columns so the CRC aggregate is
+    # planned once, not inlined into both checksum bytes
+    src = ev.select("event_id", head_hex.alias("hh")).withColumn(
+        "crc", goodwe.crc16_modbus_col(F.unhex(F.col("hh")), 3, 99)
+    )
+    crc = F.col("crc")
+    frame = F.unhex(
+        F.concat(F.col("hh"), b(crc.bitwiseAND(F.lit(255))), b(F.shiftright(crc, 8)))
+    )
+    parsed = goodwe.parse_inverter_frame(
+        src.select("event_id", frame.alias("payload")), "payload"
+    )
+    return parsed.select(
+        "event_id",
+        "crc_valid",
+        "event_ts",
+        quantize("vpv_v").alias("vpv_v"),
+        quantize("iac_a").alias("iac_a"),
+        quantize("grid_hz").alias("grid_hz"),
+        quantize("power_w").alias("power_w"),
+        F.col("status").cast("bigint").alias("status"),
+        quantize("temperature_c").alias("temperature_c"),
+        quantize("energy_lifetime_kwh").alias("energy_lifetime_kwh"),
+    )
+
+
+ORACLE_GOODWE_PARSE = f"""
+WITH e AS ({_INTS_SQL}),
+f AS (SELECT event_id,
+             iv % 12 + 1 AS mo, mv % 28 + 1 AS dy,
+             iv % 24 AS hh, mv % 60 AS mi, (iv + mv) % 60 AS ss,
+             (iv * 30 + mv) % 5000 AS vpv, (iv + mv) % 300 AS iac,
+             mv % 100 + 4950 AS hz, (iv * 13 + mv * 7) % 10000 AS pw,
+             iv % 4 AS st, mv % 500 + 200 AS tp,
+             (iv % 100) * 100000 + mv AS el
+      FROM e)
+SELECT event_id,
+       TRUE AS crc_valid,
+       make_timestamp(2024, mo, dy, hh, mi, CAST(ss AS DOUBLE)) AS event_ts,
+       {quantize_sql('round(vpv * 0.1, 1)')} AS vpv_v,
+       {quantize_sql('round(iac * 0.1, 1)')} AS iac_a,
+       {quantize_sql('round(hz * 0.01, 2)')} AS grid_hz,
+       {quantize_sql('CAST(pw AS DOUBLE)')} AS power_w,
+       CAST(st AS BIGINT) AS status,
+       {quantize_sql('round(tp * 0.1, 1)')} AS temperature_c,
+       {quantize_sql('round(el * 0.1, 1)')} AS energy_lifetime_kwh
+FROM f
+"""
+
+
+# --- S9: Vents item decode + frame checksum ----------------------------------
+
+def q_vents_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    iv, mv = F.col("iv"), F.col("mv")
+    raw = (iv * 100 + mv) % 4000 - 2000
+    u16 = ((raw + 65536) % 65536).cast("int")
+    temp_payload = F.unhex(
+        F.concat(_hexn(u16.bitwiseAND(F.lit(255)), 2), _hexn(F.shiftright(u16, 8), 2))
+    )
+    b1, b2, b3, b4 = iv % 256, mv % 256, (iv * 7) % 256, (mv * 3) % 256
+    s = (b1 + b2 + b3 + b4).cast("int")
+    body_hex = F.concat(_hexn(b1, 2), _hexn(b2, 2), _hexn(b3, 2), _hexn(b4, 2))
+    ck = lambda t: F.concat(  # noqa: E731
+        _hexn(t.bitwiseAND(F.lit(255)), 2), _hexn(F.shiftright(t, 8), 2)
+    )
+    good = F.unhex(F.concat(F.lit("fdfd"), body_hex, ck(s)))
+    bad = F.unhex(F.concat(F.lit("fdfd"), body_hex, ck(((s + 1) % 65536).cast("int"))))
+    src = ev.select(
+        "event_id",
+        temp_payload.alias("pt"),
+        F.unhex(_hexn(iv % 2, 2)).alias("pb"),
+        F.unhex(_hexn(mv % 256, 2)).alias("py"),
+        good.alias("good_frame"),
+        bad.alias("bad_frame"),
+    )
+    return src.select(
+        "event_id",
+        quantize(vents.item_temperature("pt")).alias("temp_c"),
+        vents.item_bool("pb").alias("on"),
+        vents.item_byte("py").cast("bigint").alias("speed"),
+        vents.frame_checksum_ok("good_frame").alias("ck_ok"),
+        vents.frame_checksum_ok("bad_frame").alias("ck_bad"),
+    )
+
+
+ORACLE_VENTS_PARSE = f"""
+WITH e AS ({_INTS_SQL})
+SELECT event_id,
+       {quantize_sql('((iv * 100 + mv) % 4000 - 2000) / 10.0')} AS temp_c,
+       (iv % 2) != 0 AS on,
+       CAST(mv % 256 AS BIGINT) AS speed,
+       TRUE AS ck_ok,
+       FALSE AS ck_bad
+FROM e
+"""
+
+
+# --- S11: ZyAura obfuscated HID frame ----------------------------------------
+
+def q_zyco2_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain opcode frames (CO₂ on even events, temperature on odd) run
+    through the real forward obfuscation, then the real decrypt + opcode
+    dispatch."""
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    iv, mv = F.col("iv"), F.col("mv")
+    even = F.col("event_id") % 2 == 0
+    op = F.when(even, F.lit(OP_CO2)).otherwise(F.lit(OP_TEMP))
+    raw = F.when(even, (iv * 3 + mv) % 1600 + 400).otherwise(mv % 2000 + 4000).cast(
+        "int"
+    )
+    hi, lo = F.shiftright(raw, 8), raw.bitwiseAND(F.lit(255))
+    cs = (op + hi + lo).cast("int").bitwiseAND(F.lit(255))
+    plain = F.unhex(
+        F.concat(_hexn(op, 2), _hexn(hi, 2), _hexn(lo, 2), _hexn(cs, 2), F.lit("0d000000"))
+    )
+    src = ev.select("event_id", zyco2.make_encrypt_udf()(plain).alias("frame"))
+    parsed = zyco2.parse_frames(src, "frame")
+    return parsed.select(
+        "event_id", "series", quantize("value").alias("value"), "unit"
+    )
+
+
+ORACLE_ZYCO2_PARSE = f"""
+WITH e AS ({_INTS_SQL})
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN 'CO2' ELSE 'RoomTemperature' END AS series,
+       CASE WHEN event_id % 2 = 0
+            THEN {quantize_sql('CAST((iv * 3 + mv) % 1600 + 400 AS DOUBLE)')}
+            ELSE {quantize_sql('(mv % 2000 + 4000) / 16.0 - 273.15')} END AS value,
+       CASE WHEN event_id % 2 = 0 THEN 'ppm' ELSE '°C' END AS unit
+FROM e
+"""
+
+
 SOURCES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsmr_parse": q_dsmr_parse,
     "weewx_parse": q_weewx_parse,
     "mbus_parse": q_mbus_parse,
     "ebusd_parse": q_ebusd_parse,
     "tapo_parse": q_tapo_parse,
+    "sdm_parse": q_sdm_parse,
+    "kasa_parse": q_kasa_parse,
+    "goodwe_parse": q_goodwe_parse,
+    "vents_parse": q_vents_parse,
+    "zyco2_parse": q_zyco2_parse,
     "flow_temp_decision": q_flow_temp_decision,
     "pv_mode_decision": q_pv_mode_decision,
 }
@@ -400,6 +694,11 @@ SOURCES_ORACLES: dict[str, str] = {
     "mbus_parse": ORACLE_MBUS_PARSE,
     "ebusd_parse": ORACLE_EBUSD_PARSE,
     "tapo_parse": ORACLE_TAPO_PARSE,
+    "sdm_parse": ORACLE_SDM_PARSE,
+    "kasa_parse": ORACLE_KASA_PARSE,
+    "goodwe_parse": ORACLE_GOODWE_PARSE,
+    "vents_parse": ORACLE_VENTS_PARSE,
+    "zyco2_parse": ORACLE_ZYCO2_PARSE,
     "flow_temp_decision": ORACLE_FLOW_TEMP_DECISION,
     "pv_mode_decision": ORACLE_PV_MODE_DECISION,
 }

@@ -38,15 +38,11 @@ def scaled32(payload: Column | str, offset: int, scale: float, digits: int) -> C
 
 def crc16_modbus(data: bytes) -> int:
     """CRC16-Modbus (``InverterTelemetry.GoodweCrc``): init 0xFFFF,
-    reflected poly 0xA001."""
+    reflected poly 0xA001 — table-driven (8x fewer ops than the bit
+    loop; the table is shared with the column-expression variant)."""
     crc = 0xFFFF
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            odd = crc & 1
-            crc >>= 1
-            if odd:
-                crc ^= 0xA001
+        crc = (crc >> 8) ^ _CRC16_TABLE[(crc ^ byte) & 0xFF]
     return crc
 
 
@@ -54,15 +50,71 @@ def crc16_modbus(data: bytes) -> int:
 def crc_ok(payload: pd.Series) -> pd.Series:
     """Frame check (``GoodwePoller.cs:70-80``): header must be 0xAA55 and
     the last two bytes are the little-endian CRC of everything between
-    header and CRC."""
+    header and CRC.
+
+    When an Arrow batch is all same-length frames (the normal case — the
+    inverter's frame layout is fixed), the CRC runs vectorized across the
+    batch: one numpy table-step per byte *position*, not per byte."""
+    import numpy as np
+
+    lens = payload.map(lambda b: len(b) if b is not None else -1)
+    if len(payload) and lens.nunique() == 1 and lens.iloc[0] >= 5:
+        mat = np.frombuffer(b"".join(payload), dtype=np.uint8).reshape(
+            len(payload), lens.iloc[0]
+        )
+        table = np.array(_CRC16_TABLE, dtype=np.uint32)
+        crc = np.full(len(payload), 0xFFFF, dtype=np.uint32)
+        for j in range(2, mat.shape[1] - 2):
+            crc = (crc >> 8) ^ table[(crc ^ mat[:, j]) & 0xFF]
+        ok = (
+            (mat[:, 0] == 0xAA)
+            & (mat[:, 1] == 0x55)
+            & (mat[:, -2] == (crc & 0xFF))
+            & (mat[:, -1] == (crc >> 8))
+        )
+        return pd.Series(ok)
 
     def check(b: bytes) -> bool:
-        if len(b) < 5 or b[0] != 0xAA or b[1] != 0x55:
+        if b is None or len(b) < 5 or b[0] != 0xAA or b[1] != 0x55:
             return False
         crc = crc16_modbus(b[2:-2])
         return b[-2] == (crc & 0xFF) and b[-1] == (crc >> 8)
 
     return payload.map(check)
+
+
+def _crc16_table() -> list[int]:
+    out = []
+    for i in range(256):
+        t = i
+        for _ in range(8):
+            t = (t >> 1) ^ 0xA001 if t & 1 else t >> 1
+        out.append(t)
+    return out
+
+
+_CRC16_TABLE = _crc16_table()
+
+
+def crc16_modbus_col(payload: Column | str, lo: int, hi: Column | int) -> Column:
+    """CRC16-Modbus as a pure column expression: ``aggregate`` folds the
+    byte positions ``[lo, hi]`` (1-based, inclusive) through the classic
+    256-entry table step ``(crc >> 8) ^ table[(crc ^ byte) & 0xFF]`` —
+    whole-stage-codegen JVM bytecode, no Python. (Unrolling the 8 bit
+    steps instead triples the ``crc`` subtree per step — a 3^8-node
+    lambda that stalls Catalyst; the table keeps the lambda O(1).)
+    Used to *construct* valid frames in tests/oracle queries; at scale it
+    doubles as a UDF-free alternative to ``crc_ok``."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    hi_col = F.lit(hi) if isinstance(hi, int) else hi
+    table = F.array(*[F.lit(t) for t in _CRC16_TABLE])
+
+    def fold(acc: Column, p: Column) -> Column:
+        byte = F.conv(F.hex(c.substr(p, F.lit(1))), 16, 10).cast("int")
+        idx = acc.bitwiseXOR(byte).bitwiseAND(F.lit(255)).cast("int")
+        return F.shiftright(acc, 8).bitwiseXOR(F.element_at(table, idx + 1))
+
+    return F.aggregate(F.sequence(F.lit(lo), hi_col), F.lit(0xFFFF), fold)
 
 
 def device_timestamp(payload: Column | str) -> Column:

@@ -27,13 +27,17 @@ def u16_pair_to_float(hi: int, lo: int) -> float:
 
 @F.pandas_udf(DoubleType())
 def registers_to_float(hi: pd.Series, lo: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            None if h is None or l is None else u16_pair_to_float(int(h), int(l))
-            for h, l in zip(hi, lo)
-        ],
-        dtype="float64",
-    )
+    """Vectorized over the Arrow batch: build the u32 words in numpy and
+    bit-reinterpret the whole array (``view(float32)``) — identical
+    bits to per-row ``struct.unpack``, no Python loop."""
+    import numpy as np
+
+    mask = hi.isna() | lo.isna()
+    h = hi.fillna(0).to_numpy(dtype="int64")
+    l = lo.fillna(0).to_numpy(dtype="int64")
+    u32 = (((h & 0xFFFF) << 16) | (l & 0xFFFF)).astype(np.uint32)
+    vals = pd.Series(u32.view(np.float32).astype(np.float64))
+    return vals.mask(mask.to_numpy())
 
 
 def sdm_value(hi: Column | str, lo: Column | str, offset: float = 0.0) -> Column:

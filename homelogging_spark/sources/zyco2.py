@@ -41,10 +41,65 @@ def decrypt_frame(data: bytes, key: bytes = bytes(8)) -> bytes:
     return bytes((0x100 + temp1[i] - ctemp[i]) & 0xFF for i in range(8))
 
 
+def encrypt_frame(plain: bytes, key: bytes = bytes(8)) -> bytes:
+    """Forward obfuscation — the exact inverse of ``decrypt_frame``
+    (salt addition, 3-bit cross-byte left rotate, XOR+shuffle). The
+    device does this in firmware; we need it to construct wire frames
+    for round-trip tests and oracle queries."""
+    ctemp = bytes(((c >> 4) & 15) | ((c << 4) & 0xFF) for c in SALT)
+    temp1 = [(plain[i] + ctemp[i]) & 0xFF for i in range(8)]
+    temp = [
+        ((temp1[i] << 3) & 0xFF) | (temp1[(i + 1) & 7] >> 5) for i in range(8)
+    ]
+    return bytes(temp[SHUFFLE[i]] ^ key[SHUFFLE[i]] for i in range(8))
+
+
+def _frame_matrix(frames: pd.Series):
+    """(n, 8) uint8 matrix of a batch of 8-byte frames, or None if any
+    frame has a different length (fall back to the per-row path)."""
+    import numpy as np
+
+    if frames.empty or any(f is None or len(f) != 8 for f in frames):
+        return None
+    return np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(len(frames), 8)
+
+
+def make_encrypt_udf(key: bytes = bytes(8)):
+    @F.pandas_udf(BinaryType())
+    def encrypt(frames: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = _frame_matrix(frames)
+        if mat is None:
+            return frames.map(lambda b: encrypt_frame(b, key))
+        ctemp = np.array(
+            [((c >> 4) & 15) | ((c << 4) & 0xFF) for c in SALT], dtype=np.uint8
+        )
+        temp1 = mat + ctemp  # uint8 wraps mod 256
+        temp = ((temp1 << 3) | (np.roll(temp1, -1, axis=1) >> 5)).astype(np.uint8)
+        out = temp[:, SHUFFLE] ^ np.frombuffer(key, dtype=np.uint8)[list(SHUFFLE)]
+        return pd.Series([r.tobytes() for r in out])
+
+    return encrypt
+
+
 def make_decrypt_udf(key: bytes = bytes(8)):
     @F.pandas_udf(BinaryType())
     def decrypt(frames: pd.Series) -> pd.Series:
-        return frames.map(lambda b: decrypt_frame(b, key))
+        import numpy as np
+
+        mat = _frame_matrix(frames)
+        if mat is None:
+            return frames.map(lambda b: decrypt_frame(b, key))
+        kb = np.frombuffer(key, dtype=np.uint8)
+        temp = np.empty_like(mat)
+        temp[:, list(SHUFFLE)] = mat ^ kb[list(SHUFFLE)]
+        temp1 = ((temp >> 3) | (np.roll(temp, 1, axis=1) << 5)).astype(np.uint8)
+        ctemp = np.array(
+            [((c >> 4) & 15) | ((c << 4) & 0xFF) for c in SALT], dtype=np.uint8
+        )
+        out = temp1 - ctemp  # uint8 wraps mod 256
+        return pd.Series([r.tobytes() for r in out])
 
     return decrypt
 
