@@ -51,14 +51,25 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def norm(a: Column) -> Column:
+    """Euclidean norm with index-order summation — the exact
+    sub-expression ``cosine`` uses, exposed so per-vector norms can be
+    computed ONCE and joined instead of re-derived per candidate pair
+    (bit-identical values, 3x less fold work in pair mining)."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: d(x) * d(x))))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Index-order dot product (cross-engine reproducible)."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    return _fold_sum(F.zip_with(a, b, lambda x, y: d(x) * d(y)))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity, computed entirely in double precision with
     index-order summation (cross-engine reproducible)."""
-    d = lambda c: c.cast("double")  # noqa: E731
-    dot = _fold_sum(F.zip_with(a, b, lambda x, y: d(x) * d(y)))
-    na = F.sqrt(_fold_sum(F.transform(a, lambda x: d(x) * d(x))))
-    nb = F.sqrt(_fold_sum(F.transform(b, lambda x: d(x) * d(x))))
-    return dot / (na * nb)
+    return dot_product(a, b) / (norm(a) * norm(b))
 
 
 def cosine_sql(a: str, b: str, dim: int) -> str:
@@ -275,12 +286,27 @@ def lsh_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    # norms once per VECTOR, not per pair: the verify step then does one
+    # dot product per candidate instead of dot + two norms — bit-identical
+    # cosines (same op sequence per value), 3x less fold work where the
+    # cost actually lives (candidates >> vectors)
+    withnorm = df.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("nrm")
+    )
+    ea = withnorm.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), F.col("nrm").alias("norm_a")
+    )
+    eb = withnorm.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), F.col("nrm").alias("norm_b")
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cosine", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .where(F.col("cosine") > F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
