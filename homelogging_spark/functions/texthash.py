@@ -66,6 +66,26 @@ def word_shingles_sql(toks: str, n: int = 3, distinct: bool = True) -> str:
     return f"list_distinct({sh})" if distinct else sh
 
 
+def char_ngrams(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Character n-grams; texts shorter than ``n`` chars contribute the
+    whole text as one gram. Mirrors ``char_ngrams_sql``."""
+    c = F.col(text) if isinstance(text, str) else text
+    starts = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    grams = F.transform(starts, lambda p: c.substr(p, F.lit(n)))
+    sh = F.when(F.length(c) >= n, grams).otherwise(F.array(c))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def char_ngrams_sql(expr: str, n: int = 3, distinct: bool = True) -> str:
+    sh = (
+        f"CASE WHEN length({expr}) >= {n} "
+        f"THEN list_transform(range(length({expr}) - {n - 1}), "
+        f"i -> substr({expr}, i + 1, {n})) "
+        f"ELSE [{expr}] END"
+    )
+    return f"list_distinct({sh})" if distinct else sh
+
+
 # --- MinHash -----------------------------------------------------------------
 
 # Multiply-mod permutation family over a single md5 base hash: one md5 per

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from homelogging_spark.functions.texthash import (
     band_hashes,
+    char_ngrams,
     minhash_from_base,
     shingle_base_hash,
     simhash16,
@@ -69,6 +70,40 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+def band_candidate_pairs(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """LSH candidate generation shared by every near-dup verifier:
+    MinHash signature over a materialized base-hash column ``bh``,
+    banding, shuffle on (band_idx, band_hash), in-bucket pairs with
+    ``id_a < id_b``. Never all-pairs — cost is O(docs * bands +
+    candidates)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = base.withColumn("sig", minhash_from_base(F.col("bh"), n_hashes))
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,7 +124,6 @@ def minhash_near_dup_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    rows_per_band = n_hashes // n_bands
     sets = shingle_sets(df, id_col, text_col, shingle_n)
     # ONE md5 pass: hash the shingle set to 60-bit ints, persist, and run
     # everything downstream (signature, bands, Jaccard verify) over the
@@ -101,26 +135,7 @@ def minhash_near_dup_pairs(
         F.col(id_col),
         F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
     ).persist()
-    sigs = base.withColumn("sig", minhash_from_base(F.col("bh"), n_hashes))
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
     # verify on the hashed sets (8-byte elements, not shingle strings);
     # Jaccard over 60-bit hashes == shingle Jaccard up to negligible
     # collision mass, and the oracle replicates the same hashed form.
@@ -132,6 +147,43 @@ def minhash_near_dup_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs verified by exact *character* n-gram Jaccard
+    — robust to tokenization differences (punctuation, casing artifacts)
+    that word shingles miss. Candidate generation is the same MinHash-LSH
+    banding as ``minhash_near_dup_pairs`` (all-pairs is never an option);
+    only the verify metric differs: Jaccard over distinct char n-grams.
+
+    Returns (doc_a, doc_b, ngram_jaccard) with doc_a < doc_b.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("bh"),
+        char_ngrams(F.col(text_col), ngram_n).alias("grams"),
+    ).persist()
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
+    ga = base.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("g_a"))
+    gb = base.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("g_b"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("ngram_jaccard", jaccard(F.col("g_a"), F.col("g_b")))
+        .where(F.col("ngram_jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "ngram_jaccard")
+    )
 
 
 def simhash_fingerprints(

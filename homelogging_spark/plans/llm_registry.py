@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.functions.texthash import (
     band_hashes_sql,
+    char_ngrams_sql,
     minhash_from_base_sql,
     shingle_base_hash_sql,
     simhash16_sql,
@@ -191,6 +192,48 @@ SELECT doc_a, doc_b, {quantize_sql('j')} AS jaccard FROM v WHERE j >= 0.7
 
 
 ORACLE_MINHASH_NEAR_DUP = _minhash_near_dup_oracle()
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b", quantize("ngram_jaccard").alias("ngram_jaccard")
+    )
+
+
+def _ngram_jaccard_oracle(
+    ngram_n: int = 3, threshold: float = 0.5, n_hashes: int = 16, n_bands: int = 4
+) -> str:
+    rows = n_hashes // n_bands
+    bands_sql = band_hashes_sql("sig", n_bands, rows)
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_hash FROM sig"
+        for b, expr in enumerate(bands_sql)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
+bh AS (SELECT doc_id, list_distinct({shingle_base_hash_sql('sh')}) AS bh FROM sh),
+sig AS (SELECT doc_id, {minhash_from_base_sql('bh', n_hashes)} AS sig FROM bh),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+g AS (SELECT doc_id, {char_ngrams_sql('text', ngram_n)} AS grams FROM documents),
+v AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(x.grams, y.grams)) * 1.0
+           / len(list_distinct(x.grams || y.grams)) AS j
+  FROM pairs p JOIN g x ON p.doc_a = x.doc_id JOIN g y ON p.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, {quantize_sql('j')} AS ngram_jaccard FROM v WHERE j >= {threshold}
+"""
+
+
+ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle()
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +458,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_buckets": q_simhash_buckets,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_topk": q_embedding_topk,
@@ -431,6 +475,7 @@ LLM_ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_buckets": ORACLE_SIMHASH,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,

@@ -211,3 +211,26 @@ class TestMultimodal:
         assert rows[0].width == 4 and rows[0].height == 2
         assert rows[0].mean_luma == pytest.approx(ord("a") / 255.0)
         assert rows[1].width == 2
+
+
+class TestNgramJaccard:
+    def test_char_ngrams_basic(self, spark):
+        from homelogging_spark.functions.texthash import char_ngrams
+
+        df = spark.createDataFrame([("abcd",), ("ab",)], "t string")
+        rows = df.select(char_ngrams("t", 3, distinct=False).alias("g")).collect()
+        assert rows[0].g == ["abc", "bcd"]
+        assert rows[1].g == ["ab"]  # shorter than n -> whole text
+
+    def test_near_identical_docs_pair_found(self, spark):
+        from homelogging_spark.operators.dedup import ngram_jaccard_pairs
+
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = a.replace("today", "tonight")
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, "completely different words entirely here")],
+            "doc_id long, text string",
+        )
+        out = ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+        assert out[0].ngram_jaccard > 0.7
