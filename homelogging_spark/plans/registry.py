@@ -33,7 +33,7 @@ from homelogging_spark.plans import flagship
 from homelogging_spark.plans.battery_registry import BATTERY_ORACLES, BATTERY_QUERIES
 from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
 from homelogging_spark.plans.sources_registry import SOURCES_ORACLES, SOURCES_QUERIES
-from homelogging_spark.functions.numeric import quantize
+from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.tables import METERS_DIM_SQL, load_table
 
 PCT_CUTOFF = "2024-01-25 00:00:00"
@@ -746,6 +746,70 @@ FROM customer LEFT JOIN totals ON c_custkey = o_custkey
 """
 
 
+# --- tag-as-data: mode strings flowing through aggregation & latest ----------
+
+_MODES = ("off", "on", "schedule", "timer", "boost")
+
+
+def q_tag_mode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-as-data (SURVEY watch-list; ``Vents/VentsMicraLogger.cs:91,
+    98-122``): the ``Speed`` series' free-text tag carries the operating
+    MODE, not a unit — so ``tag`` must survive every operator. This query
+    proves both paths: tag as a GROUP KEY (per-mode event counts /
+    averages) and tag as a carried COLUMN through latest-per-key (how
+    many meters are *currently* in each mode)."""
+    events = load_table(spark, sf_dir, "events")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in _MODES]),
+        (F.floor(F.col("value")).cast("int") % 5) + 1,
+    )
+    readings = events.select(
+        F.col("user_id").alias("meter_id"), "ts", "value", mode.alias("tag")
+    )
+    per_mode = readings.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        quantize(F.avg("value")).alias("avg_value"),
+    )
+    current = (
+        latest_per_key(readings, ["meter_id"], "ts")
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per_mode.join(current, "tag", "left").select(
+        "tag",
+        "n_events",
+        "avg_value",
+        F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_meters_current"),
+    )
+
+
+_MODES_SQL = "['off', 'on', 'schedule', 'timer', 'boost']"
+
+ORACLE_TAG_MODE_REPORT = f"""
+WITH r AS (
+  SELECT user_id AS meter_id, ts, value,
+         ({_MODES_SQL})[(CAST(floor(value) AS INTEGER) % 5) + 1] AS tag
+  FROM events
+),
+per_mode AS (
+  SELECT tag, CAST(count(*) AS BIGINT) AS n_events,
+         {quantize_sql('avg(value)')} AS avg_value
+  FROM r GROUP BY 1
+),
+latest AS (
+  SELECT * FROM (
+    SELECT meter_id, ts, value, tag,
+           row_number() OVER (PARTITION BY meter_id
+                              ORDER BY ts DESC, tag DESC, value DESC) AS rn
+    FROM r) WHERE rn = 1
+),
+cur AS (SELECT tag, count(*) AS n FROM latest GROUP BY 1)
+SELECT p.tag, p.n_events, p.avg_value,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_meters_current
+FROM per_mode p LEFT JOIN cur c ON p.tag = c.tag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_hourly_cost": flagship.hourly_cost_analysis,
     "cost_totals": flagship.cost_totals,
@@ -772,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_match": q_first_match,
     "pulse_step_emit": q_pulse_step_emit,
     "thermostat_mode": q_thermostat_mode,
+    "tag_mode_report": q_tag_mode_report,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -803,6 +868,7 @@ ORACLES: dict[str, str] = {
     "first_match": ORACLE_FIRST_MATCH,
     "pulse_step_emit": ORACLE_PULSE_STEP_EMIT,
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,
+    "tag_mode_report": ORACLE_TAG_MODE_REPORT,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,
