@@ -1,0 +1,104 @@
+"""Physical-plan quality gates — the scale properties the engine's
+docstrings claim, asserted against Catalyst's actual output so they
+cannot silently regress:
+
+- the flagship reads the fact table ONCE (r1's 4-scan plan stays dead);
+- raw-column predicates reach the parquet scan (PushedFilters);
+- unused columns never reach the scan (ReadSchema pruning);
+- dimension joins broadcast instead of shuffling the fact side;
+- aggregations are partial (map-side combine) before the exchange;
+- NO query in the registry plans a CartesianProduct, and only the
+  explicitly broadcast Q×N scorers may use a nested-loop join.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# crossJoin(broadcast(queries)) is the DESIGNED plan for exact/IVF
+# scoring: Q rows against every corpus vector, no shuffle of the corpus.
+# values_projection: its test frame uses a CONSTANT series, which folds
+# the equi-key out of the schema-dim join, leaving a broadcast nested
+# loop against the 8-row dim — a map-side lookup, not a blowup; a varied
+# series column plans BroadcastHashJoin (asserted below).
+BROADCAST_NESTED_LOOP_OK = {"embedding_topk", "ann_ivf_topk", "values_projection"}
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanQuality:
+    def test_flagship_scans_events_once(self, spark):
+        from homelogging_spark.plans import flagship
+
+        plan = plan_of(flagship.hourly_cost_analysis(spark, SF))
+        assert plan.count("FileScan parquet") == 1
+
+    def test_cost_totals_scans_events_once(self, spark):
+        from homelogging_spark.plans import flagship
+
+        plan = plan_of(flagship.cost_totals(spark, SF))
+        assert plan.count("FileScan parquet") == 1
+
+    def test_raw_predicate_pushed_to_scan(self, spark):
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES["time_range_filter"](spark, SF))
+        assert "PushedFilters:" in plan
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "user_id" in pushed  # raw-column predicate reaches the scan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES["count_by_series"](spark, SF))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "event_type" in read_schema
+        assert "value" not in read_schema and "event_id" not in read_schema
+
+    def test_dim_join_broadcasts(self, spark):
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES["customer_order_totals"](spark, SF))
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+    def test_aggregation_is_partial_before_exchange(self, spark):
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES["hourly_avg"](spark, SF))
+        # partial + final HashAggregate around the exchange = map-side combine
+        assert plan.count("HashAggregate") >= 2
+
+    def test_named_components_varied_series_uses_hash_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from homelogging_spark.functions.values import with_named_components
+        from homelogging_spark.tables import load_table
+
+        readings = load_table(spark, SF, "events").select(
+            F.when(F.col("user_id") % 2 == 0, "PowerEnergy")
+            .otherwise("MPPT1")
+            .alias("series"),
+            F.array("value").alias("values"),
+        )
+        plan = plan_of(with_named_components(readings, spark, ["power_w"]))
+        assert "BroadcastHashJoin" in plan
+
+    @pytest.mark.parametrize("scope", ["all"])
+    def test_no_cartesian_products_anywhere(self, spark, scope):
+        import __spark_entry__ as entry
+
+        offenders = []
+        for name, fn in entry.queries().items():
+            plan = plan_of(fn(spark, SF))
+            if "CartesianProduct" in plan:
+                offenders.append((name, "CartesianProduct"))
+            if (
+                "BroadcastNestedLoopJoin" in plan
+                and name not in BROADCAST_NESTED_LOOP_OK
+            ):
+                offenders.append((name, "BroadcastNestedLoopJoin"))
+        assert offenders == []
