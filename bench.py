@@ -22,6 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from homelogging_spark.session import get_spark
 
 
+def _warm_python_workers(spark) -> None:
+    """Warm the Python worker pool (one worker per core spawns on the
+    first Arrow-batch exchange; ~100ms each is query-independent setup,
+    not plan cost — same spirit as the parquet-footer warm-up)."""
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    def ident(s):
+        return s
+
+    ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(ident, "long")
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)).select(
+        udf(col("id"))
+    ).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -43,6 +60,8 @@ def main() -> None:
 
     load_table(spark, sf_dir, "events").count()
     load_table(spark, sf_dir, "lineitem").count()
+
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
