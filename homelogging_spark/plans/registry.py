@@ -810,6 +810,89 @@ FROM per_mode p LEFT JOIN cur c ON p.tag = c.tag
 """
 
 
+# --- as-of join & range join (brief-mandated custom operators) ---------------
+
+def q_asof_price_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every 'click' reading picks up the latest
+    'purchase' price at-or-before its timestamp per user — the canonical
+    time-series enrichment Spark lacks natively. The Spark plan is the
+    union+window formulation (one shuffle, no pair blowup — see
+    ``operators/joins.asof_join``); the oracle is DuckDB's native
+    ASOF LEFT JOIN, so two independent as-of implementations must agree
+    row-for-row."""
+    from homelogging_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    prices = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("price"))
+    )
+    out = asof_join(clicks, prices, ["user_id"], "ts", "ts", ["price"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        quantize("value").alias("load"),
+        quantize("right_price").alias("asof_price"),
+    )
+
+
+ORACLE_ASOF_PRICE_JOIN = f"""
+WITH c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, max(value) AS price
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts,
+       {quantize_sql('c.value')} AS load,
+       {quantize_sql('p.price')} AS asof_price
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+def q_range_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks matched into 2-hour windows opened
+    by each purchase of the same user, then aggregated per window. The
+    Spark plan bucketizes time so the range predicate rides an EQUI join
+    (see ``operators/joins.bucketed_range_join``); the oracle is the
+    naive BETWEEN join DuckDB can afford at oracle scale."""
+    from homelogging_spark.operators.joins import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    intervals = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("interval_id"),
+    )
+    j = bucketed_range_join(
+        clicks, intervals, ["user_id"], "ts", "start_ts", "end_ts", 3600
+    )
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        quantize(F.sum("value")).alias("load_sum"),
+    )
+
+
+ORACLE_RANGE_SESSION_JOIN = f"""
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+iv AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts,
+              event_id AS interval_id
+       FROM events WHERE event_type = 'purchase')
+SELECT iv.interval_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       {quantize_sql('sum(c.value)')} AS load_sum
+FROM c JOIN iv
+  ON c.user_id = iv.user_id AND c.ts >= iv.start_ts AND c.ts < iv.end_ts
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_hourly_cost": flagship.hourly_cost_analysis,
     "cost_totals": flagship.cost_totals,
@@ -837,6 +920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pulse_step_emit": q_pulse_step_emit,
     "thermostat_mode": q_thermostat_mode,
     "tag_mode_report": q_tag_mode_report,
+    "asof_price_join": q_asof_price_join,
+    "range_session_join": q_range_session_join,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -869,6 +954,8 @@ ORACLES: dict[str, str] = {
     "pulse_step_emit": ORACLE_PULSE_STEP_EMIT,
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,
     "tag_mode_report": ORACLE_TAG_MODE_REPORT,
+    "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
+    "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

@@ -49,3 +49,79 @@ class TestAllGateGuards:
         assert out.n_true == 3
         assert out.all_true is False  # guard: too few samples to conclude
         assert out.none_true is False
+
+
+class TestAsofAndRangeJoins:
+    def test_asof_basic_and_no_earlier_row(self, spark):
+        from homelogging_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")],
+            "k long, ts long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 90.0)],
+            "k long, ts long, price double",
+        )
+        out = {
+            r.tag: r.right_price
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["price"]).collect()
+        }
+        assert out["a"] == 100.0  # equal ts -> included (<= semantics)
+        assert out["b"] == 150.0  # most recent earlier row wins
+        assert out["c"] is None  # no right row at-or-before -> NULL
+
+    def test_asof_keys_are_isolated(self, spark):
+        from homelogging_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 50, "x")], "k long, ts long, tag string")
+        right = spark.createDataFrame([(2, 10, 1.0)], "k long, ts long, price double")
+        rows = asof_join(left, right, ["k"], "ts", "ts", ["price"]).collect()
+        assert rows[0].right_price is None  # other key's rows never leak
+
+    def test_range_join_boundaries_and_multibucket(self, spark):
+        import datetime as dt
+
+        from homelogging_spark.operators.joins import bucketed_range_join
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        events = spark.createDataFrame(
+            [(1, ts(0), "at_start"), (1, ts(119), "inside"),
+             (1, ts(120), "at_end"), (1, ts(500), "outside")],
+            "k long, ts timestamp, tag string",
+        )
+        # one 2h interval spanning 3 hourly buckets; bucket_seconds=3600
+        intervals = spark.createDataFrame(
+            [(1, ts(0), ts(120), 7)],
+            "k long, start_ts timestamp, end_ts timestamp, iid long",
+        )
+        got = sorted(
+            r.tag
+            for r in bucketed_range_join(
+                events, intervals, ["k"], "ts", "start_ts", "end_ts", 3600
+            ).collect()
+        )
+        assert got == ["at_start", "inside"]  # start inclusive, end exclusive
+
+    def test_range_join_interval_shorter_than_bucket(self, spark):
+        import datetime as dt
+
+        from homelogging_spark.operators.joins import bucketed_range_join
+
+        t0 = dt.datetime(2024, 1, 1, 10, 30, 0)
+        events = spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=5), "hit")],
+            "k long, ts timestamp, tag string",
+        )
+        intervals = spark.createDataFrame(
+            [(1, t0, t0 + dt.timedelta(minutes=10), 1)],
+            "k long, start_ts timestamp, end_ts timestamp, iid long",
+        )
+        out = bucketed_range_join(
+            events, intervals, ["k"], "ts", "start_ts", "end_ts", 3600
+        ).collect()
+        assert [r.tag for r in out] == ["hit"]
