@@ -156,3 +156,56 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(alias, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: rows of a key belong to one session
+    until a silence longer than ``gap_seconds`` starts the next —
+    ``session_idx`` is the running count of gap-exceeding boundaries
+    (the standard lag + conditional cumsum; one shuffle + one sort per
+    key, no state beyond the window). Pass ``order_tiebreak`` columns to
+    make ordering deterministic when timestamps can tie."""
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
+    is_new = F.when(
+        prev_us.isNull() | (gap_us > F.lit(int(gap_seconds * 1_000_000))), 1
+    ).otherwise(0)
+    running = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "session_idx", F.sum(is_new).over(running).cast("bigint")
+    )
+
+
+def trailing_time_window_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-row trailing time-RANGE aggregate: mean and count of ``value``
+    over ``[ts - window, ts]`` within the key. ``rangeBetween`` over
+    ``unix_micros`` — a true time-range frame (not N-rows), identical
+    semantics to ANSI ``RANGE BETWEEN x PRECEDING AND CURRENT ROW``; one
+    shuffle + sort per key, frame scan bounded by the window."""
+    v = F.col(value) if isinstance(value, str) else value
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.withColumn("trailing_avg", F.avg(v).over(w)).withColumn(
+        "n_in_window", F.count(v).over(w).cast("bigint")
+    )

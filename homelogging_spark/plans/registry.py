@@ -893,6 +893,84 @@ GROUP BY 1
 """
 
 
+# --- sessionization & time-range rolling windows ------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min silence starts a new one) per user over
+    the click stream, reported as per-session stats. Deterministic order
+    via (ts, event_id) tie-break on both engines."""
+    from homelogging_spark.operators.aggregations import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sess = sessionize(
+        clicks, ["user_id"], "ts", gap_seconds=1800.0, order_tiebreak=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        quantize(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1e6
+        ).alias("duration_s"),
+        quantize(F.sum("value")).alias("value_sum"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+g AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM c
+),
+s AS (
+  SELECT *,
+         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       {quantize_sql('(epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6')} AS duration_s,
+       {quantize_sql('sum(value)')} AS value_sum
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing 1-hour time-RANGE average of the click load —
+    a true time-window frame (RANGE on epoch micros), not an N-row one."""
+    from homelogging_spark.operators.aggregations import trailing_time_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = trailing_time_window_agg(clicks, ["user_id"], "value", "ts", 3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        quantize("trailing_avg").alias("trailing_avg"),
+        "n_in_window",
+    )
+
+
+ORACLE_TRAILING_WINDOW_AVG = f"""
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT event_id, user_id, ts,
+       {quantize_sql("avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")} AS trailing_avg,
+       CAST(count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_window
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_hourly_cost": flagship.hourly_cost_analysis,
     "cost_totals": flagship.cost_totals,
@@ -921,6 +999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "thermostat_mode": q_thermostat_mode,
     "tag_mode_report": q_tag_mode_report,
     "asof_price_join": q_asof_price_join,
+    "sessionize": q_sessionize,
+    "trailing_window_avg": q_trailing_window_avg,
     "range_session_join": q_range_session_join,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
@@ -955,6 +1035,8 @@ ORACLES: dict[str, str] = {
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,
     "tag_mode_report": ORACLE_TAG_MODE_REPORT,
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
+    "sessionize": ORACLE_SESSIONIZE,
+    "trailing_window_avg": ORACLE_TRAILING_WINDOW_AVG,
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     **LLM_ORACLES,
     **BATTERY_ORACLES,

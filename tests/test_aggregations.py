@@ -125,3 +125,41 @@ class TestAsofAndRangeJoins:
             events, intervals, ["k"], "ts", "start_ts", "end_ts", 3600
         ).collect()
         assert [r.tag for r in out] == ["hit"]
+
+
+class TestSessionizeAndTimeWindows:
+    def test_sessionize_gap_boundary_is_strict(self, spark):
+        import datetime as dt
+
+        from homelogging_spark.operators.aggregations import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + dt.timedelta(seconds=s)
+
+        # gaps: 1800s (== gap, same session), 1801s (> gap, new session)
+        df = spark.createDataFrame(
+            [(1, ts(0)), (1, ts(1800)), (1, ts(3601))], "k long, ts timestamp"
+        )
+        out = sessionize(df, ["k"], "ts", gap_seconds=1800.0)
+        idx = [r.session_idx for r in out.orderBy("ts").collect()]
+        assert idx == [1, 1, 2]
+
+    def test_trailing_window_includes_exact_boundary(self, spark):
+        import datetime as dt
+
+        from homelogging_spark.operators.aggregations import (
+            trailing_time_window_agg,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, 10.0), (1, t0 + dt.timedelta(seconds=3600), 20.0),
+             (1, t0 + dt.timedelta(seconds=3601), 30.0)],
+            "k long, ts timestamp, value double",
+        )
+        out = trailing_time_window_agg(df, ["k"], "value", "ts", 3600)
+        rows = {r.value: (r.trailing_avg, r.n_in_window) for r in out.collect()}
+        assert rows[20.0] == (15.0, 2)  # exactly 1h back is IN the frame
+        assert rows[30.0] == (25.0, 2)  # the t0 row has aged out
