@@ -67,6 +67,68 @@ def read_readings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def refresh_rollup(
+    spark: SparkSession,
+    readings_path: str,
+    rollup_path: str,
+    changed_dates: Sequence[str] | None = None,
+    bucket: str = "hour",
+    keys: Sequence[str] = ("meter_id", "series"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """Continuous-aggregate (hypertable-rollup-style) maintenance: keep a
+    bucketed rollup table in sync with the readings table by recomputing
+    ONLY the date partitions late/new data touched.
+
+    The scale contract: a day of new readings must never trigger a full
+    -history recompute. The rollup is parquet partitioned by ``date``;
+    refresh reads just the changed dates from the base (partition
+    pruning), re-aggregates them, and dynamically overwrites exactly
+    those rollup partitions (``partitionOverwriteMode=dynamic`` — the
+    other partitions' files are untouched). Idempotent: re-running for
+    the same dates rewrites identical content.
+    """
+    from homelogging_spark.functions.timeutils import time_bucket
+
+    base = spark.read.parquet(readings_path)
+    if changed_dates is not None:
+        base = base.where(F.to_date(F.col(ts_col)).isin(list(changed_dates)))
+    agg = (
+        base.groupBy(
+            *keys,
+            time_bucket(F.col(ts_col), bucket).alias("bucket"),
+        )
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("date", F.to_date("bucket"))
+    )
+    writer = agg.write.mode("overwrite").partitionBy("date")
+    with _dynamic_partition_overwrite(spark):
+        writer.parquet(rollup_path)
+
+
+class _dynamic_partition_overwrite:
+    """Scoped ``spark.sql.sources.partitionOverwriteMode=dynamic`` —
+    overwrite replaces only the partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+        return False
+
+
 def upsert_meters(existing: DataFrame, updates: DataFrame, key: str = "meter_id") -> DataFrame:
     """K2: document upsert for the small ``meters`` dimension —
     updates win over existing rows, new keys are inserted. Dimension

@@ -194,3 +194,56 @@ class TestStreamingIngest:
         }
         assert got["2024-04-01T12:00:00"] == (pytest.approx(150.0), 2)
         assert got["2024-04-01T12:01:00"] == (pytest.approx(50.0), 1)
+
+
+class TestRollupRefresh:
+    def test_incremental_refresh_matches_full_and_touches_only_changed(
+        self, spark, tmp_path
+    ):
+        import datetime as dt
+        import os
+
+        from homelogging_spark.operators.ingest import refresh_rollup
+
+        base = str(tmp_path / "readings")
+        roll = str(tmp_path / "rollup")
+
+        def rows(day, vals):
+            return [
+                ("m1", "Power", dt.datetime(2024, 1, day, 10, m), float(v))
+                for m, v in enumerate(vals)
+            ]
+
+        schema = "meter_id string, series string, ts timestamp, value double"
+        spark.createDataFrame(rows(1, [1, 2]) + rows(2, [3, 4]), schema).write.mode(
+            "append"
+        ).parquet(base)
+        refresh_rollup(spark, base, roll)  # initial full build
+
+        # late data lands for Jan 2 only
+        spark.createDataFrame(rows(2, [5]), schema).write.mode("append").parquet(base)
+
+        # capture Jan 1 partition files before the incremental refresh
+        jan1_dir = os.path.join(roll, "date=2024-01-01")
+        before = sorted(os.listdir(jan1_dir))
+
+        refresh_rollup(spark, base, roll, changed_dates=["2024-01-02"])
+
+        # untouched partition's files are bit-identical (not rewritten)
+        assert sorted(os.listdir(jan1_dir)) == before
+
+        # incremental result == full recompute
+        full = str(tmp_path / "rollup_full")
+        refresh_rollup(spark, base, full)
+        got = {
+            (r.meter_id, r.series, r.bucket): (r.avg_value, r.sum_value, r.n)
+            for r in spark.read.parquet(roll).collect()
+        }
+        exp = {
+            (r.meter_id, r.series, r.bucket): (r.avg_value, r.sum_value, r.n)
+            for r in spark.read.parquet(full).collect()
+        }
+        assert got == exp
+        # the Jan 2 bucket now includes the late row
+        jan2 = [v for k, v in got.items() if k[2].day == 2]
+        assert jan2 == [(4.0, 12.0, 3)]
