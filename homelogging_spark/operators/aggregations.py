@@ -209,3 +209,38 @@ def trailing_time_window_agg(
     return df.withColumn("trailing_avg", F.avg(v).over(w)).withColumn(
         "n_in_window", F.count(v).over(w).cast("bigint")
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant sum/count/avg: aggregate in TWO phases with an
+    explicit salt so a handful of hot keys cannot serialize onto a
+    handful of reducers.
+
+    Phase 1 groups by (keys, salt) — ``n_salts`` partial rows per hot
+    key, spread across the cluster; phase 2 combines the partials by the
+    real keys (tiny input: |keys| * n_salts rows). The salt is a
+    per-row uniform bucket — any distribution works because sum/count
+    are associative; avg is derived from the combined partials, never
+    averaged across partials. AQE's skew-join handles skewed JOINS
+    automatically; skewed AGGREGATES over low-cardinality keys are the
+    case that still needs this explicit shape when the map-side partial
+    aggregation alone can't keep up (e.g. high-cardinality distincts
+    layered on top).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    salt = (F.monotonically_increasing_id() % n_salts).alias("__salt")
+    partial = (
+        df.select(*keys, v.alias("__v"), salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum("__v").alias("__sum"), F.count("__v").alias("__n"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__sum").alias("sum_value"),
+        F.sum("__n").cast("bigint").alias("n"),
+        (F.sum("__sum") / F.sum("__n")).alias("avg_value"),
+    )

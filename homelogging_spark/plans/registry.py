@@ -971,6 +971,33 @@ FROM c
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed aggregation via explicit salting: events has only 5
+    event_type keys for the whole table — the degenerate case where an
+    unsalted groupBy serializes on 5 reducers. Values are identical to
+    the plain GROUP BY (associativity), which is exactly what the oracle
+    runs."""
+    from homelogging_spark.operators.aggregations import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(events, ["event_type"], "value", n_salts=16)
+    return out.select(
+        "event_type",
+        quantize("sum_value").alias("sum_value"),
+        "n",
+        quantize("avg_value").alias("avg_value"),
+    )
+
+
+ORACLE_SKEW_SALTED_AGG = f"""
+SELECT event_type,
+       {quantize_sql('sum(value)')} AS sum_value,
+       CAST(count(value) AS BIGINT) AS n,
+       {quantize_sql('sum(value) / count(value)')} AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_hourly_cost": flagship.hourly_cost_analysis,
     "cost_totals": flagship.cost_totals,
@@ -1000,6 +1027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tag_mode_report": q_tag_mode_report,
     "asof_price_join": q_asof_price_join,
     "sessionize": q_sessionize,
+    "skew_salted_agg": q_skew_salted_agg,
     "trailing_window_avg": q_trailing_window_avg,
     "range_session_join": q_range_session_join,
     **LLM_QUERIES,
@@ -1036,6 +1064,7 @@ ORACLES: dict[str, str] = {
     "tag_mode_report": ORACLE_TAG_MODE_REPORT,
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
+    "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
     "trailing_window_avg": ORACLE_TRAILING_WINDOW_AVG,
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     **LLM_ORACLES,

@@ -102,3 +102,35 @@ class TestPlanQuality:
             ):
                 offenders.append((name, "BroadcastNestedLoopJoin"))
         assert offenders == []
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """Bucketing both sides of a recurring join key co-locates the
+        data at WRITE time: the join then needs no shuffle at all — the
+        scale answer for fact-to-fact joins repeated every round."""
+        from pyspark.sql import functions as F
+
+        from homelogging_spark.tables import load_table
+
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{tmp_path}/wh'"
+        )
+        ev = load_table(spark, SF, "events")
+        a = ev.select("user_id", "ts", "value")
+        b = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        for name, df in (("ev_a", a), ("agg_b", b)):
+            df.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+                "overwrite"
+            ).format("parquet").saveAsTable(f"bucketdemo.{name}")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bucketdemo.ev_a").join(
+                spark.table("bucketdemo.agg_b"), "user_id"
+            )
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
