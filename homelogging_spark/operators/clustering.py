@@ -63,6 +63,7 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -88,7 +89,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Near-dup components are near-cliques (diameter 2-4); hitting the
+        # cap means the graph is not the one this operator is built for —
+        # fail loudly rather than return a non-fixed-point labeling.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

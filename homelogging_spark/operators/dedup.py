@@ -165,6 +165,12 @@ def ngram_jaccard_pairs(
     banding as ``minhash_near_dup_pairs`` (all-pairs is never an option);
     only the verify metric differs: Jaccard over distinct char n-grams.
 
+    The verify join ships 60-bit *hashes* of the grams (8-byte ints, the
+    same ``shingle_base_hash`` trick as the MinHash path), never the gram
+    strings themselves: Jaccard over hashed grams equals string-gram
+    Jaccard up to negligible collision mass, and a candidate pair's
+    payload drops from two ~n_chars string arrays to two long arrays.
+
     Returns (doc_a, doc_b, ngram_jaccard) with doc_a < doc_b.
     """
     base = df.select(
@@ -172,7 +178,9 @@ def ngram_jaccard_pairs(
         F.array_distinct(
             shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
         ).alias("bh"),
-        char_ngrams(F.col(text_col), ngram_n).alias("grams"),
+        F.array_distinct(
+            shingle_base_hash(char_ngrams(F.col(text_col), ngram_n))
+        ).alias("grams"),
     ).persist()
     pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
     ga = base.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("g_a"))

@@ -30,7 +30,7 @@ from homelogging_spark.functions.texthash import (
     tokens_sql,
     word_shingles_sql,
 )
-from homelogging_spark.operators import dedup, multimodal, similarity, textops
+from homelogging_spark.operators import clustering, dedup, multimodal, similarity, textops
 from homelogging_spark.tables import load_table, spread
 
 EMB_DIM = 64
@@ -164,15 +164,19 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", quantize("jaccard").alias("jaccard"))
 
 
-def _minhash_near_dup_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+def _lsh_cte_prefix(n_hashes: int = 16, n_bands: int = 4) -> str:
+    """Shared DuckDB CTE chain replicating ``dedup.band_candidate_pairs``:
+    tokens -> shingles -> 60-bit base hashes (``bh``) -> MinHash signature
+    -> bands -> candidate ``pairs (doc_a < doc_b)``. Every LSH-derived
+    oracle (minhash verify, ngram verify, cluster assignment) appends its
+    own verify/closure CTEs to this prefix."""
     rows = n_hashes // n_bands
     bands_sql = band_hashes_sql("sig", n_bands, rows)
     band_selects = "\nUNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, {expr} AS band_hash FROM sig"
         for b, expr in enumerate(bands_sql)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+    return f"""toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
 bh AS (SELECT doc_id, list_distinct({shingle_base_hash_sql('sh')}) AS bh FROM sh),
 sig AS (SELECT doc_id, {minhash_from_base_sql('bh', n_hashes)} AS sig FROM bh),
@@ -181,7 +185,12 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _minhash_near_dup_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+    return f"""
+WITH {_lsh_cte_prefix(n_hashes, n_bands)},
 v AS (
   SELECT p.doc_a, p.doc_b,
          len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
@@ -205,24 +214,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_oracle(
     ngram_n: int = 3, threshold: float = 0.5, n_hashes: int = 16, n_bands: int = 4
 ) -> str:
-    rows = n_hashes // n_bands
-    bands_sql = band_hashes_sql("sig", n_bands, rows)
-    band_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_hash FROM sig"
-        for b, expr in enumerate(bands_sql)
-    )
+    # grams are 60-bit hashes of the char n-grams (mirrors the Spark side:
+    # verify ships 8-byte ints, never gram strings).
+    hashed_grams = f"list_distinct({shingle_base_hash_sql(char_ngrams_sql('text', ngram_n))})"
     return f"""
-WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
-sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
-bh AS (SELECT doc_id, list_distinct({shingle_base_hash_sql('sh')}) AS bh FROM sh),
-sig AS (SELECT doc_id, {minhash_from_base_sql('bh', n_hashes)} AS sig FROM bh),
-bands AS ({band_selects}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
-g AS (SELECT doc_id, {char_ngrams_sql('text', ngram_n)} AS grams FROM documents),
+WITH {_lsh_cte_prefix(n_hashes, n_bands)},
+g AS (SELECT doc_id, {hashed_grams} AS grams FROM documents),
 v AS (
   SELECT p.doc_a, p.doc_b,
          len(list_intersect(x.grams, y.grams)) * 1.0
@@ -274,6 +271,62 @@ SELECT doc_id,
        md5(array_to_string(anchors, ',')) AS fingerprint
 FROM a
 """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters -> canonical keep-list: the last stage of the
+    dedup pipeline. Near-dup pairs from the MinHash-LSH path feed
+    connected components (iterative min-label propagation); every doc gets
+    a deterministic cluster id (minimum reachable doc_id), its cluster
+    size, and the keep/drop flag."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
+    out = clustering.assign_dedup_clusters(docs, pairs)
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "is_canonical",
+    )
+
+
+def _dedup_clusters_oracle(
+    threshold: float = 0.7, n_hashes: int = 16, n_bands: int = 4
+) -> str:
+    """Min-label fixpoint as a DuckDB recursive CTE: reachability closure
+    over the symmetrized verified-pair edge list, then min(reachable id)
+    per node — exactly the fixed point ``connected_components`` iterates
+    to (the label set is schedule-independent, so the two computations
+    agree row-for-row)."""
+    return f"""
+WITH RECURSIVE {_lsh_cte_prefix(n_hashes, n_bands)},
+v AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
+  FROM pairs p JOIN bh x ON p.doc_a = x.doc_id JOIN bh y ON p.doc_b = y.doc_id
+),
+vp AS (SELECT doc_a, doc_b FROM v WHERE j >= {threshold}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM vp),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+asg AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM asg
+"""
+
+
+ORACLE_DEDUP_CLUSTERS = _dedup_clusters_oracle()
 
 
 # --- similarity search -------------------------------------------------------
@@ -461,6 +514,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_buckets": q_simhash_buckets,
     "doc_fingerprint": q_doc_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -478,6 +532,7 @@ LLM_ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_buckets": ORACLE_SIMHASH,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

@@ -234,3 +234,62 @@ class TestNgramJaccard:
         out = ngram_jaccard_pairs(df, threshold=0.5).collect()
         assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
         assert out[0].ngram_jaccard > 0.7
+
+
+class TestClustering:
+    def pairs_df(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def test_chain_graph_single_component(self, spark):
+        # 1-2, 2-3, 3-4: diameter-3 chain -> one cluster labeled 1
+        from homelogging_spark.operators.clustering import connected_components
+
+        cc = connected_components(
+            self.pairs_df(spark, [(1, 2), (2, 3), (3, 4)]),
+            src="doc_a",
+            dst="doc_b",
+        ).collect()
+        assert {(r.node, r.cluster_id) for r in cc} == {
+            (1, 1), (2, 1), (3, 1), (4, 1)
+        }
+
+    def test_two_disjoint_cliques(self, spark):
+        from homelogging_spark.operators.clustering import connected_components
+
+        edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+        cc = connected_components(
+            self.pairs_df(spark, edges), src="doc_a", dst="doc_b"
+        ).collect()
+        labels = {r.node: r.cluster_id for r in cc}
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_convergence_bound_enforced(self, spark):
+        # A diameter-3 chain cannot converge in 1 iteration; the operator
+        # must fail loudly rather than return a non-fixed-point labeling.
+        from homelogging_spark.operators.clustering import connected_components
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                self.pairs_df(spark, [(1, 2), (2, 3), (3, 4)]),
+                src="doc_a",
+                dst="doc_b",
+                max_iters=1,
+            ).collect()
+
+    def test_assign_clusters_with_singletons(self, spark):
+        from homelogging_spark.operators.clustering import assign_dedup_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = self.pairs_df(spark, [(0, 1), (1, 2), (4, 5)])
+        out = assign_dedup_clusters(docs, pairs).collect()
+        got = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical) for r in out}
+        assert got == {
+            0: (0, 3, True),
+            1: (0, 3, False),
+            2: (0, 3, False),
+            3: (3, 1, True),  # singleton: its own cluster
+            4: (4, 2, True),
+            5: (4, 2, False),
+        }
