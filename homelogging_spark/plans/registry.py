@@ -525,10 +525,10 @@ def q_key_normalized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovered-device list matched to registered meters by MAC,
     case/separator-insensitively (``Tapo/TapoLogger.cs:158-161``)."""
     from homelogging_spark.operators.joins import key_normalized_join
-    from homelogging_spark.tables import meters_dim
+    from homelogging_spark.tables import meters_table
 
     events = load_table(spark, sf_dir, "events")
-    registered = meters_dim(events)
+    registered = meters_table(spark, sf_dir)
     discovered = (
         events.select("user_id").distinct()
         .where(F.col("user_id") % 2 == 0)
@@ -558,10 +558,10 @@ def q_device_class_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``Where(m => m.VendorInfo == ...)`` (``Sdm/SdmLogger.cs:65-67``):
     scan the meters dim for one device class, broadcast-join its readings
     (J2), count per meter."""
-    from homelogging_spark.tables import meters_dim
+    from homelogging_spark.tables import meters_table
 
     events = load_table(spark, sf_dir, "events")
-    kasa_meters = meters_dim(events).where(F.col("vendor_info") == "Kasa")
+    kasa_meters = meters_table(spark, sf_dir).where(F.col("vendor_info") == "Kasa")
     return (
         events.join(F.broadcast(kasa_meters), "user_id")
         .groupBy("meter_id", "vendor_info", "medium")

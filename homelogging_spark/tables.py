@@ -90,6 +90,35 @@ def meters_dim(events: DataFrame) -> DataFrame:
     )
 
 
+_FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+)
+
+
+def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *materialized* meters dimension: built once per sf_dir by the
+    fixture layer (``meters_dim`` derivation pushed through the real K2
+    ``upsert_meters`` sink into parquet), then read back as an ordinary
+    dimension table.
+
+    Queries must consume THIS, not ``meters_dim(events)`` directly —
+    re-deriving a dimension from the fact table inside every query costs
+    an extra fact scan + distinct shuffle per query, which is exactly the
+    anti-pattern the K2/K3 upsert sinks exist to avoid. At 100 TB the
+    meters dim is a real table maintained by ingest; this mirrors that."""
+    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(_FIXTURE_ROOT, f"meters_{name}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from homelogging_spark.operators.ingest import upsert_meters
+
+        updates = meters_dim(load_table(spark, sf_dir, "events"))
+        existing = spark.createDataFrame([], updates.schema)
+        upsert_meters(existing, updates).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 METERS_DIM_SQL = """
   SELECT 'meters/' || CAST(user_id AS VARCHAR) AS meter_id,
          user_id,

@@ -87,6 +87,17 @@ class TestPlanQuality:
         plan = plan_of(with_named_components(readings, spark, ["power_w"]))
         assert "BroadcastHashJoin" in plan
 
+    @pytest.mark.parametrize("name", ["key_normalized_join", "device_class_scan"])
+    def test_meters_dim_queries_scan_events_at_most_once(self, spark, name):
+        """The meters dim is a materialized table (tables.meters_table),
+        not a per-query derivation from the fact table — each consumer
+        pays at most one events scan plus a tiny dim scan."""
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert plan.count("events.parquet") <= 1
+        assert "meters_sf" in plan  # reads the materialized dim
+
     @pytest.mark.parametrize("scope", ["all"])
     def test_no_cartesian_products_anywhere(self, spark, scope):
         import __spark_entry__ as entry
