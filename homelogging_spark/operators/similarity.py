@@ -213,19 +213,189 @@ def ivf_assign(
     deterministic oracle parity any fixed seed set works (the index is
     an *accelerator* — correctness comes from the exact-cosine verify).
     """
+    # norms once per side BELOW the join (bit-identical cosines — same op
+    # sequence per value; K dots instead of K full cosine folds per row)
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("c_emb")
+        F.col(id_col).alias("centroid_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
     )
-    scored = df.select(F.col(id_col), F.col(emb_col)).crossJoin(F.broadcast(c)).select(
+    vecs = df.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("v_nrm")
+    )
+    scored = vecs.crossJoin(F.broadcast(c)).select(
         id_col, emb_col, "centroid_id",
-        cosine(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+        (
+            dot_product(F.col(emb_col), F.col("c_emb"))
+            / (F.col("v_nrm") * F.col("c_nrm"))
+        ).alias("c_cos"),
     )
+    if n_cells == 1:
+        # argmax per vector via a partially-aggregated struct max: the
+        # map-side combine cuts the shuffle from N*K scored rows to N —
+        # the window form below shuffles every scored row. (cos DESC,
+        # centroid_id ASC) == max of (cos, -centroid_id); centroid_id is
+        # unique so later struct fields never decide.
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("c_cos").alias("cos"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col(emb_col).alias("e"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            F.col(id_col),
+            F.col("b.e").alias(emb_col),
+            (-F.col("b.neg_cid")).alias("centroid_id"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.col("centroid_id"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= n_cells)
         .select(id_col, emb_col, "centroid_id")
     )
+
+
+def seed_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """md5-seeded initial centroids (n_centroids x dim) — literal-
+    embeddable on any engine, same contract as ``hyperplanes``."""
+    return [
+        [_md5_unit(f"ivf-seed|{j}|{i}") for i in range(dim)]
+        for j in range(n_centroids)
+    ]
+
+
+def kmeans_lite_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    sample_mod: int | None = 16,
+) -> DataFrame:
+    """Deterministic k-means-lite: a FIXED number of Lloyd iterations from
+    md5-seeded initial centroids — the self-contained centroid builder for
+    IVF indexing (no caller-provided seed set, no RNG state to ship).
+
+    Cross-engine determinism, piece by piece:
+    - init centroids are md5-derived literals (``seed_centroids``);
+    - assignment is exact cosine + (cos DESC, centroid_id) tie-break —
+      bit-identical on both engines because centroid values are;
+    - the centroid update folds members in ``id`` order via
+      ``sort_array(collect_list(...))`` + a sequential left fold, the same
+      bracketing DuckDB's ``list(x ORDER BY id)`` + ``list_reduce`` uses —
+      bit-for-bit reproducible sums, unlike a parallel ``avg()``.
+
+    Scale notes: the quantizer trains on a deterministic ``id %
+    sample_mod`` SAMPLE of the corpus — the standard IVF practice (the
+    coarse quantizer only needs the density shape, and training cost
+    drops by the sample factor; the *index* still assigns every vector).
+    Each iteration is one broadcast of K tiny centroids over the sample
+    plus a K-group shuffle; the collect_list-per-cell exists to pin
+    summation order for the oracle gate — at 100 TB you'd trade that
+    determinism for a tree-aggregated partial mean (same API, the index
+    is an accelerator and correctness comes from the exact verify).
+    """
+    spark = corpus.sparkSession
+    seeds = seed_centroids(n_centroids, dim)
+    cents = spark.createDataFrame(
+        [(j, seeds[j]) for j in range(n_centroids)],
+        f"{id_col} bigint, {emb_col} array<double>",
+    )
+    vecs = corpus.select(F.col(id_col), F.col(emb_col))
+    if sample_mod:
+        vecs = vecs.where(F.col(id_col) % sample_mod == 0)
+    for _ in range(n_iters):
+        assigned = ivf_assign(vecs, cents, 1, id_col, emb_col)
+        grouped = assigned.groupBy("centroid_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(emb_col).alias("e"))
+                )
+            ).alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # ONE fold over the members with an array accumulator (elementwise
+        # zip_with) — not dim separate folds, whose 64 aggregate subtrees
+        # made Catalyst analysis + codegen the dominant cost. Bracketing
+        # ((0+e1)+e2)+... == DuckDB's list_reduce (e1+e2)+... elementwise
+        # since 0.0 + x == x.
+        sums = F.aggregate(
+            F.col("members"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, m: F.zip_with(
+                acc, m["e"], lambda a, x: a + x.cast("double")
+            ),
+        )
+        means = grouped.select(
+            "centroid_id",
+            F.transform(sums, lambda s: s / F.col("n")).alias("new_emb"),
+        )
+        # empty cells keep their previous centroid (deterministic on both
+        # engines via the same LEFT JOIN + coalesce)
+        cents = (
+            cents.alias("c")
+            .join(means, F.col(f"c.{id_col}") == means["centroid_id"], "left")
+            .select(
+                F.col(f"c.{id_col}").alias(id_col),
+                F.coalesce(F.col("new_emb"), F.col(f"c.{emb_col}")).alias(emb_col),
+            )
+            # K rows; truncate lineage per iteration — without this,
+            # iteration N's plan nests every prior iteration's subtree and
+            # Catalyst re-analyzes the whole stack (plan cost grows with
+            # n_iters), and the two downstream broadcast consumers would
+            # re-run the full Lloyd chain.
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_lite_sql(
+    corpus_sql: str,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    sample_mod: int | None = 16,
+) -> str:
+    """DuckDB CTE chain replicating ``kmeans_lite_centroids`` bit-for-bit;
+    returns CTE definitions whose final CTE ``c{n_iters}`` is
+    ``(centroid_id, c_emb)``."""
+    if sample_mod:
+        corpus_sql = f"SELECT * FROM ({corpus_sql}) WHERE vec_id % {sample_mod} = 0"
+    seeds = seed_centroids(n_centroids, dim)
+    values = ", ".join(
+        f"({j}, {_plane_literal_sql(seeds[j])})" for j in range(n_centroids)
+    )
+    ctes = [f"c0 AS (SELECT * FROM (VALUES {values}) AS t(centroid_id, c_emb))"]
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        cos = cosine_sql("t.embedding", "c.c_emb", dim)
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT t.vec_id, t.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos} DESC, c.centroid_id) AS r
+    FROM ({corpus_sql}) t, {prev} c) WHERE r = 1)"""
+        )
+        ctes.append(
+            f"m{it} AS (SELECT centroid_id, list(embedding ORDER BY vec_id) AS embs, "
+            f"count(*) AS n FROM a{it} GROUP BY 1)"
+        )
+        ctes.append(
+            f"u{it} AS (SELECT centroid_id, list_transform("
+            f"list_reduce(list_transform(embs, e -> list_transform(e, x -> CAST(x AS DOUBLE))), "
+            f"(a, b) -> list_transform(range({dim}), i -> a[i+1] + b[i+1])), "
+            f"s -> s / n) AS c_emb FROM m{it})"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT p.centroid_id, coalesce(u.c_emb, p.c_emb) AS c_emb "
+            f"FROM {prev} p LEFT JOIN u{it} u USING (centroid_id))"
+        )
+    return ",\n".join(ctes)
 
 
 def ivf_topk(

@@ -400,18 +400,18 @@ ORACLE_ANN_LSH_TOPK = _ann_lsh_topk_oracle()
 
 IVF_N_CENTROIDS = 8
 IVF_NPROBE = 2
+IVF_KMEANS_ITERS = 2
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the coarse-quantizer alternative to LSH):
-    corpus assigned to its nearest of 8 fixed centroids, queries probe
-    their 2 nearest cells, exact-cosine verify, top-3. Centroids are a
-    deterministic seed subset (first 8 corpus vectors) so the oracle
-    replicates assignment exactly; production swaps in k-means without
-    touching the query shape."""
+    centroids built by the deterministic k-means-lite (2 Lloyd iterations
+    from md5-seeded literals — self-contained, no caller seed set), corpus
+    assigned to its nearest cell, queries probe their 2 nearest cells,
+    exact-cosine verify, top-3."""
     queries, corpus = _emb_split(spark, sf_dir)
-    centroids = corpus.where(
-        F.col("vec_id") < N_QUERY_VECS + IVF_N_CENTROIDS
+    centroids = similarity.kmeans_lite_centroids(
+        corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
     )
     out = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=IVF_NPROBE)
     return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
@@ -420,14 +420,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf_topk_oracle(k: int = 3) -> str:
     cos = similarity.cosine_sql("t.embedding", "c.c_emb", EMB_DIM)
     qc_cos = similarity.cosine_sql("q.q_emb", "cl.c_emb2", EMB_DIM)
-    lo, hi = N_QUERY_VECS, N_QUERY_VECS + IVF_N_CENTROIDS
+    corpus_sql = f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
+    kmeans = similarity.kmeans_lite_sql(
+        corpus_sql, IVF_N_CENTROIDS, IVF_KMEANS_ITERS, EMB_DIM
+    )
     return f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id >= {lo} AND vec_id < {hi}),
+WITH {kmeans},
+c AS (SELECT centroid_id, c_emb FROM c{IVF_KMEANS_ITERS}),
 assign_corpus AS (
   SELECT vec_id, embedding, centroid_id, row_number() OVER (
            PARTITION BY vec_id ORDER BY {cos} DESC, centroid_id) AS r
-  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {lo}) t, c
+  FROM ({corpus_sql}) t, c
 ),
 cells AS (SELECT vec_id AS cand_id, embedding AS c_emb2, centroid_id
           FROM assign_corpus WHERE r = 1),

@@ -293,3 +293,38 @@ class TestClustering:
             4: (4, 2, True),
             5: (4, 2, False),
         }
+
+
+class TestKmeansLite:
+    def test_deterministic_and_shaped(self, spark):
+        from homelogging_spark.operators.similarity import kmeans_lite_centroids
+
+        rows = [
+            (i, [1.0 + 0.01 * i] * 4) for i in range(0, 32, 2)
+        ] + [(i, [-1.0 - 0.01 * i] * 4) for i in range(1, 32, 2)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = kmeans_lite_centroids(df, n_centroids=2, n_iters=2, dim=4, sample_mod=None)
+        b = kmeans_lite_centroids(df, n_centroids=2, n_iters=2, dim=4, sample_mod=None)
+        ra, rb = sorted(a.collect()), sorted(b.collect())
+        assert len(ra) == 2 and all(len(r.embedding) == 4 for r in ra)
+        assert ra == rb  # bit-for-bit deterministic across builds
+
+    def test_centroids_separate_planted_clusters(self, spark):
+        from homelogging_spark.operators.similarity import (
+            ivf_assign,
+            kmeans_lite_centroids,
+        )
+
+        # two tight opposite-sign clusters -> after Lloyd steps, assignment
+        # by cosine must split them cleanly
+        rows = [(i, [1.0, 1.0, 0.9 + 0.001 * i, 1.1]) for i in range(20)] + [
+            (i, [-1.0, -1.0, -0.9 - 0.001 * i, -1.1]) for i in range(20, 40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_lite_centroids(df, n_centroids=2, n_iters=2, dim=4, sample_mod=None)
+        assigned = ivf_assign(df, cents, 1).collect()
+        by_cluster = {}
+        for r in assigned:
+            by_cluster.setdefault(r.centroid_id, set()).add(r.vec_id)
+        assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
+        assert set(range(20)) in by_cluster.values()
