@@ -715,6 +715,105 @@ FROM r
 """
 
 
+def q_series_flow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 → K1 → F7 end-to-end: two series layouts registered through the
+    K3 sink (``register_series``, ``P1/P1Logger.cs:103-125``), a
+    double-batched multi-valued readings frame WITH per-entry Tag
+    metadata pushed through the K1 deduped partitioned append, read back
+    from parquet, components projected BY REGISTERED NAME (not the static
+    schema table), and reported per (series, tag).
+
+    Proves in one query: value-names survive registration; tags survive
+    the append round-trip as data; the K1 dedup collapses the doubled
+    batch; and an unregistered name (``ipv_a`` on PowerEnergy) projects
+    NULL — the reference's advisory-schema semantics."""
+    import os
+    import shutil
+
+    from homelogging_spark.functions.values import named_component
+    from homelogging_spark.operators.ingest import (
+        append_readings,
+        read_readings,
+        register_series,
+    )
+    from homelogging_spark.tables import _FIXTURE_ROOT
+
+    events = load_table(spark, sf_dir, "events")
+    tag = F.when(F.col("value") >= 50.0, "peak").otherwise("offpeak")
+    pe = events.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        F.lit("PowerEnergy").alias("series"),
+        F.array(
+            F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
+        ).alias("values"),
+        tag.alias("tag"),
+    )
+    mp = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        F.lit("MPPT1").alias("series"),
+        F.array(
+            F.col("value") * 0.1, F.lit(230.0) + F.col("value") * 0.01
+        ).alias("values"),
+        tag.alias("tag"),
+    )
+    batch = pe.unionByName(mp)
+    path = os.path.join(
+        _FIXTURE_ROOT, f"series_flow_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # K1: the doubled batch must collapse to one copy in the sink's
+    # (meter_id, series, ts) last-write-wins dedup
+    append_readings(batch.unionByName(batch), path)
+    readings = read_readings(spark, path)
+    # K3: layouts from actual registration calls over an empty dim
+    empty = spark.createDataFrame([], "series string, value_names array<string>")
+    dim = register_series(
+        register_series(
+            empty, "PowerEnergy", ["power_w", "energy_kwh", "energy_raw_kwh"]
+        ),
+        "MPPT1",
+        ["ipv_a", "vpv_v"],
+    )
+    named = readings.join(F.broadcast(dim), "series", "left").select(
+        "series",
+        "tag",
+        named_component("values", "value_names", "power_w").alias("power_w"),
+        named_component("values", "value_names", "ipv_a").alias("ipv_a"),
+    )
+    return named.groupBy("series", "tag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        quantize(F.avg("power_w")).alias("avg_power_w"),
+        quantize(F.avg("ipv_a")).alias("avg_ipv_a"),
+    )
+
+
+ORACLE_SERIES_FLOW_REPORT = f"""
+WITH dim AS (
+  SELECT * FROM (VALUES ('PowerEnergy', ['power_w','energy_kwh','energy_raw_kwh']),
+                        ('MPPT1', ['ipv_a','vpv_v'])) AS t(series, value_names)
+), r AS (
+  SELECT user_id AS meter_id, ts, 'PowerEnergy' AS series, {_PE_VALS} AS vals,
+         CASE WHEN value >= 50.0 THEN 'peak' ELSE 'offpeak' END AS tag
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, 'MPPT1', [value*0.1, 230.0 + value*0.01],
+         CASE WHEN value >= 50.0 THEN 'peak' ELSE 'offpeak' END
+  FROM events WHERE event_type = 'click'
+), n AS (
+  SELECT series, tag,
+         vals[list_position(value_names, 'power_w')] AS power_w,
+         vals[list_position(value_names, 'ipv_a')] AS ipv_a
+  FROM r LEFT JOIN dim USING (series)
+)
+SELECT series, tag, CAST(count(*) AS BIGINT) AS n,
+       floor((avg(power_w)) * 1000000 + 0.5) / 1000000 AS avg_power_w,
+       floor((avg(ipv_a)) * 1000000 + 0.5) / 1000000 AS avg_ipv_a
+FROM n GROUP BY 1, 2
+"""
+
+
 # --- J1 on the star schema: customer ⟕ order totals with coalesce-0 ---------
 def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -1017,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "least_greatest": q_least_greatest,
     "customer_order_totals": q_customer_order_totals,
     "values_projection": q_values_projection,
+    "series_flow_report": q_series_flow_report,
     "counter_rollover_values": q_counter_rollover_values,
     "energy_interpolate": q_energy_interpolate,
     "key_normalized_join": q_key_normalized_join,
@@ -1054,6 +1154,7 @@ ORACLES: dict[str, str] = {
     "least_greatest": ORACLE_LEAST_GREATEST,
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
     "values_projection": ORACLE_VALUES_PROJECTION,
+    "series_flow_report": ORACLE_SERIES_FLOW_REPORT,
     "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
     "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
