@@ -60,6 +60,10 @@ def spread(df: DataFrame) -> DataFrame:
     a no-op whenever the scan's own parallelism already covers the
     cluster's cores."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # df.rdd.getNumPartitions() forces physical planning + RDD conversion
+    # once per call — accepted: the callers are small CPU-bound fixture
+    # scans where the mis-parallelism costs seconds and the probe costs
+    # milliseconds; a scan already split past `target` skips the shuffle.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
