@@ -21,12 +21,18 @@ from pyspark.sql.types import BinaryType
 SHUFFLE = (2, 4, 0, 7, 1, 6, 5, 3)
 SALT = b"Htemp99e"
 
+# The fixed key the reference service uses for this device family
+# (``ZGm053Service.cs:79``). Frames captured from real hardware decode
+# with THIS key; an all-zero key silently yields garbage opcodes (NULL
+# series), so it is the default everywhere below.
+ZG_DEFAULT_KEY = bytes((0xC4, 0xC6, 0xC0, 0x92, 0x40, 0x23, 0xDC, 0x96))
+
 OP_CO2 = ord("P")
 OP_TEMP = ord("B")
 OP_HUMIDITY = ord("A")
 
 
-def decrypt_frame(data: bytes, key: bytes = bytes(8)) -> bytes:
+def decrypt_frame(data: bytes, key: bytes = ZG_DEFAULT_KEY) -> bytes:
     """Inverse of the device obfuscation (``ZGm053Service.cs:81-111``):
     unshuffle+XOR, 3-bit cross-byte rotate, salt subtraction."""
     temp = bytearray(8)
@@ -41,7 +47,7 @@ def decrypt_frame(data: bytes, key: bytes = bytes(8)) -> bytes:
     return bytes((0x100 + temp1[i] - ctemp[i]) & 0xFF for i in range(8))
 
 
-def encrypt_frame(plain: bytes, key: bytes = bytes(8)) -> bytes:
+def encrypt_frame(plain: bytes, key: bytes = ZG_DEFAULT_KEY) -> bytes:
     """Forward obfuscation — the exact inverse of ``decrypt_frame``
     (salt addition, 3-bit cross-byte left rotate, XOR+shuffle). The
     device does this in firmware; we need it to construct wire frames
@@ -64,7 +70,7 @@ def _frame_matrix(frames: pd.Series):
     return np.frombuffer(b"".join(frames), dtype=np.uint8).reshape(len(frames), 8)
 
 
-def make_encrypt_udf(key: bytes = bytes(8)):
+def make_encrypt_udf(key: bytes = ZG_DEFAULT_KEY):
     @F.pandas_udf(BinaryType())
     def encrypt(frames: pd.Series) -> pd.Series:
         import numpy as np
@@ -83,7 +89,7 @@ def make_encrypt_udf(key: bytes = bytes(8)):
     return encrypt
 
 
-def make_decrypt_udf(key: bytes = bytes(8)):
+def make_decrypt_udf(key: bytes = ZG_DEFAULT_KEY):
     @F.pandas_udf(BinaryType())
     def decrypt(frames: pd.Series) -> pd.Series:
         import numpy as np
@@ -115,7 +121,7 @@ def raw_value(decoded: Column | str) -> Column:
     return F.conv(F.hex(F.substring(c, 2, 2)), 16, 10).cast("bigint")
 
 
-def parse_frames(df: DataFrame, frame_col: str = "frame", key: bytes = bytes(8)) -> DataFrame:
+def parse_frames(df: DataFrame, frame_col: str = "frame", key: bytes = ZG_DEFAULT_KEY) -> DataFrame:
     """Decrypt + opcode dispatch: (series, value, unit) per frame, NULL
     series for unsupported opcodes (the reference's debug-and-skip)."""
     decoded = make_decrypt_udf(key)(F.col(frame_col))

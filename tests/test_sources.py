@@ -253,8 +253,14 @@ class TestSdm:
 
 
 class TestZyco2:
-    def encrypt(self, data: bytes, key: bytes = bytes(8)) -> bytes:
-        # inverse of decrypt_frame, for fixture construction
+    def encrypt(self, data: bytes, key: bytes | None = None) -> bytes:
+        # inverse of decrypt_frame, for fixture construction — an
+        # independent implementation, keyed with the reference device key
+        # that parse_frames now defaults to (ZGm053Service.cs:79)
+        if key is None:
+            from homelogging_spark.sources.zyco2 import ZG_DEFAULT_KEY
+
+            key = ZG_DEFAULT_KEY
         ctemp = bytes(((c >> 4) & 15) | ((c << 4) & 0xFF) for c in b"Htemp99e")
         temp1 = bytes((data[i] + ctemp[i]) & 0xFF for i in range(8))
         temp = bytearray(8)
