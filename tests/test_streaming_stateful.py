@@ -5,6 +5,7 @@ EnergyOffset doc state)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -71,3 +72,68 @@ class TestStreamingCounterRollover:
         assert get("m1", 3).corrected == pytest.approx(37.0)
         # other meters' state independent
         assert get("m2", 3).offset == pytest.approx(0.0)
+
+    def test_stream_drain_equals_batch_operator(self, spark, tmp_path):
+        """Semantics pin: draining the stateful stream over a fixture
+        must equal the batch window operator on the same data — the two
+        forms are one contract (ST3), not two operators. Same sequential
+        double arithmetic on both paths, so equality is exact."""
+        from homelogging_spark.operators.counters import counter_rollover_correct
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        # 4 meters x 40 readings with deterministic resets, split into 4
+        # time-ordered files -> 4 micro-batches crossing state boundaries
+        per_file = {i: [] for i in range(4)}
+        for m in range(4):
+            raw = 0.0
+            for t in range(40):
+                raw += (t * 7 + m * 3) % 11
+                if t > 0 and (t + m) % 13 == 0:
+                    raw = float(m)  # device reset
+                per_file[t // 10].append(
+                    {
+                        "meter_id": f"m{m}",
+                        "ts": f"2024-04-01T00:{t:02d}:00Z",
+                        "raw": raw,
+                    }
+                )
+        # The file source orders micro-batches by modification time; four
+        # writes in the same mtime tick would arrive in arbitrary order,
+        # so pin strictly increasing mtimes to get time-ordered batches.
+        for i, rows in per_file.items():
+            p = src / f"{i}.json"
+            p.write_text("\n".join(json.dumps(r) for r in rows))
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        schema = "meter_id string, ts timestamp, raw double"
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_counter_rollover(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.meter_id, r.ts): (r.offset, r.corrected)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+
+        batch_in = spark.read.format("json").schema(schema).load(str(src))
+        batched = {
+            (r.meter_id, r.ts): (r.offset, r.corrected)
+            for r in counter_rollover_correct(
+                batch_in, ["meter_id"], "raw", "ts"
+            ).collect()
+        }
+        assert len(streamed) == 160
+        assert streamed == batched
