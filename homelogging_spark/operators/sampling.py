@@ -1,0 +1,124 @@
+"""Deterministic sampling operators for training-corpus assembly.
+
+A 100 TB corpus is never trained on wholesale: pipelines take stratified
+samples (per-language/per-source rates), fixed-size per-group samples,
+and domain-mixture reweights. All three need to be *deterministic* —
+re-running the pipeline must pick the same rows (resumable jobs,
+reproducible ablations) — so none of this uses ``rand()``. Selection is
+driven by md5 of the row key, the same salted-hash trick the MinHash
+tier uses (``functions/texthash.py``), which also makes every operator
+here replicable in the DuckDB oracle bit-for-bit.
+
+Scale: hash-filter sampling is a pure map-side column predicate (no
+shuffle, pushdown-friendly); per-group top-k shuffles once on the group
+key with partial top-k per map partition (Spark's window TopK); mixture
+weights shuffle only partial aggregation state (one row per stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^52: first 13 md5 hex digits as a 52-bit integer — exactly
+# representable in a double, so u = bits / 2^52 is exact dyadic math in
+# any IEEE engine.
+_U_DENOM = float(1 << 52)
+
+
+def uniform_from_key(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) from a row key: 52 bits of
+    md5('<salt>|' || key) scaled by 2^-52. Mirrors :func:`uniform_sql`."""
+    hx = F.md5(F.concat(F.lit(salt + "|"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("bigint") / F.lit(_U_DENOM)
+
+
+def uniform_sql(key: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 13) "
+        f"AS BIGINT) / {int(_U_DENOM)}.0"
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row iff its key-hash uniform is below its stratum's
+    rate — a per-stratum Bernoulli sample that is a pure column
+    predicate: no shuffle, no RNG state, stable under re-runs and
+    repartitioning. ``u`` is exposed so downstream stages can take
+    nested sub-samples (u < r2 < r1 composes)."""
+    u = uniform_from_key(F.col(key_col), salt)
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("u", u).where(F.col("u") < rate)
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "topk",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by their key-hash uniform and keep the first ``k``. Equivalent
+    in distribution to a reservoir sample but reproducible and
+    order-insensitive. One shuffle on the group key; Spark inserts a
+    partial (map-side) top-k below the window when a limit-like rank
+    filter follows it, so the shuffle carries O(k) rows per group per
+    partition, not the whole group."""
+    from pyspark.sql import Window
+
+    u = uniform_from_key(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy("u", key_col)
+    return (
+        df.withColumn("u", u)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_col: str,
+    token_count: Column,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """Domain-mixing plan: given target token shares per stratum,
+    compute each stratum's observed token mass and the acceptance rate
+    that achieves the target share of the total budget. A rate > 1
+    means the stratum must be *upsampled* (multiple epochs over it) —
+    reported as ``epochs`` rather than clamped away, matching how
+    mixture boards actually consume these numbers.
+
+    rate_s = target_share_s * total_tokens / tokens_s
+
+    One aggregation (rows → one per stratum) plus a scalar total via a
+    window over the tiny aggregate — nothing scales with corpus size
+    except the first scan."""
+    from pyspark.sql import Window
+
+    share = F.lit(0.0)
+    for stratum, s in sorted(target_shares.items()):
+        share = F.when(F.col(stratum_col) == stratum, F.lit(float(s))).otherwise(share)
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count).cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    rate = share * total / F.col("n_tokens")
+    return agg.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("target_share"),
+        rate.alias("rate"),
+        F.greatest(rate, F.lit(1.0)).alias("epochs"),
+    )
