@@ -58,11 +58,12 @@ def main() -> None:
     # plan, not first-touch costs. meters_table materializes its fixture
     # parquet on first touch — that build is ingest-time work, not query
     # cost, so pay it here.
-    from homelogging_spark.tables import load_table, meters_table
+    from homelogging_spark.tables import load_table, meters_table, series_flow_table
 
     load_table(spark, sf_dir, "events").count()
     load_table(spark, sf_dir, "lineitem").count()
     meters_table(spark, sf_dir).count()
+    series_flow_table(spark, sf_dir).count()
 
     _warm_python_workers(spark)
 
@@ -103,9 +104,12 @@ def main() -> None:
     }
     # Regression visibility: per-query delta vs the previous round's
     # recorded bench (queries slower by >25% + overall ratio).
+    # r03 is the first median-of-3 baseline; comparing r04's medians to it
+    # is methodology-consistent (r02 was single-run — deltas vs it
+    # conflated the harness change with real regressions).
     prev_path = os.environ.get(
         "SPARK_GRAFT_PREV_BENCH",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json"),
     )
     if os.path.exists(prev_path):
         try:

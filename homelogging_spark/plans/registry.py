@@ -719,54 +719,21 @@ def q_series_flow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 → K1 → F7 end-to-end: two series layouts registered through the
     K3 sink (``register_series``, ``P1/P1Logger.cs:103-125``), a
     double-batched multi-valued readings frame WITH per-entry Tag
-    metadata pushed through the K1 deduped partitioned append, read back
-    from parquet, components projected BY REGISTERED NAME (not the static
-    schema table), and reported per (series, tag).
+    metadata pushed through the K1 deduped partitioned append (built
+    once by the fixture layer — ``tables.series_flow_table`` — so this
+    registered query is a pure, idempotent read), components projected
+    BY REGISTERED NAME (not the static schema table), and reported per
+    (series, tag).
 
     Proves in one query: value-names survive registration; tags survive
     the append round-trip as data; the K1 dedup collapses the doubled
     batch; and an unregistered name (``ipv_a`` on PowerEnergy) projects
     NULL — the reference's advisory-schema semantics."""
-    import os
-    import shutil
-
     from homelogging_spark.functions.values import named_component
-    from homelogging_spark.operators.ingest import (
-        append_readings,
-        read_readings,
-        register_series,
-    )
-    from homelogging_spark.tables import _FIXTURE_ROOT
+    from homelogging_spark.operators.ingest import register_series
+    from homelogging_spark.tables import series_flow_table
 
-    events = load_table(spark, sf_dir, "events")
-    tag = F.when(F.col("value") >= 50.0, "peak").otherwise("offpeak")
-    pe = events.where(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("meter_id"),
-        "ts",
-        F.lit("PowerEnergy").alias("series"),
-        F.array(
-            F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
-        ).alias("values"),
-        tag.alias("tag"),
-    )
-    mp = events.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("meter_id"),
-        "ts",
-        F.lit("MPPT1").alias("series"),
-        F.array(
-            F.col("value") * 0.1, F.lit(230.0) + F.col("value") * 0.01
-        ).alias("values"),
-        tag.alias("tag"),
-    )
-    batch = pe.unionByName(mp)
-    path = os.path.join(
-        _FIXTURE_ROOT, f"series_flow_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    # K1: the doubled batch must collapse to one copy in the sink's
-    # (meter_id, series, ts) last-write-wins dedup
-    append_readings(batch.unionByName(batch), path)
-    readings = read_readings(spark, path)
+    readings = series_flow_table(spark, sf_dir)
     # K3: layouts from actual registration calls over an empty dim
     empty = spark.createDataFrame([], "series string, value_names array<string>")
     dim = register_series(

@@ -37,14 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as nanosecond longs (see
-    # spark.sql.legacy.parquet.nanosAsLong in session.py); convert to
-    # microsecond timestamps, matching what any other engine reads.
+    # Normalize the timestamp physical encodings the driver testdata has
+    # shipped across rounds to a plain TIMESTAMP (LTZ) column:
+    #  - TIMESTAMP(NANOS) arrives as nanosecond longs (see
+    #    spark.sql.legacy.parquet.nanosAsLong in session.py);
+    #  - timestamp[us] without tz arrives as TIMESTAMP_NTZ in Spark 4,
+    #    which unix_millis()/window functions reject. The cast
+    #    interprets the wall clock in the session timezone (UTC in the
+    #    engine's sessions), matching how every oracle reads the file.
     for field in df.schema.fields:
-        if field.name in ("ts",) and field.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
-            )
+        if field.name in ("ts",):
+            if field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+            elif field.dataType.simpleString() == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -99,6 +107,33 @@ _FIXTURE_ROOT = os.path.join(
 )
 
 
+def _fixture_path(sf_dir: str, prefix: str) -> str:
+    """Cache path for a per-sf_dir materialized fixture. Keyed on the
+    basename PLUS a hash of the absolute path so two sf_dirs with the
+    same basename (e.g. ``a/sf0.01`` and ``b/sf0.01``) never collide."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    name = os.path.basename(abs_dir) or "sf"
+    digest = hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+    return os.path.join(_FIXTURE_ROOT, f"{prefix}_{name}_{digest}")
+
+
+def _fixture_stale(path: str, *source_files: str) -> bool:
+    """A fixture needs (re)building when its _SUCCESS marker is missing
+    or older than any source parquet it was derived from — so a
+    regenerated testdata dir invalidates the cache instead of silently
+    serving stale rows."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        return True
+    built = os.path.getmtime(marker)
+    return any(
+        os.path.exists(src) and os.path.getmtime(src) > built
+        for src in source_files
+    )
+
+
 def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *materialized* meters dimension: built once per sf_dir by the
     fixture layer (``meters_dim`` derivation pushed through the real K2
@@ -110,9 +145,8 @@ def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     an extra fact scan + distinct shuffle per query, which is exactly the
     anti-pattern the K2/K3 upsert sinks exist to avoid. At 100 TB the
     meters dim is a real table maintained by ingest; this mirrors that."""
-    name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(_FIXTURE_ROOT, f"meters_{name}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = _fixture_path(sf_dir, "meters") + ".parquet"
+    if _fixture_stale(path, os.path.join(sf_dir, "events.parquet")):
         from homelogging_spark.operators.ingest import upsert_meters
 
         updates = meters_dim(load_table(spark, sf_dir, "events"))
@@ -120,6 +154,52 @@ def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_meters(existing, updates).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def series_flow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *materialized* series-flow readings: two multi-valued series
+    layouts (PowerEnergy, MPPT1) with per-entry Tag metadata, derived
+    from the events fact and pushed through the real K1 deduped
+    partitioned append (``ingest.append_readings``) — DOUBLED first, so
+    the sink's (meter_id, series, ts) last-write-wins dedup is what
+    collapses the batch. Built once per sf_dir by the fixture layer
+    (ingest-time work, like ``meters_table``); registered queries are
+    pure reads of the result, so they are idempotent under concurrent
+    runs and their bench time measures a plan, not a parquet write."""
+    from pyspark.sql import functions as F  # noqa: F811 (module alias)
+
+    path = _fixture_path(sf_dir, "series_flow")
+    if _fixture_stale(path, os.path.join(sf_dir, "events.parquet")):
+        import shutil
+
+        from homelogging_spark.operators.ingest import append_readings
+
+        events = load_table(spark, sf_dir, "events")
+        tag = F.when(F.col("value") >= 50.0, "peak").otherwise("offpeak")
+        pe = events.where(F.col("event_type") == "signup").select(
+            F.col("user_id").alias("meter_id"),
+            "ts",
+            F.lit("PowerEnergy").alias("series"),
+            F.array(
+                F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
+            ).alias("values"),
+            tag.alias("tag"),
+        )
+        mp = events.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("meter_id"),
+            "ts",
+            F.lit("MPPT1").alias("series"),
+            F.array(
+                F.col("value") * 0.1, F.lit(230.0) + F.col("value") * 0.01
+            ).alias("values"),
+            tag.alias("tag"),
+        )
+        batch = pe.unionByName(mp)
+        shutil.rmtree(path, ignore_errors=True)
+        # K1: the doubled batch must collapse to one copy in the sink's
+        # (meter_id, series, ts) last-write-wins dedup
+        append_readings(batch.unionByName(batch), path)
     return spark.read.parquet(path)
 
 
