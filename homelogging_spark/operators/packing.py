@@ -83,14 +83,17 @@ def pack_greedy_oracle_sql(
     n_shards: int = 8,
 ) -> str:
     """Recursive-CTE twin: ``source_cte`` must yield (doc_id, n_tokens).
-    All shards advance in lockstep, one position per recursion step."""
+    All shards advance in lockstep, one position per recursion step.
+    The shard key mirrors Spark's ``pmod`` (always nonnegative), not
+    DuckDB's sign-following ``%`` — they diverge for negative doc_ids."""
+    shard = f"((doc_id % {n_shards}) + {n_shards}) % {n_shards}"
     return f"""
 WITH RECURSIVE src AS ({source_cte}),
 base AS (
-    SELECT CAST(doc_id % {n_shards} AS BIGINT) AS shard,
+    SELECT CAST({shard} AS BIGINT) AS shard,
            CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
-           row_number() OVER (PARTITION BY doc_id % {n_shards} ORDER BY doc_id) AS pos
+           row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS pos
     FROM src
 ),
 rec AS (

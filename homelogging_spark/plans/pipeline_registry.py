@@ -1,0 +1,213 @@
+"""Training-pipeline assembly queries: sequence packing + deterministic
+sampling over the ``documents`` corpus.
+
+These are the corpus-assembly steps downstream of dedup/quality (the
+``operators/packing.py`` and ``operators/sampling.py`` tier): pack short
+docs into fixed token budgets, take reproducible stratified /
+fixed-size-per-group samples, and compute domain-mixture reweights.
+
+Every query has a DuckDB oracle replicating the same algorithm
+bit-for-bit: the packing fold is an integer recurrence (recursive CTE
+twin), and all sampling selection is md5-derived dyadic uniforms —
+``bits/2^52`` is exact in any IEEE engine, so even the float ``u``
+column matches exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from homelogging_spark.functions.numeric import quantize, quantize_sql
+from homelogging_spark.functions.texthash import tokens, tokens_sql
+from homelogging_spark.operators import packing, sampling
+from homelogging_spark.tables import load_table, spread
+
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+# whitespace token count as the doc length measure, shared by packing and
+# mixture weighting; mirrors ORACLE via tokens_sql
+_N_TOKENS_SQL = f"CAST(len({tokens_sql('text')}) AS BIGINT)"
+
+STRAT_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+STRAT_DEFAULT = 0.05  # es/fr fall through to the default rate
+TOPK_PER_LANG = 20
+MIX_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of the corpus into 512-token budgets,
+    hash-sharded 8 ways (see ``operators/packing.pack_greedy``): per-doc
+    pack assignment (pack_id within shard), position, and running fill."""
+    out = packing.pack_greedy(
+        _doc_tokens(spark, sf_dir),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+    return out.select(
+        "shard", "doc_id", "n_tokens", "pack_id", "pack_pos", "pack_fill"
+    )
+
+
+ORACLE_PACK_DOCS = packing.pack_greedy_oracle_sql(
+    f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
+    capacity=PACK_CAPACITY,
+    n_shards=PACK_SHARDS,
+)
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level utilization rollup: docs per pack, fill, waste fraction
+    — the number a batching pipeline actually monitors."""
+    packed = packing.pack_greedy(
+        _doc_tokens(spark, sf_dir),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+    out = packing.pack_stats(packed, PACK_CAPACITY)
+    return out.select(
+        "shard",
+        "pack_id",
+        "n_docs",
+        "fill",
+        quantize("waste_frac").alias("waste_frac"),
+    )
+
+
+ORACLE_PACK_STATS = f"""
+WITH packed AS ({ORACLE_PACK_DOCS})
+SELECT shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(pack_fill) AS BIGINT) AS fill,
+       {quantize_sql(f'1.0 - least(max(pack_fill), {PACK_CAPACITY}) / {PACK_CAPACITY}.0')} AS waste_frac
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --- deterministic sampling --------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample at configured rates (en 50%,
+    de 25%, zh 10%, default 5%), selected by md5-hash uniform of doc_id —
+    a pure map-side predicate, reproducible under any repartitioning
+    (``operators/sampling.stratified_hash_sample``)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", STRAT_RATES, default_rate=STRAT_DEFAULT
+    )
+    return out.select("doc_id", "lang", quantize("u").alias("u"))
+
+
+_STRAT_RATE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(STRAT_RATES.items())
+    )
+    + f" ELSE {STRAT_DEFAULT} END"
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH u AS (
+  SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'strat')} AS u
+  FROM documents
+)
+SELECT doc_id, lang, {quantize_sql('u')} AS u
+FROM u WHERE u < {_STRAT_RATE_SQL}
+"""
+
+
+def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language deterministic sample (k=20): rank docs in
+    each language by hash uniform, keep the first k — reservoir-sample
+    distribution, reproducible (``operators/sampling.group_topk_sample``)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = sampling.group_topk_sample(docs, "lang", "doc_id", k=TOPK_PER_LANG)
+    return out.select("doc_id", "lang", "rank", quantize("u").alias("u"))
+
+
+ORACLE_GROUP_TOPK_SAMPLE = f"""
+WITH u AS (
+  SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'topk')} AS u
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, u,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rank
+  FROM u
+)
+SELECT doc_id, lang, rank, {quantize_sql('u')} AS u
+FROM r WHERE rank <= {TOPK_PER_LANG}
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: observed token mass per language vs target
+    shares → per-language acceptance rate (or upsample epochs when the
+    stratum is under-represented). One corpus scan, one tiny aggregate
+    (``operators/sampling.mixture_weights``)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = sampling.mixture_weights(
+        docs, "lang", F.size(tokens(F.col("text"))).cast("bigint"), MIX_SHARES
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        quantize("target_share").alias("target_share"),
+        quantize("rate").alias("rate"),
+        quantize("epochs").alias("epochs"),
+    )
+
+
+_MIX_SHARE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{s}' THEN {v}" for s, v in sorted(MIX_SHARES.items()))
+    + " ELSE 0.0 END"
+)
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+WITH agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({_N_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         {_MIX_SHARE_SQL} AS target_share
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT *, sum(n_tokens) OVER () AS total FROM agg
+)
+SELECT lang, n_docs, n_tokens,
+       {quantize_sql('target_share')} AS target_share,
+       {quantize_sql('target_share * total / n_tokens')} AS rate,
+       {quantize_sql('greatest(target_share * total / n_tokens, 1.0)')} AS epochs
+FROM t
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pack_docs": q_pack_docs,
+    "pack_stats": q_pack_stats,
+    "stratified_sample": q_stratified_sample,
+    "group_topk_sample": q_group_topk_sample,
+    "mixture_weights": q_mixture_weights,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "pack_docs": ORACLE_PACK_DOCS,
+    "pack_stats": ORACLE_PACK_STATS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
+    "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+}

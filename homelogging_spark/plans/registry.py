@@ -32,6 +32,10 @@ from homelogging_spark.operators.counters import counter_rollover_correct
 from homelogging_spark.plans import flagship
 from homelogging_spark.plans.battery_registry import BATTERY_ORACLES, BATTERY_QUERIES
 from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
+from homelogging_spark.plans.pipeline_registry import (
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 from homelogging_spark.plans.sources_registry import SOURCES_ORACLES, SOURCES_QUERIES
 from homelogging_spark.functions.numeric import quantize, quantize_sql
 from homelogging_spark.tables import METERS_DIM_SQL, load_table
@@ -1100,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -1138,4 +1143,5 @@ ORACLES: dict[str, str] = {
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,
+    **PIPELINE_ORACLES,
 }

@@ -1,0 +1,156 @@
+"""Unit tests for the training-pipeline assembly tier: sequence packing
+(``operators/packing.py``) and deterministic sampling
+(``operators/sampling.py``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.packing import pack_greedy, pack_stats
+from homelogging_spark.operators.sampling import (
+    group_topk_sample,
+    mixture_weights,
+    stratified_hash_sample,
+)
+
+
+def _pack_rows(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = pack_greedy(df, **kw)
+    return {r.doc_id: r for r in out.collect()}
+
+
+class TestPackGreedy:
+    def test_basic_first_fit(self, spark):
+        # one shard: docs of 300+200 fit a 512 pack, 400 opens the next
+        rows = [(0, 300), (8, 200), (16, 400)]
+        by_id = _pack_rows(spark, rows, capacity=512, n_shards=8)
+        assert (by_id[0].pack_id, by_id[0].pack_pos, by_id[0].pack_fill) == (0, 1, 300)
+        assert (by_id[8].pack_id, by_id[8].pack_pos, by_id[8].pack_fill) == (0, 2, 500)
+        assert (by_id[16].pack_id, by_id[16].pack_pos, by_id[16].pack_fill) == (1, 1, 400)
+
+    def test_oversize_doc_gets_own_pack(self, spark):
+        # a doc longer than capacity is NOT dropped: it opens its own
+        # pack with fill > capacity (callers truncate/split upstream)
+        rows = [(0, 100), (8, 9000), (16, 100)]
+        by_id = _pack_rows(spark, rows, capacity=512, n_shards=8)
+        assert by_id[8].pack_id == 1 and by_id[8].pack_fill == 9000
+        # the oversize pack is closed immediately — next doc starts fresh
+        assert by_id[16].pack_id == 2 and by_id[16].pack_fill == 100
+        stats = {
+            r.pack_id: r
+            for r in pack_stats(
+                pack_greedy(
+                    spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint"),
+                    capacity=512,
+                    n_shards=8,
+                ),
+                512,
+            ).collect()
+        }
+        assert stats[1].waste_frac == 0.0  # clamped at capacity
+
+    def test_exact_fit_boundary(self, spark):
+        # fill == capacity exactly: next doc must open a new pack only
+        # if it overflows; an exact fit stays
+        rows = [(0, 256), (8, 256), (16, 1)]
+        by_id = _pack_rows(spark, rows, capacity=512, n_shards=8)
+        assert by_id[8].pack_id == 0 and by_id[8].pack_fill == 512
+        assert by_id[16].pack_id == 1
+
+    def test_shards_pack_independently(self, spark):
+        # same token sequence in two shards → identical per-shard packing
+        rows = [(0, 300), (8, 300), (1, 300), (9, 300)]
+        out = pack_greedy(
+            spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint"),
+            capacity=512,
+            n_shards=8,
+        ).collect()
+        shard0 = sorted((r.doc_id, r.pack_id, r.pack_pos) for r in out if r.shard == 0)
+        shard1 = sorted((r.doc_id - 1, r.pack_id, r.pack_pos) for r in out if r.shard == 1)
+        assert shard0 == shard1 == [(0, 0, 1), (8, 1, 1)]
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+        assert pack_greedy(df).count() == 0
+
+    def test_determinism_across_repartition(self, spark):
+        rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        a = sorted(map(tuple, pack_greedy(df).collect()))
+        b = sorted(map(tuple, pack_greedy(df.repartition(7)).collect()))
+        assert a == b
+
+
+class TestSampling:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    def test_stratified_rate_accuracy(self, spark, docs):
+        out = stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0
+        )
+        counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        # 1000 docs per stratum; Bernoulli(p) with n=1000 → ±5σ bounds
+        assert 400 <= counts["en"] <= 600
+        assert 55 <= counts.get("de", 0) <= 155
+        assert "zh" not in counts  # default rate 0 drops the stratum
+
+    def test_stratified_deterministic_and_repartition_stable(self, spark, docs):
+        kw = dict(rates={"en": 0.3, "de": 0.2}, default_rate=0.1)
+        a = sorted(r.doc_id for r in stratified_hash_sample(docs, "doc_id", "lang", **kw).collect())
+        b = sorted(
+            r.doc_id
+            for r in stratified_hash_sample(
+                docs.repartition(13), "doc_id", "lang", **kw
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_stratified_nested_subsample(self, spark, docs):
+        # u < 0.1 selection is a subset of u < 0.3 (same salt) — the
+        # composability the exposed u column exists for
+        big = set(
+            r.doc_id
+            for r in stratified_hash_sample(docs, "doc_id", "lang", {}, 0.3).collect()
+        )
+        small = set(
+            r.doc_id
+            for r in stratified_hash_sample(docs, "doc_id", "lang", {}, 0.1).collect()
+        )
+        assert small <= big
+
+    def test_group_topk_exact_k(self, spark, docs):
+        out = group_topk_sample(docs, "lang", "doc_id", k=7)
+        counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 7, "de": 7, "zh": 7}
+
+    def test_group_topk_deterministic(self, spark, docs):
+        a = sorted((r.lang, r.rank, r.doc_id) for r in group_topk_sample(docs, "lang", "doc_id", 5).collect())
+        b = sorted(
+            (r.lang, r.rank, r.doc_id)
+            for r in group_topk_sample(docs.repartition(11), "lang", "doc_id", 5).collect()
+        )
+        assert a == b
+
+    def test_group_topk_small_group(self, spark):
+        # a group smaller than k returns all its rows, ranks 1..n
+        rows = [(1, "en"), (2, "en"), (3, "de")]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        out = group_topk_sample(df, "lang", "doc_id", k=10).collect()
+        assert sorted(r.doc_id for r in out) == [1, 2, 3]
+
+    def test_mixture_weights_shares(self, spark, docs):
+        tokens = (F.col("doc_id") % 100 + 1).cast("bigint")
+        out = mixture_weights(docs, "lang", tokens, {"en": 0.6, "de": 0.2, "zh": 0.2})
+        rows = {r.lang: r for r in out.collect()}
+        total = sum(r.n_tokens for r in rows.values())
+        for lang, share in [("en", 0.6), ("de", 0.2), ("zh", 0.2)]:
+            expected = share * total / rows[lang].n_tokens
+            assert rows[lang].rate == pytest.approx(expected)
+            assert rows[lang].epochs == pytest.approx(max(expected, 1.0))
+        # rate * n_tokens sums back to the total budget
+        assert sum(r.rate * r.n_tokens for r in rows.values()) == pytest.approx(total)
