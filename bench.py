@@ -78,6 +78,8 @@ def main() -> None:
     n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    from homelogging_spark.functions.cachelife import release_caches
+
     for name, fn in qs.items():
         runs = []
         for _ in range(n_iters):
@@ -88,6 +90,12 @@ def main() -> None:
             # summary-free action: write.format("noop") runs every operator.
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        # Per-QUERY persisted intermediates (LSH signature/bucket frames)
+        # are released between queries — each invocation builds its own,
+        # so without this, n_iters copies of each accumulate for the
+        # session. Cross-query memos (battery sim) are untracked on
+        # purpose and survive (see cachelife docstring).
+        release_caches()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         timings_cold[name] = round(runs[-1], 3)

@@ -69,6 +69,7 @@ def kasa_offset_replace(
     ts_col: str = "ts",
     epsilon: float = 0.01,
     round_digits: int = 4,
+    round_mode: str = "decimal",
 ) -> DataFrame:
     """ST2 *exact* Kasa semantics (``Kasa/KasaLogger.cs:55-75``): on a
     reset (raw drops below previous raw by > epsilon) the offset is
@@ -79,9 +80,21 @@ def kasa_offset_replace(
     ``applyInPandas`` fold in the counter family (the reference stores
     the rounded offset in the meter document between polls).
 
+    ``round_mode`` picks the per-reset rounding implementation:
+
+    - ``"decimal"`` (default): Python ``round`` — correctly-rounded
+      decimal rounding, the closest match to the reference's
+      ``Math.Round(x, 4)``.
+    - ``"scaled"``: ``floor(x*10^d + 0.5) / 10^d`` — the explicit IEEE
+      op sequence a SQL oracle can replicate bit-for-bit (the two modes
+      differ only when the scaled multiply lands within 1 ulp of a
+      decimal .5 boundary, e.g. round(12.00015, 4)).
+
     ``counter_rollover_correct`` is the window-function form to prefer
     when sub-1e-4 drift per reset is acceptable (see its epsilon test).
     """
+    import math
+
     import pandas as pd
 
     out_schema = StructType(
@@ -91,6 +104,16 @@ def kasa_offset_replace(
             StructField("corrected", DoubleType(), True),
         ]
     )
+    if round_mode == "decimal":
+        def _round(x: float) -> float:
+            return round(x, round_digits)
+    elif round_mode == "scaled":
+        scale = 10.0 ** round_digits
+
+        def _round(x: float) -> float:
+            return math.floor(x * scale + 0.5) / scale
+    else:
+        raise ValueError(f"round_mode must be 'decimal' or 'scaled': {round_mode!r}")
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
@@ -98,7 +121,7 @@ def kasa_offset_replace(
         offsets, totals = [], []
         for raw in pdf[raw_col]:
             if last_raw is not None and raw < last_raw - epsilon:
-                offset = round(last_total, round_digits)
+                offset = _round(last_total)
             total = raw + offset
             offsets.append(offset)
             totals.append(total)

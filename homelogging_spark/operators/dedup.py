@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from homelogging_spark.functions.cachelife import tracked_persist
 from homelogging_spark.functions.texthash import (
     band_hashes,
     char_ngrams,
@@ -131,10 +132,12 @@ def minhash_near_dup_pairs(
     # sides of the band self-join, two sides of the verify join); without
     # persist each branch would re-scan and re-hash the corpus. At real
     # scale this frame is a materialized signatures table.
-    base = sets.select(
-        F.col(id_col),
-        F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
-    ).persist()
+    base = tracked_persist(
+        sets.select(
+            F.col(id_col),
+            F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
+        )
+    )
     pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
     # verify on the hashed sets (8-byte elements, not shingle strings);
     # Jaccard over 60-bit hashes == shingle Jaccard up to negligible
@@ -173,15 +176,17 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, ngram_jaccard) with doc_a < doc_b.
     """
-    base = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
-        ).alias("bh"),
-        F.array_distinct(
-            shingle_base_hash(char_ngrams(F.col(text_col), ngram_n))
-        ).alias("grams"),
-    ).persist()
+    base = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
+            ).alias("bh"),
+            F.array_distinct(
+                shingle_base_hash(char_ngrams(F.col(text_col), ngram_n))
+            ).alias("grams"),
+        )
+    )
     pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
     ga = base.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("g_a"))
     gb = base.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("g_b"))

@@ -446,8 +446,13 @@ def lsh_near_dup_pairs(
     mining wants recall at moderate similarity, so the S-curve is shifted
     left ((1 - θ/π)^4 per table, 4 chances)."""
     # persist: the bucket frame feeds both sides of the self-join; without
-    # it the 16 projection folds run twice over the corpus
-    b = lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim).persist()
+    # it the 16 projection folds run twice over the corpus. Tracked so a
+    # long-lived driver reclaims it via cachelife.release_caches().
+    from homelogging_spark.functions.cachelife import tracked_persist
+
+    b = tracked_persist(
+        lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim)
+    )
     left = b.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
     right = b.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cand = (

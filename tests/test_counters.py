@@ -176,3 +176,24 @@ def test_pulse_step_emission(spark):
     assert got[1][0] == ts(1) and got[1][1] == 1.0 and got[1][2] == 1
     assert got[2][0] == ts(1, 59, 990) and got[2][1] == 1.0 and got[2][2] == 0
     assert got[3][0] == ts(2) and got[3][1] == 2.0 and got[3][2] == 1
+
+
+def test_kasa_offset_replace_scaled_mode(spark):
+    # "scaled" = floor(x*1e4+0.5)/1e4 — the oracle-replicable op
+    # sequence; diverges from decimal round only within 1 ulp of a .5
+    # boundary (12.00015 rounds up here, down under Python round)
+    rows = [
+        ("m", ts(0), 10.00015),
+        ("m", ts(1), 12.00015),
+        ("m", ts(2), 0.5),  # reset
+    ]
+    df = spark.createDataFrame(rows, "meter_id string, ts timestamp, raw double")
+    out = {r.ts: r for r in kasa_offset_replace(df, ["meter_id"], round_mode="scaled").collect()}
+    import math
+    assert out[ts(2)].offset == math.floor(12.00015 * 1e4 + 0.5) / 1e4 == 12.0002
+    dec = {r.ts: r for r in kasa_offset_replace(df, ["meter_id"]).collect()}
+    assert dec[ts(2)].offset == round(12.00015, 4) == 12.0001
+
+    import pytest
+    with pytest.raises(ValueError):
+        kasa_offset_replace(df, ["meter_id"], round_mode="bogus").collect()

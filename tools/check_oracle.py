@@ -115,6 +115,8 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
+    from homelogging_spark.functions.cachelife import release_caches
+
     n_pass = n_fail = n_noora = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -123,6 +125,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         spark_pdf = sdf.toPandas()
         t_spark = time.time() - t0
+        release_caches()
         if name not in oracles:
             print(f"  rows-only {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
             n_noora += 1
