@@ -1,0 +1,98 @@
+"""Compaction round-trip tests for the K1 sink maintenance operator."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.ingest import append_readings
+from homelogging_spark.operators.maintenance import (
+    compact_readings,
+    partition_file_stats,
+    plan_compaction,
+)
+
+
+def _mk_batch(spark, series, day, start, n):
+    base = datetime.datetime(2024, 1, day)
+    rows = [
+        (f"m{i % 3}", series, base + datetime.timedelta(seconds=start + i), float(i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "meter_id string, series string, ts timestamp, value double"
+    )
+
+
+def _table_fingerprint(spark, path):
+    df = spark.read.parquet(path)
+    return (
+        df.count(),
+        df.agg(
+            F.sum(F.hash("meter_id", "series", "ts", "value")).alias("h")
+        ).collect()[0].h,
+    )
+
+
+def _data_files(path):
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+
+
+class TestCompaction:
+    def test_compacts_fragmented_partition_and_preserves_rows(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        # 8 micro-batch appends into one (series, date) partition → >=8 files
+        for b in range(8):
+            append_readings(_mk_batch(spark, "PowerEnergy", 1, b * 1000, 50), path)
+        # one healthy single-append partition that must NOT be rewritten
+        append_readings(_mk_batch(spark, "MPPT1", 2, 0, 50), path)
+
+        before = _table_fingerprint(spark, path)
+        stats = {s.partition: s for s in partition_file_stats(spark, path)}
+        frag = stats["series=PowerEnergy/date=2024-01-01"]
+        assert frag.n_files >= 8
+        healthy_files = [
+            f for f in _data_files(path) if "series=MPPT1" in f
+        ]
+
+        rewritten = compact_readings(spark, path, target_file_bytes=1 << 30)
+        assert [s.partition for s in rewritten] == [
+            "series=PowerEnergy/date=2024-01-01"
+        ]
+
+        after_stats = {s.partition: s for s in partition_file_stats(spark, path)}
+        assert after_stats["series=PowerEnergy/date=2024-01-01"].n_files == 1
+        # rows byte-identical, healthy partition's files untouched
+        assert _table_fingerprint(spark, path) == before
+        assert [f for f in _data_files(path) if "series=MPPT1" in f] == healthy_files
+
+    def test_second_run_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        for b in range(6):
+            append_readings(_mk_batch(spark, "PowerEnergy", 1, b * 1000, 30), path)
+        assert compact_readings(spark, path, target_file_bytes=1 << 30) != []
+        assert compact_readings(spark, path, target_file_bytes=1 << 30) == []
+
+    def test_plan_leaves_right_sized_partitions_alone(self):
+        from homelogging_spark.operators.maintenance import PartitionStat
+
+        stats = [
+            PartitionStat("series=A/date=1", n_files=10, total_bytes=10 * 200),
+            # few files → skip regardless of size
+            PartitionStat("series=B/date=1", n_files=2, total_bytes=2 * 10),
+            # many files but already target-sized → skip (convergence)
+            PartitionStat("series=C/date=1", n_files=10, total_bytes=10 * 4096),
+        ]
+        picked = plan_compaction(stats, target_file_bytes=4096, min_files=4)
+        assert [s.partition for s in picked] == ["series=A/date=1"]
+
+    def test_empty_or_missing_table(self, spark, tmp_path):
+        assert partition_file_stats(spark, str(tmp_path / "nope")) == []
+        assert compact_readings(spark, str(tmp_path / "nope")) == []
