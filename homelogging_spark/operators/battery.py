@@ -94,7 +94,9 @@ def battery_zero_export(
             pdf[c] = [s[i] for s in states]
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(fold, out_schema)
+    from homelogging_spark.functions.shuffleutil import fold_partitioned
+
+    return fold_partitioned(df, keys).groupBy(*keys).applyInPandas(fold, out_schema)
 
 
 def daily_cycles_report(

@@ -128,7 +128,9 @@ def kasa_offset_replace(
             last_raw, last_total = raw, total
         return pdf.assign(offset=offsets, corrected=totals)
 
-    return df.groupBy(*keys).applyInPandas(fold, out_schema)
+    from homelogging_spark.functions.shuffleutil import fold_partitioned
+
+    return fold_partitioned(df, keys).groupBy(*keys).applyInPandas(fold, out_schema)
 
 
 def segmented_running_sum(

@@ -74,7 +74,11 @@ def pack_greedy(
         pdf["pack_fill"] = pd.Series(fill, dtype="int64")
         return pdf
 
-    return sharded.groupBy("shard").applyInPandas(fold, PACK_SCHEMA)
+    from homelogging_spark.functions.shuffleutil import fold_partitioned
+
+    return fold_partitioned(sharded, ["shard"]).groupBy("shard").applyInPandas(
+        fold, PACK_SCHEMA
+    )
 
 
 def pack_greedy_oracle_sql(
