@@ -123,14 +123,27 @@ def main() -> None:
         try:
             with open(prev_path) as f:
                 prev = json.load(f)
+            basis = "queries"
             if "parsed" in prev:  # driver BENCH_r{N}.json wraps the bench line
+                tail = prev.get("tail", "")
                 prev = prev["parsed"] or {}
+                if not prev and '"queries_max":' in tail:
+                    # The driver stores only the LAST N chars of stdout;
+                    # the medians dict can be cut off the front while the
+                    # trailing queries_max dict survives intact. Compare
+                    # against worst-of-3 then: conservative (worst >=
+                    # median, so only real regressions get flagged).
+                    frag = tail[tail.index('"queries_max":') + len('"queries_max":'):]
+                    frag = frag[: frag.index("}") + 1]
+                    prev = {"queries": json.loads(frag)}
+                    basis = "prev_queries_max"
             prev_q = prev.get("queries", {})
             shared = {k: v for k, v in timings.items() if k in prev_q}
             if shared:
                 prev_total = sum(prev_q[k] for k in shared)
                 cur_total = sum(shared.values())
                 out["vs_prev"] = {
+                    "basis": basis,
                     "prev_round_total_shared": round(prev_total, 3),
                     "this_round_total_shared": round(cur_total, 3),
                     "ratio": round(cur_total / prev_total, 3) if prev_total else None,

@@ -159,3 +159,120 @@ def corpus_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang")
             F.percentile("len", F.lit(0.5)).alias("median_chars"),
         )
     )
+
+
+def topk_ngrams(
+    df: DataFrame,
+    k: int = 25,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams: explode shingles, count,
+    keep the global top-k (ties broken by ngram text so the result set
+    is a pure function of the corpus).
+
+    Scale shape: the explode is map-side; the count is a partial
+    aggregation before one shuffle on the ngram (high cardinality, no
+    hot key); the global top-k compiles to TakeOrderedAndProject —
+    every partition keeps only its local k rows, the driver merges
+    k * partitions rows, never the full ngram distribution."""
+    from homelogging_spark.functions.texthash import tokens, word_shingles
+
+    grams = df.select(
+        F.explode(
+            word_shingles(tokens(F.col(text_col)), n=n, distinct=False)
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def topk_ngrams_sql(k: int = 25, n: int = 2, source: str = "documents") -> str:
+    from homelogging_spark.functions.texthash import tokens_sql, word_shingles_sql
+
+    return f"""
+WITH toks AS (SELECT {tokens_sql('text')} AS toks FROM {source}),
+g AS (SELECT unnest({word_shingles_sql('toks', n, distinct=False)}) AS ngram FROM toks)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1
+ORDER BY n DESC, ngram
+LIMIT {k}
+"""
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc top-k terms by tf·idf with idf = ln(N / df). Two shuffles,
+    both on high-cardinality keys: (term) for document frequencies,
+    (doc) for the per-doc rank — the df table carries one row per
+    distinct term and broadcasts back onto the exploded terms. Ties
+    break by term text so the selection is deterministic."""
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.texthash import tokens
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # document frequency per term + the corpus size as a 1-row cross
+    # (broadcast) — idf computed once per TERM, not per occurrence
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_total") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3, source: str = "documents") -> str:
+    from homelogging_spark.functions.texthash import tokens_sql
+
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM {source}
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM {source}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln(n.n_total / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, tfidf
+FROM r WHERE rank <= {k}
+"""

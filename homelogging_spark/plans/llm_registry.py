@@ -134,6 +134,35 @@ FROM documents
 """
 
 
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global most-frequent word bigrams (counts + deterministic
+    tiebreak); compiles to partial-agg + TakeOrderedAndProject — no
+    partition ever holds more than its local top-k."""
+    docs = _docs(spark, sf_dir)
+    return textops.topk_ngrams(docs, k=25, n=2)
+
+
+ORACLE_TOPK_NGRAMS = textops.topk_ngrams_sql(k=25, n=2)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf·idf terms (idf = ln(N/df); ln is computed from
+    integer-exact tf/df/N on both engines, so the scores agree to the
+    quantize precision)."""
+    docs = _docs(spark, sf_dir)
+    out = textops.tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "rank", "term", "tf", "df", quantize("tfidf").alias("tfidf")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH base AS ({textops.tfidf_top_terms_sql(k=3)})
+SELECT doc_id, rank, term, tf, df, {quantize_sql('tfidf')} AS tfidf
+FROM base
+"""
+
+
 # --- dedup -------------------------------------------------------------------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +541,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
+    "topk_ngrams": q_topk_ngrams,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -530,6 +561,8 @@ LLM_ORACLES: dict[str, str] = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "topk_ngrams": ORACLE_TOPK_NGRAMS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

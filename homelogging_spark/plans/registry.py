@@ -1230,6 +1230,56 @@ FROM est e JOIN exact x ON e.event_type = x.event_type
 """
 
 
+# --- telemetry anomaly detection: per-series z-score -------------------------
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series outlier report: two-pass z-score — aggregate each
+    series' mean/stddev (quantized, so both engines score from
+    bit-identical statistics), broadcast the tiny stats table back onto
+    the readings, flag |z| > 3. The classic scalable anomaly shape: one
+    partial-agg shuffle for stats, one broadcast join, one final
+    partial-agg shuffle for the report — the fact table is scanned
+    twice, never sorted."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        quantize(F.avg("value")).alias("mean_v"),
+        quantize(F.stddev_samp("value")).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .groupBy("event_type", "mean_v", "std_v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            quantize(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
+        )
+        .select("event_type", "n", "mean_v", "std_v", "n_anomalies", "max_abs_z")
+    )
+
+
+ORACLE_ZSCORE_ANOMALY = f"""
+WITH s AS (
+  SELECT event_type,
+         {quantize_sql('avg(value)')} AS mean_v,
+         {quantize_sql('stddev_samp(value)')} AS std_v
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.event_type, s.mean_v, s.std_v,
+         (e.value - s.mean_v) / s.std_v AS z
+  FROM events e JOIN s USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       mean_v, std_v,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       {quantize_sql('max(abs(z))')} AS max_abs_z
+FROM j GROUP BY 1, 3, 4
+"""
+
+
 # --- driver-window ordering ---------------------------------------------------
 # The driver's CORRECTNESS snapshot records the FIRST 50 registry entries
 # (insertion order — observed cap across r2/r3). With more than 50
@@ -1264,6 +1314,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mixture_weights",
     "kasa_offset_exact",
     "hll_distinct_rollup",
+    "topk_ngrams",
+    "tfidf_top_terms",
+    "zscore_anomaly",
     # 2: materially changed in r4 (fixture-layer refactor)
     "series_flow_report",
     "key_normalized_join",
@@ -1345,6 +1398,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_session_join": q_range_session_join,
     "kasa_offset_exact": q_kasa_offset_exact,
     "hll_distinct_rollup": q_hll_distinct_rollup,
+    "zscore_anomaly": q_zscore_anomaly,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -1386,6 +1440,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
+    "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

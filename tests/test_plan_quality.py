@@ -23,7 +23,14 @@ SF = "/root/testdata/sf0.001"
 # the equi-key out of the schema-dim join, leaving a broadcast nested
 # loop against the 8-row dim — a map-side lookup, not a blowup; a varied
 # series column plans BroadcastHashJoin (asserted below).
-BROADCAST_NESTED_LOOP_OK = {"embedding_topk", "ann_ivf_topk", "values_projection"}
+# tfidf_top_terms: a 1-row broadcast cross attaching the corpus-size
+# scalar to the df table — a constant lookup, not a pair blowup.
+BROADCAST_NESTED_LOOP_OK = {
+    "embedding_topk",
+    "ann_ivf_topk",
+    "values_projection",
+    "tfidf_top_terms",
+}
 
 
 def plan_of(df) -> str:
