@@ -359,22 +359,24 @@ def kmeans_lite_sql(
     n_iters: int = 2,
     dim: int = 64,
     sample_mod: int | None = 16,
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain replicating ``kmeans_lite_centroids`` bit-for-bit;
-    returns CTE definitions whose final CTE ``c{n_iters}`` is
-    ``(centroid_id, c_emb)``."""
+    returns CTE definitions whose final CTE ``{prefix}c{n_iters}`` is
+    ``(centroid_id, c_emb)``. ``prefix`` namespaces the CTEs so several
+    chains (e.g. one per PQ subspace) can coexist in one WITH clause."""
     if sample_mod:
         corpus_sql = f"SELECT * FROM ({corpus_sql}) WHERE vec_id % {sample_mod} = 0"
     seeds = seed_centroids(n_centroids, dim)
     values = ", ".join(
         f"({j}, {_plane_literal_sql(seeds[j])})" for j in range(n_centroids)
     )
-    ctes = [f"c0 AS (SELECT * FROM (VALUES {values}) AS t(centroid_id, c_emb))"]
+    ctes = [f"{prefix}c0 AS (SELECT * FROM (VALUES {values}) AS t(centroid_id, c_emb))"]
     for it in range(1, n_iters + 1):
-        prev = f"c{it - 1}"
+        prev = f"{prefix}c{it - 1}"
         cos = cosine_sql("t.embedding", "c.c_emb", dim)
         ctes.append(
-            f"""a{it} AS (
+            f"""{prefix}a{it} AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT t.vec_id, t.embedding, c.centroid_id,
            row_number() OVER (PARTITION BY t.vec_id
@@ -382,18 +384,18 @@ def kmeans_lite_sql(
     FROM ({corpus_sql}) t, {prev} c) WHERE r = 1)"""
         )
         ctes.append(
-            f"m{it} AS (SELECT centroid_id, list(embedding ORDER BY vec_id) AS embs, "
-            f"count(*) AS n FROM a{it} GROUP BY 1)"
+            f"{prefix}m{it} AS (SELECT centroid_id, list(embedding ORDER BY vec_id) AS embs, "
+            f"count(*) AS n FROM {prefix}a{it} GROUP BY 1)"
         )
         ctes.append(
-            f"u{it} AS (SELECT centroid_id, list_transform("
+            f"{prefix}u{it} AS (SELECT centroid_id, list_transform("
             f"list_reduce(list_transform(embs, e -> list_transform(e, x -> CAST(x AS DOUBLE))), "
             f"(a, b) -> list_transform(range({dim}), i -> a[i+1] + b[i+1])), "
-            f"s -> s / n) AS c_emb FROM m{it})"
+            f"s -> s / n) AS c_emb FROM {prefix}m{it})"
         )
         ctes.append(
-            f"c{it} AS (SELECT p.centroid_id, coalesce(u.c_emb, p.c_emb) AS c_emb "
-            f"FROM {prev} p LEFT JOIN u{it} u USING (centroid_id))"
+            f"{prefix}c{it} AS (SELECT p.centroid_id, coalesce(u.c_emb, p.c_emb) AS c_emb "
+            f"FROM {prev} p LEFT JOIN {prefix}u{it} u USING (centroid_id))"
         )
     return ",\n".join(ctes)
 
@@ -485,3 +487,157 @@ def lsh_near_dup_pairs(
         .where(F.col("cosine") > F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --- product quantization ----------------------------------------------------
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Index-order squared L2 distance (cross-engine reproducible — same
+    left-fold bracketing as ``dot_product``)."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (d(x) - d(y)) * (d(x) - d(y))))
+
+
+def l2_sq_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range({dim}), "
+        f"i -> (CAST(({a})[i+1] AS DOUBLE) - CAST(({b})[i+1] AS DOUBLE)) "
+        f"* (CAST(({a})[i+1] AS DOUBLE) - CAST(({b})[i+1] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_mod: int | None = 16,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``n_subspaces`` contiguous sub-vectors, learn a small codebook per
+    subspace (the deterministic k-means-lite, trained on an id-mod
+    sample), and store each vector as ``n_subspaces`` centroid ids —
+    64 doubles become 4 bytes here, the compression that makes
+    100 TB-scale vector search RAM-resident. Returns per-vector codes
+    plus the reconstruction MSE (the quality dial).
+
+    Scale shape: ALL sub-codebooks union into one tiny broadcast frame
+    (subspace, centroid_id, centroid); assignment is one broadcast
+    nested-loop over K·M rows per vector — a constant-width map-side
+    lookup — followed by a single shuffle on the vector id for the
+    argmin-per-subspace pivot. No stage touches more than
+    O(N · K · M) rows, and nothing is ever collected to the driver."""
+    sub_dim = dim // n_subspaces
+    cbs = []
+    for m in range(n_subspaces):
+        sub_corpus = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), m * sub_dim + 1, sub_dim).alias(emb_col),
+        )
+        cents = kmeans_lite_centroids(
+            sub_corpus,
+            n_centroids,
+            n_iters,
+            id_col,
+            emb_col,
+            dim=sub_dim,
+            sample_mod=sample_mod,
+        )
+        cbs.append(
+            cents.select(
+                F.lit(m).alias("subspace"),
+                F.col(id_col).cast("bigint").alias("cid"),
+                F.col(emb_col).alias("cemb"),
+            )
+        )
+    codebook = cbs[0]
+    for cb in cbs[1:]:
+        codebook = codebook.unionByName(cb)
+
+    sub = F.slice(
+        F.col(emb_col), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            F.col(id_col),
+            "subspace",
+            "cid",
+            l2_sq(sub, F.col("cemb")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.col("d2"), F.col("cid"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "subspace", "cid", "d2")
+    )
+    code_cols = [
+        F.max(F.when(F.col("subspace") == m, F.col("cid")))
+        .cast("bigint")
+        .alias(f"code_{m}")
+        for m in range(n_subspaces)
+    ]
+    return best.groupBy(id_col).agg(
+        *code_cols,
+        (F.sum("d2") / F.lit(float(dim))).alias("recon_mse"),
+    )
+
+
+def pq_codes_sql(
+    corpus_sql: str,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    sample_mod: int | None = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_codes`: per-subspace prefixed k-means
+    chains, a unioned codebook, L2 argmin per (vector, subspace), and
+    the code pivot. ``corpus_sql`` must yield (vec_id, embedding)."""
+    sub_dim = dim // n_subspaces
+    chains, cb_selects = [], []
+    for m in range(n_subspaces):
+        sub_sql = (
+            f"SELECT vec_id, array_slice(embedding, {m * sub_dim + 1}, "
+            f"{(m + 1) * sub_dim}) AS embedding FROM ({corpus_sql})"
+        )
+        chains.append(
+            kmeans_lite_sql(
+                sub_sql, n_centroids, n_iters, sub_dim, sample_mod, prefix=f"s{m}_"
+            )
+        )
+        cb_selects.append(
+            f"SELECT {m} AS subspace, CAST(centroid_id AS BIGINT) AS cid, "
+            f"c_emb AS cemb FROM s{m}_c{n_iters}"
+        )
+    d2 = l2_sq_sql(
+        f"array_slice(v.embedding, cb.subspace * {sub_dim} + 1, "
+        f"(cb.subspace + 1) * {sub_dim})",
+        "cb.cemb",
+        sub_dim,
+    )
+    code_cols = ", ".join(
+        f"CAST(max(CASE WHEN subspace = {m} THEN cid END) AS BIGINT) AS code_{m}"
+        for m in range(n_subspaces)
+    )
+    return f"""
+WITH {",".join(chains)},
+cb AS ({" UNION ALL ".join(cb_selects)}),
+scored AS (
+  SELECT v.vec_id, cb.subspace, cb.cid, {d2} AS d2
+  FROM ({corpus_sql}) v, cb
+),
+best AS (
+  SELECT vec_id, subspace, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, cid) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT vec_id, {code_cols}, sum(d2) / {float(dim)} AS recon_mse
+FROM best GROUP BY 1
+"""

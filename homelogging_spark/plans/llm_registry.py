@@ -484,6 +484,34 @@ FROM r WHERE rank <= {k}
 ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + reconstruction error over the full
+    embeddings table: 4 subspaces x 8 centroids (codebooks from the
+    deterministic k-means-lite on sliced vectors), L2 argmin assignment,
+    single shuffle for the code pivot (``similarity.pq_codes``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_codes(emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM)
+    return out.select(
+        "vec_id",
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+        quantize("recon_mse").alias("recon_mse"),
+    )
+
+
+_PQ_BASE = similarity.pq_codes_sql(
+    "SELECT vec_id, embedding FROM embeddings", n_subspaces=4, n_centroids=8, dim=64
+)
+ORACLE_PQ_CODES = f"""
+WITH base AS ({_PQ_BASE})
+SELECT vec_id, code_0, code_1, code_2, code_3,
+       {quantize_sql('recon_mse')} AS recon_mse
+FROM base
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
@@ -552,6 +580,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "pq_codes": q_pq_codes,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_byte_stats": q_multimodal_byte_stats,
 }
@@ -572,6 +601,7 @@ LLM_ORACLES: dict[str, str] = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "pq_codes": ORACLE_PQ_CODES,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
 }

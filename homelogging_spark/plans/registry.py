@@ -1230,6 +1230,61 @@ FROM est e JOIN exact x ON e.event_type = x.event_type
 """
 
 
+# --- native session_window vs manual sessionization --------------------------
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``F.session_window`` (the streaming-capable session
+    operator) over the click stream, checked against an independent
+    lag/cumsum oracle — two different session implementations must
+    agree. Boundary semantics: an event exactly ``gap`` after its
+    predecessor starts a NEW session (windows ``[ts, ts+gap)`` merge
+    only when they overlap), hence the ``>=`` in the oracle. The same
+    expression drops into a ``readStream`` with a watermark unchanged —
+    that is the point of registering the native form alongside
+    ``sessionize`` (W-family manual version, ``aggregations.py``)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        clicks.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            quantize(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_AGG = f"""
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+g AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM c
+),
+s AS (
+  SELECT *,
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {quantize_sql('sum(value)')} AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --- telemetry anomaly detection: per-series z-score -------------------------
 def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series outlier report: two-pass z-score — aggregate each
@@ -1317,6 +1372,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "topk_ngrams",
     "tfidf_top_terms",
     "zscore_anomaly",
+    "session_window_agg",
+    "pq_codes",
     # 2: materially changed in r4 (fixture-layer refactor)
     "series_flow_report",
     "key_normalized_join",
@@ -1399,6 +1456,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kasa_offset_exact": q_kasa_offset_exact,
     "hll_distinct_rollup": q_hll_distinct_rollup,
     "zscore_anomaly": q_zscore_anomaly,
+    "session_window_agg": q_session_window_agg,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -1441,6 +1499,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
+    "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

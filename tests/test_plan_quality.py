@@ -25,11 +25,14 @@ SF = "/root/testdata/sf0.001"
 # series column plans BroadcastHashJoin (asserted below).
 # tfidf_top_terms: a 1-row broadcast cross attaching the corpus-size
 # scalar to the df table — a constant lookup, not a pair blowup.
+# pq_codes: the K·M-row codebook broadcast against each vector — a
+# constant-width map-side lookup, the intended PQ assignment shape.
 BROADCAST_NESTED_LOOP_OK = {
     "embedding_topk",
     "ann_ivf_topk",
     "values_projection",
     "tfidf_top_terms",
+    "pq_codes",
 }
 
 
