@@ -506,6 +506,58 @@ def l2_sq_sql(a: str, b: str, dim: int) -> str:
     )
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_mod: int | None = 16,
+) -> DataFrame:
+    """Train the per-subspace codebooks: (subspace, cid, cemb), K*M tiny
+    rows, lineage-truncated by the k-means builder. Exposed separately
+    from :func:`pq_codes` so callers can train ONCE and encode many
+    batches — the codebook is an artifact, not a per-query computation
+    (the registry memoizes it per (session, sf_dir))."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sub_dim = dim // n_subspaces
+
+    def train(m: int) -> DataFrame:
+        sub_corpus = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(emb_col), m * sub_dim + 1, sub_dim).alias(emb_col),
+        )
+        cents = kmeans_lite_centroids(
+            sub_corpus,
+            n_centroids,
+            n_iters,
+            id_col,
+            emb_col,
+            dim=sub_dim,
+            sample_mod=sample_mod,
+        )
+        return cents.select(
+            F.lit(m).alias("subspace"),
+            F.col(id_col).cast("bigint").alias("cid"),
+            F.col(emb_col).alias("cemb"),
+        )
+
+    # The subspace chains are independent (training decomposes exactly
+    # per subspace) and each is a sequence of TINY eager jobs dominated
+    # by per-job fixed overhead — submit them concurrently (standard
+    # multi-threaded Spark job submission; results are deterministic
+    # regardless of completion order since each chain is self-contained).
+    with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
+        cbs = list(pool.map(train, range(n_subspaces)))
+    codebook = cbs[0]
+    for cb in cbs[1:]:
+        codebook = codebook.unionByName(cb)
+    return codebook
+
+
 def pq_codes(
     corpus: DataFrame,
     n_subspaces: int = 4,
@@ -515,6 +567,7 @@ def pq_codes(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     sample_mod: int | None = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector into
     ``n_subspaces`` contiguous sub-vectors, learn a small codebook per
@@ -531,31 +584,10 @@ def pq_codes(
     argmin-per-subspace pivot. No stage touches more than
     O(N · K · M) rows, and nothing is ever collected to the driver."""
     sub_dim = dim // n_subspaces
-    cbs = []
-    for m in range(n_subspaces):
-        sub_corpus = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(emb_col), m * sub_dim + 1, sub_dim).alias(emb_col),
+    if codebook is None:
+        codebook = pq_codebook(
+            corpus, n_subspaces, n_centroids, n_iters, dim, id_col, emb_col, sample_mod
         )
-        cents = kmeans_lite_centroids(
-            sub_corpus,
-            n_centroids,
-            n_iters,
-            id_col,
-            emb_col,
-            dim=sub_dim,
-            sample_mod=sample_mod,
-        )
-        cbs.append(
-            cents.select(
-                F.lit(m).alias("subspace"),
-                F.col(id_col).cast("bigint").alias("cid"),
-                F.col(emb_col).alias("cemb"),
-            )
-        )
-    codebook = cbs[0]
-    for cb in cbs[1:]:
-        codebook = codebook.unionByName(cb)
 
     sub = F.slice(
         F.col(emb_col), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)

