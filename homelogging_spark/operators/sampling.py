@@ -122,3 +122,31 @@ def mixture_weights(
         rate.alias("rate"),
         F.greatest(rate, F.lit(1.0)).alias("epochs"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    rate_per_weight: float,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weight-proportional deterministic Bernoulli sample: keep each row
+    with probability ``min(1, rate_per_weight * weight)`` — the standard
+    size-biased draw (sample documents proportional to their token
+    count, so the kept TOKEN mass, not document count, follows the
+    budget). Selection stays a pure map-side predicate on the md5
+    uniform; ``p`` is exposed (like ``u``) so downstream stages can
+    compute inclusion-probability corrections (Horvitz-Thompson
+    weighting)."""
+    u = uniform_from_key(F.col(key_col), salt)
+    p = F.least(F.lit(1.0), F.lit(float(rate_per_weight)) * weight)
+    return df.withColumn("u", u).withColumn("p", p).where(F.col("u") < F.col("p"))
+
+
+def weighted_sql(key: str, weight: str, rate_per_weight: float, salt: str = "wsamp") -> str:
+    """Predicate + projections mirroring :func:`weighted_hash_sample`:
+    emits ``u``/``p`` select expressions and the keep predicate."""
+    u = uniform_sql(key, salt)
+    p = f"least(1.0, {float(rate_per_weight)!r} * {weight})"
+    return f"{u} AS u, {p} AS p"

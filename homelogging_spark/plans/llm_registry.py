@@ -319,16 +319,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_clusters_oracle(
+def _dedup_cluster_ctes(
     threshold: float = 0.7, n_hashes: int = 16, n_bands: int = 4
 ) -> str:
-    """Min-label fixpoint as a DuckDB recursive CTE: reachability closure
-    over the symmetrized verified-pair edge list, then min(reachable id)
-    per node — exactly the fixed point ``connected_components`` iterates
-    to (the label set is schedule-independent, so the two computations
-    agree row-for-row)."""
-    return f"""
-WITH RECURSIVE {_lsh_cte_prefix(n_hashes, n_bands)},
+    """Min-label fixpoint as a DuckDB recursive CTE chain ending in
+    ``asg (doc_id, cluster_id)``: reachability closure over the
+    symmetrized verified-pair edge list, then min(reachable id) per node
+    — exactly the fixed point ``connected_components`` iterates to (the
+    label set is schedule-independent, so the two computations agree
+    row-for-row). Shared by the cluster-assignment and keep-best
+    oracles."""
+    return f"""{_lsh_cte_prefix(n_hashes, n_bands)},
 v AS (
   SELECT p.doc_a, p.doc_b,
          len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
@@ -347,7 +348,11 @@ cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
 asg AS (
   SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
-)
+)"""
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_dedup_cluster_ctes()}
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        (doc_id = cluster_id) AS is_canonical
@@ -355,7 +360,56 @@ FROM asg
 """
 
 
-ORACLE_DEDUP_CLUSTERS = _dedup_clusters_oracle()
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final decision, composed end-to-end:
+    near-dup pairs → connected components → keep the HIGHEST-QUALITY
+    doc per cluster (not the min-id canonical — what a real corpus
+    build keeps), tie-broken by doc_id. Quality is the quantized §text
+    score so both engines rank from bit-identical keys."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
+    clusters = clustering.assign_dedup_clusters(docs, pairs)
+    quality = docs.select(
+        "doc_id",
+        quantize(textops.quality_columns(F.col("text"))["quality_score"]).alias(
+            "quality"
+        ),
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("rn") == 1).alias("keep"),
+            "quality",
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+q AS (
+  SELECT doc_id, {quantize_sql(textops.quality_columns_sql('text')['quality_score'])} AS quality
+  FROM documents
+),
+r AS (
+  SELECT a.doc_id, a.cluster_id, q.quality,
+         count(*) OVER (PARTITION BY a.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY q.quality DESC, a.doc_id) AS rn
+  FROM asg a JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       (rn = 1) AS keep,
+       quality
+FROM r
+"""
 
 
 # --- similarity search -------------------------------------------------------
@@ -606,6 +660,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_buckets": q_simhash_buckets,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -627,6 +682,7 @@ LLM_ORACLES: dict[str, str] = {
     "simhash_buckets": ORACLE_SIMHASH,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

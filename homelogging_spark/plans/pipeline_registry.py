@@ -153,6 +153,39 @@ FROM r WHERE rank <= {TOPK_PER_LANG}
 """
 
 
+WSAMP_RATE = 0.004  # per-token keep rate; ~100-token docs keep at ~0.4
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased deterministic sample: keep probability proportional
+    to the doc's token count (capped at 1) — budgets the kept TOKEN
+    mass; u/p exposed for Horvitz-Thompson correction downstream."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.size(tokens(F.col("text"))).cast("bigint")
+    out = sampling.weighted_hash_sample(
+        docs.withColumn("n_tokens", toks), "doc_id", F.col("n_tokens"), WSAMP_RATE
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        quantize("u").alias("u"),
+        quantize("p").alias("p"),
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens,
+         {sampling.weighted_sql('doc_id', _N_TOKENS_SQL, WSAMP_RATE)}
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       {quantize_sql('u')} AS u, {quantize_sql('p')} AS p
+FROM t WHERE u < p
+"""
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture plan: observed token mass per language vs target
     shares → per-language acceptance rate (or upsample epochs when the
@@ -201,6 +234,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_stats": q_pack_stats,
     "stratified_sample": q_stratified_sample,
     "group_topk_sample": q_group_topk_sample,
+    "weighted_sample": q_weighted_sample,
     "mixture_weights": q_mixture_weights,
 }
 
@@ -209,5 +243,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "pack_stats": ORACLE_PACK_STATS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
 }

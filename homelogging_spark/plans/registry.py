@@ -1374,6 +1374,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "zscore_anomaly",
     "session_window_agg",
     "pq_codes",
+    "weighted_sample",
+    "dedup_keep_best",
     # 2: materially changed in r4 (fixture-layer refactor)
     "series_flow_report",
     "key_normalized_join",
