@@ -154,3 +154,38 @@ class TestSampling:
             assert rows[lang].epochs == pytest.approx(max(expected, 1.0))
         # rate * n_tokens sums back to the total budget
         assert sum(r.rate * r.n_tokens for r in rows.values()) == pytest.approx(total)
+
+
+class TestWeightedSampling:
+    def test_kept_token_mass_tracks_budget(self, spark):
+        from homelogging_spark.operators.sampling import weighted_hash_sample
+
+        rows = [(i, 10 + (i * 13) % 190) for i in range(4000)]  # w in [10, 200)
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        rate = 0.002  # E[kept w] = sum(w * min(1, rate*w)) — no cap hit here
+        out = weighted_hash_sample(df, "doc_id", F.col("w"), rate)
+        got = out.agg(F.sum("w").alias("s")).collect()[0].s
+        exp = sum(w * min(1.0, rate * w) for _, w in rows)
+        assert abs(got - exp) / exp < 0.15  # ±5sigma-ish at this n
+
+    def test_heavier_rows_kept_more_often(self, spark):
+        from homelogging_spark.operators.sampling import weighted_hash_sample
+
+        rows = [(i, 10 if i % 2 == 0 else 200) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        out = weighted_hash_sample(df, "doc_id", F.col("w"), 0.003).collect()
+        light = sum(1 for r in out if r.w == 10)
+        heavy = sum(1 for r in out if r.w == 200)
+        # p=0.03 vs p=0.6 → heavy kept ~20x more often
+        assert heavy > 10 * max(light, 1)
+
+    def test_deterministic_and_p_capped(self, spark):
+        from homelogging_spark.operators.sampling import weighted_hash_sample
+
+        rows = [(i, 10_000) for i in range(50)]  # rate*w >> 1 → p capped at 1
+        df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+        out = weighted_hash_sample(df, "doc_id", F.col("w"), 0.01)
+        got = out.collect()
+        assert len(got) == 50 and all(r.p == 1.0 for r in got)
+        again = weighted_hash_sample(df.repartition(7), "doc_id", F.col("w"), 0.01)
+        assert sorted(r.doc_id for r in again.collect()) == list(range(50))
