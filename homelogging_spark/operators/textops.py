@@ -276,3 +276,90 @@ r AS (
 SELECT doc_id, rank, term, tf, df, tfidf
 FROM r WHERE rank <= {k}
 """
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 3,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination scan: flag corpus docs sharing >= ``min_shared``
+    distinct word-``shingle_n``-gram hashes with any benchmark doc —
+    the standard guard against eval-set leakage into training data.
+
+    Scale shape — never all-pairs: both sides explode to (gram_hash,
+    doc) rows; candidates form ONLY via the equi-join on the 60-bit
+    gram hash (8-byte keys, not gram strings); the per-(corpus, bench)
+    overlap count is a partial-aggregated shuffle on the pair key. A
+    gram shared by many docs fans out — mitigated upstream by hashing
+    distinct grams per doc, and at 100 TB by dropping stop-grams (grams
+    with document frequency above a cutoff carry no contamination
+    signal; documented dial, not applied at test scale)."""
+    from homelogging_spark.functions.texthash import (
+        shingle_base_hash,
+        tokens,
+        word_shingles,
+    )
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        g = F.array_distinct(
+            shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
+        )
+        return df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gh"))
+
+    shared = (
+        grams(corpus, "corpus_id")
+        .join(grams(benchmark, "bench_id"), "gh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+            F.max("n_shared").cast("bigint").alias("max_shared"),
+            F.min("bench_id").cast("bigint").alias("first_bench_id"),
+        )
+        .select("corpus_id", "n_bench_hits", "max_shared", "first_bench_id")
+    )
+
+
+def benchmark_contamination_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    min_shared: int = 3,
+    shingle_n: int = 3,
+) -> str:
+    from homelogging_spark.functions.texthash import (
+        shingle_base_hash_sql,
+        tokens_sql,
+        word_shingles_sql,
+    )
+
+    def grams(src: str, out_id: str) -> str:
+        toks = tokens_sql("text")
+        sh = word_shingles_sql("toks", shingle_n)
+        return f"""(
+  SELECT doc_id AS {out_id}, unnest(gh) AS gh FROM (
+    SELECT doc_id, list_distinct({shingle_base_hash_sql('sh')}) AS gh FROM (
+      SELECT doc_id, {sh} AS sh FROM (
+        SELECT doc_id, {toks} AS toks FROM ({src})))))"""
+
+    return f"""
+WITH shared AS (
+  SELECT c.corpus_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM {grams(corpus_sql, 'corpus_id')} c
+  JOIN {grams(benchmark_sql, 'bench_id')} b USING (gh)
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT corpus_id,
+       CAST(count(*) AS BIGINT) AS n_bench_hits,
+       CAST(max(n_shared) AS BIGINT) AS max_shared,
+       CAST(min(bench_id) AS BIGINT) AS first_bench_id
+FROM shared GROUP BY 1
+"""

@@ -163,6 +163,95 @@ FROM base
 """
 
 
+CONTAM_MOD = 25  # doc_id % 25 == 0 -> the held-out "benchmark" set
+CONTAM_MIN_SHARED = 3
+
+
+def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: corpus docs sharing >= 3 distinct word-trigram
+    hashes with any held-out benchmark doc (deterministic id-mod split
+    stands in for a real eval set). Candidates form only through the
+    equi-join on 60-bit gram hashes — never all-pairs
+    (``textops.benchmark_contamination``)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % CONTAM_MOD != 0)
+    return textops.benchmark_contamination(
+        corpus, bench, min_shared=CONTAM_MIN_SHARED
+    )
+
+
+ORACLE_CONTAMINATION_SCAN = textops.benchmark_contamination_sql(
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_MOD} != 0",
+    f"SELECT doc_id, text FROM documents WHERE doc_id % {CONTAM_MOD} = 0",
+    min_shared=CONTAM_MIN_SHARED,
+)
+
+
+PSI_BIN_W = 50
+PSI_NBINS = 10
+
+
+def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two corpus snapshots (sources
+    src0-9 vs src10-19): Population Stability Index over the doc-length
+    histogram — the standard shift detector between crawl snapshots.
+    Counts are exact; p/q use additive smoothing (+0.5 per bin) so the
+    ln is total; per-bin contributions emitted (their sum is the PSI).
+    One scan, one tiny (2 x bins) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10
+    bin_ = F.least(
+        F.floor(F.col("n_chars") / PSI_BIN_W), F.lit(PSI_NBINS - 1)
+    ).cast("bigint")
+    counts = (
+        docs.select(snap_a.alias("is_a"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * PSI_NBINS)
+    q = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * PSI_NBINS)
+    contrib = (p - q) * F.log(p / q)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        quantize(p).alias("p"),
+        quantize(q).alias("q"),
+        quantize(contrib).alias("psi_contrib"),
+    )
+
+
+ORACLE_LENGTH_DRIFT_PSI = f"""
+WITH c AS (
+  SELECT least(CAST(floor(n_chars / {PSI_BIN_W}) AS BIGINT), {PSI_NBINS - 1}) AS bin,
+         CAST(sum(CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM documents GROUP BY 1
+), t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+j AS (
+  SELECT bin, n_a, n_b,
+         (n_a + 0.5) / (ta + 0.5 * {PSI_NBINS}) AS p,
+         (n_b + 0.5) / (tb + 0.5 * {PSI_NBINS}) AS q
+  FROM c CROSS JOIN t
+)
+SELECT bin, n_a, n_b,
+       {quantize_sql('p')} AS p,
+       {quantize_sql('q')} AS q,
+       {quantize_sql('(p - q) * ln(p / q)')} AS psi_contrib
+FROM j
+"""
+
+
 # --- dedup -------------------------------------------------------------------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +758,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "topk_ngrams": q_topk_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination_scan": q_contamination_scan,
+    "length_drift_psi": q_length_drift_psi,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -691,6 +782,8 @@ LLM_ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "topk_ngrams": ORACLE_TOPK_NGRAMS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "contamination_scan": ORACLE_CONTAMINATION_SCAN,
+    "length_drift_psi": ORACLE_LENGTH_DRIFT_PSI,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -1376,6 +1376,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pq_codes",
     "weighted_sample",
     "dedup_keep_best",
+    "contamination_scan",
+    "length_drift_psi",
     # 2: materially changed in r4 (fixture-layer refactor)
     "series_flow_report",
     "key_normalized_join",

@@ -27,12 +27,15 @@ SF = "/root/testdata/sf0.001"
 # scalar to the df table — a constant lookup, not a pair blowup.
 # pq_codes: the K·M-row codebook broadcast against each vector — a
 # constant-width map-side lookup, the intended PQ assignment shape.
+# length_drift_psi: a 1-row totals broadcast against the 10-bin
+# aggregate — a constant lookup.
 BROADCAST_NESTED_LOOP_OK = {
     "embedding_topk",
     "ann_ivf_topk",
     "values_projection",
     "tfidf_top_terms",
     "pq_codes",
+    "length_drift_psi",
 }
 
 
