@@ -189,3 +189,45 @@ class TestWeightedSampling:
         assert len(got) == 50 and all(r.p == 1.0 for r in got)
         again = weighted_hash_sample(df.repartition(7), "doc_id", F.col("w"), 0.01)
         assert sorted(r.doc_id for r in again.collect()) == list(range(50))
+
+
+class TestContamination:
+    def test_known_overlap_flagged(self, spark):
+        from homelogging_spark.operators.textops import benchmark_contamination
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # 4 shared trigrams (alpha beta gamma / beta gamma delta /
+                # gamma delta epsilon / delta epsilon zeta) -> flagged
+                (1, "alpha beta gamma delta epsilon zeta eta"),
+                # only 1 shared trigram -> below min_shared=3
+                (2, "alpha beta gamma completely different text here"),
+                # no overlap at all
+                (3, "one two three four five six seven"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.corpus_id: r for r in benchmark_contamination(corpus, bench).collect()}
+        assert list(out) == [1]
+        assert out[1].n_bench_hits == 1
+        assert out[1].max_shared == 4
+        assert out[1].first_bench_id == 100
+
+    def test_multiple_bench_hits_counted(self, spark):
+        from homelogging_spark.operators.textops import benchmark_contamination
+
+        shared = "red orange yellow green blue indigo"
+        bench = spark.createDataFrame(
+            [(100, shared), (200, shared + " violet")],
+            "doc_id bigint, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, shared + " ultraviolet")], "doc_id bigint, text string"
+        )
+        out = benchmark_contamination(corpus, bench).collect()
+        assert len(out) == 1 and out[0].n_bench_hits == 2
+        assert out[0].first_bench_id == 100
