@@ -1,0 +1,153 @@
+"""Property-based invariants (hypothesis) for the stateful operators.
+
+Random inputs exercise branch interleavings no example-based test pins:
+reset chains, oversize runs, equal-timestamp-free orderings. Spark
+round-trips are slow, so each property drives the PURE core (the same
+code the Spark operator executes per group via pandas/Python) — the
+Spark-vs-oracle equality of the wrapped operators is already covered by
+the 77 registry checks; these pin the algebraic invariants of the folds
+themselves.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from homelogging_spark.operators.battery import simulate_battery_series
+
+# --- pure re-statements of the fold bodies (kept tiny; the Spark
+# operators run these same recurrences per group) -----------------------------
+
+
+def greedy_pack(tokens: list[int], capacity: int):
+    # reference implementation mirroring operators/packing.py's fold
+    out = []
+    pack_id, pos, fill = 0, 0, 0
+    for n in tokens:
+        if pos > 0 and fill + n > capacity:
+            pack_id, pos, fill = pack_id + 1, 0, 0
+        pos += 1
+        fill += n
+        out.append((pack_id, pos, fill))
+    return out
+
+
+def rollover_accumulate(raws: list[float], eps: float = 0.0):
+    offset, prev = 0.0, None
+    out = []
+    for raw in raws:
+        if prev is not None and raw < prev - eps:
+            offset += prev
+        out.append((offset, raw + offset))
+        prev = raw
+    return out
+
+
+class TestPackingProperties:
+    @given(
+        st.lists(st.integers(min_value=1, max_value=700), max_size=60),
+        st.integers(min_value=16, max_value=512),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_pack_invariants(self, tokens, capacity):
+        out = greedy_pack(tokens, capacity)
+        fill_by_pack: dict[int, int] = {}
+        last_pack = 0
+        for (pack_id, pos, fill), n in zip(out, tokens):
+            # pack ids are non-decreasing and contiguous
+            assert pack_id in (last_pack, last_pack + 1)
+            last_pack = pack_id
+            # pack_fill is the running sum within the pack
+            fill_by_pack[pack_id] = fill_by_pack.get(pack_id, 0) + n
+            assert fill == fill_by_pack[pack_id]
+            # position restarts at 1 on a new pack
+            assert pos >= 1
+        for pack_id, fill in fill_by_pack.items():
+            members = [
+                n for (p, _, _), n in zip(out, tokens) if p == pack_id
+            ]
+            # a pack only exceeds capacity if it is a single oversize doc
+            assert fill <= capacity or len(members) == 1
+        # no token lost
+        assert sum(fill_by_pack.values()) == sum(tokens)
+
+    @given(st.lists(st.integers(min_value=1, max_value=100), max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_pack_never_splits_better_than_lower_bound(self, tokens):
+        capacity = 128
+        out = greedy_pack(tokens, capacity)
+        n_packs = (max(p for p, _, _ in out) + 1) if out else 0
+        # first-fit uses at least ceil(total/capacity) packs (all tokens
+        # here fit capacity, so the bound is valid)
+        assert n_packs >= math.ceil(sum(tokens) / capacity)
+
+
+class TestRolloverProperties:
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_corrected_is_monotone_and_offset_nonnegative(self, raws):
+        out = rollover_accumulate(raws)
+        prev_corr = None
+        for (offset, corrected), raw in zip(out, raws):
+            assert offset >= 0.0
+            assert corrected == raw + offset
+            if prev_corr is not None:
+                # monotone non-decreasing within float tolerance
+                assert corrected >= prev_corr - 1e-9 * max(1.0, abs(prev_corr))
+            prev_corr = corrected
+
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1e3, allow_nan=False),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_monotone_input_never_corrects(self, raws):
+        raws = sorted(raws)
+        out = rollover_accumulate(raws)
+        assert all(offset == 0.0 for offset, _ in out)
+
+
+class TestBatteryProperties:
+    @given(
+        st.lists(
+            st.floats(min_value=-3000.0, max_value=3000.0, allow_nan=False),
+            max_size=80,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_soc_clamped_and_totals_monotone(self, powers):
+        cap, eff, maxp = 2.7, 0.9, 0.8
+        states = simulate_battery_series(powers, cap, eff, maxp)
+        prev_ch = prev_dch = 0.0
+        for soc, charged, discharged, cycles in states:
+            assert -1e-12 <= soc <= cap + 1e-12
+            assert charged >= prev_ch - 1e-12
+            assert discharged >= prev_dch - 1e-12
+            assert cycles >= 0.0
+            prev_ch, prev_dch = charged, discharged
+
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=3000.0, allow_nan=False),
+            max_size=50,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_import_only_never_charges(self, powers):
+        # strictly importing (power > 0) can only discharge; an empty
+        # battery then never moves
+        states = simulate_battery_series(powers, 2.7, 0.9, 0.8)
+        for soc, charged, _, _ in states:
+            assert charged == 0.0
+            assert soc == 0.0
