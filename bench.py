@@ -112,13 +112,17 @@ def main() -> None:
     }
     # Regression visibility: per-query delta vs the previous round's
     # recorded bench (queries slower by >25% + overall ratio).
-    # r03 is the first median-of-3 baseline; comparing r04's medians to it
-    # is methodology-consistent (r02 was single-run — deltas vs it
-    # conflated the harness change with real regressions).
-    prev_path = os.environ.get(
-        "SPARK_GRAFT_PREV_BENCH",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json"),
+    # Default: the latest driver-recorded BENCH_r{N}.json in the repo —
+    # auto-advances each round (r03+ are all median-of-3, so deltas are
+    # methodology-consistent; r02 was single-run and is never picked
+    # once a later file exists).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    default_prev = os.path.join(here, rounds[-1]) if rounds else ""
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH", default_prev)
     if os.path.exists(prev_path):
         try:
             with open(prev_path) as f:
