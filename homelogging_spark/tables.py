@@ -134,6 +134,34 @@ def _fixture_stale(path: str, *source_files: str) -> bool:
     )
 
 
+class _fixture_build_lock:
+    """Cross-process exclusive lock for a fixture build (flock on a
+    sibling lockfile). Two sessions first-touching the same fixture
+    would otherwise race their overwrite writes into one path; with the
+    lock, the loser re-checks staleness and finds the winner's build.
+    Single-box scope is the right scope: the fixture root is a local
+    spark-warehouse directory."""
+
+    def __init__(self, path: str):
+        self._lock_path = path.rstrip("/") + ".lock"
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self._lock_path), exist_ok=True)
+        self._fh = open(self._lock_path, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
+
+
 def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The *materialized* meters dimension: built once per sf_dir by the
     fixture layer (``meters_dim`` derivation pushed through the real K2
@@ -146,14 +174,17 @@ def meters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-pattern the K2/K3 upsert sinks exist to avoid. At 100 TB the
     meters dim is a real table maintained by ingest; this mirrors that."""
     path = _fixture_path(sf_dir, "meters") + ".parquet"
-    if _fixture_stale(path, os.path.join(sf_dir, "events.parquet")):
-        from homelogging_spark.operators.ingest import upsert_meters
+    src = os.path.join(sf_dir, "events.parquet")
+    if _fixture_stale(path, src):
+        with _fixture_build_lock(path):
+            if _fixture_stale(path, src):  # loser of the race re-checks
+                from homelogging_spark.operators.ingest import upsert_meters
 
-        updates = meters_dim(load_table(spark, sf_dir, "events"))
-        existing = spark.createDataFrame([], updates.schema)
-        upsert_meters(existing, updates).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+                updates = meters_dim(load_table(spark, sf_dir, "events"))
+                existing = spark.createDataFrame([], updates.schema)
+                upsert_meters(existing, updates).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -170,37 +201,44 @@ def series_flow_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F811 (module alias)
 
     path = _fixture_path(sf_dir, "series_flow")
-    if _fixture_stale(path, os.path.join(sf_dir, "events.parquet")):
-        import shutil
-
-        from homelogging_spark.operators.ingest import append_readings
-
-        events = load_table(spark, sf_dir, "events")
-        tag = F.when(F.col("value") >= 50.0, "peak").otherwise("offpeak")
-        pe = events.where(F.col("event_type") == "signup").select(
-            F.col("user_id").alias("meter_id"),
-            "ts",
-            F.lit("PowerEnergy").alias("series"),
-            F.array(
-                F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
-            ).alias("values"),
-            tag.alias("tag"),
-        )
-        mp = events.where(F.col("event_type") == "click").select(
-            F.col("user_id").alias("meter_id"),
-            "ts",
-            F.lit("MPPT1").alias("series"),
-            F.array(
-                F.col("value") * 0.1, F.lit(230.0) + F.col("value") * 0.01
-            ).alias("values"),
-            tag.alias("tag"),
-        )
-        batch = pe.unionByName(mp)
-        shutil.rmtree(path, ignore_errors=True)
-        # K1: the doubled batch must collapse to one copy in the sink's
-        # (meter_id, series, ts) last-write-wins dedup
-        append_readings(batch.unionByName(batch), path)
+    src = os.path.join(sf_dir, "events.parquet")
+    if _fixture_stale(path, src):
+        with _fixture_build_lock(path):
+            if _fixture_stale(path, src):
+                _build_series_flow(spark, sf_dir, path)
     return spark.read.parquet(path)
+
+
+def _build_series_flow(spark: SparkSession, sf_dir: str, path: str) -> None:
+    import shutil
+
+    from homelogging_spark.operators.ingest import append_readings
+
+    events = load_table(spark, sf_dir, "events")
+    tag = F.when(F.col("value") >= 50.0, "peak").otherwise("offpeak")
+    pe = events.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        F.lit("PowerEnergy").alias("series"),
+        F.array(
+            F.col("value"), F.col("value") * 0.001, F.col("value") + 1.0
+        ).alias("values"),
+        tag.alias("tag"),
+    )
+    mp = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        F.lit("MPPT1").alias("series"),
+        F.array(
+            F.col("value") * 0.1, F.lit(230.0) + F.col("value") * 0.01
+        ).alias("values"),
+        tag.alias("tag"),
+    )
+    batch = pe.unionByName(mp)
+    shutil.rmtree(path, ignore_errors=True)
+    # K1: the doubled batch must collapse to one copy in the sink's
+    # (meter_id, series, ts) last-write-wins dedup
+    append_readings(batch.unionByName(batch), path)
 
 
 METERS_DIM_SQL = """
