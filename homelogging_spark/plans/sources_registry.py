@@ -267,7 +267,7 @@ j AS (
 )
 SELECT event_id,
        CAST(json_extract_string(json, '$.hmu.messages.FlowTemp.fields.temp0.value') AS DOUBLE) AS flow_temp,
-       to_timestamp(CAST(json_extract_string(json, '$.hmu.messages.FlowTemp.lastup') AS DOUBLE)) AS event_ts,
+       CAST(to_timestamp(CAST(json_extract_string(json, '$.hmu.messages.FlowTemp.lastup') AS DOUBLE)) AS TIMESTAMP) AS event_ts,
        (epoch(TIMESTAMP '{EBUS_NOW}') - CAST(json_extract_string(json, '$.hmu.messages.FlowTemp.lastup') AS DOUBLE)) <= {7 * 86400.0} AS fresh
 FROM j
 """

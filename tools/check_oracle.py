@@ -59,8 +59,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
             f"  FAIL {name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
         )
         return False
+    # The driver's schema+hash checks are timezone-strict: a tz-aware
+    # DuckDB TIMESTAMPTZ vs Spark's naive timestamp fails even when every
+    # value is identical (the round-4 ebusd_parse bug). Fail here BEFORE
+    # normalize() strips tz info, so this gate predicts the driver.
+    tz_ok = True
+    for c in sorted(spark_pdf.columns):
+        sa, sb = spark_pdf[c], duck_pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(sa) or pd.api.types.is_datetime64_any_dtype(sb):
+            a_tz = getattr(getattr(sa, "dtype", None), "tz", None)
+            b_tz = getattr(getattr(sb, "dtype", None), "tz", None)
+            if (a_tz is None) != (b_tz is None):
+                tz_ok = False
+                print(
+                    f"  col {c}: tz-awareness mismatch spark={sa.dtype} duck={sb.dtype}"
+                    " (driver schema/hash is tz-strict — CAST the oracle to naive TIMESTAMP)"
+                )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
-    ok = True
+    ok = tz_ok
     max_dev = 0.0
     for c in a.columns:
         # The driver's value hash is dtype-strict: int64 3 != float64 3.0.
