@@ -1348,61 +1348,11 @@ FROM j GROUP BY 1, 3, 4
 # they stay oracle-checked locally by tools/check_oracle.py and
 # tests/test_oracle_parity.py. Policy documented in COVERAGE.md.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # 1: never-checked across r1-r3 (sources + controllers)
+    # 1: red in r4 (oracle tz dtype, fixed this round) — must re-record green
     "ebusd_parse",
-    "tapo_parse",
-    "sdm_parse",
-    "kasa_parse",
-    "goodwe_parse",
-    "vents_parse",
-    "zyco2_parse",
-    "flow_temp_decision",
-    "pv_mode_decision",
-    # 1: rotated out of the r3 window by appends
-    "mbus_parse",
-    "weewx_parse",
-    # 2: new in r4
-    "pack_docs",
-    "pack_stats",
-    "stratified_sample",
-    "group_topk_sample",
-    "mixture_weights",
-    "kasa_offset_exact",
-    "hll_distinct_rollup",
-    "topk_ngrams",
-    "tfidf_top_terms",
-    "zscore_anomaly",
-    "session_window_agg",
-    "pq_codes",
-    "weighted_sample",
-    "dedup_keep_best",
-    "contamination_scan",
-    "length_drift_psi",
-    # 2: materially changed in r4 (fixture-layer refactor)
-    "series_flow_report",
-    "key_normalized_join",
-    "device_class_scan",
-    # 3: long-green complex/stateful core
-    "flagship_hourly_cost",
-    "cost_totals",
-    "counter_rollover",
-    "counter_rollover_values",
-    "energy_interpolate",
-    "battery_sim",
-    "battery_daily_cycles",
-    "exact_dedup",
-    "minhash_near_dup",
-    "ngram_jaccard",
-    "simhash_buckets",
-    "doc_fingerprint",
-    "dedup_clusters",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "multimodal_byte_stats",
-    "text_stats",
-    "token_counts",
+    # 1: the 27 queries with no r4 driver row (rotation policy, COVERAGE.md):
+    #    all were green in >=2 prior rounds; they rotate back to the front so
+    #    after r5 every registered query has a driver row from r4 or r5.
     "language_id",
     "quality_score",
     "asof_price_join",
@@ -1412,6 +1362,50 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pulse_step_emit",
     "thermostat_mode",
     "tag_mode_report",
+    "hourly_avg",
+    "minute_downsample",
+    "latest_per_key",
+    "count_by_series",
+    "trailing_percentile",
+    "weighted_totals",
+    "all_gate",
+    "pulse_accumulate",
+    "lag_delta",
+    "daily_cycles",
+    "time_range_filter",
+    "json_extract",
+    "least_greatest",
+    "customer_order_totals",
+    "values_projection",
+    "first_match",
+    "skew_salted_agg",
+    "dsmr_parse",
+    # 2: new or materially changed in r5
+    "tfidf_top_terms",
+    # 3: green in r4, demoted to fill the remaining window slots
+    #    (complex/stateful operators first)
+    "dedup_keep_best",
+    "pq_codes",
+    "hll_distinct_rollup",
+    "kasa_offset_exact",
+    "pack_docs",
+    "pack_stats",
+    "session_window_agg",
+    "contamination_scan",
+    "length_drift_psi",
+    "topk_ngrams",
+    "zscore_anomaly",
+    "weighted_sample",
+    "stratified_sample",
+    "group_topk_sample",
+    "mixture_weights",
+    "series_flow_report",
+    "key_normalized_join",
+    "device_class_scan",
+    "flagship_hourly_cost",
+    "cost_totals",
+    "counter_rollover",
+    "counter_rollover_values",
 )
 
 
