@@ -82,6 +82,16 @@ def main() -> None:
 
     for name, fn in qs.items():
         runs = []
+        # One untimed warm-up execution first: the first run of a query in
+        # a session pays plan compilation + first-touch costs that depend
+        # on LOOP ORDER, not on the plan (measured at sf0.1: tapo_parse
+        # 2.72 s cold-first vs 0.53-0.76 s warm — the r4 "regressions"
+        # were exactly this after the registry reorder moved sources
+        # first). Warming makes medians order-independent; the warm-up
+        # wall time is still recorded in queries_max as the worst run.
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warmup = time.time() - t0
         for _ in range(n_iters):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -98,7 +108,7 @@ def main() -> None:
         release_caches()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
-        timings_cold[name] = round(runs[-1], 3)
+        timings_cold[name] = round(max(warmup, runs[-1]), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -117,12 +127,33 @@ def main() -> None:
     # methodology-consistent; r02 was single-run and is never picked
     # once a later file exists).
     here = os.path.dirname(os.path.abspath(__file__))
+    import re
+
     rounds = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        (
+            f
+            for f in os.listdir(here)
+            if re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        ),
+        # integer round order: lexicographic misorders r100 before r99
+        key=lambda f: int(re.search(r"BENCH_r(\d+)", f).group(1)),
     )
     default_prev = os.path.join(here, rounds[-1]) if rounds else ""
     prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH", default_prev)
+    if prev_path and "SPARK_GRAFT_PREV_BENCH" not in os.environ:
+        # Prefer the committed full-precision local record of the same
+        # round over the driver's (possibly tail-truncated) artifact,
+        # but only if it was produced at the same SF as this run.
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(prev_path))
+        local_prev = os.path.join(here, f"BENCH_LOCAL_r{int(m.group(1)):02d}.json")
+        if os.path.exists(local_prev):
+            try:
+                with open(local_prev) as f:
+                    lp = json.load(f)
+                if lp.get("sf") == sf_val and lp.get("queries"):
+                    prev_path = local_prev
+            except (OSError, ValueError):
+                pass
     if os.path.exists(prev_path):
         try:
             with open(prev_path) as f:
@@ -141,6 +172,20 @@ def main() -> None:
                     frag = frag[: frag.index("}") + 1]
                     prev = {"queries": json.loads(frag)}
                     basis = "prev_queries_max"
+                elif not prev and tail:
+                    # No intact dict survived; recover whatever "name":
+                    # number pairs remain in the window, keeping the FIRST
+                    # occurrence per known query name (medians precede
+                    # queries_max in the line, so medians win when both
+                    # partially survive). Partial-shared comparison only.
+                    recovered: dict[str, float] = {}
+                    for mm in re.finditer(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail):
+                        k, v = mm.group(1), float(mm.group(2))
+                        if k in qs and k not in recovered:
+                            recovered[k] = v
+                    if recovered:
+                        prev = {"queries": recovered}
+                        basis = "prev_tail_recovered_partial"
             prev_q = prev.get("queries", {})
             shared = {k: v for k, v in timings.items() if k in prev_q}
             if shared:
@@ -159,7 +204,52 @@ def main() -> None:
                 }
         except (OSError, ValueError, KeyError):
             pass
-    print(json.dumps(out))
+
+    # The driver stores only the LAST 2000 chars of stdout and parses the
+    # JSON line out of that window — BENCH_r03/r04 both lost their medians
+    # because the line outgrew it. Two-tier output:
+    #   1. full-precision result (medians, queries_max, vs_prev detail)
+    #      -> BENCH_LOCAL_r{N}.json, committed alongside the driver file;
+    #   2. stdout: diagnostics first, then ONE compact JSON line LAST
+    #      (2-decimal medians, no queries_max, vs_prev summarized) sized
+    #      to survive the 2000-char tail whole.
+    next_round = 1
+    if rounds:
+        next_round = int(re.search(r"BENCH_r(\d+)", rounds[-1]).group(1)) + 1
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{next_round:02d}.json")
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+    except OSError:
+        pass
+
+    vs_prev = out.get("vs_prev")
+    if vs_prev:
+        # full regression detail on its own line (may be truncated; the
+        # committed BENCH_LOCAL file keeps it regardless)
+        print("vs_prev detail:", json.dumps(vs_prev))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+        "iters": n_iters,
+        "local": os.path.basename(local_path),
+    }
+    if vs_prev:
+        compact["vs_prev"] = {
+            "ratio": vs_prev["ratio"],
+            "n_regressed": len(vs_prev["regressed"]),
+            "basis": vs_prev["basis"],
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # belt-and-braces: drop to 1-decimal before the
+        compact["queries"] = {  # driver's tail window can split the line
+            k: round(v, 1) for k, v in timings.items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
