@@ -15,14 +15,20 @@ lists partition directories (driver-side metadata work, proportional to
 partition count, never data), picks only partitions whose file count /
 average file size violate the policy, and rewrites exactly those via
 dynamic partition overwrite. A day of fresh appends never triggers a
-full-history rewrite, and readers see the swap atomically per
-partition. Rewriting preserves rows byte-for-byte (same columns, no
-re-dedup: the K1 sink already deduped on append)."""
+full-history rewrite. Concurrent READERS of an untouched sibling
+partition are unaffected; for the partition being rewritten, dynamic
+partition overwrite is delete-then-commit — a crash between the two
+steps can leave that one partition empty until the next compaction
+run, so production deployments pair this with a table format whose
+commits are atomic (Delta/Iceberg OPTIMIZE). Rewriting preserves rows
+byte-for-byte (same columns, no re-dedup: the K1 sink already deduped
+on append)."""
 
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,8 +124,19 @@ def compact_readings(
     # fully distributed pruned scan→write. Batching all partitions into
     # one job would forfeit per-partition coalesce factors.
     part_cols: list[str] | None = None
+    compacted: list[PartitionStat] = []
     for s in todo:
         kv = [seg.split("=", 1) for seg in s.partition.split("/")]
+        # Directory names carry Hadoop's partition-path escaping: special
+        # chars are %XX-encoded and a null value is the sentinel
+        # __HIVE_DEFAULT_PARTITION__. Re-attaching the RAW directory string
+        # would rewrite those rows with the wrong literal (e.g. "a%20b"
+        # instead of "a b", or the sentinel instead of NULL) — unescape,
+        # and skip null partitions entirely (left fragmented, never
+        # corrupted).
+        if any(v == "__HIVE_DEFAULT_PARTITION__" for _, v in kv):
+            continue
+        kv = [(k, unquote(v)) for k, v in kv]
         if part_cols is None:
             part_cols = [k for k, _ in kv]
         sub = spark.read.parquet(os.path.join(path, s.partition))
@@ -131,4 +148,5 @@ def compact_readings(
             sub.coalesce(n_out).write.mode("overwrite").partitionBy(
                 *part_cols
             ).parquet(path)
-    return todo
+        compacted.append(s)
+    return compacted

@@ -785,6 +785,47 @@ FROM n GROUP BY 1, 2
 """
 
 
+# --- K1 maintenance: small-file compaction report ----------------------------
+def q_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the K1 maintenance cycle (``operators/maintenance.py``):
+    a fragmented (series, date)-partitioned readings table is rewritten
+    by ``compact_readings`` at fixture-build time (once per sf_dir —
+    ``tables.compacted_readings_table``), and this query reads the
+    compacted result and reports per-partition row counts / distinct
+    meters / value sums. The oracle recomputes the same report from the
+    source ``events`` table directly, so a compaction that drops,
+    duplicates, or corrupts any row (the partition-name-escaping failure
+    mode) hash-mismatches here. File-count invariants (the part DuckDB
+    cannot see) are asserted in ``tests/test_maintenance.py``.
+
+    Scale: the report is one partition-pruned scan + one partial agg on
+    the partition keys; compaction itself is incremental metadata-driven
+    maintenance (see module docstring)."""
+    from homelogging_spark.tables import compacted_readings_table
+
+    t = compacted_readings_table(spark, sf_dir)
+    return t.groupBy("series", "date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("meter_id").alias("n_meters"),
+        quantize(F.sum("value")).alias("sum_value"),
+        quantize(F.avg("value")).alias("avg_value"),
+    )
+
+
+ORACLE_COMPACTION_REPORT = f"""
+SELECT event_type AS series,
+       CAST(ts AS DATE) AS date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_meters,
+       {quantize_sql('sum(value)')} AS sum_value,
+       {quantize_sql('avg(value)')} AS avg_value
+FROM events
+WHERE event_type IN ('signup', 'click')
+  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # --- J1 on the star schema: customer ⟕ order totals with coalesce-0 ---------
 def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -1381,6 +1422,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "dsmr_parse",
     # 2: new or materially changed in r5
+    "compaction_report",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
@@ -1438,6 +1480,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_totals": q_customer_order_totals,
     "values_projection": q_values_projection,
     "series_flow_report": q_series_flow_report,
+    "compaction_report": q_compaction_report,
     "counter_rollover_values": q_counter_rollover_values,
     "energy_interpolate": q_energy_interpolate,
     "key_normalized_join": q_key_normalized_join,
@@ -1481,6 +1524,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
     "values_projection": ORACLE_VALUES_PROJECTION,
     "series_flow_report": ORACLE_SERIES_FLOW_REPORT,
+    "compaction_report": ORACLE_COMPACTION_REPORT,
     "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
     "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,

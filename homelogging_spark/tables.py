@@ -241,6 +241,58 @@ def _build_series_flow(spark: SparkSession, sf_dir: str, path: str) -> None:
     append_readings(batch.unionByName(batch), path)
 
 
+def compacted_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *materialized* result of small-file compaction over a
+    deliberately fragmented K1-style (series, date)-partitioned readings
+    table (``operators/maintenance.py`` — the OPTIMIZE cycle the
+    reference's 10-second ``LoggerService`` polling cadence makes
+    necessary). Built once per sf_dir by the fixture layer: a
+    fragmented write (every shuffle task drops a small file into every
+    partition it holds rows for), then ``compact_readings`` rewrites
+    every in-policy partition. Registered queries are pure reads of the
+    result, so row conservation through the fragment→compact→read cycle
+    is what the oracle checks; the file-count invariants live in
+    ``tests/test_maintenance.py`` (not SQL-expressible)."""
+    path = _fixture_path(sf_dir, "compacted")
+    src = os.path.join(sf_dir, "events.parquet")
+    if _fixture_stale(path, src):
+        with _fixture_build_lock(path):
+            if _fixture_stale(path, src):
+                _build_compacted_readings(spark, sf_dir, path)
+    return spark.read.parquet(path)
+
+
+# The fixture's slice of events: two series over the first ten days —
+# 20 leaf partitions, enough to exercise per-partition compaction
+# without turning the one-time build into minutes of tiny Spark jobs.
+COMPACTED_SERIES = ("signup", "click")
+COMPACTED_TS_END = "2024-01-11 00:00:00"
+
+
+def _build_compacted_readings(spark: SparkSession, sf_dir: str, path: str) -> None:
+    import shutil
+
+    from homelogging_spark.operators.maintenance import compact_readings
+
+    events = load_table(spark, sf_dir, "events")
+    readings = events.where(
+        F.col("event_type").isin(*COMPACTED_SERIES)
+        & (F.col("ts") < F.lit(COMPACTED_TS_END).cast("timestamp"))
+    ).select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        "value",
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("date"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # Fragment: 6 round-robin shuffle tasks each write their own small
+    # file into every (series, date) partition — the layout a day of
+    # micro-batch appends produces.
+    readings.repartition(6).write.partitionBy("series", "date").parquet(path)
+    compact_readings(spark, path, target_file_bytes=64 * 1024 * 1024, min_files=2)
+
+
 METERS_DIM_SQL = """
   SELECT 'meters/' || CAST(user_id AS VARCHAR) AS meter_id,
          user_id,

@@ -96,3 +96,53 @@ class TestCompaction:
     def test_empty_or_missing_table(self, spark, tmp_path):
         assert partition_file_stats(spark, str(tmp_path / "nope")) == []
         assert compact_readings(spark, str(tmp_path / "nope")) == []
+
+    def test_escaped_partition_values_survive_compaction(self, spark, tmp_path):
+        """Partition dirs carry Hadoop %XX escaping (space, colon, %);
+        re-attaching the raw dir string would corrupt those rows."""
+        path = str(tmp_path / "readings")
+        for b in range(6):
+            append_readings(
+                _mk_batch(spark, "Power Energy:50%", 1, b * 1000, 30), path
+            )
+        before = _table_fingerprint(spark, path)
+        rewritten = compact_readings(spark, path, target_file_bytes=1 << 30)
+        assert len(rewritten) == 1
+        assert _table_fingerprint(spark, path) == before
+        vals = [
+            r.series
+            for r in spark.read.parquet(path).select("series").distinct().collect()
+        ]
+        assert vals == ["Power Energy:50%"]
+
+    def test_null_partition_skipped_not_corrupted(self, spark, tmp_path):
+        """A null partition value (__HIVE_DEFAULT_PARTITION__ dir) is left
+        fragmented rather than rewritten with the sentinel string."""
+        path = str(tmp_path / "readings")
+        batch = _mk_batch(spark, "PowerEnergy", 1, 0, 30).withColumn(
+            "series", F.lit(None).cast("string")
+        )
+        for b in range(6):
+            append_readings(batch, path)
+        n_before = spark.read.parquet(path).where(F.col("series").isNull()).count()
+        rewritten = compact_readings(spark, path, target_file_bytes=1 << 30)
+        assert rewritten == []
+        assert (
+            spark.read.parquet(path).where(F.col("series").isNull()).count()
+            == n_before
+        )
+
+
+class TestCompactedFixture:
+    def test_fixture_partitions_within_policy(self, spark, sf_dir):
+        """The compaction_report fixture's partitions must actually have
+        been compacted: every (series, date) leaf within file-count policy
+        (the invariant DuckDB cannot check)."""
+        from homelogging_spark.tables import compacted_readings_table, _fixture_path
+
+        compacted_readings_table(spark, sf_dir)  # ensure built
+        path = _fixture_path(sf_dir, "compacted")
+        stats = partition_file_stats(spark, path)
+        assert len(stats) == 20  # 2 series x 10 days
+        assert plan_compaction(stats, target_file_bytes=64 * 1024 * 1024, min_files=2) == []
+        assert all(s.n_files <= 2 for s in stats)
