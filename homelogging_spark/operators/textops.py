@@ -238,8 +238,14 @@ def tfidf_top_terms(
             F.col("tf") * F.log(F.col("n_total") / F.col("df")),
         )
     )
+    # Rank on the QUANTIZED score: ln()'s last ulp is engine-specific, so
+    # two terms with near-equal raw tfidf can order differently in Spark
+    # vs the DuckDB oracle at the rank-k boundary, flipping the kept term
+    # (dedup_keep_best ranks from quantized keys for the same reason).
+    from homelogging_spark.functions.numeric import quantize
+
     w = Window.partitionBy(id_col).orderBy(
-        F.col("tfidf").desc(), F.col("term")
+        quantize(F.col("tfidf")).desc(), F.col("term")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -249,6 +255,7 @@ def tfidf_top_terms(
 
 
 def tfidf_top_terms_sql(k: int = 3, source: str = "documents") -> str:
+    from homelogging_spark.functions.numeric import quantize_sql
     from homelogging_spark.functions.texthash import tokens_sql
 
     return f"""
@@ -270,7 +277,8 @@ scored AS (
 ),
 r AS (
   SELECT *, CAST(row_number() OVER (
-           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+           PARTITION BY doc_id
+           ORDER BY {quantize_sql('tfidf')} DESC, term) AS BIGINT) AS rank
   FROM scored
 )
 SELECT doc_id, rank, term, tf, df, tfidf
