@@ -1423,6 +1423,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dsmr_parse",
     # 2: new or materially changed in r5
     "compaction_report",
+    "config_driven_series",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)

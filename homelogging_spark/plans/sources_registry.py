@@ -273,6 +273,94 @@ FROM j
 """
 
 
+# --- S1b: config-driven series extraction (LogItems / Registers) -------------
+
+# Mirrors EbusMeter.LogItem rows (Path, ChildPath, TimeseriesName, Tag) —
+# the reference's default config plus the State message carrying two
+# series (``EbusLogger.cs:77-79`` appends Modulation AND
+# ThermalEnergyToday from one message). Single-sourced: the Spark query
+# builds its config dim from this tuple and the oracle inlines the same
+# rows as a VALUES table.
+_LOG_ITEMS = (
+    ("hmu.messages.FlowTemp", "fields.temp0.value", "FlowTemperature", "°C"),
+    ("hmu.messages.ReturnTemp", "fields.temp0.value", "ReturnTemperature", "°C"),
+    ("hmu.messages.State", "fields.modulation.value", "Modulation", "%"),
+    ("hmu.messages.State", "fields.energy.value", "ThermalEnergyToday", "*100W"),
+)
+
+
+def q_config_driven_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10: the reference is DRIVEN by per-meter config tables —
+    ``EbusMeter.LogItems`` / ``SdmMeter.Registers`` rows decide which
+    series get extracted, not code. This query holds the config in a dim
+    table, reads it ONCE at plan-build time (O(10) rows of metadata, the
+    batch analog of the reference loading the meter document before its
+    foreach — ``EbusLogger.cs:89-110``), and generates the extraction
+    expressions from it: config row → column exprs → series output.
+
+    The generated plan is a SINGLE scan of the payload with an inline
+    projection (see ``ebusd.log_items_series``) — adding a config row
+    adds zero scans. The plan-build ``collect()`` is metadata, not a
+    data-path action: it never touches the events table."""
+    ev = _ints(load_table(spark, sf_dir, "events"))
+    ep = F.unix_seconds(F.col("ts"))
+    json = F.concat(
+        F.lit('{"hmu":{"messages":{"FlowTemp":{"fields":{"temp0":{"value":'),
+        F.col("iv").cast("string"),
+        F.lit('}},"lastup":'),
+        ep.cast("string"),
+        F.lit('},"ReturnTemp":{"fields":{"temp0":{"value":'),
+        (F.col("iv") - 5).cast("string"),
+        F.lit('}},"lastup":'),
+        (ep + 60).cast("string"),
+        F.lit('},"State":{"fields":{"modulation":{"value":'),
+        (F.col("mv") % 100).cast("string"),
+        F.lit('},"energy":{"value":'),
+        F.col("mv").cast("string"),
+        F.lit('}},"lastup":'),
+        (ep + 120).cast("string"),
+        F.lit("}}}}"),
+    )
+    src = ev.select("event_id", json.alias("json"))
+    config = spark.createDataFrame(
+        list(_LOG_ITEMS), "path string, child_path string, series string, tag string"
+    )
+    items = [
+        (r.path, r.child_path, r.series, r.tag) for r in config.collect()
+    ]
+    return ebusd.log_items_series(src, "json", items)
+
+
+_LOG_ITEMS_VALUES = ",\n  ".join(
+    "('{}', '{}', '{}', '{}')".format(*row) for row in _LOG_ITEMS
+)
+
+_CONFIG_JSON_SQL = (
+    """'{"hmu":{"messages":{"FlowTemp":{"fields":{"temp0":{"value":'"""
+    """ || CAST(iv AS VARCHAR)"""
+    """ || '}},"lastup":' || CAST(ep AS VARCHAR)"""
+    """ || '},"ReturnTemp":{"fields":{"temp0":{"value":'"""
+    """ || CAST(iv - 5 AS VARCHAR)"""
+    """ || '}},"lastup":' || CAST(ep + 60 AS VARCHAR)"""
+    """ || '},"State":{"fields":{"modulation":{"value":'"""
+    """ || CAST(mv % 100 AS VARCHAR)"""
+    """ || '},"energy":{"value":' || CAST(mv AS VARCHAR)"""
+    """ || '}},"lastup":' || CAST(ep + 120 AS VARCHAR)"""
+    """ || '}}}}'"""
+)
+
+ORACLE_CONFIG_DRIVEN_SERIES = f"""
+WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM ({_INTS_SQL})),
+j AS (SELECT event_id, {_CONFIG_JSON_SQL} AS json FROM e),
+cfg AS (SELECT * FROM (VALUES
+  {_LOG_ITEMS_VALUES}) AS t(path, child_path, series, tag))
+SELECT j.event_id, cfg.series, cfg.tag,
+       CAST(json_extract_string(j.json, '$.' || cfg.path || '.' || cfg.child_path) AS DOUBLE) AS value,
+       CAST(to_timestamp(CAST(json_extract_string(j.json, '$.' || cfg.path || '.lastup') AS DOUBLE)) AS TIMESTAMP) AS event_ts
+FROM j CROSS JOIN cfg
+"""
+
+
 # --- S8: Tapo JSON + base64 nickname -----------------------------------------
 
 def q_tapo_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +766,7 @@ SOURCES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weewx_parse": q_weewx_parse,
     "mbus_parse": q_mbus_parse,
     "ebusd_parse": q_ebusd_parse,
+    "config_driven_series": q_config_driven_series,
     "tapo_parse": q_tapo_parse,
     "sdm_parse": q_sdm_parse,
     "kasa_parse": q_kasa_parse,
@@ -693,6 +782,7 @@ SOURCES_ORACLES: dict[str, str] = {
     "weewx_parse": ORACLE_WEEWX_PARSE,
     "mbus_parse": ORACLE_MBUS_PARSE,
     "ebusd_parse": ORACLE_EBUSD_PARSE,
+    "config_driven_series": ORACLE_CONFIG_DRIVEN_SERIES,
     "tapo_parse": ORACLE_TAPO_PARSE,
     "sdm_parse": ORACLE_SDM_PARSE,
     "kasa_parse": ORACLE_KASA_PARSE,

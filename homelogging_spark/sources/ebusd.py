@@ -40,6 +40,42 @@ def lastup_timestamp(json: Column | str, message_path: str) -> Column:
     )
 
 
+def log_items_series(
+    df,
+    json_col: str,
+    items,
+    id_cols: tuple[str, ...] = ("event_id",),
+):
+    """Config-driven series extraction: the reference's ``LogItems`` /
+    ``Registers`` pattern, where a per-meter CONFIG table — not code —
+    decides which series get extracted (``Ebus/EbusMeter.cs:23-30``
+    ``LogItem {Path, ChildPath, TimeseriesName, Tag, ReadInterval}``,
+    applied by the foreach at ``Ebus/EbusLogger.cs:89-110``; same shape
+    as ``Sdm/SdmLogger.cs:112-117`` ``RegisterDefinition``).
+
+    Each config row ``(path, child_path, series, tag)`` GENERATES the
+    extraction expressions for one output series; the generated structs
+    are assembled into ONE inline projection, so the whole config
+    extracts in a single scan of the payload — no per-item self-union,
+    no shuffle, stays inside whole-stage codegen.
+
+    ``items`` is the deserialized config: plan-build-time METADATA
+    (O(10) rows — the reference loads it once from the meter document
+    before its foreach), not a per-row data path. Callers holding the
+    config in a dim table collect it once at plan construction; see
+    ``plans/sources_registry.q_config_driven_series``."""
+    entries = [
+        F.struct(
+            F.lit(series).alias("series"),
+            F.lit(tag).alias("tag"),
+            get_numeric(json_col, f"{path}.{child_path}").alias("value"),
+            lastup_timestamp(json_col, path).alias("event_ts"),
+        )
+        for path, child_path, series, tag in items
+    ]
+    return df.select(*id_cols, F.inline(F.array(*entries)))
+
+
 def is_fresh(
     json: Column | str, message_path: str, now: Column, maxage_seconds: float
 ) -> Column:

@@ -149,6 +149,33 @@ class TestEbusd:
         assert row.ts.timestamp() == 1700000000
         assert row.fresh is True and row.stale is False
 
+    def test_log_items_series_config_driven(self, spark):
+        """Config rows generate the extraction exprs (EbusMeter.LogItems);
+        one payload scan regardless of config size, missing paths -> NULL."""
+        payload = {"hmu": {"messages": {
+            "FlowTemp": {"fields": {"temp0": {"value": 36.19}}, "lastup": 1700000000},
+            "State": {"fields": {"modulation": {"value": 40}}, "lastup": 1700000060},
+        }}}
+        df = spark.createDataFrame(
+            [(1, json.dumps(payload))], "event_id long, json string"
+        )
+        items = [
+            ("hmu.messages.FlowTemp", "fields.temp0.value", "FlowTemperature", "°C"),
+            ("hmu.messages.State", "fields.modulation.value", "Modulation", "%"),
+            ("hmu.messages.Missing", "fields.x.value", "Ghost", ""),
+        ]
+        out = ebusd.log_items_series(df, "json", items)
+        rows = {r.series: r for r in out.collect()}
+        assert set(rows) == {"FlowTemperature", "Modulation", "Ghost"}
+        assert rows["FlowTemperature"].value == pytest.approx(36.19)
+        assert rows["FlowTemperature"].event_ts.timestamp() == 1700000000
+        assert rows["Modulation"].value == pytest.approx(40.0)
+        assert rows["Modulation"].tag == "%"
+        assert rows["Ghost"].value is None and rows["Ghost"].event_ts is None
+        # adding config rows must not add payload scans
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ") <= 1
+
 
 class TestKasa:
     def test_xor_autokey_roundtrip(self):
