@@ -158,3 +158,32 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan  # co-located: zero shuffle
+
+
+class TestFoldPartitioning:
+    def test_every_pandas_fold_sits_on_explicit_exchange(self, spark):
+        """Every applyInPandas fold in the registry must be fed by a
+        user-specified (REPARTITION_BY_NUM) exchange — exempt from AQE
+        partition coalescing. AQE sizes post-shuffle partitions by BYTES,
+        but a fold's cost is per GROUP; a few-MB shuffle holding ~1500
+        groups coalesces to ONE task and serializes every per-group
+        Python call (measured 5.3 s -> 0.94 s on the Kasa fold, SCALE.md).
+        This gate keeps the failure mode from silently returning with any
+        new fold that skips shuffleutil.fold_partitioned."""
+        import __spark_entry__ as entry
+
+        offenders, n_folds = [], 0
+        for name, fn in entry.queries().items():
+            lines = plan_of(fn(spark, SF)).splitlines()
+            for i, ln in enumerate(lines):
+                if "FlatMapGroupsInPandas" not in ln:
+                    continue
+                n_folds += 1
+                feeding = next(
+                    (l for l in lines[i + 1 :] if "Exchange hashpartitioning" in l),
+                    "",
+                )
+                if "REPARTITION_BY_NUM" not in feeding:
+                    offenders.append((name, feeding.strip() or "NO EXCHANGE"))
+        assert offenders == []
+        assert n_folds >= 4  # kasa_offset_exact, battery x2, pack x2 reach here
