@@ -371,3 +371,162 @@ SELECT corpus_id,
        CAST(min(bench_id) AS BIGINT) AS first_bench_id
 FROM shared GROUP BY 1
 """
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bigram_cover: float = 0.2,
+    max_dup_trigram: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the rules RefinedWeb/Dolma reuse): the fraction of a document
+    covered by its single most frequent word bigram, and the duplicate
+    fraction of its word trigrams. Boilerplate, SEO spam, and
+    templated pages light both up; the ``keep`` flag applies the
+    conventional thresholds.
+
+    Scale: ZERO shuffle — both metrics are per-row array computations.
+    The top-bigram count is a single-pass run-length fold over the
+    row's SORTED bigram array (``F.aggregate``: longest run == top
+    gram's occurrence count), and the trigram duplicate fraction is
+    ``1 - distinct/total`` on the same row. All JVM column expressions
+    inside whole-stage codegen; at 100 TB this is a pure map over the
+    corpus scan. Mirrors ``repetition_scores_sql``."""
+    from homelogging_spark.functions.texthash import tokens, word_shingles
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    big = F.array_sort(word_shingles(toks, 2, distinct=False))
+    tri = word_shingles(toks, 3, distinct=False)
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(
+        big,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    cover = F.when(n >= 2, F.lit(2.0) * best / n).otherwise(F.lit(0.0))
+    dup_tri = F.when(
+        n >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(tri)) / (n - 2),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        cover.alias("top_bigram_cover"),
+        dup_tri.alias("dup_trigram_frac"),
+        (
+            (cover <= F.lit(max_bigram_cover))
+            & (dup_tri <= F.lit(max_dup_trigram))
+        ).alias("keep"),
+    )
+
+
+def repetition_scores_sql(
+    max_bigram_cover: float = 0.2,
+    max_dup_trigram: float = 0.3,
+    source: str = "documents",
+) -> str:
+    from homelogging_spark.functions.texthash import tokens_sql
+
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM {source}),
+m AS (
+  SELECT doc_id, len(t) AS n,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+         ELSE [] END AS big,
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(len(t) - 2),
+                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE [] END AS tri
+  FROM toks
+),
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(big) AS g FROM m) GROUP BY 1, 2
+),
+mx AS (SELECT doc_id, max(c) AS best FROM bc GROUP BY 1),
+s AS (
+  SELECT m.doc_id, m.n,
+         CASE WHEN m.n >= 2 THEN 2.0 * mx.best / m.n ELSE 0.0 END AS cover,
+         CASE WHEN m.n >= 3 THEN
+           1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / (m.n - 2)
+         ELSE 0.0 END AS dup_tri
+  FROM m LEFT JOIN mx USING (doc_id)
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       cover AS top_bigram_cover,
+       dup_tri AS dup_trigram_frac,
+       (cover <= {max_bigram_cover} AND dup_tri <= {max_dup_trigram}) AS keep
+FROM s
+"""
+
+
+# PII patterns — identical semantics in Java regex (Spark) and RE2
+# (DuckDB): ASCII classes, bounded repetition, \b word boundaries only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_ORDER = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_PHONE, "<PHONE>"),
+    (PII_IPV4, "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a text column: counts per class
+    (email, phone, IPv4) and the redacted text with class placeholders,
+    applied in a fixed order so overlapping matches resolve
+    deterministically. Every real training-corpus pipeline runs a pass
+    like this before release (C4/Dolma-style scrubbing); the regexes are
+    deliberately simple ASCII patterns with identical Java-regex/RE2
+    semantics so the oracle replicates them bit-for-bit.
+
+    Scale: pure map-side column expressions (regexp_extract_all /
+    regexp_replace inside codegen) — zero shuffle, no UDF.
+    Mirrors ``pii_scrub_sql``."""
+    c = F.col(text_col)
+    redacted = c
+    for pat, tag in _PII_ORDER:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def pii_scrub_sql(source: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    redacted = text_col
+    for pat, tag in _PII_ORDER:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT {id_col},
+       CAST(len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({text_col}, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all({text_col}, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       {redacted} AS redacted
+FROM {source}
+"""

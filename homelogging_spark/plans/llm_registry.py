@@ -88,6 +88,80 @@ FROM documents
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate over the corpus (see
+    ``textops.repetition_scores``): top-bigram coverage + duplicate
+    trigram fraction + keep flag, zero shuffle (per-row array fold)."""
+    docs = _docs(spark, sf_dir)
+    out = textops.repetition_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        quantize("top_bigram_cover").alias("top_bigram_cover"),
+        quantize("dup_trigram_frac").alias("dup_trigram_frac"),
+        "keep",
+    )
+
+
+ORACLE_REPETITION_SCORES = f"""
+SELECT doc_id, n_tokens,
+       {quantize_sql('top_bigram_cover')} AS top_bigram_cover,
+       {quantize_sql('dup_trigram_frac')} AS dup_trigram_frac,
+       keep
+FROM ({textops.repetition_scores_sql()})
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (``textops.pii_scrub``): PII is SYNTHESIZED into
+    each doc deterministically (the sources-registry pattern — both
+    engines build the identical payload), then detected and redacted;
+    the oracle hash-checks the exact redacted text via md5. Zero
+    shuffle: synthesis, scan, and scrub are all map-side."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" now."),
+        ).alias("text"),
+    )
+    out = textops.pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("redacted").cast("bigint").alias("n_chars_redacted"),
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' now.'"
+)
+
+ORACLE_PII_SCRUB = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+       md5(redacted) AS redacted_md5
+FROM ({textops.pii_scrub_sql('aug')})
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
@@ -756,6 +830,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
+    "repetition_scores": q_repetition_scores,
+    "pii_scrub": q_pii_scrub,
     "topk_ngrams": q_topk_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
@@ -780,6 +856,8 @@ LLM_ORACLES: dict[str, str] = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "repetition_scores": ORACLE_REPETITION_SCORES,
+    "pii_scrub": ORACLE_PII_SCRUB,
     "topk_ngrams": ORACLE_TOPK_NGRAMS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,
