@@ -71,6 +71,40 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+def band_frame(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: MinHash signature over the
+    materialized base-hash column ``bh``, split into LSH bands."""
+    rows_per_band = n_hashes // n_bands
+    sigs = base.withColumn("sig", minhash_from_base(F.col("bh"), n_hashes))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def hashed_shingle_base(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, bh): distinct 60-bit hashes of a doc's word shingles — the
+    frame every LSH stage (signatures, bands, Jaccard verify) consumes.
+    At production scale this is the materialized signatures table."""
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    return sets.select(
+        F.col(id_col),
+        F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
+    )
+
+
 def band_candidate_pairs(
     base: DataFrame,
     id_col: str = "doc_id",
@@ -82,14 +116,7 @@ def band_candidate_pairs(
     banding, shuffle on (band_idx, band_hash), in-bucket pairs with
     ``id_a < id_b``. Never all-pairs — cost is O(docs * bands +
     candidates)."""
-    rows_per_band = n_hashes // n_bands
-    sigs = base.withColumn("sig", minhash_from_base(F.col("bh"), n_hashes))
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(band_hashes(F.col("sig"), n_bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    bands = band_frame(base, id_col, n_hashes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -125,19 +152,13 @@ def minhash_near_dup_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sets = shingle_sets(df, id_col, text_col, shingle_n)
     # ONE md5 pass: hash the shingle set to 60-bit ints, persist, and run
     # everything downstream (signature, bands, Jaccard verify) over the
     # hashed sets. The frame is referenced by four plan branches (two
     # sides of the band self-join, two sides of the verify join); without
     # persist each branch would re-scan and re-hash the corpus. At real
     # scale this frame is a materialized signatures table.
-    base = tracked_persist(
-        sets.select(
-            F.col(id_col),
-            F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
-        )
-    )
+    base = tracked_persist(hashed_shingle_base(df, id_col, text_col, shingle_n))
     pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
     # verify on the hashed sets (8-byte elements, not shingle strings);
     # Jaccard over 60-bit hashes == shingle Jaccard up to negligible
@@ -239,3 +260,87 @@ def fingerprint_anchors(
     ).select(
         id_col, F.concat_ws(",", "anchors").alias("anchors"), "fingerprint"
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Snapshot-incremental dedup: check a NEW snapshot against the
+    EXISTING corpus without ever forming old-vs-old pairs — how a
+    production crawl pipeline actually runs (each incremental snapshot
+    dedups against everything already kept, never re-deduping the
+    retained corpus).
+
+    Two gates per new doc:
+    - exact: content digest seen in the old corpus (one shuffle on the
+      16-byte digest — text bodies never move);
+    - near: LSH band buckets of the new side joined against the OLD
+      side's buckets (a cross-frame join, not a self-join — candidate
+      cost is O(new·bands + cross-candidates)), then exact-Jaccard
+      verify on hashed shingle sets.
+
+    At production scale the old side's digests and band frame are the
+    materialized signatures tables maintained at ingest; only the new
+    snapshot is hashed fresh. Returns one row per NEW doc:
+    ``(id, exact_dup, near_dup, dup_of, best_jaccard, keep)`` with
+    ``dup_of`` = the smallest matching old id and ``best_jaccard`` the
+    highest verified similarity (NULL when no near-match)."""
+    old_dig = old_df.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    new_dig = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    exact = new_dig.join(
+        old_dig.withColumn("_hit", F.lit(True)), "content_hash", "left"
+    ).select(id_col, F.coalesce("_hit", F.lit(False)).alias("exact_dup"))
+
+    base_new = tracked_persist(
+        hashed_shingle_base(new_df, id_col, text_col, shingle_n)
+    )
+    base_old = tracked_persist(
+        hashed_shingle_base(old_df, id_col, text_col, shingle_n)
+    )
+    nb = band_frame(base_new, id_col, n_hashes, n_bands).alias("n")
+    ob = band_frame(base_old, id_col, n_hashes, n_bands).alias("o")
+    cand = (
+        nb.join(
+            ob,
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+    sa = base_new.select(F.col(id_col).alias("new_id"), F.col("bh").alias("sh_n"))
+    sb = base_old.select(F.col(id_col).alias("old_id"), F.col("bh").alias("sh_o"))
+    verified = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn("jaccard", jaccard(F.col("sh_n"), F.col("sh_o")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    near = verified.groupBy("new_id").agg(
+        F.min("old_id").alias("dup_of"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    out = (
+        exact.join(near, exact[id_col] == near.new_id, "left")
+        .select(
+            F.col(id_col),
+            "exact_dup",
+            F.col("dup_of").isNotNull().alias("near_dup"),
+            "dup_of",
+            "best_jaccard",
+            (~F.col("exact_dup") & F.col("dup_of").isNull()).alias("keep"),
+        )
+    )
+    return out

@@ -150,3 +150,58 @@ def weighted_sql(key: str, weight: str, rate_per_weight: float, salt: str = "wsa
     u = uniform_sql(key, salt)
     p = f"least(1.0, {float(rate_per_weight)!r} * {weight})"
     return f"{u} AS u, {p} AS p"
+
+
+def budget_select(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_col: Column,
+    budget: float,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Greedy budget selection: rank rows by ``order_cols`` (best first,
+    must be a TOTAL order — include a unique tiebreak) and keep rows
+    while the running ``weight_col`` total stays within ``budget`` —
+    how a corpus gets assembled against a token budget ("take the
+    best docs until N tokens").
+
+    Scale: a naive ``Window.orderBy`` with no partition key executes
+    the whole cumsum on ONE task. This uses the distributed two-pass
+    prefix sum instead:
+
+    1. range-repartition + sort within partitions on the rank order,
+       so partition ids ascend with rank (Spark's own distributed sort
+       machinery, same shape ``ORDER BY`` compiles to);
+    2. per-partition weight totals (one tiny row per partition) get a
+       prefix sum on a single task — N_partitions rows, metadata-sized;
+    3. broadcast the offsets back and add the within-partition running
+       sum (a per-partition window, fully parallel).
+
+    The only single-task step touches one row per partition, never the
+    data. Output: input columns + ``cum_weight`` (running total
+    INCLUDING the row), filtered to ``cum_weight <= budget``."""
+    from pyspark.sql import Window
+
+    ranked = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranked.withColumn("_pid", F.spark_partition_id())
+    totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("_part_total"))
+    # prefix over the partition totals: N_ranges rows on one task —
+    # metadata, not data
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_part_total").over(w_pid), F.lit(0.0))
+    ).select("_pid", "_offset")
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_weight", F.col("_offset") + F.sum(weight_col).over(w_in))
+        .where(F.col("cum_weight") <= F.lit(budget))
+        .drop("_pid", "_offset")
+    )
+    return out

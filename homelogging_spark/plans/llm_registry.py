@@ -208,6 +208,53 @@ FROM documents
 """
 
 
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly (``sampling.budget_select``): rank
+    docs by quantized quality score (quantized so both engines rank
+    from bit-identical keys; doc_id tiebreak), keep the best docs while
+    the running token total stays within a fixed budget. The cumsum is
+    the distributed two-pass prefix sum — the only single-task step
+    touches one row per partition, never the data."""
+    from homelogging_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    cols = textops.quality_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        quantize(cols["quality_score"]).alias("score"),
+        cols["n_tokens"].alias("n_tokens"),
+    )
+    out = sampling.budget_select(
+        scored,
+        [F.col("score").desc(), F.col("doc_id")],
+        F.col("n_tokens").cast("double"),
+        budget=10000.0,
+    )
+    return out.select(
+        "doc_id",
+        "score",
+        "n_tokens",
+        quantize("cum_weight").alias("cum_tokens"),
+    )
+
+
+ORACLE_CORPUS_BUDGET_SELECT = f"""
+WITH q AS (
+  SELECT doc_id,
+         {quantize_sql(_QC['quality_score'])} AS score,
+         {_QC['n_tokens']} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(CAST(n_tokens AS DOUBLE)) OVER (
+              ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, score, n_tokens, {quantize_sql('cum')} AS cum_tokens
+FROM c WHERE cum <= 10000.0
+"""
+
+
 def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global most-frequent word bigrams (counts + deterministic
     tiebreak); compiles to partial-agg + TakeOrderedAndProject — no
@@ -423,6 +470,59 @@ SELECT doc_a, doc_b, {quantize_sql('j')} AS ngram_jaccard FROM v WHERE j >= {thr
 
 
 ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle()
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup gate (``dedup.incremental_dedup``):
+    docs with ``doc_id % 4 == 0`` play the NEW snapshot, the rest the
+    existing corpus; every new doc is checked against the old side only
+    (digest anti-hit + cross-frame LSH + Jaccard verify) — old-vs-old
+    pairs are never formed."""
+    docs = _docs(spark, sf_dir)
+    new_df = docs.where(F.col("doc_id") % 4 == 0)
+    old_df = docs.where(F.col("doc_id") % 4 != 0)
+    out = dedup.incremental_dedup(new_df, old_df, threshold=0.7)
+    return out.select(
+        "doc_id",
+        "exact_dup",
+        "near_dup",
+        "dup_of",
+        quantize("best_jaccard").alias("best_jaccard"),
+        "keep",
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH {_lsh_cte_prefix()},
+dig AS (SELECT doc_id, md5(text) AS h FROM documents),
+olddig AS (SELECT DISTINCT h FROM dig WHERE doc_id % 4 != 0),
+ex AS (
+  SELECT d.doc_id, (o.h IS NOT NULL) AS exact_dup
+  FROM dig d LEFT JOIN olddig o ON d.h = o.h
+  WHERE d.doc_id % 4 = 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 != 0
+),
+v AS (
+  SELECT c.new_id, c.old_id,
+         len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
+  FROM cand c JOIN bh x ON c.new_id = x.doc_id JOIN bh y ON c.old_id = y.doc_id
+),
+near AS (
+  SELECT new_id, min(old_id) AS dup_of, max(j) AS best_j
+  FROM v WHERE j >= 0.7 GROUP BY 1
+)
+SELECT ex.doc_id, ex.exact_dup,
+       (near.dup_of IS NOT NULL) AS near_dup,
+       near.dup_of,
+       {quantize_sql('near.best_j')} AS best_jaccard,
+       (NOT ex.exact_dup AND near.dup_of IS NULL) AS keep
+FROM ex LEFT JOIN near ON ex.doc_id = near.new_id
+"""
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +932,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "repetition_scores": q_repetition_scores,
     "pii_scrub": q_pii_scrub,
+    "corpus_budget_select": q_corpus_budget_select,
+    "incremental_dedup": q_incremental_dedup,
     "topk_ngrams": q_topk_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
@@ -858,6 +960,8 @@ LLM_ORACLES: dict[str, str] = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "repetition_scores": ORACLE_REPETITION_SCORES,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "topk_ngrams": ORACLE_TOPK_NGRAMS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,

@@ -1424,6 +1424,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 2: new or materially changed in r5
     "compaction_report",
     "config_driven_series",
+    "repetition_scores",
+    "pii_scrub",
+    "corpus_budget_select",
+    "incremental_dedup",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)

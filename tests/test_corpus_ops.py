@@ -1,0 +1,147 @@
+"""Unit tests for the r5 corpus-pipeline operators: repetition scores,
+PII scrubbing, token-budget selection, incremental snapshot dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators import dedup, sampling, textops
+
+
+class TestRepetitionScores:
+    def test_repeated_bigram_lights_up(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "spam ham " * 10),          # one bigram dominates
+                (2, "a b c d e f g h i j"),     # all distinct
+                (3, "x"),                        # too short for bigrams
+                (4, ""),                         # empty
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in textops.repetition_scores(docs).collect()}
+        # doc 1: 20 tokens; top bigram "spam ham" occurs 10x -> cover 1.0
+        assert rows[1].top_bigram_cover == pytest.approx(1.0)
+        assert rows[1].dup_trigram_frac > 0.8
+        assert rows[1].keep is False
+        assert rows[2].top_bigram_cover == pytest.approx(0.2)  # 2*1/10
+        assert rows[2].dup_trigram_frac == pytest.approx(0.0)
+        assert rows[2].keep is True
+        assert rows[3].top_bigram_cover == 0.0 and rows[3].keep is True
+        assert rows[4].n_tokens == 0 and rows[4].keep is True
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a@b.com and c.d@e.org call +1-555-1234 ip 10.0.0.1 ok"),
+                (2, "clean text only"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+        assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (2, 1, 1)
+        assert rows[1].redacted == (
+            "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> ok"
+        )
+        assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 0)
+        assert rows[2].redacted == "clean text only"
+
+
+class TestBudgetSelect:
+    def _frame(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 10).cast("double").alias("score"),
+            (F.lit(10) + F.col("id") % 7).cast("double").alias("w"),
+        )
+
+    def test_budget_honored_and_greedy(self, spark):
+        df = self._frame(spark)
+        # the score-9 stratum holds 20 docs totalling ~260 weight; a 150
+        # budget must stay strictly inside it
+        out = sampling.budget_select(
+            df, [F.col("score").desc(), F.col("doc_id")], F.col("w"), budget=150.0
+        ).collect()
+        total = sum(r.w for r in out)
+        assert total <= 150.0
+        kept_scores = sorted((r.score for r in out), reverse=True)
+        # greedy: every kept row's score >= any dropped row's score except
+        # possibly at the budget boundary — all kept rows are 9s here
+        assert all(s == 9.0 for s in kept_scores)
+        # running totals are correct and include the row itself
+        by_order = sorted(out, key=lambda r: (-r.score, r.doc_id))
+        run = 0.0
+        for r in by_order:
+            run += r.w
+            assert r.cum_weight == pytest.approx(run)
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._frame(spark)
+        a = sampling.budget_select(
+            df, [F.col("score").desc(), F.col("doc_id")], F.col("w"), budget=500.0
+        )
+        ids1 = sorted(r.doc_id for r in a.collect())
+        ids2 = sorted(r.doc_id for r in a.collect())
+        assert ids1 == ids2 and len(ids1) > 0
+
+    def test_no_global_single_task_window(self, spark):
+        """The data-bearing window must be partitioned (by _pid); only the
+        per-partition totals frame may see an unpartitioned window."""
+        df = self._frame(spark, n=50)
+        out = sampling.budget_select(
+            df, [F.col("score").desc(), F.col("doc_id")], F.col("w"), budget=100.0
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan  # sanity: windows exist
+        # the unpartitioned window's input is the tiny totals aggregate,
+        # never the ranged data: its subtree must contain an aggregate on
+        # _pid before any scan
+        assert "_pid" in plan
+
+
+class TestIncrementalDedup:
+    def test_exact_near_and_keep(self, spark):
+        # 30 tokens; one changed word shifts 3 of 28 shingles ->
+        # jaccard 25/31 ~ 0.81, comfortably above the 0.7 threshold
+        base = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four"
+        )
+        near = base.replace("oscar", "oswald")
+        old = spark.createDataFrame(
+            [(1, base), (3, "completely different content here entirely")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, base),                      # exact dup of 1
+                (11, near),                      # near dup of 1
+                (12, "nothing like anything else at all truly unique"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in dedup.incremental_dedup(new, old).collect()}
+        assert rows[10].exact_dup is True and rows[10].keep is False
+        assert rows[11].exact_dup is False
+        assert rows[11].near_dup is True and rows[11].dup_of == 1
+        assert rows[11].best_jaccard >= 0.7
+        assert rows[11].keep is False
+        assert rows[12].keep is True and rows[12].dup_of is None
+
+    def test_no_old_vs_old_pairs(self, spark):
+        """Two identical OLD docs must not interact: the check is new-vs-old
+        only, so a new unique doc survives regardless of old-side dups."""
+        old = spark.createDataFrame(
+            [(1, "dup dup dup dup one two three"), (2, "dup dup dup dup one two three")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "some new words never seen in the corpus before")],
+            "doc_id long, text string",
+        )
+        rows = dedup.incremental_dedup(new, old).collect()
+        assert len(rows) == 1 and rows[0].keep is True
