@@ -673,3 +673,72 @@ best AS (
 SELECT vec_id, {code_cols}, sum(d2) / {float(dim)} AS recon_mse
 FROM best GROUP BY 1
 """
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): vectors are assigned to coarse k-means cells and
+    duplicate pairs are searched ONLY within a cell — the cluster
+    scoping that makes semantic dedup tractable at corpus scale. A
+    vector is dropped when some SMALLER-id vector in its cell has
+    cosine >= ``threshold`` (pairwise min-id survivor rule — no
+    transitive closure, so the verdict is a pure function of the pair
+    set and oracle-replicable).
+
+    Scale: one broadcast-assign pass over the corpus (centroids are
+    K rows), shuffle on centroid_id, and a pair stage bounded by
+    sum(cell_size^2) — ~N^2/K for balanced cells, never all-pairs. The
+    per-vector verdict is a groupBy over candidate pairs. Returns one
+    row per input vector: ``(id, cell, n_dups, kept)``."""
+    cells = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
+        F.col(id_col), F.col(emb_col), "centroid_id"
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        norm(F.col(emb_col)).alias("nrm_a"),
+        "centroid_id",
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        norm(F.col(emb_col)).alias("nrm_b"),
+        "centroid_id",
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    partners = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("other")
+    ).unionByName(pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("other")))
+    verdict = partners.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.min("other").alias("min_partner"),
+    )
+    return (
+        cells.join(verdict, cells[id_col] == verdict.vid, "left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").alias("cell"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            F.coalesce(F.col("min_partner") > F.col(id_col), F.lit(True)).alias(
+                "kept"
+            ),
+        )
+    )

@@ -837,6 +837,87 @@ FROM r WHERE rank <= {k}
 ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup gate (``similarity.semantic_dedup``).
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.48), so true positives are SYNTHESIZED the way the PII gate
+    synthesizes PII: every 10th corpus vector gets a scaled copy
+    (id + 100000, embedding * 1.5 — scaling preserves cosine exactly, so
+    each copy lands in its original's cell at cosine ~1.0). The gate
+    then checks the copy is dropped, the original kept, and every
+    un-copied vector untouched. Reuses the memoized IVF quantizer."""
+    _, corpus = _emb_split(spark, sf_dir)
+    corpus = corpus.select("vec_id", "embedding")
+    dups = corpus.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
+    full = corpus.unionByName(dups)
+    centroids = _cached_quantizer(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda: similarity.kmeans_lite_centroids(
+            corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
+        ),
+    )
+    out = similarity.semantic_dedup(full, centroids, threshold=0.9)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_dups",
+        "kept",
+    )
+
+
+def _semantic_dedup_oracle(threshold: float = 0.9) -> str:
+    cos_assign = similarity.cosine_sql("t.embedding", "c.c_emb", EMB_DIM)
+    cos_pair = similarity.cosine_sql("x.embedding", "y.embedding", EMB_DIM)
+    corpus_sql = (
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
+    )
+    kmeans = similarity.kmeans_lite_sql(
+        corpus_sql, IVF_N_CENTROIDS, IVF_KMEANS_ITERS, EMB_DIM
+    )
+    return f"""
+WITH {kmeans},
+c AS (SELECT centroid_id, c_emb FROM c{IVF_KMEANS_ITERS}),
+allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+  FROM embeddings WHERE vec_id >= {N_QUERY_VECS} AND vec_id % 10 = 0
+),
+assign AS (
+  SELECT vec_id, embedding, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos_assign} DESC, centroid_id) AS r
+  FROM allv t, c
+),
+cells AS (SELECT vec_id, embedding, centroid_id FROM assign WHERE r = 1),
+v AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos_pair} AS cos
+  FROM cells x JOIN cells y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE {cos_pair} >= {threshold}
+),
+partners AS (
+  SELECT id_a AS vid, id_b AS other FROM v
+  UNION ALL SELECT id_b, id_a FROM v
+),
+agg AS (SELECT vid, count(*) AS n_dups, min(other) AS mp FROM partners GROUP BY 1)
+SELECT cells.vec_id, CAST(cells.centroid_id AS BIGINT) AS cell,
+       CAST(COALESCE(agg.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(agg.mp > cells.vec_id, TRUE) AS kept
+FROM cells LEFT JOIN agg ON cells.vec_id = agg.vid
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + reconstruction error over the full
     embeddings table: 4 subspaces x 8 centroids (codebooks from the
@@ -934,6 +1015,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "topk_ngrams": q_topk_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
@@ -962,6 +1044,7 @@ LLM_ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "topk_ngrams": ORACLE_TOPK_NGRAMS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,

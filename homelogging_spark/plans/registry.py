@@ -1428,6 +1428,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pii_scrub",
     "corpus_budget_select",
     "incremental_dedup",
+    "semantic_dedup",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)

@@ -145,3 +145,32 @@ class TestIncrementalDedup:
         )
         rows = dedup.incremental_dedup(new, old).collect()
         assert len(rows) == 1 and rows[0].keep is True
+
+
+class TestSemanticDedup:
+    def test_copy_dropped_original_kept(self, spark):
+        from homelogging_spark.operators import similarity
+
+        # two orthogonal 4-d directions as centroids; vectors near each
+        base = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # semantic dup of 1 (cos ~1)
+            (3, [0.0, 1.0, 0.0, 0.0]),     # other cell, unique
+            (4, [1.5, 0.0, 0.0, 0.0]),     # scaled copy of 1 -> dup
+        ]
+        vecs = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.vec_id: r
+            for r in similarity.semantic_dedup(vecs, cents, threshold=0.9).collect()
+        }
+        assert rows[1].kept is True and rows[1].n_dups == 2
+        assert rows[2].kept is False          # 1 is a smaller-id partner
+        assert rows[4].kept is False
+        assert rows[3].kept is True and rows[3].n_dups == 0
+        # cells: 1,2,4 share cell 0; 3 in cell 1
+        assert rows[1].cell == rows[2].cell == rows[4].cell
+        assert rows[3].cell != rows[1].cell

@@ -29,9 +29,12 @@ SF = "/root/testdata/sf0.001"
 # constant-width map-side lookup, the intended PQ assignment shape.
 # length_drift_psi: a 1-row totals broadcast against the 10-bin
 # aggregate — a constant lookup.
+# semantic_dedup: the ivf_assign broadcast of K centroids against each
+# vector — the same designed cell-assignment shape as ann_ivf_topk.
 BROADCAST_NESTED_LOOP_OK = {
     "embedding_topk",
     "ann_ivf_topk",
+    "semantic_dedup",
     "values_projection",
     "tfidf_top_terms",
     "pq_codes",
