@@ -1271,6 +1271,145 @@ FROM est e JOIN exact x ON e.event_type = x.event_type
 """
 
 
+# --- mergeable histogram-quantile sketch rollup ------------------------------
+
+_HQ_B = 64          # buckets
+_HQ_WIDTH = 8.0     # domain [0, 512): events.value spans ~0..500 at all SFs
+
+
+def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's 100 TB scale path as a first-class rollup: a MERGEABLE
+    fixed-domain equi-width histogram sketch (64 buckets of 8.0 over
+    [0, 512); out-of-range clamps into the end buckets) built per
+    series, with the grand-TOTAL row produced by summing the per-series
+    bucket counts — the rollup never rescans raw data, exactly like the
+    ``hll_distinct_rollup`` register merge. Quantile estimates read the
+    sketch by linear interpolation at the first cumulative crossing
+    (``cum >= q·n AND cum - cnt < q·n`` picks exactly one bucket; all
+    arithmetic is dyadic-or-identical doubles, so both engines emit the
+    same bits). Exact percentiles ride along as HONESTY columns — the
+    sketch error is visible (~width/2 worst-case; production dials
+    buckets up or swaps in t-digest), and a real 100 TB run would drop
+    them (they cost a raw rollup pass).
+
+    Scale: the histogram frame is (series × 64) rows — metadata-sized;
+    the windows partition by series over ≤64 rows each; the merge is a
+    re-aggregation of that tiny frame."""
+    events = load_table(spark, sf_dir, "events")
+    b = F.greatest(
+        F.lit(0), F.least(F.lit(_HQ_B - 1), F.floor(F.col("value") / _HQ_WIDTH))
+    ).cast("int")
+    base = events.select("event_type", b.alias("bucket"))
+    hist = base.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    merged = (
+        hist.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("TOTAL").alias("event_type"), "bucket", "cnt")
+    )
+    allh = hist.unionByName(merged)
+    w_n = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = allh.withColumn("n", F.sum("cnt").over(w_n)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+
+    def crossing(q: float):
+        t = F.lit(q) * F.col("n")
+        cond = (F.col("cum") >= t) & (F.col("cum") - F.col("cnt") < t)
+        est = (
+            F.col("bucket") + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        ) * F.lit(_HQ_WIDTH)
+        return cond, est
+
+    c50, e50 = crossing(0.5)
+    c95, e95 = crossing(0.95)
+    p50 = c.where(c50).select(
+        "event_type", F.col("n").cast("bigint").alias("n"), e50.alias("p50_est")
+    )
+    p95 = c.where(c95).select("event_type", e95.alias("p95_est"))
+    exact = (
+        events.rollup("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50_exact"),
+            F.percentile("value", 0.95).alias("p95_exact"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("TOTAL")).alias("event_type"),
+            "p50_exact",
+            "p95_exact",
+        )
+    )
+    out = p50.join(p95, "event_type").join(exact, "event_type")
+    q50, q95 = quantize("p50_est"), quantize("p95_est")
+    x50, x95 = quantize("p50_exact"), quantize("p95_exact")
+    return out.select(
+        "event_type",
+        "n",
+        q50.alias("p50_est"),
+        q95.alias("p95_est"),
+        x50.alias("p50_exact"),
+        x95.alias("p95_exact"),
+        quantize(F.abs(q50 - x50)).alias("abs_err_p50"),
+        quantize(F.abs(q95 - x95)).alias("abs_err_p95"),
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILE_ROLLUP = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(greatest(0, least({_HQ_B - 1}, floor(value / {_HQ_WIDTH}))) AS INT) AS bucket
+  FROM events
+),
+hist AS (
+  SELECT event_type, bucket, CAST(count(*) AS DOUBLE) AS cnt
+  FROM base GROUP BY 1, 2
+),
+merged AS (
+  SELECT 'TOTAL' AS event_type, bucket, sum(cnt) AS cnt FROM hist GROUP BY 2
+),
+allh AS (SELECT * FROM hist UNION ALL SELECT * FROM merged),
+c AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS n,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM allh
+),
+p50 AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         (bucket + (0.5 * n - (cum - cnt)) / cnt) * {_HQ_WIDTH} AS p50_est
+  FROM c WHERE cum >= 0.5 * n AND cum - cnt < 0.5 * n
+),
+p95 AS (
+  SELECT event_type,
+         (bucket + (0.95 * n - (cum - cnt)) / cnt) * {_HQ_WIDTH} AS p95_est
+  FROM c WHERE cum >= 0.95 * n AND cum - cnt < 0.95 * n
+),
+ex AS (
+  SELECT COALESCE(event_type, 'TOTAL') AS event_type,
+         quantile_cont(value, 0.5) AS p50_exact,
+         quantile_cont(value, 0.95) AS p95_exact
+  FROM events GROUP BY ROLLUP(event_type)
+),
+j AS (
+  SELECT p50.event_type, p50.n,
+         {quantize_sql('p50.p50_est')} AS p50_est,
+         {quantize_sql('p95.p95_est')} AS p95_est,
+         {quantize_sql('ex.p50_exact')} AS p50_exact,
+         {quantize_sql('ex.p95_exact')} AS p95_exact
+  FROM p50 JOIN p95 USING (event_type) JOIN ex USING (event_type)
+)
+SELECT event_type, n, p50_est, p95_est, p50_exact, p95_exact,
+       {quantize_sql('abs(p50_est - p50_exact)')} AS abs_err_p50,
+       {quantize_sql('abs(p95_est - p95_exact)')} AS abs_err_p95
+FROM j
+"""
+
+
 # --- native session_window vs manual sessionization --------------------------
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE ``F.session_window`` (the streaming-capable session
@@ -1429,6 +1568,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_budget_select",
     "incremental_dedup",
     "semantic_dedup",
+    "histogram_quantile_rollup",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
@@ -1502,6 +1642,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_session_join": q_range_session_join,
     "kasa_offset_exact": q_kasa_offset_exact,
     "hll_distinct_rollup": q_hll_distinct_rollup,
+    "histogram_quantile_rollup": q_histogram_quantile_rollup,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
     **LLM_QUERIES,
@@ -1546,6 +1687,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
+    "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
     **LLM_ORACLES,
