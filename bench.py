@@ -243,11 +243,19 @@ def main() -> None:
             "n_regressed": len(vs_prev["regressed"]),
             "basis": vs_prev["basis"],
         }
+    # Fit the line into the driver's 2000-char tail window: past ~80
+    # queries the full per-query dict cannot fit at any precision, so
+    # keep medians for as many queries as fit IN REGISTRY ORDER (the
+    # driver-window queries come first — the same ones getting driver
+    # correctness rows this round) and say how many were dropped. The
+    # committed BENCH_LOCAL file always carries every median at full
+    # precision, and vs_prev prefers it next round.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:  # belt-and-braces: drop to 1-decimal before the
-        compact["queries"] = {  # driver's tail window can split the line
-            k: round(v, 1) for k, v in timings.items()
-        }
+    names = list(timings)
+    while len(line) > 1900 and names:
+        names.pop()
+        compact["queries"] = {k: round(timings[k], 2) for k in names}
+        compact["queries_omitted"] = len(timings) - len(names)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -83,7 +83,10 @@ def main() -> None:
 
     big_dir = blow_up_events(spark, factor)
 
-    from homelogging_spark.operators.dedup import minhash_near_dup_pairs
+    from homelogging_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_near_dup_pairs,
+    )
     from homelogging_spark.plans.flagship import hourly_cost_analysis
 
     results = []
@@ -115,10 +118,20 @@ def main() -> None:
             lambda dd=docs: minhash_near_dup_pairs(dd, threshold=0.7),
             doc_rows,
         )
+        # snapshot-incremental dedup: 25% of docs play the new snapshot
+        timed(
+            "incremental_dedup",
+            sf_dir,
+            lambda dd=docs: incremental_dedup(
+                dd.where(F.col("doc_id") % 4 == 0),
+                dd.where(F.col("doc_id") % 4 != 0),
+            ),
+            doc_rows,
+        )
 
     by = {(r["query"], r["dir"]): r for r in results}
     summary = {}
-    for q in ("flagship_hourly_cost", "minhash_near_dup"):
+    for q in ("flagship_hourly_cost", "minhash_near_dup", "incremental_dedup"):
         a = by[(q, os.path.basename(BASE_SF))]
         b = by[(q, os.path.basename(big_dir))]
         summary[q] = {
