@@ -174,3 +174,31 @@ class TestSemanticDedup:
         # cells: 1,2,4 share cell 0; 3 in cell 1
         assert rows[1].cell == rows[2].cell == rows[4].cell
         assert rows[3].cell != rows[1].cell
+
+
+class TestRepetitionFoldProperty:
+    def test_fold_matches_counter_on_random_docs(self, spark):
+        """The run-length fold over the sorted bigram array must equal
+        the straightforward Counter-max on arbitrary token streams —
+        a small repetitive vocabulary stresses long and tied runs."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(42)
+        vocab = ["a", "b", "c", "d", "aa", "bb"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r for r in textops.repetition_scores(df).collect()}
+        for i, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            n = len(toks)
+            bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            tris = [" ".join(toks[j : j + 3]) for j in range(max(0, n - 2))]
+            cover = 2.0 * max(Counter(bigs).values()) / n if n >= 2 else 0.0
+            dup = 1.0 - len(set(tris)) / (n - 2) if n >= 3 else 0.0
+            assert rows[i].top_bigram_cover == pytest.approx(cover), (i, text)
+            assert rows[i].dup_trigram_frac == pytest.approx(dup), (i, text)
+            assert rows[i].n_tokens == n
