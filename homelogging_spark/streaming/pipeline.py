@@ -97,3 +97,40 @@ def start_append_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_DDL = "doc_id long, text string"
+
+
+def streaming_snapshot_dedup(stream: DataFrame, old_digests: DataFrame) -> DataFrame:
+    """Stream-static join dedup: incoming docs (a crawl/snapshot stream)
+    checked against the STATIC retained-corpus digest table — the
+    streaming form of ``operators/dedup.incremental_dedup``'s exact
+    gate. Structured Streaming re-plans the static side each micro-batch
+    (so appends/compaction of the digest table are picked up), and the
+    stream side keeps NO state: a stateless per-batch hash join, no
+    watermark needed. At scale the digest table is the 16-byte-key
+    artifact ingest maintains; only digests are joined, never text
+    bodies.
+
+    ``old_digests``: one ``content_hash`` column (distinct md5 digests).
+    Returns the incoming docs annotated ``exact_dup`` / ``keep``."""
+    from pyspark.sql import functions as F
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col("text")))
+    hit = F.coalesce(F.col("_hit"), F.lit(False))
+    return (
+        hashed.join(
+            old_digests.select("content_hash").distinct().withColumn(
+                "_hit", F.lit(True)
+            ),
+            "content_hash",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "text",
+            hit.alias("exact_dup"),
+            (~hit).alias("keep"),
+        )
+    )

@@ -202,3 +202,67 @@ class TestRepetitionFoldProperty:
             assert rows[i].top_bigram_cover == pytest.approx(cover), (i, text)
             assert rows[i].dup_trigram_frac == pytest.approx(dup), (i, text)
             assert rows[i].n_tokens == n
+
+
+class TestStreamingSnapshotDedup:
+    def test_stream_drain_equals_batch_exact_gate(self, spark, tmp_path):
+        """Draining the stream-static dedup over a landing dir must flag
+        exactly the docs the batch incremental_dedup exact gate flags."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            streaming_snapshot_dedup,
+        )
+
+        old_rows = [(1, "kept corpus doc one"), (2, "kept corpus doc two")]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        old_digests = old.select(F.md5(F.col("text")).alias("content_hash"))
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        new_rows = [
+            {"doc_id": 10, "text": "kept corpus doc one"},   # dup
+            {"doc_id": 11, "text": "a genuinely new doc"},
+            {"doc_id": 12, "text": "kept corpus doc two"},   # dup
+            {"doc_id": 13, "text": "another new doc"},
+        ]
+        for i, r in enumerate(new_rows):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        stream = (
+            spark.readStream.format("json")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_snapshot_dedup(stream, old_digests)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+        assert set(got) == {10, 11, 12, 13}
+        assert got[10].exact_dup is True and got[10].keep is False
+        assert got[12].exact_dup is True and got[12].keep is False
+        assert got[11].keep is True and got[13].keep is True
+
+        # parity with the batch operator's exact gate on the same data
+        from homelogging_spark.operators import dedup
+
+        new_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in new_rows], "doc_id long, text string"
+        )
+        batch = {
+            r.doc_id: r.exact_dup
+            for r in dedup.incremental_dedup(new_df, old).collect()
+        }
+        assert batch == {k: v.exact_dup for k, v in got.items()}
