@@ -1054,6 +1054,88 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_grid_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward:
+    the reference's dashboards read per-hour series even when a poller
+    missed cycles (10 s cadence with retry/backoff, ``LoggerService.cs:
+    28-50`` — gaps are normal operation); LOCF over a generated grid is
+    the batch form of "the value on the dashboard between readings".
+
+    Plan shape: hourly last-reading per meter via a partially-aggregated
+    struct max (map-side combine, one shuffle), an hour grid generated
+    from the 1-row global bounds (broadcast — constant lookup, see the
+    BNLJ allowlist), explode per meter (map-side), left join the
+    observations, and ``last(value) IGNORE NULLS`` over a per-meter
+    window — shuffles once on meter, grid rows are meters × hours
+    (metadata-scale next to the readings)."""
+    events = load_table(spark, sf_dir, "events")
+    r = events.where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 10)
+    ).select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "ts", "value")
+    obs = r.groupBy("user_id", "h").agg(
+        F.max(F.struct(F.col("ts"), F.col("value"))).alias("m")
+    ).select("user_id", "h", F.col("m.value").alias("obs_value"))
+    bounds = r.agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = (
+        r.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("grid_h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(
+        obs,
+        (grid.user_id == obs.user_id) & (grid.grid_h == obs.h),
+        "left",
+    ).select(grid.user_id, "grid_h", "obs_value")
+    return joined.select(
+        "user_id",
+        "grid_h",
+        quantize("obs_value").alias("obs_value"),
+        quantize(F.last("obs_value", ignorenulls=True).over(w)).alias("locf_value"),
+        F.col("obs_value").isNull().alias("filled"),
+    )
+
+
+ORACLE_GRID_RESAMPLE_LOCF = f"""
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, value
+  FROM events WHERE event_type = 'click' AND user_id < 10
+),
+obs AS (
+  SELECT user_id, h, max({{'ts': ts, 'value': value}}) AS m FROM r GROUP BY 1, 2
+),
+o AS (SELECT user_id, h, m.value AS obs_value FROM obs),
+b AS (SELECT min(h) AS mn, max(h) AS mx FROM r),
+grid AS (
+  SELECT u.user_id, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS grid_h
+  FROM (SELECT DISTINCT user_id FROM r) u, b
+),
+j AS (
+  SELECT grid.user_id, grid.grid_h, o.obs_value
+  FROM grid LEFT JOIN o ON grid.user_id = o.user_id AND grid.grid_h = o.h
+)
+SELECT user_id, grid_h,
+       {quantize_sql('obs_value')} AS obs_value,
+       {quantize_sql('''last_value(obs_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY grid_h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS locf_value,
+       (obs_value IS NULL) AS filled
+FROM j
+"""
+
+
 def q_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row trailing 1-hour time-RANGE average of the click load —
     a true time-window frame (RANGE on epoch micros), not an N-row one."""
@@ -1569,6 +1651,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "incremental_dedup",
     "semantic_dedup",
     "histogram_quantile_rollup",
+    "grid_resample_locf",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
@@ -1643,6 +1726,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kasa_offset_exact": q_kasa_offset_exact,
     "hll_distinct_rollup": q_hll_distinct_rollup,
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
     **LLM_QUERIES,
@@ -1688,6 +1772,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
     "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
+    "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
     **LLM_ORACLES,

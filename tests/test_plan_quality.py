@@ -31,10 +31,13 @@ SF = "/root/testdata/sf0.001"
 # aggregate — a constant lookup.
 # semantic_dedup: the ivf_assign broadcast of K centroids against each
 # vector — the same designed cell-assignment shape as ann_ivf_topk.
+# grid_resample_locf: the 1-row global grid-bounds broadcast against the
+# distinct-meter frame — a constant lookup.
 BROADCAST_NESTED_LOOP_OK = {
     "embedding_topk",
     "ann_ivf_topk",
     "semantic_dedup",
+    "grid_resample_locf",
     "values_projection",
     "tfidf_top_terms",
     "pq_codes",
