@@ -158,6 +158,7 @@ def budget_select(
     weight_col: Column,
     budget: float,
     n_ranges: int = 32,
+    filter_to_budget: bool = True,
 ) -> DataFrame:
     """Greedy budget selection: rank rows by ``order_cols`` (best first,
     must be a TOTAL order — include a unique tiebreak) and keep rows
@@ -179,7 +180,9 @@ def budget_select(
 
     The only single-task step touches one row per partition, never the
     data. Output: input columns + ``cum_weight`` (running total
-    INCLUDING the row), filtered to ``cum_weight <= budget``."""
+    INCLUDING the row), filtered to ``cum_weight <= budget`` unless
+    ``filter_to_budget=False`` (callers that need the over-budget rows
+    too, e.g. to label WHY a row was dropped, filter themselves)."""
     from pyspark.sql import Window
 
     ranked = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
@@ -201,7 +204,8 @@ def budget_select(
     out = (
         with_pid.join(F.broadcast(offsets), "_pid")
         .withColumn("cum_weight", F.col("_offset") + F.sum(weight_col).over(w_in))
-        .where(F.col("cum_weight") <= F.lit(budget))
         .drop("_pid", "_offset")
     )
+    if filter_to_budget:
+        out = out.where(F.col("cum_weight") <= F.lit(budget))
     return out

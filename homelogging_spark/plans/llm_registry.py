@@ -690,6 +690,113 @@ FROM r
 """
 
 
+_BUILD_QUALITY_MIN = 0.3
+_BUILD_BUDGET = 6000.0
+
+
+def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build decision, every stage composed in one
+    plan — the user story the individual operators serve:
+
+    1. hygiene: Gopher repetition keep-flag AND quantized quality >=
+       ``_BUILD_QUALITY_MIN`` (``repetition_scores`` + ``quality_columns``);
+    2. dedup: among hygiene survivors, keep the highest-quality member
+       of each near-dup cluster (the memoized ``_shared_clusters``
+       assignment — ranked WITHIN survivors, so a cluster whose best
+       doc failed hygiene still keeps its best surviving one);
+    3. budget: rank survivors by quality and keep while the running
+       token total stays within ``_BUILD_BUDGET`` tokens (the distributed
+       prefix sum, unfiltered so dropped rows are labelable).
+
+    Every doc gets a verdict: ``kept`` or the FIRST stage that dropped
+    it (``hygiene`` / ``duplicate`` / ``budget``) plus its running
+    token total where defined — the audit trail a production corpus
+    build publishes alongside the corpus."""
+    from homelogging_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    rep = textops.repetition_scores(docs).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    qc = textops.quality_columns(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        quantize(qc["quality_score"]).alias("quality"),
+        qc["n_tokens"].alias("n_tokens"),
+    )
+    h = q.join(rep, "doc_id").withColumn(
+        "hyg_ok", F.col("rep_ok") & (F.col("quality") >= F.lit(_BUILD_QUALITY_MIN))
+    )
+    clusters = _shared_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    surv = h.where("hyg_ok").join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = surv.withColumn("rn", F.row_number().over(w))
+    winners = ranked.where(F.col("rn") == 1).select("doc_id", "quality", "n_tokens")
+    budgeted = sampling.budget_select(
+        winners,
+        [F.col("quality").desc(), F.col("doc_id")],
+        F.col("n_tokens").cast("double"),
+        budget=_BUILD_BUDGET,
+        filter_to_budget=False,
+    ).select("doc_id", "cum_weight")
+    out = (
+        h.join(ranked.select("doc_id", "rn"), "doc_id", "left")
+        .join(budgeted, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "n_tokens",
+            F.when(~F.col("hyg_ok"), F.lit("hygiene"))
+            .when(F.col("rn") > 1, F.lit("duplicate"))
+            .when(F.col("cum_weight") <= _BUILD_BUDGET, F.lit("kept"))
+            .otherwise(F.lit("budget"))
+            .alias("stage"),
+            quantize("cum_weight").alias("cum_tokens"),
+        )
+    )
+    return out
+
+
+ORACLE_CORPUS_BUILD_PIPELINE = f"""
+WITH RECURSIVE {_dedup_cluster_ctes()},
+rep AS (SELECT doc_id, keep AS rep_ok FROM ({textops.repetition_scores_sql()})),
+q AS (
+  SELECT doc_id,
+         {quantize_sql(_QC['quality_score'])} AS quality,
+         {_QC['n_tokens']} AS n_tokens
+  FROM documents
+),
+h AS (
+  SELECT q.doc_id, q.quality, q.n_tokens,
+         (rep.rep_ok AND q.quality >= {_BUILD_QUALITY_MIN}) AS hyg_ok
+  FROM q JOIN rep USING (doc_id)
+),
+ranked AS (
+  SELECT h.doc_id, h.quality, h.n_tokens, a.cluster_id,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY h.quality DESC, h.doc_id) AS rn
+  FROM h JOIN asg a USING (doc_id) WHERE h.hyg_ok
+),
+winners AS (SELECT doc_id, quality, n_tokens FROM ranked WHERE rn = 1),
+c AS (
+  SELECT doc_id, sum(CAST(n_tokens AS DOUBLE)) OVER (
+           ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM winners
+)
+SELECT h.doc_id, h.quality, h.n_tokens,
+       CASE WHEN NOT h.hyg_ok THEN 'hygiene'
+            WHEN ranked.rn > 1 THEN 'duplicate'
+            WHEN c.cum <= {_BUILD_BUDGET} THEN 'kept'
+            ELSE 'budget' END AS stage,
+       {quantize_sql('c.cum')} AS cum_tokens
+FROM h
+LEFT JOIN ranked USING (doc_id)
+LEFT JOIN c USING (doc_id)
+"""
+
+
 # --- similarity search -------------------------------------------------------
 
 def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1027,6 +1134,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
+    "corpus_build_pipeline": q_corpus_build_pipeline,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1056,6 +1164,7 @@ LLM_ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,

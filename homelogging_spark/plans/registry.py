@@ -1652,6 +1652,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "histogram_quantile_rollup",
     "grid_resample_locf",
+    "corpus_build_pipeline",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
