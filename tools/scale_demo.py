@@ -88,6 +88,7 @@ def main() -> None:
         minhash_near_dup_pairs,
     )
     from homelogging_spark.plans.flagship import hourly_cost_analysis
+    from homelogging_spark.plans.llm_registry import q_corpus_build_pipeline
 
     results = []
 
@@ -128,10 +129,24 @@ def main() -> None:
             ),
             doc_rows,
         )
+        # the end-to-end corpus build (hygiene -> cluster keep-best ->
+        # budget); needs documents.parquet in sf_dir layout, which both
+        # dirs have
+        timed(
+            "corpus_build_pipeline",
+            sf_dir,
+            lambda d=sf_dir: q_corpus_build_pipeline(spark, d),
+            doc_rows,
+        )
 
     by = {(r["query"], r["dir"]): r for r in results}
     summary = {}
-    for q in ("flagship_hourly_cost", "minhash_near_dup", "incremental_dedup"):
+    for q in (
+        "flagship_hourly_cost",
+        "minhash_near_dup",
+        "incremental_dedup",
+        "corpus_build_pipeline",
+    ):
         a = by[(q, os.path.basename(BASE_SF))]
         b = by[(q, os.path.basename(big_dir))]
         summary[q] = {
