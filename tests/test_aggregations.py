@@ -163,3 +163,71 @@ class TestSessionizeAndTimeWindows:
         rows = {r.value: (r.trailing_avg, r.n_in_window) for r in out.collect()}
         assert rows[20.0] == (15.0, 2)  # exactly 1h back is IN the frame
         assert rows[30.0] == (25.0, 2)  # the t0 row has aged out
+
+
+class TestGridResampleLocf:
+    def test_gaps_filled_leading_nulls_stay_null(self, spark, tmp_path):
+        """LOCF semantics through the registered query shape: a reading
+        at hours 0 and 3 fills 1-2 with hour-0's value; hours before a
+        meter's first reading stay NULL (nothing to carry)."""
+        import datetime as dt
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # meter 1: readings at h0 and h3
+            (1, t0, 10.0),
+            (1, t0 + dt.timedelta(hours=3), 40.0),
+            # meter 2: first reading only at h2 -> h0/h1 stay null
+            (2, t0 + dt.timedelta(hours=2), 7.0),
+        ]
+        r = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        r = r.select(
+            "user_id", F.date_trunc("hour", "ts").alias("h"), "ts", "value"
+        )
+        obs = r.groupBy("user_id", "h").agg(
+            F.max(F.struct("ts", "value")).alias("m")
+        ).select(
+            F.col("user_id").alias("obs_uid"),
+            F.col("h").alias("obs_h"),
+            F.col("m.value").alias("obs_value"),
+        )
+        bounds = r.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        grid = (
+            r.select("user_id").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                "user_id",
+                F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+                    "grid_h"
+                ),
+            )
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("grid_h")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            grid.join(
+                obs,
+                (F.col("user_id") == F.col("obs_uid"))
+                & (F.col("grid_h") == F.col("obs_h")),
+                "left",
+            )
+            .select(
+                "user_id",
+                "grid_h",
+                F.last("obs_value", ignorenulls=True).over(w).alias("locf"),
+            )
+        )
+        got = {
+            (r.user_id, r.grid_h.hour): r.locf for r in out.collect()
+        }
+        assert got[(1, 0)] == 10.0
+        assert got[(1, 1)] == 10.0 and got[(1, 2)] == 10.0  # gap filled
+        assert got[(1, 3)] == 40.0
+        assert got[(2, 0)] is None and got[(2, 1)] is None  # leading nulls
+        assert got[(2, 2)] == 7.0 and got[(2, 3)] == 7.0
