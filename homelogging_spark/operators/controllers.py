@@ -127,3 +127,64 @@ def pv_mode_decision(
         .when(median_power > F.lit(out_threshold), F.lit(0.0))
         .otherwise(F.coalesce(previous_mode, F.lit(0.0)))
     )
+
+
+def cusum_alarms(
+    df,
+    keys,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    target: float = 35.0,
+    slack: float = 5.0,
+    threshold: float = 50.0,
+):
+    """CUSUM change-point alarms (Page 1954) per meter: one-sided upper
+    and lower cumulative sums of deviations beyond a slack band,
+
+        s_hi = max(0, s_hi + (x - target - slack))
+        s_lo = max(0, s_lo + (target - slack - x))
+
+    alarm when either exceeds ``threshold``; both sums RESET after an
+    alarm (the standard restart, so repeated drift re-signals). The
+    reference's controllers gate on instantaneous latest values
+    (``EbusRunExtender``, ``switchboiler.sh``); CUSUM is the
+    drift-robust upgrade that catches slow failures those bands miss.
+
+    Sequential per-meter recurrence (max-clamp + reset makes it
+    nonlinear) → ``applyInPandas`` fold on an explicit
+    ``fold_partitioned`` exchange, same as ST2/ST4; state is two
+    doubles per meter, so the streaming form is
+    ``applyInPandasWithState`` exactly like the stateful rollover. All
+    arithmetic is max/+/- on doubles — bit-identical in the
+    recursive-CTE oracle, no rounding step needed."""
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+    from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+
+    up = target + slack
+    dn = target - slack
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cusum_hi", DoubleType(), True),
+            StructField("cusum_lo", DoubleType(), True),
+            StructField("alarm", BooleanType(), True),
+        ]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        hi = lo = 0.0
+        his, los, alarms = [], [], []
+        for x in pdf[value_col]:
+            s_hi = max(0.0, hi + (x - up))
+            s_lo = max(0.0, lo + (dn - x))
+            alarm = s_hi > threshold or s_lo > threshold
+            his.append(s_hi)
+            los.append(s_lo)
+            alarms.append(alarm)
+            hi, lo = (0.0, 0.0) if alarm else (s_hi, s_lo)
+        return pdf.assign(cusum_hi=his, cusum_lo=los, alarm=alarms)
+
+    from homelogging_spark.functions.shuffleutil import fold_partitioned
+
+    return fold_partitioned(df, keys).groupBy(*keys).applyInPandas(fold, out_schema)

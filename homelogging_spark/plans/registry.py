@@ -1245,6 +1245,80 @@ FROM rec
 """
 
 
+# --- CUSUM change-point alarms ------------------------------------------------
+
+_CUSUM_T, _CUSUM_S, _CUSUM_H = 35.0, 5.0, 50.0
+
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection the reference's instantaneous band checks miss:
+    per-meter CUSUM with restart-on-alarm (``controllers.cusum_alarms``)
+    over the view stream. Exact sequential fold, recursive-CTE oracle —
+    the max/+/- recurrence needs no rounding step, so both engines emit
+    identical doubles."""
+    from homelogging_spark.operators.controllers import cusum_alarms
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = cusum_alarms(
+        series, ["user_id"], target=_CUSUM_T, slack=_CUSUM_S, threshold=_CUSUM_H
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        quantize("value").alias("value"),
+        quantize("cusum_hi").alias("cusum_hi"),
+        quantize("cusum_lo").alias("cusum_lo"),
+        "alarm",
+    )
+
+
+def _cusum_oracle() -> str:
+    up = _CUSUM_T + _CUSUM_S
+    dn = _CUSUM_T - _CUSUM_S
+    h = _CUSUM_H
+    # flat recursive arm: the pre-reset sums, the alarm predicate, and the
+    # post-reset carried state each restate their subexpressions (DuckDB
+    # cannot reference same-SELECT aliases)
+    hi1 = f"greatest(0.0, value - {up})"
+    lo1 = f"greatest(0.0, {dn} - value)"
+    hi_n = f"greatest(0.0, rec.post_hi + (t.value - {up}))"
+    lo_n = f"greatest(0.0, rec.post_lo + ({dn} - t.value))"
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type = 'view'
+),
+rec AS (
+  SELECT user_id, ts, value, rn,
+         {hi1} AS s_hi, {lo1} AS s_lo,
+         ({hi1} > {h} OR {lo1} > {h}) AS alarm,
+         CASE WHEN {hi1} > {h} OR {lo1} > {h} THEN 0.0 ELSE {hi1} END AS post_hi,
+         CASE WHEN {hi1} > {h} OR {lo1} > {h} THEN 0.0 ELSE {lo1} END AS post_lo
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.ts, t.value, t.rn,
+         {hi_n}, {lo_n},
+         ({hi_n} > {h} OR {lo_n} > {h}),
+         CASE WHEN {hi_n} > {h} OR {lo_n} > {h} THEN 0.0 ELSE {hi_n} END,
+         CASE WHEN {hi_n} > {h} OR {lo_n} > {h} THEN 0.0 ELSE {lo_n} END
+  FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1
+)
+SELECT user_id, ts,
+       {quantize_sql('value')} AS value,
+       {quantize_sql('s_hi')} AS cusum_hi,
+       {quantize_sql('s_lo')} AS cusum_lo,
+       alarm
+FROM rec
+"""
+
+
+ORACLE_CUSUM_ALARMS = _cusum_oracle()
+
+
 # --- §2.4 parity-plus: deterministic-HLL distinct rollup ----------------------
 
 _HLL_M = 64          # 6 bucket bits
@@ -1350,6 +1424,41 @@ SELECT e.event_type, x.n_exact, e.n_buckets,
        {quantize_sql('e.hll_raw')} AS hll_est,
        {quantize_sql('abs(e.hll_raw - x.n_exact) / x.n_exact')} AS rel_err
 FROM est e JOIN exact x ON e.event_type = x.event_type
+"""
+
+
+# --- calendar load profile ----------------------------------------------------
+def q_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic dashboard heat-map: average load per (weekday, hour,
+    series) — the reference's RandomQueries-style exploration reads
+    (hourly buckets, ``RandomQueries/Program.cs:71-75``) folded over the
+    calendar. Weekday is ISO Monday=0 on both engines (Spark ``weekday``
+    vs DuckDB ``isodow - 1``). One partial-aggregated shuffle on a
+    bounded key space (7 × 24 × series) — the output is constant-size
+    regardless of input scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.weekday("ts").cast("bigint").alias("weekday"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            quantize(F.avg("value")).alias("avg_value"),
+            quantize(F.max("value")).alias("peak_value"),
+        )
+    )
+
+
+ORACLE_LOAD_PROFILE = f"""
+SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {quantize_sql('avg(value)')} AS avg_value,
+       {quantize_sql('max(value)')} AS peak_value
+FROM events GROUP BY 1, 2, 3
 """
 
 
@@ -1653,6 +1762,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "histogram_quantile_rollup",
     "grid_resample_locf",
     "corpus_build_pipeline",
+    "load_profile",
+    "cusum_alarms",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
@@ -1727,6 +1838,8 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kasa_offset_exact": q_kasa_offset_exact,
     "hll_distinct_rollup": q_hll_distinct_rollup,
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "load_profile": q_load_profile,
+    "cusum_alarms": q_cusum_alarms,
     "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
@@ -1773,6 +1886,8 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
     "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
+    "load_profile": ORACLE_LOAD_PROFILE,
+    "cusum_alarms": ORACLE_CUSUM_ALARMS,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,

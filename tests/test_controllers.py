@@ -123,3 +123,46 @@ class TestPvMode:
         df = spark.createDataFrame([(median, prev)], "m double, p double")
         got = df.select(pv_mode_decision(F.col("m"), F.col("p")).alias("d")).first().d
         assert got == pytest.approx(expected)
+
+
+class TestCusumAlarms:
+    def test_drift_alarms_and_restarts(self, spark):
+        """Slow upward drift must alarm where an instantaneous band check
+        would not, and the sums must restart after each alarm."""
+        import datetime as dt
+
+        from homelogging_spark.operators.controllers import cusum_alarms
+
+        t0 = dt.datetime(2024, 1, 1)
+        # target=35, slack=5 -> accumulate (x-40); x=45 adds 5/step:
+        # alarm (s_hi > 20) fires on the 5th step (s_hi=25), then restarts
+        rows = [
+            ("m1", t0 + dt.timedelta(minutes=i), 45.0) for i in range(10)
+        ] + [
+            # m2 stays inside the band -> never alarms
+            ("m2", t0 + dt.timedelta(minutes=i), 36.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+        out = cusum_alarms(df, ["user_id"], target=35.0, slack=5.0, threshold=20.0)
+        m1 = [r for r in out.where("user_id = 'm1'").orderBy("ts").collect()]
+        assert [r.cusum_hi for r in m1[:5]] == [5.0, 10.0, 15.0, 20.0, 25.0]
+        assert [r.alarm for r in m1[:5]] == [False, False, False, False, True]
+        # restart: the 6th step begins from zero again
+        assert m1[5].cusum_hi == 5.0 and m1[5].alarm is False
+        m2 = out.where("user_id = 'm2'").collect()
+        assert all(not r.alarm for r in m2)
+        assert all(r.cusum_hi == 0.0 and r.cusum_lo == 0.0 for r in m2)
+
+    def test_downward_drift_uses_lower_sum(self, spark):
+        import datetime as dt
+
+        from homelogging_spark.operators.controllers import cusum_alarms
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("m", t0 + dt.timedelta(minutes=i), 20.0) for i in range(4)]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+        out = cusum_alarms(df, ["user_id"], target=35.0, slack=5.0, threshold=25.0)
+        got = [r for r in out.orderBy("ts").collect()]
+        # 30 - 20 = 10/step on the lower sum
+        assert [r.cusum_lo for r in got] == [10.0, 20.0, 30.0, 10.0]
+        assert [r.alarm for r in got] == [False, False, True, False]
