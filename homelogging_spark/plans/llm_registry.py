@@ -1106,6 +1106,36 @@ SELECT id_a, id_b, {quantize_sql('cos')} AS cosine FROM s WHERE cos > 0.4
 ORACLE_EMBEDDING_NEAR_DUP = _embedding_near_dup_oracle()
 
 
+# --- chunking / exact duplicated passages ------------------------------------
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with stride — corpus → training examples
+    (``operators/chunking.chunk_documents``). Map-side only: sequence →
+    posexplode → slice, zero shuffles."""
+    from homelogging_spark.operators import chunking
+
+    return chunking.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span statistics (Lee et al. 2022 exact-substring
+    dedup, positional k-shingle form) — the verbatim-passage complement
+    to MinHash whole-doc near-dup
+    (``operators/chunking.duplicated_passages``)."""
+    from homelogging_spark.operators import chunking
+
+    return chunking.duplicated_passages(_docs(spark, sf_dir))
+
+
+def _chunking_oracles() -> tuple[str, str]:
+    from homelogging_spark.operators import chunking
+
+    return chunking.chunk_documents_sql(), chunking.duplicated_passages_sql()
+
+
+ORACLE_DOC_CHUNKS, ORACLE_PASSAGE_DEDUP = _chunking_oracles()
+
+
 # --- multimodal --------------------------------------------------------------
 
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1180,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "pq_codes": q_pq_codes,
     "embedding_near_dup": q_embedding_near_dup,
+    "doc_chunks": q_doc_chunks,
+    "passage_dedup": q_passage_dedup,
     "multimodal_byte_stats": q_multimodal_byte_stats,
 }
 
@@ -1180,5 +1212,7 @@ LLM_ORACLES: dict[str, str] = {
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "pq_codes": ORACLE_PQ_CODES,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
 }

@@ -1764,6 +1764,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_build_pipeline",
     "load_profile",
     "cusum_alarms",
+    "doc_chunks",
+    "passage_dedup",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)
