@@ -244,3 +244,63 @@ def salted_agg(
         F.sum("__n").cast("bigint").alias("n"),
         (F.sum("__sum") / F.sum("__n")).alias("avg_value"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+
+        s_1 = x_1;   s_t = alpha * x_t + (1 - alpha) * s_{t-1}
+
+    plus the residual ``x_t - s_{t-1}`` (deviation from the forecast) —
+    the classic smoothing/denoising pass the reference's dashboards
+    apply client-side and the band controllers (ST6/ST7) would consume
+    server-side at scale.
+
+    The recurrence is linear, but expressing it with window sums needs
+    ``(1-alpha)^(t-i)`` factors whose closed form overflows/underflows
+    for long series, so like ST2/ST4 it runs as a per-key
+    ``applyInPandas`` fold on an explicit ``fold_partitioned`` exchange.
+    State is one double per key — the streaming form is
+    ``applyInPandasWithState`` exactly like the stateful rollover.
+    ``alpha`` defaults to a dyadic fraction (0.25) so ``alpha`` and
+    ``1 - alpha`` are exact binary values; the fold evaluates
+    ``alpha*x + (1-alpha)*s`` with the same two multiplies and one add
+    as the recursive-CTE oracle, keeping the doubles bit-identical.
+
+    Scale: one shuffle on the keys; the fold is O(rows-per-key) with
+    constant memory; skewed meters are bounded by per-meter row counts
+    (time-partitioned upstream at 100 TB)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from homelogging_spark.functions.shuffleutil import fold_partitioned
+
+    beta = 1.0 - alpha
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("ewma", DoubleType(), True),
+            StructField("resid", DoubleType(), True),
+        ]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        s = None
+        smoothed, resids = [], []
+        for x in pdf[value_col]:
+            if s is None:
+                s, r = x, 0.0
+            else:
+                r = x - s
+                s = alpha * x + beta * s
+            smoothed.append(s)
+            resids.append(r)
+        return pdf.assign(ewma=smoothed, resid=resids)
+
+    return fold_partitioned(df, keys).groupBy(*keys).applyInPandas(fold, out_schema)

@@ -1319,6 +1319,56 @@ FROM rec
 ORACLE_CUSUM_ALARMS = _cusum_oracle()
 
 
+# --- EWMA smoothing -----------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # dyadic: alpha and 1-alpha are exact binary doubles
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-meter exponential smoothing + one-step-ahead residual
+    (``aggregations.ewma_smooth``) — the denoising pass the reference's
+    dashboards do client-side, run server-side. Sequential linear
+    recurrence → per-key fold, recursive-CTE oracle; alpha is dyadic so
+    both engines emit identical doubles."""
+    from homelogging_spark.operators.aggregations import ewma_smooth
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = ewma_smooth(series, ["user_id"], alpha=_EWMA_ALPHA)
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        quantize("ewma").alias("ewma"),
+        quantize("resid").alias("resid"),
+    )
+
+
+ORACLE_EWMA_SMOOTH = f"""
+WITH RECURSIVE t AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+rec AS (
+  SELECT user_id, ts, value, rn,
+         value + 0.0 AS s, CAST(0.0 AS DOUBLE) AS resid
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.ts, t.value, t.rn,
+         {_EWMA_ALPHA} * t.value + {1.0 - _EWMA_ALPHA} * rec.s,
+         t.value - rec.s
+  FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1
+)
+SELECT user_id, ts, value,
+       {quantize_sql('s')} AS ewma,
+       {quantize_sql('resid')} AS resid
+FROM rec
+"""
+
+
 # --- §2.4 parity-plus: deterministic-HLL distinct rollup ----------------------
 
 _HLL_M = 64          # 6 bucket bits
@@ -1764,6 +1814,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_build_pipeline",
     "load_profile",
     "cusum_alarms",
+    "ewma_smooth",
     "doc_chunks",
     "passage_dedup",
     "tfidf_top_terms",
@@ -1842,6 +1893,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantile_rollup": q_histogram_quantile_rollup,
     "load_profile": q_load_profile,
     "cusum_alarms": q_cusum_alarms,
+    "ewma_smooth": q_ewma_smooth,
     "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
@@ -1890,6 +1942,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
     "load_profile": ORACLE_LOAD_PROFILE,
     "cusum_alarms": ORACLE_CUSUM_ALARMS,
+    "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,

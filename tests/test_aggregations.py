@@ -231,3 +231,38 @@ class TestGridResampleLocf:
         assert got[(1, 3)] == 40.0
         assert got[(2, 0)] is None and got[(2, 1)] is None  # leading nulls
         assert got[(2, 2)] == 7.0 and got[(2, 3)] == 7.0
+
+
+class TestEwmaSmooth:
+    def test_recurrence_and_residuals(self, spark):
+        from datetime import datetime
+
+        from homelogging_spark.operators.aggregations import ewma_smooth
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 0, m), v)
+            for m, v in enumerate([10.0, 20.0, 20.0, 0.0])
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = sorted(
+            ewma_smooth(df, ["user_id"], alpha=0.25).collect(), key=lambda r: r.ts
+        )
+        # s1=10; s2=.25*20+.75*10=12.5; s3=.25*20+.75*12.5=14.375; s4=.75*14.375
+        assert [r.ewma for r in out] == [10.0, 12.5, 14.375, 10.78125]
+        assert [r.resid for r in out] == [0.0, 10.0, 7.5, -14.375]
+
+    def test_keys_do_not_mix(self, spark):
+        from datetime import datetime
+
+        from homelogging_spark.operators.aggregations import ewma_smooth
+
+        rows = [
+            (1, datetime(2024, 1, 1), 100.0),
+            (2, datetime(2024, 1, 1), 0.0),
+            (1, datetime(2024, 1, 2), 100.0),
+            (2, datetime(2024, 1, 2), 0.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        out = {(r.user_id, r.ts.day): r.ewma for r in ewma_smooth(
+            df, ["user_id"]).collect()}
+        assert out[(1, 2)] == 100.0 and out[(2, 2)] == 0.0
