@@ -1369,6 +1369,165 @@ FROM rec
 """
 
 
+# --- table profile (data-quality audit) ---------------------------------------
+
+_PROFILE_COLS: tuple[str, ...] = (
+    "event_id", "ts", "user_id", "event_type", "value", "props",
+)
+_PROFILE_NUMERIC: frozenset[str] = frozenset({"event_id", "user_id", "value"})
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan data-quality profile of the fact table: per column the
+    row count, null count, exact distinct count, and numeric min/max
+    (timestamps as epoch seconds; plain strings report NULL bounds).
+    The audit every ingest pipeline runs before trusting a new drop.
+
+    One scan: all per-column aggregates land in ONE ``agg`` (the exact
+    multi-column distincts plan as a single Expand — a deliberate
+    exact-mode cost; at 100 TB swap ``count_distinct`` for
+    ``approx_count_distinct`` and the Expand disappears), then the one
+    result row is unpivoted driver-free via ``inline``. Output is
+    6 rows — metadata-sized regardless of input scale."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        num = (
+            F.col(c).cast("double")
+            if (c in _PROFILE_NUMERIC or c == "ts")
+            else F.lit(None).cast("double")
+        )
+        aggs += [
+            F.count(c).cast("bigint").alias(f"_c_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"_d_{c}"),
+            quantize(F.min(num)).alias(f"_min_{c}"),
+            quantize(F.max(num)).alias(f"_max_{c}"),
+        ]
+    row = events.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"_c_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"_d_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_num"),
+            F.col(f"_max_{c}").alias("max_num"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.inline(F.array(*structs)))
+
+
+def _table_profile_oracle() -> str:
+    aggs, arms = [], []
+    for c in _PROFILE_COLS:
+        num = f"epoch({c})" if c == "ts" else (
+            f"CAST({c} AS DOUBLE)" if c in _PROFILE_NUMERIC else "CAST(NULL AS DOUBLE)"
+        )
+        aggs += [
+            f"count({c}) AS c_{c}",
+            f"count(DISTINCT {c}) AS d_{c}",
+            f"{quantize_sql(f'min({num})')} AS min_{c}",
+            f"{quantize_sql(f'max({num})')} AS max_{c}",
+        ]
+        arms.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, n - c_{c} AS n_null,\n"
+            f"       d_{c} AS n_distinct, min_{c} AS min_num, max_{c} AS max_num\n"
+            f"FROM a"
+        )
+    agg_sql = ",\n    ".join(aggs)
+    return (
+        f"WITH a AS (\n  SELECT count(*) AS n,\n    {agg_sql}\n  FROM events\n)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+ORACLE_TABLE_PROFILE = _table_profile_oracle()
+
+
+# --- rolling correlation of two series ----------------------------------------
+
+_CORR_A, _CORR_B = "view", "click"
+_CORR_WINDOW = 24
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour Pearson correlation between two series (here the
+    'view' and 'click' hourly means) — the cross-meter diagnostic a
+    HomeLogging user eyeballs across dashboard panes (PV power vs
+    export, flow vs return temperature), computed server-side.
+
+    Both hourly means land in ONE conditional aggregation (single scan),
+    are quantized so both engines window over bit-identical inputs, and
+    the correlation is assembled from manually-summed components
+    (n·Σxy − ΣxΣy over √ of the variance products) so the formula is
+    the same op sequence in Spark and DuckDB — never the engines'
+    built-in ``corr`` whose internal update order is unspecified.
+
+    Scale: the window input is one row per calendar hour — bounded by
+    time, not data volume, so the unpartitioned ordered window is
+    metadata-sized; the heavy lifting is the partial-aggregated hourly
+    rollup (one shuffle on the hour bucket)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.where(F.col("event_type").isin(_CORR_A, _CORR_B))
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            quantize(
+                F.avg(F.when(F.col("event_type") == _CORR_A, F.col("value")))
+            ).alias("x"),
+            quantize(
+                F.avg(F.when(F.col("event_type") == _CORR_B, F.col("value")))
+            ).alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    w = Window.orderBy("bucket").rowsBetween(-(_CORR_WINDOW - 1), 0)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        hourly.select(
+            "bucket",
+            n.cast("bigint").alias("n_window"),
+            quantize(F.when(den > 0, num / den)).alias("corr_24h"),
+        )
+        .where(F.col("n_window") == _CORR_WINDOW)
+    )
+
+
+ORACLE_ROLLING_CORR = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         {quantize_sql(f"avg(CASE WHEN event_type = '{_CORR_A}' THEN value END)")} AS x,
+         {quantize_sql(f"avg(CASE WHEN event_type = '{_CORR_B}' THEN value END)")} AS y
+  FROM events
+  WHERE event_type IN ('{_CORR_A}', '{_CORR_B}')
+  GROUP BY 1
+  HAVING x IS NOT NULL AND y IS NOT NULL
+), wnd AS (
+  SELECT bucket,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM h
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN {_CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, CAST(n AS BIGINT) AS n_window,
+       {quantize_sql(
+           'CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 '
+           'THEN (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) '
+           'END'
+       )} AS corr_24h
+FROM wnd WHERE CAST(n AS BIGINT) = {_CORR_WINDOW}
+"""
+
+
 # --- §2.4 parity-plus: deterministic-HLL distinct rollup ----------------------
 
 _HLL_M = 64          # 6 bucket bits
@@ -1815,6 +1974,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "load_profile",
     "cusum_alarms",
     "ewma_smooth",
+    "table_profile",
+    "rolling_corr",
     "doc_chunks",
     "passage_dedup",
     "tfidf_top_terms",
@@ -1894,6 +2055,8 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "load_profile": q_load_profile,
     "cusum_alarms": q_cusum_alarms,
     "ewma_smooth": q_ewma_smooth,
+    "table_profile": q_table_profile,
+    "rolling_corr": q_rolling_corr,
     "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
@@ -1943,6 +2106,8 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "load_profile": ORACLE_LOAD_PROFILE,
     "cusum_alarms": ORACLE_CUSUM_ALARMS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
+    "table_profile": ORACLE_TABLE_PROFILE,
+    "rolling_corr": ORACLE_ROLLING_CORR,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,

@@ -266,3 +266,30 @@ class TestEwmaSmooth:
         out = {(r.user_id, r.ts.day): r.ewma for r in ewma_smooth(
             df, ["user_id"]).collect()}
         assert out[(1, 2)] == 100.0 and out[(2, 2)] == 0.0
+
+
+class TestProfileAndRollingCorr:
+    SF = "/root/testdata/sf0.001"
+
+    def test_table_profile_shape_and_invariants(self, spark):
+        from homelogging_spark.plans.registry import q_table_profile
+
+        rows = {r.col_name: r for r in q_table_profile(spark, self.SF).collect()}
+        assert set(rows) == {
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        }
+        for r in rows.values():
+            assert r.n_null >= 0 and r.n_distinct <= r.n_rows
+        assert rows["event_type"].min_num is None  # plain string: no bounds
+        assert rows["event_id"].n_distinct == rows["event_id"].n_rows  # pk
+        assert rows["ts"].min_num <= rows["ts"].max_num
+
+    def test_rolling_corr_bounded_and_full_windows_only(self, spark):
+        from homelogging_spark.plans.registry import q_rolling_corr
+
+        rows = q_rolling_corr(spark, self.SF).collect()
+        assert rows, "expected at least one full 24h window"
+        for r in rows:
+            assert r.n_window == 24
+            if r.corr_24h is not None:
+                assert -1.0 - 1e-9 <= r.corr_24h <= 1.0 + 1e-9
