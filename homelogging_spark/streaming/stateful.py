@@ -65,3 +65,57 @@ def streaming_counter_rollover(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_DDL = (
+    "meter_id string, ts timestamp, value double, ewma double, resid double"
+)
+EWMA_STATE_DDL = "s double"
+
+
+def make_ewma_apply(alpha: float = 0.25):
+    """Build the per-meter EWMA state update for ``alpha``.
+
+    Streaming form of ``operators/aggregations.ewma_smooth``: the single
+    smoothed value ``s`` survives micro-batches in the state store, and
+    every row emits (ewma, resid) with the identical
+    ``alpha*x + (1-alpha)*s`` double arithmetic as the batch fold — so
+    draining the stream over a fixture equals the batch operator bit
+    for bit (pinned by test_streaming_stateful.py)."""
+    beta = 1.0 - alpha
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (None,)
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            smoothed, resids = [], []
+            for x in pdf["value"]:
+                if s is None:
+                    s, r = x, 0.0
+                else:
+                    r = x - s
+                    s = alpha * x + beta * s
+                smoothed.append(s)
+                resids.append(r)
+            yield pdf.assign(ewma=smoothed, resid=resids)[
+                ["meter_id", "ts", "value", "ewma", "resid"]
+            ]
+        state.update((s,))
+
+    return _apply
+
+
+def streaming_ewma(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """EWMA smoothing over a streaming frame with columns
+    (meter_id, ts, value); state is ONE double per meter."""
+    return stream.groupBy("meter_id").applyInPandasWithState(
+        make_ewma_apply(alpha),
+        outputStructType=EWMA_OUTPUT_DDL,
+        stateStructType=EWMA_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -137,3 +137,60 @@ class TestStreamingCounterRollover:
         }
         assert len(streamed) == 160
         assert streamed == batched
+
+
+class TestStreamingEwma:
+    def test_stream_drain_equals_batch_ewma(self, spark, tmp_path):
+        """Streaming EWMA drained over a fixture must equal the batch
+        fold exactly — identical alpha*x + (1-alpha)*s double sequence,
+        with the smoothed state crossing micro-batch boundaries."""
+        from homelogging_spark.operators.aggregations import ewma_smooth
+        from homelogging_spark.streaming.stateful import streaming_ewma
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        per_file = {i: [] for i in range(4)}
+        for m in range(3):
+            for t in range(40):
+                v = ((t * 13 + m * 5) % 97) / 7.0
+                per_file[t // 10].append(
+                    {
+                        "meter_id": f"m{m}",
+                        "ts": f"2024-04-01T00:{t:02d}:00Z",
+                        "value": v,
+                    }
+                )
+        for i, rows in per_file.items():
+            p = src / f"{i}.json"
+            p.write_text("\n".join(json.dumps(r) for r in rows))
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        schema = "meter_id string, ts timestamp, value double"
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_ewma(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.meter_id, r.ts): (r.ewma, r.resid)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+
+        batch_in = spark.read.format("json").schema(schema).load(str(src))
+        batched = {
+            (r.meter_id, r.ts): (r.ewma, r.resid)
+            for r in ewma_smooth(batch_in, ["meter_id"], "value", "ts").collect()
+        }
+        assert len(streamed) == 120
+        assert streamed == batched
