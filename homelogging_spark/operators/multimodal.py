@@ -139,3 +139,60 @@ def decode_image(
     return df.select(F.col(id_col), "payload").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
     )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_off bigint, frame_md5 string"
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    rate: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stage: from each binary payload take every
+    ``rate``-th full ``frame_bytes``-sized frame and emit its index,
+    byte offset, and content md5 — the video-keyframe / audio-window
+    sampling shape (ffmpeg would replace the byte slicing; the Spark
+    plumbing — mapInPandas fan-out of multiple rows per payload, Arrow
+    batches, stable frame ids for downstream frame-level dedup — is
+    unchanged). Payloads shorter than one frame emit nothing.
+
+    The md5 gives frames stable content ids so the frame table joins
+    into the exact-dedup tier (``doc_chunks`` is the text analogue).
+    Per-payload slicing is a Python loop over the Arrow batch — frames
+    per payload are few and real decoders are per-payload calls anyway;
+    the batch boundary is where vectorization matters and is preserved.
+
+    Scale: map-side only (no shuffle); output rows ≈ payload_bytes /
+    (frame_bytes · rate), written partition-parallel.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, offs, md5s = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(b) // frame_bytes
+                for k in range(0, n_frames, rate):
+                    off = k * frame_bytes
+                    ids.append(i)
+                    idxs.append(k)
+                    offs.append(off)
+                    md5s.append(hashlib.md5(b[off : off + frame_bytes]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_off": pd.Series(offs, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        extract, FRAME_SAMPLE_SCHEMA
+    )

@@ -1153,6 +1153,33 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd 64-byte frame of each payload with stable content md5
+    (``multimodal.frame_sample``) — the video/audio frame-sampling
+    plumbing over the binary column. The oracle slices the text
+    CHARACTER-wise, which equals the byte frames because the fixture
+    corpus is pure ASCII (asserted by ``multimodal_byte_stats``'s
+    octet_length == length agreement); real media swaps the slicer for
+    a decoder, not the plan."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.frame_sample(multimodal.with_payload(docs))
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, unnest(generate_series(0, n // 64 - 1, 2)) AS k
+  FROM t WHERE n >= 64
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(k * 64 AS BIGINT) AS frame_off,
+       md5(substring(text, k * 64 + 1, 64)) AS frame_md5
+FROM f
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -1183,6 +1210,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "passage_dedup": q_passage_dedup,
     "multimodal_byte_stats": q_multimodal_byte_stats,
+    "frame_sample": q_frame_sample,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1215,4 +1243,5 @@ LLM_ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
 }

@@ -1978,6 +1978,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "rolling_corr",
     "doc_chunks",
     "passage_dedup",
+    "frame_sample",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)

@@ -328,3 +328,24 @@ class TestKmeansLite:
             by_cluster.setdefault(r.centroid_id, set()).add(r.vec_id)
         assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
         assert set(range(20)) in by_cluster.values()
+
+
+class TestFrameSample:
+    def test_frames_and_sampling_rate(self, spark):
+        import hashlib
+
+        from homelogging_spark.operators import multimodal
+
+        # 300 ASCII bytes -> 4 full 64-byte frames (idx 0..3), rate=2
+        # samples frames 0 and 2; 40-byte doc emits nothing
+        text = "".join(chr(65 + (i % 26)) for i in range(300))
+        docs = spark.createDataFrame(
+            [(1, text), (2, "x" * 40)], "doc_id long, text string"
+        )
+        out = multimodal.frame_sample(multimodal.with_payload(docs))
+        rows = sorted(out.collect(), key=lambda r: r.frame_idx)
+        assert [(r.doc_id, r.frame_idx, r.frame_off) for r in rows] == [
+            (1, 0, 0), (1, 2, 128),
+        ]
+        payload = text.encode()
+        assert rows[1].frame_md5 == hashlib.md5(payload[128:192]).hexdigest()
