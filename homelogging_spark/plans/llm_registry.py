@@ -1180,6 +1180,59 @@ FROM f
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-curriculum ordering: quality quintile
+    stages (high-quality first), then a round-robin interleave across
+    sources inside each stage so no stage front-loads one domain —
+    every rank derives from the QUANTIZED quality score with doc_id
+    tiebreaks, so both engines order from bit-identical keys (the
+    ``dedup_keep_best`` rule).
+
+    Scale note: the global position is an audit column; at 100 TB the
+    order ships as the composite sort key (stage, pos_in_source,
+    source) via ``repartitionByRange`` + per-partition offsets (the
+    ``budget_select`` two-pass prefix-sum shape) rather than a global
+    row_number window."""
+    docs = _docs(spark, sf_dir)
+    q = quantize(textops.quality_columns(F.col("text"))["quality_score"])
+    base = docs.select("doc_id", "source", q.alias("quality"))
+    w_stage = Window.orderBy(F.col("quality").desc(), "doc_id")
+    staged = base.withColumn("stage", F.ntile(5).over(w_stage).cast("bigint"))
+    w_src = Window.partitionBy("stage", "source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    pos = staged.withColumn(
+        "pos_in_source", F.row_number().over(w_src).cast("bigint")
+    )
+    w_glob = Window.orderBy("stage", "pos_in_source", "source", "doc_id")
+    return pos.withColumn(
+        "global_pos", F.row_number().over(w_glob).cast("bigint")
+    ).select("doc_id", "source", "stage", "pos_in_source", "global_pos", "quality")
+
+
+ORACLE_CURRICULUM_ORDER = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         {quantize_sql(_QC['quality_score'])} AS quality
+  FROM documents
+), staged AS (
+  SELECT *, CAST(ntile(5) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS stage
+  FROM base
+), pos AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY stage, source ORDER BY quality DESC, doc_id
+         ) AS BIGINT) AS pos_in_source
+  FROM staged
+)
+SELECT doc_id, source, stage, pos_in_source,
+       CAST(row_number() OVER (
+         ORDER BY stage, pos_in_source, source, doc_id
+       ) AS BIGINT) AS global_pos,
+       quality
+FROM pos
+"""
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -1211,6 +1264,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dedup": q_passage_dedup,
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "frame_sample": q_frame_sample,
+    "curriculum_order": q_curriculum_order,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1244,4 +1298,5 @@ LLM_ORACLES: dict[str, str] = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
     "frame_sample": ORACLE_FRAME_SAMPLE,
+    "curriculum_order": ORACLE_CURRICULUM_ORDER,
 }

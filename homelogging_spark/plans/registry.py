@@ -1979,6 +1979,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "passage_dedup",
     "frame_sample",
+    "curriculum_order",
     "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (complex/stateful operators first)

@@ -349,3 +349,29 @@ class TestFrameSample:
         ]
         payload = text.encode()
         assert rows[1].frame_md5 == hashlib.md5(payload[128:192]).hexdigest()
+
+
+class TestCurriculumOrder:
+    def test_ordering_invariants(self, spark):
+        from homelogging_spark.plans.llm_registry import q_curriculum_order
+
+        rows = q_curriculum_order(spark, "/root/testdata/sf0.001").collect()
+        n = len(rows)
+        assert n > 0
+        # global_pos is a permutation of 1..N
+        assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+        ordered = sorted(rows, key=lambda r: r.global_pos)
+        # stages are contiguous and non-decreasing in the global order
+        assert [r.stage for r in ordered] == sorted(r.stage for r in ordered)
+        # within (stage, source) the interleave preserves quality rank
+        from collections import defaultdict
+
+        last = defaultdict(int)
+        for r in ordered:
+            assert r.pos_in_source == last[(r.stage, r.source)] + 1
+            last[(r.stage, r.source)] += 1
+        # ntile balance: stage sizes differ by at most 1
+        sizes = defaultdict(int)
+        for r in rows:
+            sizes[r.stage] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1

@@ -138,6 +138,25 @@ def main() -> None:
             lambda d=sf_dir: q_corpus_build_pipeline(spark, d),
             doc_rows,
         )
+        # exact duplicated-passage stats: stride-1 positional shingles,
+        # one shuffle on the gram hash — the volume-heaviest text op
+        from homelogging_spark.operators.chunking import (
+            chunk_documents,
+            duplicated_passages,
+        )
+
+        timed(
+            "passage_dedup",
+            sf_dir,
+            lambda dd=docs: duplicated_passages(dd),
+            doc_rows,
+        )
+        timed(
+            "doc_chunks",
+            sf_dir,
+            lambda dd=docs: chunk_documents(dd),
+            doc_rows,
+        )
 
     by = {(r["query"], r["dir"]): r for r in results}
     summary = {}
@@ -146,6 +165,8 @@ def main() -> None:
         "minhash_near_dup",
         "incremental_dedup",
         "corpus_build_pipeline",
+        "passage_dedup",
+        "doc_chunks",
     ):
         a = by[(q, os.path.basename(BASE_SF))]
         b = by[(q, os.path.basename(big_dir))]
