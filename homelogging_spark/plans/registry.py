@@ -1915,6 +1915,203 @@ FROM j GROUP BY 1, 3, 4
 """
 
 
+# --- CDC snapshot diff --------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two dimension snapshots — the merge
+    audit every warehouse runs when a dim table re-lands (the
+    reference's document upserts, K2, seen from the outside). Both
+    snapshots are synthesized DETERMINISTICALLY from the customer table
+    (the pii_scrub pattern — both engines build identical inputs):
+    'old' drops every 10th key and keeps original balances; 'new' has
+    every 7th key's balance shifted. Full outer join on the key emits
+    added / removed / changed / unchanged per row.
+
+    Scale: one co-keyed shuffle join of two snapshots; at 100 TB the
+    snapshots are bucketed on the key so the diff is exchange-free
+    (the `TestBucketedJoin` plan shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.where(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", F.col("c_acctbal").alias("old_bal")
+    )
+    new = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    j = old.join(new, "c_custkey", "full_outer")
+    change = (
+        F.when(F.col("old_bal").isNull(), F.lit("added"))
+        .when(F.col("new_bal").isNull(), F.lit("removed"))
+        .when(F.col("old_bal") != F.col("new_bal"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "c_custkey",
+        quantize("old_bal").alias("old_bal"),
+        quantize("new_bal").alias("new_bal"),
+        change.alias("change_type"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH old AS (
+  SELECT c_custkey, c_acctbal AS old_bal FROM customer WHERE c_custkey % 10 != 0
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS new_bal
+  FROM customer
+)
+SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+       {quantize_sql('old_bal')} AS old_bal,
+       {quantize_sql('new_bal')} AS new_bal,
+       CASE WHEN old_bal IS NULL THEN 'added'
+            WHEN new_bal IS NULL THEN 'removed'
+            WHEN old_bal != new_bal THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+"""
+
+
+# --- event funnel -------------------------------------------------------------
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user the
+    first 'view', the first 'click' AFTER that view, and the first
+    'purchase' AFTER that click — then the per-stage user counts and
+    conversion rates. The staged min-ts conditions are strictly ordered
+    (a click before any view does not count), which is what separates a
+    funnel from three independent counts.
+
+    Scale: single scan, one shuffle on user_id with partial min
+    aggregation per stage via conditional aggs over a windowed
+    first-view join — expressed as two self-aggregations of the same
+    scan output, both co-keyed on user_id; output is 3 rows."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id", "event_type", "ts")
+    v = base.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        base.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        base.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("1_view").alias("stage"), "n"
+    )
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("2_click_after_view").alias("stage"), "n"
+    )
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        F.lit("3_purchase_after_click").alias("stage"), "n"
+    )
+    funnel = nv.unionByName(nc).unionByName(np_)
+    # 1-row totals broadcast (the tfidf corpus-size pattern) — no
+    # driver-side action in the query path
+    total = v.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return funnel.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "n",
+        quantize(F.col("n") / F.col("_total")).alias("rate_vs_first"),
+    )
+
+
+ORACLE_FUNNEL_STAGES = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+), f AS (
+  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n FROM v
+  UNION ALL
+  SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+)
+SELECT stage, n,
+       {quantize_sql('n / (SELECT CAST(count(*) AS DOUBLE) FROM v)')} AS rate_vs_first
+FROM f
+"""
+
+
+# --- seasonal baseline residuals ----------------------------------------------
+
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonal anomaly detection: each reading's residual
+    against its (ISO weekday, hour, series) baseline cell — the
+    load-profile (`q_load_profile`) turned from a report into a
+    per-reading diagnostic. Cells are quantized means/stds so both
+    engines flag from identical baselines; a reading is anomalous when
+    |value − cell_mean| > 2·cell_std.
+
+    Scale: the baseline frame is ≤ 7×24×series rows — broadcast back
+    onto the fact scan, so the whole query is one shuffle (the cell
+    aggregation) plus a map-side join; emits only the flagged rows."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.weekday("ts").cast("bigint").alias("weekday"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    )
+    cells = keyed.groupBy("weekday", "hour", "event_type").agg(
+        quantize(F.avg("value")).alias("cell_mean"),
+        quantize(F.stddev_pop("value")).alias("cell_std"),
+    )
+    j = keyed.join(F.broadcast(cells), ["weekday", "hour", "event_type"])
+    resid = F.col("value") - F.col("cell_mean")
+    return j.where(F.abs(resid) > 2 * F.col("cell_std")).select(
+        "event_id",
+        "event_type",
+        "weekday",
+        "hour",
+        quantize("value").alias("value"),
+        "cell_mean",
+        quantize(resid).alias("resid"),
+    )
+
+
+ORACLE_SEASONAL_RESIDUALS = f"""
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+         CAST(hour(ts) AS BIGINT) AS hour
+  FROM events
+), cells AS (
+  SELECT weekday, hour, event_type,
+         {quantize_sql('avg(value)')} AS cell_mean,
+         {quantize_sql('stddev_pop(value)')} AS cell_std
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT k.event_id, k.event_type, k.weekday, k.hour,
+       {quantize_sql('k.value')} AS value,
+       c.cell_mean,
+       {quantize_sql('k.value - c.cell_mean')} AS resid
+FROM keyed k JOIN cells c USING (weekday, hour, event_type)
+WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
+"""
+
+
 # --- driver-window ordering ---------------------------------------------------
 # The driver's CORRECTNESS snapshot records the FIRST 50 registry entries
 # (insertion order — observed cap across r2/r3). With more than 50
@@ -1976,12 +2173,17 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ewma_smooth",
     "table_profile",
     "rolling_corr",
+    "snapshot_diff",
+    "funnel_stages",
+    "seasonal_residuals",
     "doc_chunks",
     "passage_dedup",
     "frame_sample",
     "curriculum_order",
-    "tfidf_top_terms",
     # 3: green in r4, demoted to fill the remaining window slots
+    #    (tfidf_top_terms moved here: its r5 requantized ranking passes local
+    #    parity and it has an r4 row; the never-recorded queries outrank it)
+    "tfidf_top_terms",
     #    (complex/stateful operators first)
     "dedup_keep_best",
     "pq_codes",
@@ -2059,6 +2261,9 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_smooth": q_ewma_smooth,
     "table_profile": q_table_profile,
     "rolling_corr": q_rolling_corr,
+    "snapshot_diff": q_snapshot_diff,
+    "funnel_stages": q_funnel_stages,
+    "seasonal_residuals": q_seasonal_residuals,
     "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
@@ -2110,6 +2315,9 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "table_profile": ORACLE_TABLE_PROFILE,
     "rolling_corr": ORACLE_ROLLING_CORR,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "funnel_stages": ORACLE_FUNNEL_STAGES,
+    "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,

@@ -293,3 +293,41 @@ class TestProfileAndRollingCorr:
             assert r.n_window == 24
             if r.corr_24h is not None:
                 assert -1.0 - 1e-9 <= r.corr_24h <= 1.0 + 1e-9
+
+
+class TestAnalyticsQueries:
+    SF = "/root/testdata/sf0.001"
+
+    def test_snapshot_diff_partitions_rows(self, spark):
+        from homelogging_spark.plans.registry import q_snapshot_diff
+
+        rows = q_snapshot_diff(spark, self.SF).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.change_type, []).append(r)
+        # every 10th key was dropped from old -> added in new
+        assert all(r.c_custkey % 10 == 0 for r in by["added"])
+        assert all(r.old_bal is None for r in by["added"])
+        # every 7th key's balance shifted by +100 (unless also added)
+        assert all(r.c_custkey % 7 == 0 for r in by["changed"])
+        for r in by["changed"]:
+            assert r.new_bal == pytest.approx(r.old_bal + 100.0, abs=1e-5)
+        assert "removed" not in by  # new snapshot is a superset
+        assert len(rows) == sum(len(v) for v in by.values())
+
+    def test_funnel_is_monotone(self, spark):
+        from homelogging_spark.plans.registry import q_funnel_stages
+
+        rows = {r.stage: r for r in q_funnel_stages(spark, self.SF).collect()}
+        n1 = rows["1_view"].n
+        n2 = rows["2_click_after_view"].n
+        n3 = rows["3_purchase_after_click"].n
+        assert n1 >= n2 >= n3 >= 0
+        assert rows["1_view"].rate_vs_first == pytest.approx(1.0)
+
+    def test_seasonal_residuals_flags_only_outliers(self, spark):
+        from homelogging_spark.plans.registry import q_seasonal_residuals
+
+        rows = q_seasonal_residuals(spark, self.SF).collect()
+        for r in rows[:50]:
+            assert abs(r.value - r.cell_mean) == pytest.approx(abs(r.resid), abs=1e-5)

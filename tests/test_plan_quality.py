@@ -33,7 +33,10 @@ SF = "/root/testdata/sf0.001"
 # vector — the same designed cell-assignment shape as ann_ivf_topk.
 # grid_resample_locf: the 1-row global grid-bounds broadcast against the
 # distinct-meter frame — a constant lookup.
+# funnel_stages: the 1-row first-stage-total broadcast against the
+# 3-row funnel — a constant lookup.
 BROADCAST_NESTED_LOOP_OK = {
+    "funnel_stages",
     "embedding_topk",
     "ann_ivf_topk",
     "semantic_dedup",
