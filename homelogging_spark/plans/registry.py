@@ -1915,6 +1915,50 @@ FROM j GROUP BY 1, 3, 4
 """
 
 
+# --- pricing summary (TPC-H Q1 shape) -----------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan-heavy rollup (TPC-H Q1 shape) over the largest
+    test table: per (returnflag, linestatus) the quantity/price/
+    discounted/taxed sums, averages, and row count, with the shipdate
+    predicate pushed to the parquet scan. The pure-Catalyst benchmark
+    anchor: one pruned scan, partial aggregation into a 4-6 row result,
+    whole-stage codegen end to end — at 100 TB this is scan-bandwidth
+    bound, which is exactly the right bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            quantize(F.sum("l_quantity")).alias("sum_qty"),
+            quantize(F.sum("l_extendedprice")).alias("sum_base_price"),
+            quantize(F.sum(disc)).alias("sum_disc_price"),
+            quantize(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            quantize(F.avg("l_quantity")).alias("avg_qty"),
+            quantize(F.avg("l_extendedprice")).alias("avg_price"),
+            quantize(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {quantize_sql('sum(l_quantity)')} AS sum_qty,
+       {quantize_sql('sum(l_extendedprice)')} AS sum_base_price,
+       {quantize_sql('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+       {quantize_sql('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {quantize_sql('avg(l_quantity)')} AS avg_qty,
+       {quantize_sql('avg(l_extendedprice)')} AS avg_price,
+       {quantize_sql('avg(l_discount)')} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 # --- CDC snapshot diff --------------------------------------------------------
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,12 +2217,15 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ewma_smooth",
     "table_profile",
     "rolling_corr",
+    "pricing_summary",
     "snapshot_diff",
     "funnel_stages",
     "seasonal_residuals",
     "doc_chunks",
     "passage_dedup",
     "frame_sample",
+    # 3: r5 additions past the 50-cap (local-parity green; front of the
+    #    r6 rotation) and r4-green demotions, complex/stateful first
     "curriculum_order",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (tfidf_top_terms moved here: its r5 requantized ranking passes local
@@ -2261,6 +2308,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_smooth": q_ewma_smooth,
     "table_profile": q_table_profile,
     "rolling_corr": q_rolling_corr,
+    "pricing_summary": q_pricing_summary,
     "snapshot_diff": q_snapshot_diff,
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
@@ -2315,6 +2363,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "table_profile": ORACLE_TABLE_PROFILE,
     "rolling_corr": ORACLE_ROLLING_CORR,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,

@@ -65,6 +65,18 @@ class TestPlanQuality:
         plan = plan_of(flagship.cost_totals(spark, SF))
         assert plan.count("FileScan parquet") == 1
 
+    def test_pricing_summary_is_one_pruned_partial_agg_scan(self, spark):
+        from homelogging_spark.plans.registry import q_pricing_summary
+
+        plan = plan_of(q_pricing_summary(spark, SF))
+        assert plan.count("FileScan parquet") == 1
+        # shipdate predicate reaches the scan; unused key columns pruned
+        assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+        scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+        assert "l_orderkey" not in scan_cols and "l_partkey" not in scan_cols
+        # partial (map-side) + final aggregation
+        assert plan.count("HashAggregate") == 2
+
     def test_raw_predicate_pushed_to_scan(self, spark):
         from homelogging_spark.plans.registry import QUERIES
 
