@@ -151,3 +151,86 @@ class TestBatteryProperties:
         for soc, charged, _, _ in states:
             assert charged == 0.0
             assert soc == 0.0
+
+
+def chunk_starts(n: int, chunk: int, stride: int) -> list[int]:
+    # reference implementation mirroring operators/chunking._chunk_starts
+    n_starts = (max(0, n - chunk) + stride - 1) // stride + 1
+    return [1 + i * stride for i in range(n_starts)]
+
+
+def ewma_fold(xs: list[float], alpha: float = 0.25):
+    # mirrors aggregations.ewma_smooth / streaming.stateful.make_ewma_apply
+    s = None
+    out = []
+    for x in xs:
+        if s is None:
+            s, r = x, 0.0
+        else:
+            r = x - s
+            s = alpha * x + (1.0 - alpha) * s
+        out.append((s, r))
+    return out
+
+
+def union_sweep(positions: list[int], k: int) -> int:
+    # mirrors the window-max interval sweep in chunking.duplicated_passages
+    total, prev_end = 0, 0
+    for pos in sorted(positions):
+        total += max(0, (pos + k) - max(prev_end, pos))
+        prev_end = max(prev_end, pos + k)
+    return total
+
+
+class TestChunkGridProperties:
+    @given(
+        st.integers(min_value=0, max_value=2000),
+        st.integers(min_value=2, max_value=128),
+        st.integers(min_value=1, max_value=128),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_grid_covers_every_token_minimally(self, n, chunk, stride):
+        stride = min(stride, chunk)  # overlap requires stride <= chunk
+        starts = chunk_starts(n, chunk, stride)
+        assert starts[0] == 1
+        assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+        covered = set()
+        for s in starts:
+            covered.update(range(s, min(s + chunk, n + 1)))
+        assert covered == set(range(1, n + 1))
+        # minimal: dropping the last window must lose coverage (unless
+        # the doc fits in one window)
+        if len(starts) > 1:
+            partial = set()
+            for s in starts[:-1]:
+                partial.update(range(s, min(s + chunk, n + 1)))
+            assert partial != set(range(1, n + 1))
+
+
+class TestEwmaProperties:
+    @given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_smoothed_stays_in_input_hull_and_contracts(self, xs):
+        out = ewma_fold(xs)
+        lo, hi = min(xs), max(xs)
+        s_prev = None
+        for (s, r), x in zip(out, xs):
+            assert lo - 1e-6 <= s <= hi + 1e-6  # convex combination
+            if s_prev is not None:
+                # the update moves the estimate TOWARD the new sample
+                assert abs(s - x) <= abs(s_prev - x) + 1e-9
+                assert r == x - s_prev
+            s_prev = s
+
+
+class TestUnionSweepProperties:
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), max_size=80),
+        st.integers(min_value=1, max_value=16),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_sweep_equals_set_union(self, positions, k):
+        direct = set()
+        for p in positions:
+            direct.update(range(p, p + k))
+        assert union_sweep(positions, k) == len(direct)
