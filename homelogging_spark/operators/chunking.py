@@ -162,7 +162,14 @@ def duplicated_passages(
     rollup."""
     from pyspark.sql.window import Window
 
-    g = _span_grams(docs, k, text_col, id_col)
+    from homelogging_spark.functions.cachelife import tracked_persist
+
+    # The gram frame feeds three consumers (corpus-wide dup counts, the
+    # position semi-join, per-doc totals); without a persist Catalyst
+    # re-runs the scan + explode for each (4 scans observed). Tracked
+    # persist: one scan + explode, released by the caller's
+    # release_caches() after the action.
+    g = tracked_persist(_span_grams(docs, k, text_col, id_col))
     dup = (
         g.groupBy("gram_md5")
         .agg(F.count_distinct(id_col).alias("_nd"))
