@@ -1959,6 +1959,45 @@ GROUP BY 1, 2
 """
 
 
+# --- CUBE rollup (grouping sets) ----------------------------------------------
+
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional OLAP rollup: count/avg over ALL subsets of
+    (series, ISO weekday) via ``cube`` — the grand total, both one-way
+    margins, and the full cross, each row tagged with ``grouping_id``
+    (rightmost column = least-significant bit, the SQL-standard
+    convention both engines share). This is the one-shot form of the
+    dashboard's drill-down hierarchy; Catalyst plans it as a single
+    scan + Expand (one input row per grouping set) + one partial-agg
+    shuffle — the same shape the exact multi-distinct profile uses.
+
+    Scale: output is |series|·8 + |series| + 8 + 1 rows — bounded by
+    the key space, not the data; the Expand multiplies scan rows by 4,
+    which at 100 TB argues for restricting cube dimensions (documented
+    dial: ROLLUP when only the drill-down path is needed)."""
+    events = load_table(spark, sf_dir, "events")
+    wd = F.weekday("ts").cast("bigint").alias("weekday")
+    return (
+        events.cube("event_type", wd)
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            quantize(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_CUBE_PROFILE = f"""
+SELECT event_type,
+       CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+       CAST(GROUPING(event_type, isodow(ts) - 1) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       {quantize_sql('avg(value)')} AS avg_value
+FROM events
+GROUP BY CUBE(event_type, isodow(ts) - 1)
+"""
+
+
 # --- CDC snapshot diff --------------------------------------------------------
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2227,6 +2266,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # 3: r5 additions past the 50-cap (local-parity green; front of the
     #    r6 rotation) and r4-green demotions, complex/stateful first
     "curriculum_order",
+    "cube_profile",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (tfidf_top_terms moved here: its r5 requantized ranking passes local
     #    parity and it has an r4 row; the never-recorded queries outrank it)
@@ -2309,6 +2349,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "rolling_corr": q_rolling_corr,
     "pricing_summary": q_pricing_summary,
+    "cube_profile": q_cube_profile,
     "snapshot_diff": q_snapshot_diff,
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
@@ -2364,6 +2405,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "table_profile": ORACLE_TABLE_PROFILE,
     "rolling_corr": ORACLE_ROLLING_CORR,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "cube_profile": ORACLE_CUBE_PROFILE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,

@@ -331,3 +331,20 @@ class TestAnalyticsQueries:
         rows = q_seasonal_residuals(spark, self.SF).collect()
         for r in rows[:50]:
             assert abs(r.value - r.cell_mean) == pytest.approx(abs(r.resid), abs=1e-5)
+
+
+class TestCubeProfile:
+    def test_grouping_sets_consistent(self, spark):
+        from homelogging_spark.plans.registry import q_cube_profile
+
+        rows = q_cube_profile(spark, "/root/testdata/sf0.001").collect()
+        by_gid = {}
+        for r in rows:
+            by_gid.setdefault(r.gid, []).append(r)
+        assert set(by_gid) == {0, 1, 2, 3}
+        total = by_gid[3]
+        assert len(total) == 1 and total[0].event_type is None
+        # margins sum to the grand total
+        assert sum(r.n for r in by_gid[1]) == total[0].n  # per-series
+        assert sum(r.n for r in by_gid[2]) == total[0].n  # per-weekday
+        assert sum(r.n for r in by_gid[0]) == total[0].n  # full cross
