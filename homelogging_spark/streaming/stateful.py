@@ -119,3 +119,61 @@ def streaming_ewma(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_DDL = (
+    "meter_id string, ts timestamp, value double,"
+    " cusum_hi double, cusum_lo double, alarm boolean"
+)
+CUSUM_STATE_DDL = "hi double, lo double"
+
+
+def make_cusum_apply(
+    target: float = 35.0, slack: float = 5.0, threshold: float = 50.0
+):
+    """Streaming form of ``controllers.cusum_alarms``: the (hi, lo)
+    sums survive micro-batches in the state store, restart-on-alarm
+    included, with the identical max/+/- double sequence as the batch
+    fold — drain equals batch exactly."""
+    up, dn = target + slack, target - slack
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hi, lo = state.get if state.exists else (0.0, 0.0)
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            his, los, alarms = [], [], []
+            for x in pdf["value"]:
+                s_hi = max(0.0, hi + (x - up))
+                s_lo = max(0.0, lo + (dn - x))
+                alarm = s_hi > threshold or s_lo > threshold
+                his.append(s_hi)
+                los.append(s_lo)
+                alarms.append(alarm)
+                hi, lo = (0.0, 0.0) if alarm else (s_hi, s_lo)
+            yield pdf.assign(cusum_hi=his, cusum_lo=los, alarm=alarms)[
+                ["meter_id", "ts", "value", "cusum_hi", "cusum_lo", "alarm"]
+            ]
+        state.update((hi, lo))
+
+    return _apply
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    target: float = 35.0,
+    slack: float = 5.0,
+    threshold: float = 50.0,
+) -> DataFrame:
+    """CUSUM change-point alarms over a streaming frame with columns
+    (meter_id, ts, value); state is two doubles per meter."""
+    return stream.groupBy("meter_id").applyInPandasWithState(
+        make_cusum_apply(target, slack, threshold),
+        outputStructType=CUSUM_OUTPUT_DDL,
+        stateStructType=CUSUM_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
