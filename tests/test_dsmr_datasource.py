@@ -1,0 +1,67 @@
+"""Spark 4 Python DataSource for DSMR captures: framing, partitioning,
+and end-to-end format("dsmr_telegram") -> parse_telegram integration."""
+
+from __future__ import annotations
+
+import pytest
+
+from homelogging_spark.sources.dsmr_datasource import frame_telegrams
+
+TELEGRAM = (
+    "/ISK5\\2M550T-1012\n"
+    "\n"
+    "1-0:1.7.0(00.244*kW)\n"
+    "1-0:2.7.0(00.000*kW)\n"
+    "1-0:1.8.1(000004.426*kWh)\n"
+    "!5B4C\n"
+)
+
+
+class TestFraming:
+    def test_basic_frames_and_resync(self):
+        noise = "garbage before\n"
+        partial = "/ISK5\\X\n1-0:1.7.0(00.100*kW)\n"  # no '!' -> resync
+        text = noise + partial + TELEGRAM + TELEGRAM + "/TRAILING\nunfinished\n"
+        frames = frame_telegrams(text)
+        assert len(frames) == 2
+        assert all(f.startswith("/ISK5") and "!5B4C" in f for f in frames)
+
+    def test_empty_and_noise_only(self):
+        assert frame_telegrams("") == []
+        assert frame_telegrams("no telegrams here\nat all\n") == []
+
+
+class TestDataSourceRead:
+    def test_read_and_parse_end_to_end(self, spark, tmp_path):
+        from homelogging_spark.sources.dsmr import parse_telegram
+        from homelogging_spark.sources.dsmr_datasource import DsmrTelegramDataSource
+
+        (tmp_path / "cap1.p1").write_text(TELEGRAM + TELEGRAM)
+        (tmp_path / "cap2.p1").write_text(TELEGRAM)
+
+        spark.dataSource.register(DsmrTelegramDataSource)
+        raw = spark.read.format("dsmr_telegram").load(str(tmp_path))
+        rows = raw.collect()
+        assert len(rows) == 3
+        # one partition per file, telegram_idx restarts per file
+        assert {(r.path.split("/")[-1], r.telegram_idx) for r in rows} == {
+            ("cap1.p1", 0), ("cap1.p1", 1), ("cap2.p1", 0),
+        }
+        assert all(r.identification == "ISK5\\2M550T-1012" for r in rows)
+        assert raw.rdd.getNumPartitions() == 2
+
+        parsed = parse_telegram(raw).collect()
+        for r in parsed:
+            assert r.power_delivered_kw == pytest.approx(0.244)
+            assert r.energy_delivered_t1_kwh == pytest.approx(4.426)
+            assert r.meter_id == "meters/ISK5\\2M550T-1012"
+            assert r.power_w == pytest.approx(244.0)
+
+    def test_missing_path_raises(self, spark, tmp_path):
+        from homelogging_spark.sources.dsmr_datasource import DsmrTelegramDataSource
+
+        spark.dataSource.register(DsmrTelegramDataSource)
+        with pytest.raises(Exception, match="no files match|does not exist"):
+            spark.read.format("dsmr_telegram").load(
+                str(tmp_path / "nope" / "*.p1")
+            ).collect()
