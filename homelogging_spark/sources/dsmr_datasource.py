@@ -32,7 +32,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA_DDL = (
     "path string, telegram_idx bigint, identification string, telegram string"
@@ -112,3 +117,72 @@ class DsmrTelegramDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return DsmrTelegramReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "DsmrTelegramStreamReader":
+        return DsmrTelegramStreamReader(self.options)
+
+
+class DsmrTelegramStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: tail a capture DIRECTORY, the reference's
+    continuous-poll shape (``P1/P1Logger.cs`` reads the serial stream
+    forever; rotated capture files landing in a directory are its
+    at-rest equivalent).
+
+    Offsets are ``{"files": {path: n_frames_emitted}}`` — replayable
+    and exactly-once per frame: a grown file re-frames from the start
+    (framing is stateless and cheap) and emits only frames past the
+    recorded count, so appends to the CURRENT capture file stream
+    incrementally while rotated files are emitted once. Files are
+    processed in sorted-name order (rotation names sort by time)."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("dsmr_telegram stream: .load(path) is required")
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return sorted(glob.glob(self.dir))
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _frames_of(self, path: str) -> list[str]:
+        try:
+            with open(path, encoding="utf-8", errors="replace") as f:
+                return frame_telegrams(f.read())
+        except OSError:
+            return []
+
+    def read(self, start: dict):
+        seen = dict(start.get("files", {}))
+        rows = []
+        for path in self._files():
+            frames = self._frames_of(path)
+            done = seen.get(path, 0)
+            for i, tele in enumerate(frames[done:], start=done):
+                ident = tele[1:].split("\n", 1)[0].strip()
+                rows.append((path, i, ident, tele))
+            if len(frames) > done:
+                seen[path] = len(frames)
+        return iter(rows), {"files": seen}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        a, b = start.get("files", {}), end.get("files", {})
+        rows = []
+        for path, hi in b.items():
+            lo = a.get(path, 0)
+            if hi > lo:
+                frames = self._frames_of(path)
+                for i, tele in enumerate(frames[lo:hi], start=lo):
+                    ident = tele[1:].split("\n", 1)[0].strip()
+                    rows.append((path, i, ident, tele))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -65,3 +65,41 @@ class TestDataSourceRead:
             spark.read.format("dsmr_telegram").load(
                 str(tmp_path / "nope" / "*.p1")
             ).collect()
+
+
+class TestDataSourceStream:
+    def test_tail_resumes_from_offsets_across_runs(self, spark, tmp_path):
+        from homelogging_spark.sources.dsmr_datasource import DsmrTelegramDataSource
+
+        cap = tmp_path / "captures"
+        cap.mkdir()
+        (cap / "cap1.p1").write_text(TELEGRAM)
+
+        spark.dataSource.register(DsmrTelegramDataSource)
+        out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+        def drain():
+            q = (
+                spark.readStream.format("dsmr_telegram")
+                .load(str(cap))
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        first = spark.read.parquet(str(out_dir)).collect()
+        assert len(first) == 1 and first[0].telegram_idx == 0
+
+        # the current file GROWS and a rotated file lands; a resumed run
+        # must emit only the new frames (offsets = per-file frame counts)
+        (cap / "cap1.p1").write_text(TELEGRAM + TELEGRAM)
+        (cap / "cap2.p1").write_text(TELEGRAM)
+        drain()
+        rows = spark.read.parquet(str(out_dir)).collect()
+        assert len(rows) == 3  # 1 old + 1 appended + 1 rotated, no re-emits
+        emitted = {(r.path.split("/")[-1], r.telegram_idx) for r in rows}
+        assert emitted == {("cap1.p1", 0), ("cap1.p1", 1), ("cap2.p1", 0)}
