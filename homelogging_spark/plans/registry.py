@@ -1959,6 +1959,84 @@ GROUP BY 1, 2
 """
 
 
+# --- spec-driven aggregation --------------------------------------------------
+
+_AGG_SPECS: tuple[tuple[int, str, str, str], ...] = (
+    # (spec_id, series, bucket unit, agg) — the ad-hoc query set a
+    # RandomQueries-style explorer would submit, as DATA
+    (1, "view", "hour", "avg"),
+    (2, "view", "day", "max"),
+    (3, "click", "day", "count"),
+    (4, "purchase", "hour", "avg"),
+    (5, "error", "day", "count"),
+)
+
+
+def q_spec_driven_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N ad-hoc aggregation requests answered in ONE fact pass: the
+    reference's RandomQueries program composes (series, bucket, agg)
+    reads ad hoc (``RandomQueries/Program.cs:71-75``); here the requests
+    are a broadcast SPEC DIMENSION and the engine answers all of them in
+    a single scan — join each reading to its matching specs, bucket by
+    the spec's unit, aggregate all three shapes, then project the one
+    the spec asked for. The query-layer completion of the
+    config-driven-series idea (S1b): config rows -> generated
+    computation, no per-spec plan.
+
+    Scale: one scan + one broadcast join (specs are tiny) + one shuffle
+    on (spec_id, bucket); adding a 6th spec changes DATA, not the plan.
+    At 100 TB this is the difference between N scans and one."""
+    events = load_table(spark, sf_dir, "events")
+    specs = spark.createDataFrame(
+        list(_AGG_SPECS), "spec_id int, event_type string, unit string, agg string"
+    )
+    j = events.join(F.broadcast(specs), "event_type")
+    bucket = F.when(
+        F.col("unit") == "hour", F.date_trunc("hour", "ts")
+    ).otherwise(F.date_trunc("day", "ts"))
+    g = (
+        j.groupBy(F.col("spec_id").cast("bigint").alias("spec_id"),
+                  bucket.alias("bucket"), "agg")
+        .agg(
+            F.avg("value").alias("_avg"),
+            F.max("value").alias("_max"),
+            F.count(F.lit(1)).cast("double").alias("_n"),
+        )
+    )
+    result = (
+        F.when(F.col("agg") == "avg", F.col("_avg"))
+        .when(F.col("agg") == "max", F.col("_max"))
+        .otherwise(F.col("_n"))
+    )
+    return g.select("spec_id", "bucket", "agg", quantize(result).alias("result"))
+
+
+def _spec_driven_oracle() -> str:
+    rows = ", ".join(
+        f"({sid}, '{et}', '{unit}', '{agg}')" for sid, et, unit, agg in _AGG_SPECS
+    )
+    return f"""
+WITH specs(spec_id, event_type, unit, agg) AS (VALUES {rows}),
+j AS (
+  SELECT s.spec_id, s.agg,
+         CASE WHEN s.unit = 'hour' THEN date_trunc('hour', e.ts)
+              ELSE date_trunc('day', e.ts) END AS bucket,
+         e.value
+  FROM events e JOIN specs s ON e.event_type = s.event_type
+)
+SELECT CAST(spec_id AS BIGINT) AS spec_id, bucket, agg,
+       {quantize_sql(
+           "CASE WHEN agg = 'avg' THEN avg(value) "
+           "WHEN agg = 'max' THEN max(value) "
+           "ELSE CAST(count(*) AS DOUBLE) END"
+       )} AS result
+FROM j GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_SPEC_DRIVEN_AGG = _spec_driven_oracle()
+
+
 # --- CUBE rollup (grouping sets) ----------------------------------------------
 
 def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,6 +2345,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #    r6 rotation) and r4-green demotions, complex/stateful first
     "curriculum_order",
     "cube_profile",
+    "spec_driven_agg",
     # 3: green in r4, demoted to fill the remaining window slots
     #    (tfidf_top_terms moved here: its r5 requantized ranking passes local
     #    parity and it has an r4 row; the never-recorded queries outrank it)
@@ -2350,6 +2429,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_corr": q_rolling_corr,
     "pricing_summary": q_pricing_summary,
     "cube_profile": q_cube_profile,
+    "spec_driven_agg": q_spec_driven_agg,
     "snapshot_diff": q_snapshot_diff,
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
@@ -2406,6 +2486,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "rolling_corr": ORACLE_ROLLING_CORR,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "cube_profile": ORACLE_CUBE_PROFILE,
+    "spec_driven_agg": ORACLE_SPEC_DRIVEN_AGG,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,

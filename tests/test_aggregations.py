@@ -348,3 +348,24 @@ class TestCubeProfile:
         assert sum(r.n for r in by_gid[1]) == total[0].n  # per-series
         assert sum(r.n for r in by_gid[2]) == total[0].n  # per-weekday
         assert sum(r.n for r in by_gid[0]) == total[0].n  # full cross
+
+
+class TestSpecDrivenAgg:
+    def test_specs_answered_from_one_pass(self, spark):
+        from homelogging_spark.plans.registry import q_spec_driven_agg
+
+        df = q_spec_driven_agg(spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        by_spec = {}
+        for r in rows:
+            by_spec.setdefault(r.spec_id, []).append(r)
+        assert set(by_spec) == {1, 2, 3, 4, 5}
+        # count specs produce integral doubles; day buckets are midnight
+        for r in by_spec[3]:
+            assert r.result == int(r.result)
+            assert (r.bucket.hour, r.bucket.minute) == (0, 0)
+        # single fact scan in the physical plan (specs come from a
+        # LocalTableScan, not a file)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert final.count("FileScan parquet") == 1
