@@ -197,6 +197,41 @@ def lsh_topk(
     )
 
 
+def topk_recall(
+    ann: DataFrame,
+    exact: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attach the honesty metric to an ANN result: per-query recall@k
+    against the exact top-k (``exact_topk`` output). Both inputs are
+    deterministic here, so an SQL oracle replicates the number exactly —
+    the same convention as ``hll_distinct_rollup``'s rel_err column.
+
+    Scale shape: the truth side is |Q|·k rows (queries are the small
+    side by construction), the semi-join + per-query count collapse to a
+    broadcast, and the recall column rides back on the ANN rows with a
+    second tiny broadcast join. At 100 TB the exact side is priced per
+    probe query — production runs it over a sampled query panel, which
+    this operator expresses unchanged (pass the sampled exact frame)."""
+    truth = exact.where(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("cand_id")
+    )
+    hits = (
+        ann.join(F.broadcast(truth), ["query_id", "cand_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+    )
+    return (
+        ann.join(F.broadcast(hits), "query_id", "left")
+        .withColumn(
+            "recall_at_k",
+            F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(float(k)),
+        )
+        .drop("__n_hits")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -139,26 +139,37 @@ def quality_columns_sql(expr: str) -> dict[str, str]:
     }
 
 
-def corpus_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    include_bpe: bool = False,
+) -> DataFrame:
     """Per-group corpus statistics: doc counts, char/token length profile,
     median length. Classic partial-aggregation shape; the exact median is
-    the only full-sort piece (swap for approx at very large groups)."""
+    the only full-sort piece (swap for approx at very large groups).
+    With ``include_bpe`` the BPE-ish token measure is folded into the SAME
+    single-scan aggregation (no second pass over the corpus)."""
     toks = tokens(F.col(text_col))
-    return (
-        df.select(
-            F.col(group_col),
-            F.length(text_col).alias("len"),
-            F.size(toks).alias("ntok"),
-        )
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("len").cast("bigint").alias("total_chars"),
-            F.avg("len").alias("avg_chars"),
-            F.avg("ntok").alias("avg_tokens"),
-            F.percentile("len", F.lit(0.5)).alias("median_chars"),
-        )
-    )
+    cols = [
+        F.col(group_col),
+        F.length(text_col).alias("len"),
+        F.size(toks).alias("ntok"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total_chars"),
+        F.avg("len").alias("avg_chars"),
+        F.avg("ntok").alias("avg_tokens"),
+        F.percentile("len", F.lit(0.5)).alias("median_chars"),
+    ]
+    if include_bpe:
+        cols.append(bpe_ish_token_count(F.col(text_col)).alias("nbpe"))
+        aggs += [
+            F.sum("nbpe").cast("bigint").alias("total_bpe_tokens"),
+            F.avg("nbpe").alias("avg_bpe_tokens"),
+        ]
+    return df.select(*cols).groupBy(group_col).agg(*aggs)
 
 
 def topk_ngrams(

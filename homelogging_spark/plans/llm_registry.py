@@ -46,8 +46,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis -----------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (r6 merge: subsumes the former
+    per-doc ``token_counts`` driver query — the whitespace AND BPE-ish
+    token counters are aggregated per language here, so one driver row
+    certifies both token measures; any per-doc counting error surfaces
+    in the sums). Per-doc grain stays unit-tested in
+    ``test_llm_ops.TestQualityAndTokens``."""
     docs = _docs(spark, sf_dir)
-    out = textops.corpus_stats(docs, "text", "lang")
+    out = textops.corpus_stats(docs, "text", "lang", include_bpe=True)
     return out.select(
         "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -55,6 +61,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize("avg_chars").alias("avg_chars"),
         quantize("avg_tokens").alias("avg_tokens"),
         quantize("median_chars").alias("median_chars"),
+        "total_bpe_tokens",
+        quantize("avg_bpe_tokens").alias("avg_bpe_tokens"),
     )
 
 
@@ -64,27 +72,10 @@ SELECT lang,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        {quantize_sql('avg(length(text))')} AS avg_chars,
        {quantize_sql(f'avg(len({tokens_sql("text")}))')} AS avg_tokens,
-       {quantize_sql('quantile_cont(length(text), 0.5)')} AS median_chars
+       {quantize_sql('quantile_cont(length(text), 0.5)')} AS median_chars,
+       CAST(sum({textops.bpe_ish_token_count_sql('text')}) AS BIGINT) AS total_bpe_tokens,
+       {quantize_sql(f'avg({textops.bpe_ish_token_count_sql("text")})')} AS avg_bpe_tokens
 FROM documents GROUP BY 1
-"""
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
-        textops.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
-        F.length("text").cast("bigint").alias("n_chars"),
-    )
-
-
-ORACLE_TOKEN_COUNTS = f"""
-SELECT doc_id,
-       CAST(len({tokens_sql('text')}) AS BIGINT) AS n_ws_tokens,
-       CAST({textops.bpe_ish_token_count_sql('text')} AS BIGINT) AS n_bpe_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM documents
 """
 
 
@@ -584,17 +575,37 @@ def _shared_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs -> clusters -> canonical keep-list: the last stage of the
+    """Pairs -> clusters -> per-doc dedup decision: the last stage of the
     dedup pipeline. Near-dup pairs from the MinHash-LSH path feed
     connected components (iterative min-label propagation); every doc gets
     a deterministic cluster id (minimum reachable doc_id), its cluster
-    size, and the keep/drop flag."""
-    out = _shared_clusters(spark, sf_dir)
-    return out.select(
+    size, the min-id canonical flag, AND the keep-best verdict (highest
+    quantized quality per cluster, tie-broken by doc_id — what a real
+    corpus build keeps). (r6 merge: subsumes the former
+    ``dedup_keep_best`` driver query — both decisions come from one
+    cluster assignment, so one driver row certifies both.)"""
+    docs = _docs(spark, sf_dir)
+    clusters = _shared_clusters(spark, sf_dir)
+    quality = docs.select(
         "doc_id",
-        "cluster_id",
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
-        "is_canonical",
+        quantize(textops.quality_columns(F.col("text"))["quality_score"]).alias(
+            "quality"
+        ),
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "is_canonical",
+            (F.col("rn") == 1).alias("keep"),
+            "quality",
+        )
     )
 
 
@@ -631,45 +642,6 @@ asg AS (
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_dedup_cluster_ctes()}
-SELECT doc_id, cluster_id,
-       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
-       (doc_id = cluster_id) AS is_canonical
-FROM asg
-"""
-
-
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's final decision, composed end-to-end:
-    near-dup pairs → connected components → keep the HIGHEST-QUALITY
-    doc per cluster (not the min-id canonical — what a real corpus
-    build keeps), tie-broken by doc_id. Quality is the quantized §text
-    score so both engines rank from bit-identical keys."""
-    docs = _docs(spark, sf_dir)
-    clusters = _shared_clusters(spark, sf_dir)
-    quality = docs.select(
-        "doc_id",
-        quantize(textops.quality_columns(F.col("text"))["quality_score"]).alias(
-            "quality"
-        ),
-    )
-    joined = clusters.join(quality, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .select(
-            "doc_id",
-            "cluster_id",
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-            (F.col("rn") == 1).alias("keep"),
-            "quality",
-        )
-    )
-
-
-ORACLE_DEDUP_KEEP_BEST = f"""
 WITH RECURSIVE {_dedup_cluster_ctes()},
 q AS (
   SELECT doc_id, {quantize_sql(textops.quality_columns_sql('text')['quality_score'])} AS quality
@@ -684,6 +656,7 @@ r AS (
 )
 SELECT doc_id, cluster_id,
        CAST(cluster_size AS BIGINT) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical,
        (rn = 1) AS keep,
        quality
 FROM r
@@ -840,9 +813,38 @@ FROM r WHERE rank <= 5
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k WITH the honesty column (r6): per-query recall@3
+    against the exact brute-force top-3 (``similarity.topk_recall``) —
+    the quality-vs-cost dial of the (tables, planes) setting, published
+    by data, not argument."""
     queries, corpus = _emb_split(spark, sf_dir)
     out = similarity.lsh_topk(queries, corpus, k=3, n_tables=2, planes_per_table=6)
-    return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
+    exact = similarity.exact_topk(queries, corpus, k=3)
+    out = similarity.topk_recall(out, exact, k=3)
+    return out.select(
+        "query_id",
+        "rank",
+        "cand_id",
+        quantize("cosine").alias("cosine"),
+        quantize("recall_at_k").alias("recall_at_k"),
+    )
+
+
+def _exact_truth_ctes(k: int) -> str:
+    """CTE suffix shared by both ANN oracles: the exact brute-force
+    top-``k`` truth set and the per-query hit count against an ``ann``
+    CTE (query_id, cand_id) — mirrors ``similarity.topk_recall``."""
+    cos = similarity.cosine_sql("q_emb", "embedding", EMB_DIM)
+    return f"""exq AS (SELECT vec_id AS query_id, embedding AS q_emb
+       FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+exc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}),
+exs AS (SELECT query_id, vec_id, {cos} AS cos FROM exq, exc),
+truth AS (SELECT query_id, vec_id AS cand_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+    FROM exs) WHERE rk <= {k}),
+hits AS (SELECT ann.query_id, count(*) AS n_hits
+         FROM ann JOIN truth USING (query_id, cand_id) GROUP BY 1)"""
 
 
 def _ann_lsh_topk_oracle(n_tables: int = 2, planes_per_table: int = 6, k: int = 3) -> str:
@@ -867,9 +869,13 @@ s AS (SELECT cand.query_id, cand.cand_id,
       JOIN embeddings c ON cand.cand_id = c.vec_id),
 r AS (SELECT query_id, cand_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
-      FROM s)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, {quantize_sql('cos')} AS cosine
-FROM r WHERE rank <= {k}
+      FROM s),
+ann AS (SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= {k}),
+{_exact_truth_ctes(k)}
+SELECT ann.query_id, CAST(ann.rank AS BIGINT) AS rank, ann.cand_id,
+       {quantize_sql('ann.cos')} AS cosine,
+       {quantize_sql(f'coalesce(h.n_hits, 0) / {k}.0')} AS recall_at_k
+FROM ann LEFT JOIN hits h USING (query_id)
 """
 
 
@@ -913,7 +919,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = similarity.ivf_topk(queries, corpus, centroids, k=3, nprobe=IVF_NPROBE)
-    return out.select("query_id", "rank", "cand_id", quantize("cosine").alias("cosine"))
+    exact = similarity.exact_topk(queries, corpus, k=3)
+    out = similarity.topk_recall(out, exact, k=3)
+    return out.select(
+        "query_id",
+        "rank",
+        "cand_id",
+        quantize("cosine").alias("cosine"),
+        quantize("recall_at_k").alias("recall_at_k"),
+    )
 
 
 def _ann_ivf_topk_oracle(k: int = 3) -> str:
@@ -945,9 +959,13 @@ s AS (
   FROM probes q JOIN cells cl USING (centroid_id)
 ),
 r AS (SELECT query_id, cand_id, cos, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, {quantize_sql('cos')} AS cosine
-FROM r WHERE rank <= {k}
+        PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM s),
+ann AS (SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= {k}),
+{_exact_truth_ctes(k)}
+SELECT ann.query_id, CAST(ann.rank AS BIGINT) AS rank, ann.cand_id,
+       {quantize_sql('ann.cos')} AS cosine,
+       {quantize_sql(f'coalesce(h.n_hits, 0) / {k}.0')} AS recall_at_k
+FROM ann LEFT JOIN hits h USING (query_id)
 """
 
 
@@ -1235,7 +1253,6 @@ FROM pos
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
-    "token_counts": q_token_counts,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
     "repetition_scores": q_repetition_scores,
@@ -1253,7 +1270,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_buckets": q_simhash_buckets,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
     "corpus_build_pipeline": q_corpus_build_pipeline,
     "embedding_topk": q_embedding_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1269,7 +1285,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 LLM_ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
-    "token_counts": ORACLE_TOKEN_COUNTS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "repetition_scores": ORACLE_REPETITION_SCORES,
@@ -1287,7 +1302,6 @@ LLM_ORACLES: dict[str, str] = {
     "simhash_buckets": ORACLE_SIMHASH,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
-    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from homelogging_spark.functions.numeric import quantize, quantize_sql
@@ -52,49 +52,48 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit packing of the corpus into 512-token budgets,
     hash-sharded 8 ways (see ``operators/packing.pack_greedy``): per-doc
-    pack assignment (pack_id within shard), position, and running fill."""
-    out = packing.pack_greedy(
-        _doc_tokens(spark, sf_dir),
-        capacity=PACK_CAPACITY,
-        n_shards=PACK_SHARDS,
-    )
-    return out.select(
-        "shard", "doc_id", "n_tokens", "pack_id", "pack_pos", "pack_fill"
-    )
-
-
-ORACLE_PACK_DOCS = packing.pack_greedy_oracle_sql(
-    f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
-    capacity=PACK_CAPACITY,
-    n_shards=PACK_SHARDS,
-)
-
-
-def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack-level utilization rollup: docs per pack, fill, waste fraction
-    — the number a batching pipeline actually monitors."""
+    pack assignment (pack_id within shard), position, and running fill —
+    PLUS the pack-level utilization rollup (docs per pack, final fill,
+    waste fraction) attached per row via a window over the pack key.
+    (r6 merge: subsumes the former ``pack_stats`` driver query; the
+    window adds no exchange — rows are already partitioned by shard
+    after the packing fold — so one driver row certifies both the
+    assignment and the monitoring rollup.)"""
     packed = packing.pack_greedy(
         _doc_tokens(spark, sf_dir),
         capacity=PACK_CAPACITY,
         n_shards=PACK_SHARDS,
     )
-    out = packing.pack_stats(packed, PACK_CAPACITY)
-    return out.select(
+    wp = Window.partitionBy("shard", "pack_id")
+    fill = F.max("pack_fill").over(wp)
+    return packed.select(
         "shard",
+        "doc_id",
+        "n_tokens",
         "pack_id",
-        "n_docs",
-        "fill",
-        quantize("waste_frac").alias("waste_frac"),
+        "pack_pos",
+        "pack_fill",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("pack_n_docs"),
+        fill.cast("bigint").alias("fill"),
+        quantize(
+            F.lit(1.0) - F.least(fill, F.lit(PACK_CAPACITY)) / float(PACK_CAPACITY)
+        ).alias("waste_frac"),
     )
 
 
-ORACLE_PACK_STATS = f"""
-WITH packed AS ({ORACLE_PACK_DOCS})
-SELECT shard, pack_id,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(max(pack_fill) AS BIGINT) AS fill,
-       {quantize_sql(f'1.0 - least(max(pack_fill), {PACK_CAPACITY}) / {PACK_CAPACITY}.0')} AS waste_frac
-FROM packed GROUP BY 1, 2
+_ORACLE_PACK_ASSIGN = packing.pack_greedy_oracle_sql(
+    f"SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents",
+    capacity=PACK_CAPACITY,
+    n_shards=PACK_SHARDS,
+)
+
+ORACLE_PACK_DOCS = f"""
+WITH packed AS ({_ORACLE_PACK_ASSIGN})
+SELECT shard, doc_id, n_tokens, pack_id, pack_pos, pack_fill,
+       CAST(count(*) OVER (PARTITION BY shard, pack_id) AS BIGINT) AS pack_n_docs,
+       CAST(max(pack_fill) OVER (PARTITION BY shard, pack_id) AS BIGINT) AS fill,
+       {quantize_sql(f'1.0 - least(max(pack_fill) OVER (PARTITION BY shard, pack_id), {PACK_CAPACITY}) / {PACK_CAPACITY}.0')} AS waste_frac
+FROM packed
 """
 
 
@@ -231,7 +230,6 @@ FROM t
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs": q_pack_docs,
-    "pack_stats": q_pack_stats,
     "stratified_sample": q_stratified_sample,
     "group_topk_sample": q_group_topk_sample,
     "weighted_sample": q_weighted_sample,
@@ -240,7 +238,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "pack_docs": ORACLE_PACK_DOCS,
-    "pack_stats": ORACLE_PACK_STATS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

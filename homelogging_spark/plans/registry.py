@@ -314,38 +314,12 @@ FROM s
 
 
 # --- ST2/ST3: counter rollover correction (Tapo/TapoLogger.cs:87-107) --------
-def q_counter_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    counters = events.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("value").alias("raw")
-    )
-    out = counter_rollover_correct(counters, ["user_id"], "raw", "ts")
-    return out.select(
-        "user_id",
-        "ts",
-        "raw",
-        quantize("offset").alias("offset"),
-        quantize("corrected").alias("corrected"),
-    )
-
-
-ORACLE_COUNTER_ROLLOVER = """
-WITH t AS (
-  SELECT user_id, ts, value AS raw,
-         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events WHERE event_type = 'signup'
-), r AS (
-  SELECT user_id, ts, raw,
-         CASE WHEN prev IS NOT NULL AND raw < prev THEN prev ELSE 0.0 END AS reset_add
-  FROM t
-)
-SELECT user_id, ts, raw,
-       floor((sum(reset_add) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS offset,
-       floor((raw + sum(reset_add) OVER (PARTITION BY user_id ORDER BY ts
-                                        ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS corrected
-FROM r
-"""
+# Merged r6: the former scalar-column `counter_rollover` query is subsumed
+# by the multi-valued form (`q_counter_rollover` below, formerly
+# `counter_rollover_values`) — same operator, composed with F7 array
+# projection, so one driver row certifies both. The scalar path stays
+# unit-tested in `test_counters` and driver-certified through
+# `kasa_offset_exact` (ST2 exact fold). See COVERAGE.md rotation policy.
 
 
 # --- W1: lag / previous-reading delta (Mbus/MbusLogger.cs:122-149) -----------
@@ -678,11 +652,12 @@ FROM l WHERE rn = 1
 """
 
 
-def q_counter_rollover_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST3 re-expressed over the multi-valued model: the raw counter is
-    component 3 of the PowerEnergy array (Tapo's ``Last[2]``,
-    ``Tapo/TapoLogger.cs:100``) — proving rollover correction composes
-    with array projection."""
+def q_counter_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2/ST3 counter rollover correction over the multi-valued model:
+    the raw counter is component 3 of the PowerEnergy array (Tapo's
+    ``Last[2]``, ``Tapo/TapoLogger.cs:87-107``) — proving rollover
+    correction composes with F7 array projection. (r6 merge: subsumes
+    the former scalar-column ``counter_rollover`` driver query.)"""
     from homelogging_spark.functions.values import component
 
     readings = _power_energy_readings(spark, sf_dir)
@@ -699,7 +674,7 @@ def q_counter_rollover_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_COUNTER_ROLLOVER_VALUES = f"""
+ORACLE_COUNTER_ROLLOVER = f"""
 WITH t AS (
   SELECT user_id AS meter_id, ts, ({_PE_VALS})[3] AS raw,
          lag(({_PE_VALS})[3]) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -2286,11 +2261,71 @@ WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
 # they stay oracle-checked locally by tools/check_oracle.py and
 # tests/test_oracle_parity.py. Policy documented in COVERAGE.md.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # 1: red in r4 (oracle tz dtype, fixed this round) — must re-record green
+    # --- r6 window (first 50): every query here either has NO driver row
+    # yet, has a row only from r4 (2-round staleness cap), or was
+    # materially changed/merged in r6. tests/test_rotation_guard.py
+    # mechanically enforces this invariant against the committed
+    # CORRECTNESS_r*.json files.
+    # 1: never driver-rowed (registered r5, past the 50-cap)
+    "curriculum_order",
+    "cube_profile",
+    "spec_driven_agg",
+    # 2: r4 row certifies pre-r5/r6 code, or merged/changed in r6
+    #    (tfidf requantized r5; counter_rollover/pack_docs/text_stats/
+    #    dedup_clusters are r6 merges; ann_*_topk grew recall columns;
+    #    rolling_corr got the constant-window sqrt guard;
+    #    compaction_report moved to the crash-atomic commit protocol)
+    "tfidf_top_terms",
+    "counter_rollover",
+    "pack_docs",
+    "text_stats",
+    "dedup_clusters",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "rolling_corr",
+    "compaction_report",
+    # 3: green in r4, no r5 row — must re-enter before going 2 rounds stale
+    "kasa_offset_exact",
+    "hll_distinct_rollup",
+    "pq_codes",
+    "session_window_agg",
+    "contamination_scan",
+    "length_drift_psi",
+    "topk_ngrams",
+    "zscore_anomaly",
+    "weighted_sample",
+    "stratified_sample",
+    "group_topk_sample",
+    "mixture_weights",
+    "series_flow_report",
+    "key_normalized_join",
+    "device_class_scan",
+    "flagship_hourly_cost",
+    "cost_totals",
+    "energy_interpolate",
+    "exact_dedup",
+    "minhash_near_dup",
+    "ngram_jaccard",
+    "simhash_buckets",
+    "doc_fingerprint",
+    "embedding_topk",
+    "embedding_near_dup",
+    "multimodal_byte_stats",
+    "battery_sim",
+    "battery_daily_cycles",
+    "weewx_parse",
+    "mbus_parse",
+    "tapo_parse",
+    "sdm_parse",
+    "kasa_parse",
+    "goodwe_parse",
+    "vents_parse",
+    "zyco2_parse",
+    "flow_temp_decision",
+    "pv_mode_decision",
+    # --- tail (48): green r5 driver rows, unchanged in r6; they rotate
+    # back into the window in r7 (48 <= 50, so the guarantee holds)
     "ebusd_parse",
-    # 1: the 27 queries with no r4 driver row (rotation policy, COVERAGE.md):
-    #    all were green in >=2 prior rounds; they rotate back to the front so
-    #    after r5 every registered query has a driver row from r4 or r5.
     "language_id",
     "quality_score",
     "asof_price_join",
@@ -2318,8 +2353,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "first_match",
     "skew_salted_agg",
     "dsmr_parse",
-    # 2: new or materially changed in r5
-    "compaction_report",
     "config_driven_series",
     "repetition_scores",
     "pii_scrub",
@@ -2333,7 +2366,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cusum_alarms",
     "ewma_smooth",
     "table_profile",
-    "rolling_corr",
     "pricing_summary",
     "snapshot_diff",
     "funnel_stages",
@@ -2341,38 +2373,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     "passage_dedup",
     "frame_sample",
-    # 3: r5 additions past the 50-cap (local-parity green; front of the
-    #    r6 rotation) and r4-green demotions, complex/stateful first
-    "curriculum_order",
-    "cube_profile",
-    "spec_driven_agg",
-    # 3: green in r4, demoted to fill the remaining window slots
-    #    (tfidf_top_terms moved here: its r5 requantized ranking passes local
-    #    parity and it has an r4 row; the never-recorded queries outrank it)
-    "tfidf_top_terms",
-    #    (complex/stateful operators first)
-    "dedup_keep_best",
-    "pq_codes",
-    "hll_distinct_rollup",
-    "kasa_offset_exact",
-    "pack_docs",
-    "pack_stats",
-    "session_window_agg",
-    "contamination_scan",
-    "length_drift_psi",
-    "topk_ngrams",
-    "zscore_anomaly",
-    "weighted_sample",
-    "stratified_sample",
-    "group_topk_sample",
-    "mixture_weights",
-    "series_flow_report",
-    "key_normalized_join",
-    "device_class_scan",
-    "flagship_hourly_cost",
-    "cost_totals",
-    "counter_rollover",
-    "counter_rollover_values",
 )
 
 
@@ -2406,7 +2406,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "values_projection": q_values_projection,
     "series_flow_report": q_series_flow_report,
     "compaction_report": q_compaction_report,
-    "counter_rollover_values": q_counter_rollover_values,
     "energy_interpolate": q_energy_interpolate,
     "key_normalized_join": q_key_normalized_join,
     "device_class_scan": q_device_class_scan,
@@ -2463,7 +2462,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "values_projection": ORACLE_VALUES_PROJECTION,
     "series_flow_report": ORACLE_SERIES_FLOW_REPORT,
     "compaction_report": ORACLE_COMPACTION_REPORT,
-    "counter_rollover_values": ORACLE_COUNTER_ROLLOVER_VALUES,
     "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,

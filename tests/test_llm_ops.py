@@ -132,6 +132,29 @@ class TestQualityAndTokens:
         n = df.select(textops.bpe_ish_token_count(F.col("text")).alias("n")).first().n
         assert n == 4  # hello, world, 42, !
 
+    def test_per_doc_token_measures(self, spark):
+        # the former token_counts driver query's per-doc grain (merged
+        # into text_stats' per-lang sums in r6) stays pinned here
+        df = docs_df(spark, ["the cat sat", "hello world42!"])
+        rows = df.select(
+            F.size(tokens(F.col("text"))).alias("ws"),
+            textops.bpe_ish_token_count(F.col("text")).alias("bpe"),
+            F.length("text").alias("chars"),
+        ).collect()
+        assert [(r.ws, r.bpe, r.chars) for r in rows] == [(3, 3, 11), (2, 4, 14)]
+
+    def test_corpus_stats_include_bpe_single_scan(self, spark):
+        df = docs_df(spark, ["the cat sat", "hello world42!"]).withColumn(
+            "lang", F.lit("en")
+        )
+        out = textops.corpus_stats(df, "text", "lang", include_bpe=True)
+        row = out.first()
+        assert row.total_bpe_tokens == 7
+        assert row.avg_bpe_tokens == pytest.approx(3.5)
+        # single-scan shape: exactly one aggregate pair, no join
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
 
 class TestSimilarity:
     def vectors_df(self, spark, vecs):
