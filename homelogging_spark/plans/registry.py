@@ -1464,12 +1464,20 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.sum(F.col("y") * F.col("y")).over(w)
     sxy = F.sum(F.col("x") * F.col("y")).over(w)
     num = n * sxy - sx * sy
-    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # guard EACH variance term before the sqrt (not just the product):
+    # a constant series over the window rounds its term to ~-7e-15,
+    # where DuckDB's sqrt() hard-errors and Spark's returns NaN (and
+    # NaN > 0 is true in Spark) — corr is undefined there anyway, so
+    # both engines emit NULL iff either variance is non-positive.
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
     return (
         hourly.select(
             "bucket",
             n.cast("bigint").alias("n_window"),
-            quantize(F.when(den > 0, num / den)).alias("corr_24h"),
+            quantize(
+                F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+            ).alias("corr_24h"),
         )
         .where(F.col("n_window") == _CORR_WINDOW)
     )
@@ -1495,8 +1503,9 @@ WITH h AS (
 )
 SELECT bucket, CAST(n AS BIGINT) AS n_window,
        {quantize_sql(
-           'CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 '
-           'THEN (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) '
+           'CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 '
+           'THEN (n * sxy - sx * sy) '
+           '/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) '
            'END'
        )} AS corr_24h
 FROM wnd WHERE CAST(n AS BIGINT) = {_CORR_WINDOW}

@@ -54,6 +54,10 @@ def frame_telegrams(text: str) -> list[str]:
     trailing junk — is dropped, mirroring the reference's resync
     behavior. An unterminated trailing frame is dropped too (the next
     capture file re-reads it whole)."""
+    # the reference scrubs NUL characters before framing
+    # (``data.Replace("\0", "")``, P1/P1Logger.cs:64 — a known hardware
+    # bug injects them); mirror it so captures with NULs parse identically
+    text = text.replace("\0", "")
     frames: list[str] = []
     current: list[str] | None = None
     for line in text.splitlines():
@@ -84,9 +88,12 @@ class DsmrTelegramReader(DataSourceReader):
             if any(ch in self.path for ch in "*?[")
             else (
                 sorted(
-                    os.path.join(self.path, f)
+                    p
                     for f in os.listdir(self.path)
                     if not f.startswith(("_", "."))
+                    # skip subdirectories — a dir entry would become an
+                    # InputPartition and fail at read() (ADVICE r5)
+                    if os.path.isfile(p := os.path.join(self.path, f))
                 )
                 if os.path.isdir(self.path)
                 else [self.path]
@@ -144,9 +151,10 @@ class DsmrTelegramStreamReader(SimpleDataSourceStreamReader):
         if not os.path.isdir(self.dir):
             return sorted(glob.glob(self.dir))
         return sorted(
-            os.path.join(self.dir, f)
+            p
             for f in os.listdir(self.dir)
             if not f.startswith(("_", "."))
+            if os.path.isfile(p := os.path.join(self.dir, f))
         )
 
     def initialOffset(self) -> dict:

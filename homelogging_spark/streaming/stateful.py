@@ -30,6 +30,21 @@ OUTPUT_DDL = "meter_id string, ts timestamp, raw double, offset double, correcte
 STATE_DDL = "last_raw double, offset double"
 
 
+def _collect_sorted(batches) -> pd.DataFrame | None:
+    """Concatenate a key's Arrow chunk iterator and sort ONCE by ts.
+
+    A key's micro-batch arrives as multiple Arrow chunks when it exceeds
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (~10k rows default);
+    sorting each chunk independently would fold rows out of global ts
+    order and silently break the documented drain==batch exact equality
+    (ADVICE r5). Returns None for an empty iterator (timeout tick)."""
+    frames = [pdf for pdf in batches if len(pdf)]
+    if not frames:
+        return None
+    merged = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    return merged.sort_values("ts")
+
+
 def _apply_rollover(
     key: tuple,
     batches: Iterator[pd.DataFrame],
@@ -39,8 +54,8 @@ def _apply_rollover(
     pre-reset raw into the running offset (ST3 accumulate semantics),
     emit corrected = raw + offset. State = (last_raw, offset)."""
     last_raw, offset = state.get if state.exists else (None, 0.0)
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    pdf = _collect_sorted(batches)
+    if pdf is not None:
         out_offset = []
         out_corrected = []
         for raw in pdf["raw"]:
@@ -90,8 +105,8 @@ def make_ewma_apply(alpha: float = 0.25):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (s,) = state.get if state.exists else (None,)
-        for pdf in batches:
-            pdf = pdf.sort_values("ts")
+        pdf = _collect_sorted(batches)
+        if pdf is not None:
             smoothed, resids = [], []
             for x in pdf["value"]:
                 if s is None:
@@ -143,8 +158,8 @@ def make_cusum_apply(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         hi, lo = state.get if state.exists else (0.0, 0.0)
-        for pdf in batches:
-            pdf = pdf.sort_values("ts")
+        pdf = _collect_sorted(batches)
+        if pdf is not None:
             his, los, alarms = [], [], []
             for x in pdf["value"]:
                 s_hi = max(0.0, hi + (x - up))

@@ -369,3 +369,43 @@ class TestSpecDrivenAgg:
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]  # AQE prints both
         assert final.count("FileScan parquet") == 1
+
+
+class TestRollingCorrGuard:
+    """r6 regression (ADVICE r5): a series constant over the whole 24h
+    window rounds its variance term to ~-7e-15; unguarded, DuckDB's
+    sqrt() hard-errors and Spark emits a NaN row. Both engines must emit
+    NULL corr instead."""
+
+    def _flat_events(self):
+        import pandas as pd
+
+        rows = []
+        base = pd.Timestamp("2024-01-01")
+        for h in range(30):
+            ts = base + pd.Timedelta(hours=h)
+            rows.append(("view", ts, 5.0))        # constant x
+            rows.append(("click", ts, float(h)))  # varying y
+        return pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+
+    def test_duckdb_oracle_survives_flat_series(self):
+        import duckdb
+
+        from homelogging_spark.plans.registry import ORACLE_ROLLING_CORR
+
+        con = duckdb.connect()
+        con.register("events", self._flat_events())
+        out = con.execute(ORACLE_ROLLING_CORR).fetchdf()  # must not raise
+        assert len(out) == 7  # hours 23..29 have full windows
+        assert out["corr_24h"].isna().all()
+
+    def test_spark_emits_null_not_nan(self, spark, tmp_path):
+        pdf = self._flat_events()
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        from homelogging_spark.plans.registry import q_rolling_corr
+
+        rows = q_rolling_corr(spark, str(tmp_path)).collect()
+        assert len(rows) == 7
+        assert all(r.corr_24h is None for r in rows)

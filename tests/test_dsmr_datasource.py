@@ -103,3 +103,34 @@ class TestDataSourceStream:
         assert len(rows) == 3  # 1 old + 1 appended + 1 rotated, no re-emits
         emitted = {(r.path.split("/")[-1], r.telegram_idx) for r in rows}
         assert emitted == {("cap1.p1", 0), ("cap1.p1", 1), ("cap2.p1", 0)}
+
+
+class TestAdviceRegressions:
+    """r5 ADVICE items: NUL scrub (P1/P1Logger.cs:64) and subdirectory
+    entries in the capture dir must not become InputPartitions."""
+
+    def test_nul_characters_scrubbed_before_framing(self):
+        noisy = TELEGRAM.replace("(00.244", "(00\0.244") + "\0" + TELEGRAM
+        frames = frame_telegrams(noisy)
+        assert len(frames) == 2
+        assert all("\0" not in f for f in frames)
+        assert "1-0:1.7.0(00.244*kW)" in frames[0]
+
+    def test_subdirectory_skipped_batch_and_stream(self, spark, tmp_path):
+        from homelogging_spark.sources.dsmr_datasource import (
+            DsmrTelegramDataSource,
+            DsmrTelegramStreamReader,
+        )
+
+        (tmp_path / "cap1.p1").write_text(TELEGRAM)
+        (tmp_path / "rotated").mkdir()  # subdir must be ignored
+
+        spark.dataSource.register(DsmrTelegramDataSource)
+        rows = spark.read.format("dsmr_telegram").load(str(tmp_path)).collect()
+        assert len(rows) == 1
+
+        rdr = DsmrTelegramStreamReader({"path": str(tmp_path)})
+        assert [p.split("/")[-1] for p in rdr._files()] == ["cap1.p1"]
+        out, off = rdr.read(rdr.initialOffset())
+        assert len(list(out)) == 1
+        assert off == {"files": {str(tmp_path / "cap1.p1"): 1}}
