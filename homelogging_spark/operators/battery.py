@@ -46,12 +46,15 @@ def simulate_battery_series(
     efficiency: float = 0.9,
     max_power_kw: float = 0.8,
     step_minutes: float = 1.0,
+    initial: tuple[float, float, float] = (0.0, 0.0, 0.0),
 ) -> list[tuple[float, float, float, float]]:
     """The pure fold: (soc, total_charged, total_discharged, cycles) after
     each step. Kept separate from Spark so tests (and any host) can run
-    the exact recurrence directly."""
+    the exact recurrence directly. ``initial`` seeds
+    (soc, charged, discharged) so the streaming form can resume the
+    recurrence from state-store values between micro-batches."""
     max_energy = max_power_kw / 60.0 * step_minutes
-    soc = charged = discharged = 0.0
+    soc, charged, discharged = initial
     out: list[tuple[float, float, float, float]] = []
     for p in powers:
         grid_energy = p / 1000.0 / 60.0 * step_minutes

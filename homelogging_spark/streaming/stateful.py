@@ -177,6 +177,88 @@ def make_cusum_apply(
     return _apply
 
 
+BATTERY_OUTPUT_DDL = (
+    "meter_id string, ts timestamp, power double,"
+    " soc double, total_charged double, total_discharged double, cycles double"
+)
+BATTERY_STATE_DDL = "soc double, charged double, discharged double"
+
+
+def make_battery_apply(
+    capacity: float = 2.7,
+    efficiency: float = 0.9,
+    max_power_kw: float = 0.8,
+    step_minutes: float = 1.0,
+):
+    """Streaming form of ST4, the zero-export battery simulation
+    (``operators/battery.battery_zero_export``, reference
+    ``RandomQueries/ZeroExport.cs:33-73``): the nonlinear SoC recurrence
+    folds per meter with (soc, total_charged, total_discharged) — three
+    doubles — surviving micro-batches in the state store; ``cycles`` is
+    derived per row. The per-step math is the SAME
+    ``simulate_battery_series`` double sequence as the batch operator,
+    seeded from state, so draining a stream equals the batch fold bit
+    for bit (pinned in test_streaming_stateful.py)."""
+    from homelogging_spark.operators.battery import simulate_battery_series
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        soc, charged, discharged = (
+            state.get if state.exists else (0.0, 0.0, 0.0)
+        )
+        pdf = _collect_sorted(batches)
+        if pdf is not None:
+            states = simulate_battery_series(
+                pdf["power"].tolist(),
+                capacity,
+                efficiency,
+                max_power_kw,
+                step_minutes,
+                initial=(soc, charged, discharged),
+            )
+            soc, charged, discharged, _ = states[-1]
+            yield pdf.assign(
+                soc=[s[0] for s in states],
+                total_charged=[s[1] for s in states],
+                total_discharged=[s[2] for s in states],
+                cycles=[s[3] for s in states],
+            )[
+                [
+                    "meter_id",
+                    "ts",
+                    "power",
+                    "soc",
+                    "total_charged",
+                    "total_discharged",
+                    "cycles",
+                ]
+            ]
+        state.update((soc, charged, discharged))
+
+    return _apply
+
+
+def streaming_battery(
+    stream: DataFrame,
+    capacity: float = 2.7,
+    efficiency: float = 0.9,
+    max_power_kw: float = 0.8,
+    step_minutes: float = 1.0,
+) -> DataFrame:
+    """ST4 battery zero-export simulation over a streaming frame with
+    columns (meter_id, ts, power); state is three doubles per meter."""
+    return stream.groupBy("meter_id").applyInPandasWithState(
+        make_battery_apply(capacity, efficiency, max_power_kw, step_minutes),
+        outputStructType=BATTERY_OUTPUT_DDL,
+        stateStructType=BATTERY_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_cusum(
     stream: DataFrame,
     target: float = 35.0,
