@@ -103,6 +103,75 @@ def byte_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 IMAGE_FEATURES_SCHEMA = "doc_id bigint, width int, height int, mean_luma double"
 
+# Rec.601 luma weights — the conventional grayscale projection
+_LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
+
+
+def _ppm_tokens(data: bytes, n: int, start: int = 2) -> tuple[list[int], int]:
+    """Read ``n`` ASCII integers from a PNM header starting at ``start``,
+    skipping whitespace and ``#`` comments; returns (values, offset just
+    past the single whitespace byte that terminates the header)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and data[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PNM header")
+        vals.append(int(data[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte before the raster
+
+
+def decode_basic_image(data: bytes) -> tuple[int, int, float]:
+    """Dependency-free decoder for the two trivial uncompressed formats
+    — binary PPM (``P6``, maxval 255) and uncompressed 24/32-bit BMP —
+    returning (width, height, mean_luma) with Rec.601 luma in [0, 255].
+    Pure numpy over the raster; anything else raises
+    ``NotImplementedError`` (inject a real codec via ``decoder=``)."""
+    import numpy as np
+
+    if data[:2] == b"P6":
+        (w, h, maxval), off = _ppm_tokens(data, 3)
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255 unsupported")
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+        rgb = px.reshape(-1, 3).astype(np.float64)
+        luma = rgb[:, 0] * _LUMA_R + rgb[:, 1] * _LUMA_G + rgb[:, 2] * _LUMA_B
+        return w, h, float(luma.mean())
+    if data[:2] == b"BM":
+        pix_off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        compression = int.from_bytes(data[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression} unsupported"
+            )
+        nrows = abs(h)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+        raster = np.frombuffer(
+            data, dtype=np.uint8, count=stride * nrows, offset=pix_off
+        ).reshape(nrows, stride)
+        bgr = raster[:, : w * nch].reshape(nrows, w, nch).astype(np.float64)
+        # channel order is B,G,R(,A); row order bottom-up unless h < 0 —
+        # irrelevant for the mean but kept correct for future per-pixel ops
+        luma = bgr[..., 2] * _LUMA_R + bgr[..., 1] * _LUMA_G + bgr[..., 0] * _LUMA_B
+        return w, nrows, float(luma.mean())
+    raise NotImplementedError(
+        "unrecognized image format (only P6 PPM and uncompressed BMP are "
+        "decoded dependency-free); inject decoder= for real codecs"
+    )
+
 
 def decode_image(
     df: DataFrame,
@@ -112,21 +181,18 @@ def decode_image(
     """Decode-image stage: mapInPandas over binary payloads producing
     (width, height, mean_luma).
 
-    STUB: this container ships no image codecs (no PIL/opencv), so with no
-    ``decoder`` injected each row raises ``NotImplementedError`` at
-    execution time. The Spark-side contract — schema, batching, partition
-    behavior — is real and tested with an injected deterministic fake.
+    The default decoder is ``decode_basic_image`` — a real,
+    dependency-free PPM/BMP decode path (this container ships no
+    PIL/opencv), so the stage executes end-to-end on actual pixel data;
+    the ``decoder=`` seam stays injectable for real codecs and for the
+    deterministic fakes the plumbing tests use.
     """
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        decode = decoder or decode_basic_image
         for pdf in batches:
-            if decoder is None:
-                raise NotImplementedError(
-                    "image decoding requires an image codec (PIL/opencv), "
-                    "not available in this environment; inject decoder="
-                )
-            decoded = [decoder(b) for b in pdf["payload"]]
+            decoded = [decode(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
