@@ -13,16 +13,25 @@ fragmented partitions into target-sized files.
 Scale contract: compaction is **partition-pruned and incremental** — it
 lists partition directories (driver-side metadata work, proportional to
 partition count, never data), picks only partitions whose file count /
-average file size violate the policy, and rewrites exactly those via
-dynamic partition overwrite. A day of fresh appends never triggers a
-full-history rewrite. Concurrent READERS of an untouched sibling
-partition are unaffected; for the partition being rewritten, dynamic
-partition overwrite is delete-then-commit — a crash between the two
-steps can leave that one partition empty until the next compaction
-run, so production deployments pair this with a table format whose
-commits are atomic (Delta/Iceberg OPTIMIZE). Rewriting preserves rows
-byte-for-byte (same columns, no re-dedup: the K1 sink already deduped
-on append)."""
+average file size violate the policy, and rewrites exactly those. A day
+of fresh appends never triggers a full-history rewrite. Rewriting
+preserves rows byte-for-byte (same columns, no re-dedup: the K1 sink
+already deduped on append).
+
+Crash atomicity (r6): each partition commits via a journaled
+write-temp-then-swap protocol — compacted files land in a hidden
+``.compact_tmp`` staging dir, a journal marker records the intent, and
+the visibility switch is two directory renames (live→trash, tmp→live),
+each atomic on POSIX and HDFS. A crash at ANY step is repaired by
+:func:`recover_compaction` (run automatically at the start of every
+``compact_readings``): marker present ⇒ staging is complete ⇒ roll
+forward; staging without a marker ⇒ incomplete write ⇒ roll back
+(live was never touched). No crash point loses rows — readers see the
+old files or the new files, and the only neither-window is the
+sub-millisecond gap between the two renames, which the journal closes
+on recovery. (An object-store deployment at 100 TB swaps this
+directory protocol for a table format with manifest-atomic commits —
+Delta/Iceberg OPTIMIZE — unchanged planning/policy code.)"""
 
 from __future__ import annotations
 
@@ -30,10 +39,7 @@ import os
 from dataclasses import dataclass
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from homelogging_spark.operators.ingest import _dynamic_partition_overwrite
+from pyspark.sql import SparkSession
 
 
 @dataclass
@@ -69,7 +75,10 @@ def partition_file_stats(spark: SparkSession, path: str) -> list[PartitionStat]:
         for st in fs.listStatus(dir_path):
             name = st.getPath().getName()
             if st.isDirectory():
-                subdirs.append((st.getPath(), name))
+                # hidden dirs are maintenance internals (.compact_tmp /
+                # .compact_trash / .compact_journal), not partitions
+                if not name.startswith(("_", ".")):
+                    subdirs.append((st.getPath(), name))
             elif not name.startswith(("_", ".")):
                 files.append(st.getLen())
         if subdirs:
@@ -98,6 +107,72 @@ def plan_compaction(
     ]
 
 
+TMP_DIR = ".compact_tmp"
+TRASH_DIR = ".compact_trash"
+JOURNAL_DIR = ".compact_journal"
+
+
+def _flat_name(partition: str) -> str:
+    """Journal/staging-safe single-segment name for a partition path."""
+    from urllib.parse import quote
+
+    return quote(partition, safe="")
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop.fs
+    root = hadoop.Path(path)
+    return hadoop, root.getFileSystem(sc._jsc.hadoopConfiguration())
+
+
+def recover_compaction(spark: SparkSession, path: str) -> list[str]:
+    """Repair any interrupted compaction commits under ``path``.
+
+    The journal marker is created only AFTER a partition's staging dir is
+    fully written, so its presence proves the staged copy is complete:
+    roll FORWARD (finish the swap, then clean trash + marker). A staging
+    dir without a marker is an incomplete write: roll BACK (delete the
+    orphan — the live partition was never touched). Returns the list of
+    partitions rolled forward. Safe to run any time; no-op on a clean
+    table."""
+    hadoop, fs = _fs(spark, path)
+    P = hadoop.Path
+    journal = P(os.path.join(path, JOURNAL_DIR))
+    tmp_root = P(os.path.join(path, TMP_DIR))
+    rolled: list[str] = []
+    if fs.exists(journal):
+        for st in fs.listStatus(journal):
+            flat = st.getPath().getName()
+            partition = unquote(flat)
+            live = P(os.path.join(path, partition))
+            tmp = P(os.path.join(path, TMP_DIR, flat))
+            trash = P(os.path.join(path, TRASH_DIR, flat))
+            if fs.exists(tmp):
+                # staged copy complete — finish the swap
+                if fs.exists(live):
+                    fs.delete(trash, True)
+                    fs.mkdirs(P(os.path.join(path, TRASH_DIR)))
+                    fs.rename(live, trash)
+                fs.rename(tmp, live)
+                rolled.append(partition)
+            elif not fs.exists(live) and fs.exists(trash):
+                # crashed inside the rename window with no staging left
+                # (cleaned by a concurrent recovery?) — restore the old
+                # files rather than lose the partition
+                fs.rename(trash, live)
+                rolled.append(partition)
+            fs.delete(trash, True)
+            fs.delete(st.getPath(), False)
+    if fs.exists(tmp_root):
+        for st in fs.listStatus(tmp_root):
+            # orphan staging without a marker: incomplete write, roll back
+            marker = P(os.path.join(path, JOURNAL_DIR, st.getPath().getName()))
+            if not fs.exists(marker):
+                fs.delete(st.getPath(), True)
+    return rolled
+
+
 def compact_readings(
     spark: SparkSession,
     path: str,
@@ -108,45 +183,59 @@ def compact_readings(
 
     For each partition chosen by :func:`plan_compaction`, reads ONLY that
     partition (partition-pruned scan), coalesces to
-    ``ceil(total_bytes / target_file_bytes)`` files, and overwrites just
-    that partition (dynamic partition overwrite — sibling partitions'
-    files untouched). Returns the list of partitions rewritten.
+    ``ceil(total_bytes / target_file_bytes)`` files, and commits via the
+    journaled write-temp-then-swap protocol (module docstring) so a
+    crash at any step never loses the partition. Returns the list of
+    partitions rewritten.
 
     Idempotent: a second run finds every rewritten partition already
-    within policy and does nothing."""
+    within policy and does nothing (after first repairing any
+    interrupted commit via :func:`recover_compaction`)."""
+    recover_compaction(spark, path)
     todo = plan_compaction(
         partition_file_stats(spark, path), target_file_bytes, min_files
     )
     if not todo:
         return []
+    hadoop, fs = _fs(spark, path)
+    P = hadoop.Path
+    # rename() needs existing destination parents (HDFS semantics)
+    fs.mkdirs(P(os.path.join(path, JOURNAL_DIR)))
+    fs.mkdirs(P(os.path.join(path, TRASH_DIR)))
     # One read+write per fragmented partition: the loop is over METADATA
     # (a handful of partitions per maintenance cycle), each iteration a
     # fully distributed pruned scan→write. Batching all partitions into
     # one job would forfeit per-partition coalesce factors.
-    part_cols: list[str] | None = None
     compacted: list[PartitionStat] = []
     for s in todo:
         kv = [seg.split("=", 1) for seg in s.partition.split("/")]
-        # Directory names carry Hadoop's partition-path escaping: special
-        # chars are %XX-encoded and a null value is the sentinel
-        # __HIVE_DEFAULT_PARTITION__. Re-attaching the RAW directory string
-        # would rewrite those rows with the wrong literal (e.g. "a%20b"
-        # instead of "a b", or the sentinel instead of NULL) — unescape,
-        # and skip null partitions entirely (left fragmented, never
-        # corrupted).
+        # Null partitions carry the __HIVE_DEFAULT_PARTITION__ sentinel in
+        # the directory name; skip them entirely (left fragmented, never
+        # corrupted). Other special chars are %XX-escaped in the dir name
+        # only — the swap moves whole directories, so the data files and
+        # the partition value they imply are untouched by escaping.
         if any(v == "__HIVE_DEFAULT_PARTITION__" for _, v in kv):
             continue
-        kv = [(k, unquote(v)) for k, v in kv]
-        if part_cols is None:
-            part_cols = [k for k, _ in kv]
-        sub = spark.read.parquet(os.path.join(path, s.partition))
-        # re-attach partition columns (constant within the partition)
-        for k, v in kv:
-            sub = sub.withColumn(k, F.lit(v))
+        flat = _flat_name(s.partition)
+        live = os.path.join(path, s.partition)
+        tmp = os.path.join(path, TMP_DIR, flat)
+        trash = os.path.join(path, TRASH_DIR, flat)
+        marker = os.path.join(path, JOURNAL_DIR, flat)
+        # 1. stage: partition-pruned scan -> compacted files in the
+        #    hidden staging dir (data columns only, same layout as the
+        #    live partition dir; readers never list hidden dirs)
+        sub = spark.read.parquet(live)
         n_out = max(1, -(-s.total_bytes // target_file_bytes))  # ceil
-        with _dynamic_partition_overwrite(spark):
-            sub.coalesce(n_out).write.mode("overwrite").partitionBy(
-                *part_cols
-            ).parquet(path)
+        fs.delete(P(tmp), True)
+        sub.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        # 2. journal the intent — created only after staging is complete
+        fs.createNewFile(P(marker))
+        # 3+4. the swap: two atomic renames
+        fs.delete(P(trash), True)
+        fs.rename(P(live), P(trash))
+        fs.rename(P(tmp), P(live))
+        # 5. clear the journal, then the old files
+        fs.delete(P(marker), False)
+        fs.delete(P(trash), True)
         compacted.append(s)
     return compacted

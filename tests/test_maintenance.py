@@ -146,3 +146,107 @@ class TestCompactedFixture:
         assert len(stats) == 20  # 2 series x 10 days
         assert plan_compaction(stats, target_file_bytes=64 * 1024 * 1024, min_files=2) == []
         assert all(s.n_files <= 2 for s in stats)
+
+
+class TestCrashAtomicCommit:
+    """r6: kill-between-steps coverage of the journaled swap protocol.
+    The test performs the EXACT steps compact_readings runs (stage →
+    journal → rename live→trash → rename tmp→live → clean), stopping at
+    each boundary, and asserts readers see the old rows or the new rows
+    — never a lost partition — once recovery (automatic at the next
+    compact_readings) has run."""
+
+    def _fragmented_table(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        for i in range(6):
+            append_readings(_mk_batch(spark, "P", 1, i * 100, 20), path)
+        append_readings(_mk_batch(spark, "Q", 1, 0, 20), path)
+        return path
+
+    def _steps(self, spark, path, stop_after):
+        """Replicate the per-partition commit steps, stopping early."""
+        import os as _os
+
+        from homelogging_spark.operators.maintenance import (
+            JOURNAL_DIR,
+            TMP_DIR,
+            TRASH_DIR,
+            _flat_name,
+            partition_file_stats,
+            plan_compaction,
+        )
+
+        s = plan_compaction(partition_file_stats(spark, path), 1 << 20, 4)[0]
+        flat = _flat_name(s.partition)
+        live = _os.path.join(path, s.partition)
+        tmp = _os.path.join(path, TMP_DIR, flat)
+        trash = _os.path.join(path, TRASH_DIR, flat)
+        marker = _os.path.join(path, JOURNAL_DIR, flat)
+        _os.makedirs(_os.path.join(path, JOURNAL_DIR), exist_ok=True)
+        _os.makedirs(_os.path.join(path, TRASH_DIR), exist_ok=True)
+        spark.read.parquet(live).coalesce(1).write.mode("overwrite").parquet(tmp)
+        if stop_after == "stage":
+            return
+        open(marker, "w").close()
+        if stop_after == "journal":
+            return
+        _os.rename(live, trash)
+        if stop_after == "rename_out":
+            return
+        _os.rename(tmp, live)
+        if stop_after == "rename_in":
+            return
+        raise AssertionError(f"unknown stop point {stop_after}")
+
+    @staticmethod
+    def _visible_now(spark, path, fingerprint):
+        """Old-or-new check WITHOUT recovery: a reader hitting the table
+        at this instant must still see every row (hidden dirs ignored)."""
+        import pytest as _pytest
+
+        assert _table_fingerprint(spark, path) == fingerprint
+
+    def test_every_kill_point_preserves_rows(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            compact_readings,
+            partition_file_stats,
+        )
+
+        for stop in ("stage", "journal", "rename_out", "rename_in"):
+            base = tmp_path / stop
+            base.mkdir()
+            path = self._fragmented_table(spark, base)
+            before = _table_fingerprint(spark, path)
+            self._steps(spark, path, stop)
+            if stop in ("stage", "journal"):
+                # live partition untouched: readers see OLD immediately
+                self._visible_now(spark, path, before)
+            # next maintenance run repairs and completes
+            compact_readings(spark, path, target_file_bytes=1 << 20, min_files=4)
+            assert _table_fingerprint(spark, path) == before, stop
+            # and the partition ends up actually compacted + clean
+            stats = {s.partition: s for s in partition_file_stats(spark, path)}
+            frag = [s for s in stats.values() if s.n_files > 4]
+            assert not frag, (stop, stats)
+            for d in (".compact_tmp", ".compact_trash", ".compact_journal"):
+                leftovers = list((base / "readings" / d).glob("*")) if (
+                    base / "readings" / d
+                ).exists() else []
+                assert not leftovers, (stop, d, leftovers)
+
+    def test_recovery_restores_from_trash_when_staging_lost(self, spark, tmp_path):
+        """Defensive path: staging dir vanished mid-window (e.g. a
+        concurrent cleanup) — the trashed old files must come back."""
+        import os as _os
+        import shutil
+
+        from homelogging_spark.operators.maintenance import recover_compaction
+
+        path = self._fragmented_table(spark, tmp_path)
+        before = _table_fingerprint(spark, path)
+        self._steps(spark, path, "rename_out")
+        # simulate the staging copy being lost
+        shutil.rmtree(_os.path.join(path, ".compact_tmp"))
+        rolled = recover_compaction(spark, path)
+        assert rolled  # the partition was repaired
+        assert _table_fingerprint(spark, path) == before
