@@ -39,6 +39,9 @@ BROADCAST_NESTED_LOOP_OK = {
     "funnel_stages",
     "embedding_topk",
     "ann_ivf_topk",
+    # r6: recall@k honesty column joins the exact_topk reference, whose
+    # 5-row broadcast query panel is the same benign BNLJ as embedding_topk
+    "ann_lsh_topk",
     "semantic_dedup",
     "grid_resample_locf",
     "values_projection",
