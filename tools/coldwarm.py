@@ -1,0 +1,61 @@
+"""Like-for-like cold/warm adjudication for bench `vs_prev` flags.
+
+When `bench.py`'s vs_prev flags a "regression" on a query whose code no
+commit touched, the r4 lesson (SCALE.md "bench loop-order") says the
+likely mechanism is loop POSITION: the first execution of a query in a
+session pays plan compilation and first-touch costs. This tool
+reproduces the r4 treatment: the same session-level warm-up bench.py
+performs, then N consecutive runs per flagged query, so run 1 shows the
+cold-first cost and runs 2..N the plan's real cost.
+
+Usage: python tools/coldwarm.py query1 [query2 ...] [--runs N]
+Prints one JSON line per query: {"query": ..., "runs": [sec, ...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_runs = 5
+    for a in sys.argv[1:]:
+        if a.startswith("--runs"):
+            n_runs = int(a.split("=", 1)[1])
+    if not args:
+        raise SystemExit("usage: coldwarm.py query1 [query2 ...] [--runs=N]")
+
+    import __spark_entry__ as entry
+    from homelogging_spark.session import get_spark
+
+    spark = get_spark("coldwarm")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+
+    # the same session-level warm-up bench.py performs (one cheap query
+    # so JVM/codegen/parquet-footer caches are in their bench state)
+    queries["time_range_filter"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in args:
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.time() - t0, 3))
+        print(json.dumps({"query": name, "sf_dir": SF_DIR, "runs": runs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,8 @@ BASE_SF = "/root/testdata/sf0.1"
 def blow_up_events(spark, factor: int) -> str:
     out = os.path.join(_FIXTURE_ROOT, f"scale_demo_x{factor}")
     if os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
+        # dirs cached by pre-r6 runs lack the embeddings blow-up — add it
+        _blow_up_embeddings(spark, factor, out)
         return out
     ev = load_table(spark, BASE_SF, "events")
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
@@ -53,6 +55,7 @@ def blow_up_events(spark, factor: int) -> str:
     big.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out, "events.parquet")
     )
+    _blow_up_embeddings(spark, factor, out)
     docs = load_table(spark, BASE_SF, "documents")
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     big_docs = (
@@ -76,10 +79,140 @@ def blow_up_events(spark, factor: int) -> str:
     return out
 
 
+def _blow_up_embeddings(spark, factor: int, out: str) -> None:
+    """Replicate embeddings ``factor``x with disjoint id ranges and a
+    per-copy deterministic direction jitter (amplitude ~ the element
+    scale, so a copy sits at cosine ~0.5 from its original — DISTINCT
+    vectors, not semantic duplicates). LSH bucket populations and IVF
+    cell sizes therefore grow ~linearly, without densifying the dup
+    graph the way the text blow-up deliberately does."""
+    dest = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = spark.range(factor).withColumnRenamed("id", "copy")
+    big = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_vecs).alias("vec_id"),
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x.cast("double")
+                        + F.sin(
+                            F.col("vec_id") * 0.37
+                            + i.cast("double") * 0.71
+                            + F.col("copy").cast("double") * 2.13
+                        )
+                    ).cast("float"),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    big.repartition(32).write.mode("overwrite").parquet(dest)
+
+
+def _seed_centroid_frame(spark, n_centroids: int, dim: int):
+    """seed_centroids as an ivf_assign-ready frame. The scale demo uses
+    md5-seeded centroids directly (no Lloyd pass): over the blown-up
+    near-random corpus they give ~balanced Voronoi cells, and the demo
+    measures the assign/pair/probe stages, not quantizer training.
+    (Training K with Lloyd is itself O(N*K) per iteration — at real
+    scale the quantizer trains on a sample, not the corpus.)"""
+    from homelogging_spark.operators.similarity import seed_centroids
+
+    rows = [(j, vec) for j, vec in enumerate(seed_centroids(n_centroids, dim))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def embedding_tier(spark, factor: int, results: list) -> None:
+    """Embedding-tier scale runs: semantic_dedup / embedding_near_dup /
+    ann_ivf_topk at 1x and Nx. Each operator runs the big input twice —
+    once with its dial SCALED the way the docstring prescribes for more
+    data (K ~ N cells for SemDeDup / IVF; +log2(N) hyperplanes per LSH
+    table), once with the 1x dial FIXED, to expose the cell/bucket
+    occupancy penalty the dial exists to cancel."""
+    import math
+
+    from homelogging_spark.operators.similarity import (
+        ivf_topk,
+        lsh_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    big_dir = blow_up_events(spark, factor)
+    base_k, base_planes, dim = 8, 4, 64
+
+    def timed(name, sf_dir, fn, rows_in):
+        # one untimed warm-up (bench.py convention): first execution pays
+        # plan compilation + first-touch costs that depend on loop
+        # position, not the plan — r4's lesson, SCALE.md "bench loop-order"
+        fn().write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 2)
+        results.append(
+            {"query": name, "dir": os.path.basename(sf_dir), "rows_in": rows_in, "sec": sec}
+        )
+        print(json.dumps(results[-1]))
+
+    from homelogging_spark.functions.cachelife import release_caches
+    from homelogging_spark.tables import spread
+
+    for sf_dir, f in ((BASE_SF, 1), (big_dir, factor)):
+        # spread() mirrors the registry entry (q_embedding_near_dup): the
+        # 1x fixture is a single parquet split, and without the
+        # repartition the 16 projection folds run on ONE thread
+        emb = spread(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+        n = emb.count()
+        queries = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+        dials = [("scaled", f)] if f == 1 else [("scaled", f), ("fixed", 1)]
+        for dial, df_ in dials:
+            cents = _seed_centroid_frame(spark, base_k * df_, dim)
+            planes = base_planes + (round(math.log2(df_)) if df_ > 1 else 0)
+            suffix = "" if f == 1 else f"[{dial}]"
+            timed(
+                f"semantic_dedup{suffix}",
+                sf_dir,
+                lambda c=corpus, ce=cents: semantic_dedup(c, ce, threshold=0.9),
+                n,
+            )
+            timed(
+                f"embedding_near_dup{suffix}",
+                sf_dir,
+                lambda e=emb, p=planes: lsh_near_dup_pairs(
+                    e, threshold=0.4, planes_per_table=p
+                ),
+                n,
+            )
+            release_caches()  # near_dup tracked-persists its bucket frame
+            timed(
+                f"ann_ivf_topk{suffix}",
+                sf_dir,
+                lambda q=queries, c=corpus, ce=cents: ivf_topk(
+                    q, c, ce, k=3, nprobe=2
+                ),
+                n,
+            )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tier = sys.argv[2] if len(sys.argv) > 2 else "text"
     spark = get_spark("scale-demo")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if tier == "emb":
+        results: list = []
+        embedding_tier(spark, factor, results)
+        print(json.dumps({"factor": factor, "tier": "emb", "n": len(results)}))
+        return
 
     big_dir = blow_up_events(spark, factor)
 
