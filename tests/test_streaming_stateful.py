@@ -341,3 +341,38 @@ class TestStreamingBattery:
         # must be exercised inside the fixture
         socs = [v[0] for v in streamed.values()]
         assert min(socs) == 0.0 and max(socs) == 0.05
+
+
+class TestCollectSorted:
+    """_collect_sorted is the ADVICE-r5 fix: a key whose micro-batch
+    exceeds spark.sql.execution.arrow.maxRecordsPerBatch arrives as
+    MULTIPLE Arrow chunks, and sorting each chunk independently would
+    fold rows out of global ts order. Pure-pandas pin of the merge."""
+
+    def test_merges_chunks_into_global_ts_order(self):
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import _collect_sorted
+
+        # chunk boundaries deliberately interleave timestamps: chunk 1
+        # holds ts 0,2,4..., chunk 2 holds 1,3,5... — per-chunk sorting
+        # alone would emit 0,2,4,...,1,3,5,...
+        c1 = pd.DataFrame({"ts": [4, 0, 2], "raw": [40.0, 0.0, 20.0]})
+        c2 = pd.DataFrame({"ts": [1, 5, 3], "raw": [10.0, 50.0, 30.0]})
+        merged = _collect_sorted(iter([c1, c2]))
+        assert list(merged["ts"]) == [0, 1, 2, 3, 4, 5]
+        assert list(merged["raw"]) == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+
+    def test_empty_iterator_is_timeout_tick(self):
+        from homelogging_spark.streaming.stateful import _collect_sorted
+
+        assert _collect_sorted(iter([])) is None
+
+    def test_single_chunk_not_copied(self):
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import _collect_sorted
+
+        c1 = pd.DataFrame({"ts": [2, 1], "raw": [2.0, 1.0]})
+        merged = _collect_sorted(iter([c1]))
+        assert list(merged["ts"]) == [1, 2]
