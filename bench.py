@@ -80,18 +80,30 @@ def main() -> None:
     timings_cold: dict[str, float] = {}
     from homelogging_spark.functions.cachelife import release_caches
 
+    # Lap 0: one untimed execution of EVERY query before any timing.
+    # r5's per-query warm-up (one untimed run immediately before that
+    # query's timed runs) was not enough: the r6 window-priority reorder
+    # moved the heaviest plans to the head of the loop and their timed
+    # medians came out 2.6x slower than at tail positions (measured
+    # 2026-08-14, ratio-vs-r5 by loop-position bucket: 2.64 / 1.42 /
+    # 1.34 / 1.06 / 1.00) — JVM JIT warmth accrues over minutes of
+    # execution, beyond a single run of the same query. Running the
+    # whole suite once first (a) warms the JIT on every plan shape,
+    # (b) builds the cross-query persist memos wherever they live, so
+    # the timed laps are order-independent REGARDLESS of how the
+    # driver-window priority reorders the registry between rounds.
+    # Total executions per query are unchanged (the warm-up moved from
+    # per-query to global); the lap-0 wall is recorded as the cold run.
+    warmups: dict[str, float] = {}
     for name, fn in qs.items():
-        runs = []
-        # One untimed warm-up execution first: the first run of a query in
-        # a session pays plan compilation + first-touch costs that depend
-        # on LOOP ORDER, not on the plan (measured at sf0.1: tapo_parse
-        # 2.72 s cold-first vs 0.53-0.76 s warm — the r4 "regressions"
-        # were exactly this after the registry reorder moved sources
-        # first). Warming makes medians order-independent; the warm-up
-        # wall time is still recorded in queries_max as the worst run.
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warmup = time.time() - t0
+        warmups[name] = time.time() - t0
+        release_caches()
+
+    for name, fn in qs.items():
+        runs = []
+        warmup = warmups[name]
         for _ in range(n_iters):
             t0 = time.time()
             df = fn(spark, sf_dir)
