@@ -9,10 +9,13 @@ that plumbing for real and keeps it testable in this container:
 - the payload schema, partition behavior, and batch shapes are real;
 - ``byte_stats`` is a real Arrow-batched feature extractor (numpy over
   raw bytes) whose output an SQL oracle can verify;
-- actual image/audio decoding is STUBBED: ``decode_image`` raises
-  ``NotImplementedError`` unless a decoder callable is injected (the
-  image libraries are not available here). Tests inject a deterministic
-  fake to exercise the full mapInPandas path.
+- decoding defaults to REAL dependency-free paths for the trivially
+  parseable formats (``decode_basic_image``: P6 PPM + uncompressed BMP;
+  ``decode_basic_audio``: RIFF/WAVE integer PCM) so the stages run
+  end-to-end on actual pixel/sample data in this container (no
+  PIL/opencv/soundfile shipped); every other format raises
+  ``NotImplementedError`` through the injectable ``decoder=`` seam
+  where real codecs (and the tests' deterministic fakes) plug in.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one
 batch, not one partition; keep payload partitions modest via
@@ -204,6 +207,93 @@ def decode_image(
 
     return df.select(F.col(id_col), "payload").mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_channels int, sample_rate int, n_samples bigint, rms double"
+)
+
+
+def decode_basic_audio(data: bytes) -> tuple[int, int, int, float]:
+    """Dependency-free decoder for canonical RIFF/WAVE with integer PCM
+    (8/16/32-bit), returning (n_channels, sample_rate, n_samples_per_
+    channel, rms) with RMS over samples normalized to [-1, 1]. Walks
+    the chunk list properly (fmt/data need not be adjacent — real
+    encoders emit LIST/fact chunks between them); anything non-PCM
+    raises ``NotImplementedError`` (inject a real codec via
+    ``decoder=``)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unrecognized audio format (only RIFF/WAVE PCM is decoded "
+            "dependency-free); inject decoder= for real codecs"
+        )
+    fmt = None
+    pcm = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            pcm = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16, 32) or n_channels == 0:
+        raise NotImplementedError(
+            f"WAVE format={audio_format} bits={bits} unsupported (PCM only)"
+        )
+    if bits == 8:  # 8-bit WAV is UNsigned, midpoint 128
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        n_whole = len(pcm) // (bits // 8)
+        x = np.frombuffer(pcm, dtype=dt, count=n_whole).astype(np.float64)
+        x /= float(2 ** (bits - 1))
+    n_frames = len(x) // n_channels
+    x = x[: n_frames * n_channels]
+    rms = float(np.sqrt(np.mean(x * x))) if n_frames else 0.0
+    return n_channels, sample_rate, n_frames, rms
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, int, int, float]] | None = None,
+) -> DataFrame:
+    """Decode-audio stage: mapInPandas over binary payloads producing
+    (n_channels, sample_rate, n_samples, rms) — the audio twin of
+    ``decode_image``, with the same real-default-plus-injectable-seam
+    contract (``decode_basic_audio`` handles RIFF/WAVE PCM without any
+    audio library; ffmpeg-class codecs plug into ``decoder=``)."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        decode = decoder or decode_basic_audio
+        for pdf in batches:
+            decoded = [decode(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_channels": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "rms": [d[3] for d in decoded],
+                }
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -265,6 +265,64 @@ class TestMultimodal:
         ) / 4.0
         assert luma == pytest.approx(expected)
 
+    @staticmethod
+    def _wav(pcm: bytes, n_channels: int, rate: int, bits: int, extra_chunk=True):
+        """Canonical RIFF/WAVE bytes; optionally inserts a LIST chunk
+        between fmt and data (real encoders do — the walker must skip)."""
+        import struct
+
+        block = n_channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, n_channels, rate, rate * block, block, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:
+            meta = b"INFOsoft"  # odd-sized body exercises word alignment
+            chunks += b"LIST" + struct.pack("<I", len(meta) + 1) + meta + b"\x00" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_decode_wav_pcm16_stereo_square_wave(self):
+        """±A square wave has RMS exactly A (after [-1,1] normalization);
+        stereo interleave and the interposed LIST chunk must not move it."""
+        import struct
+
+        amp = 8192  # 0.25 of full scale
+        frames = [(amp, -amp), (-amp, amp)] * 50
+        pcm = b"".join(struct.pack("<hh", l, r) for l, r in frames)
+        n_ch, rate, n_samples, rms = multimodal.decode_basic_audio(
+            self._wav(pcm, 2, 44100, 16)
+        )
+        assert (n_ch, rate, n_samples) == (2, 44100, 100)
+        assert rms == pytest.approx(amp / 32768.0)
+
+    def test_decode_wav_pcm8_unsigned_midpoint(self):
+        # constant 128 is digital silence in unsigned 8-bit
+        pcm = bytes([128] * 64)
+        n_ch, rate, n_samples, rms = multimodal.decode_basic_audio(
+            self._wav(pcm, 1, 8000, 8, extra_chunk=False)
+        )
+        assert (n_ch, rate, n_samples, rms) == (1, 8000, 64, 0.0)
+
+    def test_decode_audio_non_wav_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_basic_audio(b"ID3\x04not a wav")
+
+    def test_decode_audio_end_to_end(self, spark):
+        """Drive the default RIFF/WAVE path through mapInPandas."""
+        import struct
+
+        pcm = b"".join(struct.pack("<h", v) for v in [16384, -16384] * 10)
+        payload = self._wav(pcm, 1, 16000, 16)
+        df = spark.createDataFrame(
+            [(7, bytearray(payload))], "doc_id long, payload binary"
+        )
+        row = multimodal.decode_audio(df).collect()[0]
+        assert (row.doc_id, row.n_channels, row.sample_rate, row.n_samples) == (
+            7, 1, 16000, 20,
+        )
+        assert row.rms == pytest.approx(0.5)
+
     def test_decode_image_with_injected_decoder(self, spark):
         df = multimodal.with_payload(docs_df(spark, ["abcd", "xy"]))
 
