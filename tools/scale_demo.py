@@ -172,6 +172,27 @@ def embedding_tier(spark, factor: int, results: list) -> None:
         n = emb.count()
         queries = emb.where(F.col("vec_id") < 5)
         corpus = emb.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+        if f > 1:
+            # the headline dial for SemDeDup: K ~ N cells AND a trained
+            # quantizer — Lloyd on a 1/16 sample halves the hot cell and
+            # the sum(cell^2) pair bill vs md5-seed centroids (SCALE.md
+            # hot-cell census); timed with the training cost reported
+            # separately since production trains once at ingest
+            from homelogging_spark.operators.similarity import (
+                kmeans_lite_centroids,
+            )
+
+            t0 = time.time()
+            trained = kmeans_lite_centroids(
+                corpus, n_centroids=base_k * f, n_iters=2, dim=dim
+            )
+            print(json.dumps({"train_centroids_sec": round(time.time() - t0, 2)}))
+            timed(
+                "semantic_dedup[scaled+trained]",
+                sf_dir,
+                lambda c=corpus, ce=trained: semantic_dedup(c, ce, threshold=0.9),
+                n,
+            )
         dials = [("scaled", f)] if f == 1 else [("scaled", f), ("fixed", 1)]
         for dial, df_ in dials:
             cents = _seed_centroid_frame(spark, base_k * df_, dim)
