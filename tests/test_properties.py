@@ -234,3 +234,44 @@ class TestUnionSweepProperties:
         for p in positions:
             direct.update(range(p, p + k))
         assert union_sweep(positions, k) == len(direct)
+
+
+class TestWavDecodeProperties:
+    """decode_basic_audio round-trip: for ANY int16 sample list and
+    channel layout, building a canonical WAV and decoding it must
+    recover the exact frame count and the numpy-computed RMS — and the
+    parse must be invariant to extra metadata chunks between fmt and
+    data (word-aligned odd-sized ones included)."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+        ),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=9),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_recovers_samples_and_rms(self, samples, n_channels, junk_len):
+        import struct
+
+        import numpy as np
+
+        from homelogging_spark.operators.multimodal import decode_basic_audio
+
+        n_frames = len(samples) // n_channels
+        used = samples[: n_frames * n_channels]
+        if not used:
+            return  # fewer samples than one frame: nothing to assert
+        pcm = b"".join(struct.pack("<h", s) for s in used)
+        block = n_channels * 2
+        fmt = struct.pack("<HHIIHH", 1, n_channels, 8000, 8000 * block, block, 16)
+        junk = bytes(range(junk_len % 256 if junk_len else 0))[:junk_len]
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00" * (len(junk) & 1)
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        n_ch, rate, n_out, rms = decode_basic_audio(wav)
+        assert (n_ch, rate, n_out) == (n_channels, 8000, n_frames)
+        x = np.array(used, dtype=np.float64) / 32768.0
+        assert math.isclose(rms, float(np.sqrt(np.mean(x * x))), rel_tol=1e-12)
