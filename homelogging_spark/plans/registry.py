@@ -2260,30 +2260,22 @@ WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
 # --- driver-window ordering ---------------------------------------------------
 # The driver's CORRECTNESS snapshot records the FIRST 50 registry entries
 # (insertion order — observed cap across r2/r3). With more than 50
-# registered queries, ordering decides which get an official driver row,
-# so QUERIES is explicitly ordered by rotation priority:
-#   1. queries that have never (or no longer) had a driver row,
-#   2. queries added or materially changed this round,
-#   3. long-green complex/stateful operators,
-# and the tail (entries past 50) holds only queries that are simple
-# operators with green driver rows in 2+ consecutive prior rounds —
-# they stay oracle-checked locally by tools/check_oracle.py and
-# tests/test_oracle_parity.py. Policy documented in COVERAGE.md.
-_DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- r6 window (first 50): every query here either has NO driver row
-    # yet, has a row only from r4 (2-round staleness cap), or was
-    # materially changed/merged in r6. tests/test_rotation_guard.py
-    # mechanically enforces this invariant against the committed
-    # CORRECTNESS_r*.json files.
-    # 1: never driver-rowed (registered r5, past the 50-cap)
-    "curriculum_order",
-    "cube_profile",
-    "spec_driven_agg",
-    # 2: r4 row certifies pre-r5/r6 code, or merged/changed in r6
-    #    (tfidf requantized r5; counter_rollover/pack_docs/text_stats/
-    #    dedup_clusters are r6 merges; ann_*_topk grew recall columns;
-    #    rolling_corr got the constant-window sqrt guard;
-    #    compaction_report moved to the crash-atomic commit protocol)
+# registered queries, ordering decides which get an official driver row.
+# Since r6 the order is COMPUTED from the committed CORRECTNESS_r*.json
+# files instead of hand-maintained: queries sort by the round of their
+# most recent GREEN driver row, oldest first, with never-rowed and
+# materially-changed queries forced to the front. That makes the
+# 2-round staleness guarantee hold by construction (everything lacking
+# a latest-round row sorts before everything that has one; the
+# registry-size cap in tests/test_rotation_guard.py keeps the count of
+# such queries <= 50), leaving exactly ONE hand-maintained input:
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # r6: a changed query's old green row certifies the old code, so it
+    # re-enters the window regardless of how recent that row is.
+    # (tfidf requantized r5; counter_rollover/pack_docs/text_stats/
+    # dedup_clusters are r6 merges; ann_*_topk grew recall columns;
+    # rolling_corr got the constant-window sqrt guard;
+    # compaction_report moved to the crash-atomic commit protocol)
     "tfidf_top_terms",
     "counter_rollover",
     "pack_docs",
@@ -2293,105 +2285,59 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     "rolling_corr",
     "compaction_report",
-    # 3: green in r4, no r5 row — must re-enter before going 2 rounds stale
-    "kasa_offset_exact",
-    "hll_distinct_rollup",
-    "pq_codes",
-    "session_window_agg",
-    "contamination_scan",
-    "length_drift_psi",
-    "topk_ngrams",
-    "zscore_anomaly",
-    "weighted_sample",
-    "stratified_sample",
-    "group_topk_sample",
-    "mixture_weights",
-    "series_flow_report",
-    "key_normalized_join",
-    "device_class_scan",
-    "flagship_hourly_cost",
-    "cost_totals",
-    "energy_interpolate",
-    "exact_dedup",
-    "minhash_near_dup",
-    "ngram_jaccard",
-    "simhash_buckets",
-    "doc_fingerprint",
-    "embedding_topk",
-    "embedding_near_dup",
-    "multimodal_byte_stats",
-    "battery_sim",
-    "battery_daily_cycles",
-    "weewx_parse",
-    "mbus_parse",
-    "tapo_parse",
-    "sdm_parse",
-    "kasa_parse",
-    "goodwe_parse",
-    "vents_parse",
-    "zyco2_parse",
-    "flow_temp_decision",
-    "pv_mode_decision",
-    # --- tail (48): green r5 driver rows, unchanged in r6; they rotate
-    # back into the window in r7 (48 <= 50, so the guarantee holds)
-    "ebusd_parse",
-    "language_id",
-    "quality_score",
-    "asof_price_join",
-    "range_session_join",
-    "sessionize",
-    "trailing_window_avg",
-    "pulse_step_emit",
-    "thermostat_mode",
-    "tag_mode_report",
-    "hourly_avg",
-    "minute_downsample",
-    "latest_per_key",
-    "count_by_series",
-    "trailing_percentile",
-    "weighted_totals",
-    "all_gate",
-    "pulse_accumulate",
-    "lag_delta",
-    "daily_cycles",
-    "time_range_filter",
-    "json_extract",
-    "least_greatest",
-    "customer_order_totals",
-    "values_projection",
-    "first_match",
-    "skew_salted_agg",
-    "dsmr_parse",
-    "config_driven_series",
-    "repetition_scores",
-    "pii_scrub",
-    "corpus_budget_select",
-    "incremental_dedup",
-    "semantic_dedup",
-    "histogram_quantile_rollup",
-    "grid_resample_locf",
-    "corpus_build_pipeline",
-    "load_profile",
-    "cusum_alarms",
-    "ewma_smooth",
-    "table_profile",
-    "pricing_summary",
-    "snapshot_diff",
-    "funnel_stages",
-    "seasonal_residuals",
-    "doc_chunks",
-    "passage_dedup",
-    "frame_sample",
-)
+})
+
+
+def _latest_green_round() -> dict[str, int]:
+    """query name -> most recent round with a GREEN driver row, parsed
+    from the committed CORRECTNESS_r*.json artifacts. A red row does not
+    certify (the query must re-enter the window); a rows-only row
+    (hash_match null) counts — it is the strongest check that query can
+    receive."""
+    import json as _json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    out: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        try:
+            data = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        rnd = int(m.group(1))
+        for name, row in data.items():
+            green = (
+                isinstance(row, dict)
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _driver_window_order(merged: dict) -> dict:
-    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in merged]
-    if missing:  # typo guard — fail at import, not in the driver
-        raise KeyError(f"_DRIVER_WINDOW_PRIORITY names unknown queries: {missing}")
-    out = {name: merged[name] for name in _DRIVER_WINDOW_PRIORITY}
-    out.update({k: v for k, v in merged.items() if k not in out})
-    return out
+    unknown = [n for n in _CHANGED_THIS_ROUND if n not in merged]
+    if unknown:  # typo guard — fail at import, not in the driver
+        raise KeyError(f"_CHANGED_THIS_ROUND names unknown queries: {unknown}")
+    greens = _latest_green_round()
+    orig = {n: i for i, n in enumerate(merged)}
+
+    def staleness(n: str) -> tuple[int, int]:
+        # never-green and changed-this-round first (rank -1), then by
+        # latest green round ascending; registration order breaks ties
+        # so the computed order is deterministic round-over-round
+        rank = -1 if n not in greens or n in _CHANGED_THIS_ROUND else greens[n]
+        return (rank, orig[n])
+
+    return {n: merged[n] for n in sorted(merged, key=staleness)}
 
 
 _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -71,16 +71,53 @@ def test_no_query_goes_two_rounds_stale():
     )
 
 
-def test_priority_tuple_covers_registry_exactly():
-    # the tuple IS the registry order — a query missing from it would be
-    # appended at the tail silently; a stale name raises at import, but
-    # pin both directions here for a clear failure message.
-    from homelogging_spark.plans.registry import _DRIVER_WINDOW_PRIORITY
+def test_computed_order_is_staleness_sorted():
+    """Since r6 the registry order is COMPUTED (stalest green row first;
+    never-green and _CHANGED_THIS_ROUND forced to the front). Re-derive
+    the expected order from the committed files INDEPENDENTLY of the
+    registry's own parser and pin the grouping: no query with an older
+    (or no) green row may sit after a query with a newer one, unless
+    the newer one is flagged changed."""
+    from homelogging_spark.plans.registry import _CHANGED_THIS_ROUND
 
     order = _registry_order()
-    assert list(_DRIVER_WINDOW_PRIORITY) == order[: len(_DRIVER_WINDOW_PRIORITY)]
-    missing = set(order) - set(_DRIVER_WINDOW_PRIORITY)
-    assert not missing, (
-        f"queries not listed in _DRIVER_WINDOW_PRIORITY (tail-appended "
-        f"implicitly, rotation unmanaged): {sorted(missing)}"
+    assert _CHANGED_THIS_ROUND <= set(order), (
+        f"_CHANGED_THIS_ROUND names unknown queries: "
+        f"{sorted(_CHANGED_THIS_ROUND - set(order))}"
     )
+
+    greens: dict[str, int] = {}
+    for rnd, rows_by_name in sorted(_correctness_rounds_green().items()):
+        for name in rows_by_name:
+            greens[name] = rnd
+
+    def rank(q: str) -> int:
+        return -1 if q not in greens or q in _CHANGED_THIS_ROUND else greens[q]
+
+    ranks = [rank(q) for q in order]
+    assert ranks == sorted(ranks), (
+        "registry order is not sorted by driver-row staleness; first "
+        f"inversion near: {[(q, rank(q)) for q in order][:60]}"
+    )
+
+
+def _correctness_rounds_green() -> dict[int, set[str]]:
+    """round -> names with a GREEN row (matches the registry's
+    definition: rows+schema match and hash not explicitly false)."""
+    out: dict[int, set[str]] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        data = json.loads(p.read_text())
+        if not isinstance(data, dict):
+            continue
+        out[int(m.group(1))] = {
+            name
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match") is not False
+        }
+    return out
