@@ -67,7 +67,9 @@ def test_no_query_goes_two_rounds_stale():
     assert not late, (
         "queries without a driver row from the latest recorded round sit "
         f"past the {WINDOW}-row window and would go 2+ rounds stale: {late}. "
-        "Move them into the head of _DRIVER_WINDOW_PRIORITY."
+        "Usual cause: registry._CHANGED_THIS_ROUND still lists queries "
+        "whose new code the latest round already recertified — clear "
+        "them; otherwise consolidate queries to free window slots."
     )
 
 
