@@ -376,3 +376,62 @@ class TestCollectSorted:
         c1 = pd.DataFrame({"ts": [2, 1], "raw": [2.0, 1.0]})
         merged = _collect_sorted(iter([c1]))
         assert list(merged["ts"]) == [1, 2]
+
+
+class TestStreamingMultimodalDecode:
+    def test_stream_decode_audio_equals_batch(self, spark, tmp_path):
+        """The multimodal decode stages are stateless mapInPandas, so
+        they must compose with Structured Streaming unchanged: draining
+        decode_audio over a parquet file stream of WAV payloads equals
+        the batch run exactly (header parse + RMS are deterministic)."""
+        import struct
+
+        from homelogging_spark.operators.multimodal import decode_audio
+
+        def wav(doc_id: int) -> bytes:
+            n = 20 + doc_id * 3
+            pcm = b"".join(
+                struct.pack("<h", ((i * 2654435761 + doc_id) % 65536) - 32768)
+                for i in range(n)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        schema = "doc_id long, payload binary"
+        for batch in range(3):
+            rows = [(i, bytearray(wav(i))) for i in range(batch * 4, batch * 4 + 4)]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            decode_audio(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r.doc_id: (r.n_channels, r.sample_rate, r.n_samples, r.rms)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        batched = {
+            r.doc_id: (r.n_channels, r.sample_rate, r.n_samples, r.rms)
+            for r in decode_audio(spark.read.parquet(str(src))).collect()
+        }
+        assert len(streamed) == 12
+        assert streamed == batched
