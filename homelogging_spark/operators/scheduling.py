@@ -1,0 +1,113 @@
+"""Adaptive poll scheduling (SURVEY §2.7 ST8): the reference's logger
+service reschedules each device poll at ``delay = interval - elapsed``
+floored at 5 s, and DOUBLES the delay per consecutive failure, capped at
+1 hour (reference: TelemetryToRaven/LoggerService.cs:28-50 — delay
+arithmetic at :39-47). ST9's retry-once wrapper stays an orchestration
+concern (LoggerService.cs:62-73): it retries a failed poll immediately
+once before the backoff applies, which in this data model simply means
+the attempt log carries both attempts as rows.
+
+Spark-first restatement: scheduling state is a pure function of the
+per-device attempt log, so instead of porting the imperative timer loop
+we DERIVE the schedule declaratively — one aggregation for the latest
+success/attempt per device, one co-keyed count for the failure streak,
+and closed-form backoff arithmetic. At 100 TB the attempt log is an
+append-only table partitioned by day; both shuffles key on the device
+id and the output is one row per device (dim-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FLOOR_S = 5.0
+DEFAULT_CAP_S = 3600.0
+
+
+def backoff_delay(
+    interval_s: Column, fail_streak: Column, cap_s: float = DEFAULT_CAP_S
+) -> Column:
+    """Reference backoff: the configured interval doubled once per
+    consecutive failure, capped (LoggerService.cs:45-46). Closed form
+    ``min(interval * 2^streak, cap)`` instead of the reference's
+    mutable ``_delay *= 2`` — same sequence of values."""
+    return F.least(interval_s * F.pow(F.lit(2.0), fail_streak), F.lit(cap_s))
+
+
+def next_poll_schedule(
+    attempts: DataFrame,
+    now_ts,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    ok_col: str = "ok",
+    interval_col: str = "interval_s",
+    floor_s: float = DEFAULT_FLOOR_S,
+    cap_s: float = DEFAULT_CAP_S,
+) -> DataFrame:
+    """Derive each device's next poll time from its attempt log.
+
+    ``attempts``: one row per poll attempt — key column(s), ``ts_col``
+    timestamp, ``ok_col`` boolean, ``interval_col`` the device's
+    configured poll interval in seconds (constant per device).
+
+    Output, one row per device: ``last_attempt_ts``, ``last_ok_ts``
+    (null if never succeeded), ``fail_streak`` (consecutive failures
+    since the last success), ``delay_s`` (backoff-doubled, capped),
+    ``next_poll_ts`` = last_attempt + delay, and ``due_in_s`` =
+    max(next_poll - now, floor) — the reference's ``interval - elapsed``
+    with its 5 s floor (LoggerService.cs:39-43).
+
+    Two shuffles, both keyed on the device id: the per-device extrema
+    aggregation and the failure-streak count (an anti-filtered co-keyed
+    aggregation, not a window over the full log).
+    """
+    keys = keys or ["meter_id"]
+    now = F.lit(now_ts).cast("timestamp")
+
+    per_dev = attempts.groupBy(*keys).agg(
+        F.max(F.col(ts_col)).alias("last_attempt_ts"),
+        F.max(F.when(F.col(ok_col), F.col(ts_col))).alias("last_ok_ts"),
+        F.max(F.col(interval_col)).alias("__interval_s"),
+    )
+    # consecutive failures since the last success: count attempts that
+    # are strictly later than last_ok_ts (all of them if never ok)
+    streak = (
+        attempts.join(per_dev.select(*keys, "last_ok_ts"), keys)
+        .where(
+            F.col("last_ok_ts").isNull() | (F.col(ts_col) > F.col("last_ok_ts"))
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fail_streak"))
+    )
+    out = (
+        per_dev.join(streak, keys, "left")
+        .withColumn("fail_streak", F.coalesce("fail_streak", F.lit(0).cast("bigint")))
+        .withColumn(
+            "delay_s", backoff_delay(F.col("__interval_s"), F.col("fail_streak"), cap_s)
+        )
+        .withColumn(
+            "next_poll_ts",
+            F.timestamp_seconds(
+                F.unix_timestamp("last_attempt_ts") + F.col("delay_s")
+            ),
+        )
+        .withColumn(
+            "due_in_s",
+            F.greatest(
+                (
+                    F.unix_timestamp("next_poll_ts") - F.unix_timestamp(now)
+                ).cast("double"),
+                F.lit(float(floor_s)),
+            ),
+        )
+    )
+    return out.select(
+        *keys,
+        "last_attempt_ts",
+        "last_ok_ts",
+        "fail_streak",
+        "delay_s",
+        "next_poll_ts",
+        "due_in_s",
+    )
