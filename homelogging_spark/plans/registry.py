@@ -2270,21 +2270,10 @@ WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
 # registry-size cap in tests/test_rotation_guard.py keeps the count of
 # such queries <= 50), leaving exactly ONE hand-maintained input:
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r6: a changed query's old green row certifies the old code, so it
+    # r7: a changed query's old green row certifies the old code, so it
     # re-enters the window regardless of how recent that row is.
-    # (tfidf requantized r5; counter_rollover/pack_docs/text_stats/
-    # dedup_clusters are r6 merges; ann_*_topk grew recall columns;
-    # rolling_corr got the constant-window sqrt guard;
-    # compaction_report moved to the crash-atomic commit protocol)
-    "tfidf_top_terms",
-    "counter_rollover",
-    "pack_docs",
-    "text_stats",
-    "dedup_clusters",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "rolling_corr",
-    "compaction_report",
+    # (The r6 entries were cleared first thing this round — the landed
+    # CORRECTNESS_r06.json recertified all nine.)
 })
 
 
