@@ -28,10 +28,15 @@ DEFAULT_CAP_S = 3600.0
 def backoff_delay(
     interval_s: Column, fail_streak: Column, cap_s: float = DEFAULT_CAP_S
 ) -> Column:
-    """Reference backoff: the configured interval doubled once per
-    consecutive failure, capped (LoggerService.cs:45-46). Closed form
-    ``min(interval * 2^streak, cap)`` instead of the reference's
-    mutable ``_delay *= 2`` — same sequence of values."""
+    """Backoff restated in closed form: ``min(interval * 2^streak,
+    cap)``. This matches the reference (LoggerService.cs:45-46) only in
+    the healthy-baseline case where the delay equals the configured
+    interval before the first failure; the reference doubles the
+    CURRENT delay (which after a success is ``interval - elapsed``,
+    possibly the 5 s floor) and checks the 1 h cap BEFORE doubling, so
+    its delays can overshoot to just under 2 h. We deliberately
+    hard-cap at exactly ``cap`` — a declarative restatement, not a
+    bug-for-bug port of the mutable ``_delay *= 2`` loop."""
     return F.least(interval_s * F.pow(F.lit(2.0), fail_streak), F.lit(cap_s))
 
 
@@ -68,7 +73,10 @@ def next_poll_schedule(
     per_dev = attempts.groupBy(*keys).agg(
         F.max(F.col(ts_col)).alias("last_attempt_ts"),
         F.max(F.when(F.col(ok_col), F.col(ts_col))).alias("last_ok_ts"),
-        F.max(F.col(interval_col)).alias("__interval_s"),
+        # interval from the LATEST attempt, not max over history: if a
+        # device's configured interval is ever lowered, stale rows with
+        # the old larger value must not dominate the schedule forever
+        F.max_by(F.col(interval_col), F.col(ts_col)).alias("__interval_s"),
     )
     # consecutive failures since the last success: count attempts that
     # are strictly later than last_ok_ts (all of them if never ok)
@@ -88,16 +96,15 @@ def next_poll_schedule(
         )
         .withColumn(
             "next_poll_ts",
-            F.timestamp_seconds(
-                F.unix_timestamp("last_attempt_ts") + F.col("delay_s")
+            F.timestamp_millis(
+                F.unix_millis("last_attempt_ts")
+                + (F.col("delay_s") * 1000.0).cast("bigint")
             ),
         )
         .withColumn(
             "due_in_s",
             F.greatest(
-                (
-                    F.unix_timestamp("next_poll_ts") - F.unix_timestamp(now)
-                ).cast("double"),
+                (F.unix_millis("next_poll_ts") - F.unix_millis(now)) / 1000.0,
                 F.lit(float(floor_s)),
             ),
         )

@@ -474,8 +474,11 @@ WITH src AS (
          lag(energy) OVER w AS e_prev
   FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), stepped AS (
+  -- reference branch order (MbusLogger.cs:129-133): a counter tick
+  -- zeroes the fraction WITHOUT adding that interval's trapezoid delta
   SELECT *,
-         CASE WHEN p_prev IS NULL
+         CASE WHEN (e_prev IS NOT NULL AND energy > e_prev)
+                   OR p_prev IS NULL
                    OR ((p_prev + power) / 2.0 * ((epoch_ms(ts) - epoch_ms(t_prev)) / 3600000.0) / 1000.0) < 0
               THEN 0.0
               ELSE (p_prev + power) / 2.0 * ((epoch_ms(ts) - epoch_ms(t_prev)) / 3600000.0) / 1000.0 END AS delta,
@@ -1849,6 +1852,85 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- ST8/ST9: adaptive poll scheduling from the attempt log ------------------
+def q_next_poll_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8 adaptive poll scheduling (reference
+    ``TelemetryToRaven/LoggerService.cs:28-50``) as a driver-certified
+    query: the attempt log is derived from ``events`` (device key =
+    ``user_id``, ``ok`` = not an ``error`` event, configured interval a
+    deterministic per-device function of the key), and the schedule —
+    latest attempt/success, consecutive-failure streak, backoff-doubled
+    delay capped at 1 h, next poll time, seconds-until-due with the 5 s
+    floor — is one row per device. ST9's retry-once wrapper
+    (``LoggerService.cs:62-73``) is represented by the retry attempts
+    landing as ordinary rows counted into the streak (pinned in
+    ``tests/test_scheduling.py``). Two device-keyed shuffles, dim-sized
+    output — the attempt log never sorts globally."""
+    from homelogging_spark.operators.scheduling import next_poll_schedule
+
+    events = load_table(spark, sf_dir, "events")
+    attempts = events.select(
+        F.col("user_id").alias("meter_id"),
+        "ts",
+        (F.col("event_type") != "error").alias("ok"),
+        (60.0 * (1 + F.col("user_id") % 5)).alias("interval_s"),
+    )
+    out = next_poll_schedule(attempts, "2024-01-15 00:00:00", keys=["meter_id"])
+    return out.select(
+        "meter_id",
+        "last_attempt_ts",
+        "last_ok_ts",
+        "fail_streak",
+        quantize("delay_s").alias("delay_s"),
+        "next_poll_ts",
+        quantize("due_in_s").alias("due_in_s"),
+    )
+
+
+ORACLE_NEXT_POLL_SCHEDULE = f"""
+WITH attempts AS (
+  SELECT user_id AS meter_id, ts,
+         event_type <> 'error' AS ok,
+         60.0 * (1 + user_id % 5) AS interval_s
+  FROM events
+),
+per_dev AS (
+  SELECT meter_id,
+         max(ts) AS last_attempt_ts,
+         max(CASE WHEN ok THEN ts END) AS last_ok_ts,
+         max_by(interval_s, ts) AS interval_s
+  FROM attempts GROUP BY meter_id
+),
+streak AS (
+  SELECT a.meter_id, CAST(count(*) AS BIGINT) AS fail_streak
+  FROM attempts a JOIN per_dev p USING (meter_id)
+  WHERE p.last_ok_ts IS NULL OR a.ts > p.last_ok_ts
+  GROUP BY a.meter_id
+),
+sched AS (
+  SELECT p.meter_id, p.last_attempt_ts, p.last_ok_ts,
+         coalesce(s.fail_streak, 0) AS fail_streak,
+         least(p.interval_s * power(2.0, coalesce(s.fail_streak, 0)),
+               3600.0) AS delay_s
+  FROM per_dev p LEFT JOIN streak s USING (meter_id)
+),
+sched2 AS (
+  SELECT *,
+         epoch_ms(last_attempt_ts) + CAST(delay_s * 1000.0 AS BIGINT)
+           AS next_poll_ms
+  FROM sched
+)
+SELECT meter_id, last_attempt_ts, last_ok_ts, fail_streak,
+       {quantize_sql('delay_s')} AS delay_s,
+       make_timestamp(next_poll_ms * 1000) AS next_poll_ts,
+       {quantize_sql(
+           "greatest((next_poll_ms - epoch_ms(TIMESTAMP '2024-01-15 00:00:00'))"
+           " / 1000.0, 5.0)"
+       )} AS due_in_s
+FROM sched2
+"""
+
+
 # --- telemetry anomaly detection: per-series z-score -------------------------
 def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series outlier report: two-pass z-score — aggregate each
@@ -2379,6 +2461,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_resample_locf": q_grid_resample_locf,
     "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
+    "next_poll_schedule": q_next_poll_schedule,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -2435,6 +2518,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
     "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
+    "next_poll_schedule": ORACLE_NEXT_POLL_SCHEDULE,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

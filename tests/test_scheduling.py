@@ -81,6 +81,18 @@ class TestNextPollSchedule:
         r = next_poll_schedule(_attempts(spark, rows), NOW).collect()[0]
         assert r.fail_streak == 2 and r.delay_s == 240.0
 
+    def test_lowered_interval_takes_effect(self, spark):
+        """The interval comes from the LATEST attempt row: lowering a
+        device's configured interval must change the schedule even
+        though older rows still carry the larger value."""
+        rows = [
+            ("m1", "2024-05-01 11:50:00", True, 300.0),
+            ("m1", "2024-05-01 11:59:00", True, 60.0),  # config lowered
+        ]
+        r = next_poll_schedule(_attempts(spark, rows), NOW).collect()[0]
+        assert r.delay_s == 60.0
+        assert str(r.next_poll_ts) == "2024-05-01 12:00:00"
+
     def test_per_device_independence(self, spark):
         rows = [
             ("a", "2024-05-01 11:59:00", True, 30.0),
