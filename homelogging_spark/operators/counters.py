@@ -181,7 +181,10 @@ def energy_fraction_interpolate(
     Per key in time order:
       frac += (P_prev + P_now)/2 * dt_hours / 1000   (kW·h from W)
       skip negative power contributions (defrost);
-      when the whole counter ticks up, the fraction resets;
+      when the whole counter ticks up, the fraction resets to EXACTLY
+      zero — the reference's branch order (``MbusLogger.cs:129-133``)
+      never adds the tick interval's trapezoid delta, so tick rows emit
+      the bare whole-unit counter;
       the fraction is clamped to <= 0.99 so interpolation never
       contradicts the whole-unit counter.
     """
@@ -191,10 +194,10 @@ def energy_fraction_interpolate(
     e_prev = F.lag(F.col(energy_col)).over(w)
     dt_h = (F.unix_millis(F.col(ts_col)) - F.unix_millis(t_prev)) / F.lit(3_600_000.0)
     contrib = (p_prev + F.col(power_col)) / F.lit(2.0) * dt_h / F.lit(1000.0)
-    delta = F.when(
-        p_prev.isNull() | (contrib < 0), F.lit(0.0)
-    ).otherwise(contrib)
     reset = e_prev.isNotNull() & (F.col(energy_col) > e_prev)
+    delta = F.when(
+        reset | p_prev.isNull() | (contrib < 0), F.lit(0.0)
+    ).otherwise(contrib)
     out = segmented_running_sum(
         df.withColumn("__delta", delta).withColumn("__reset", reset),
         keys,

@@ -123,11 +123,11 @@ def test_energy_fraction_interpolate(spark):
     out = energy_fraction_interpolate(df, ["meter_id"], "energy", "power")
     got = [r.interpolated_energy for r in out.orderBy("ts").collect()]
     # Each 10-min step at 6 kW = 1.0 kWh fraction, but the counter ticks on
-    # every row → fraction resets each row; clamped accumulation starts at 0.
+    # every row → the reference's branch order (MbusLogger.cs:129-133) zeroes
+    # the fraction WITHOUT adding the tick interval's delta, so every tick
+    # row emits exactly the whole-unit counter.
     assert got[0] == 100.0
-    # After a tick, the fraction restarts from that row's contribution = 1.0
-    # clamped to 0.99.
-    assert all(abs(v - (100.0 + i + 0.99)) < 1e-9 for i, v in enumerate(got[1:], 1))
+    assert all(abs(v - (100.0 + i)) < 1e-9 for i, v in enumerate(got[1:], 1))
 
 
 def test_energy_fraction_skips_negative_power(spark):
