@@ -209,3 +209,30 @@ def budget_select(
     if filter_to_budget:
         out = out.where(F.col("cum_weight") <= F.lit(budget))
     return out
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    alias: str = "rank",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over a TOTAL order (include a unique
+    tiebreak) without the single-task global-window funnel: the
+    :func:`budget_select` two-pass prefix-sum shape with weight ≡ 1 —
+    range-repartition + sort on the order, per-partition row counts
+    (one metadata row each) prefixed on a single tiny task, offsets
+    broadcast back onto the fully parallel within-partition
+    ``row_number``. The only single-task step touches one row per
+    partition, never the data."""
+    out = budget_select(
+        df,
+        order_cols,
+        F.lit(1.0),
+        budget=0.0,
+        n_ranges=n_ranges,
+        filter_to_budget=False,
+    )
+    return out.withColumn(alias, F.col("cum_weight").cast("bigint")).drop(
+        "cum_weight"
+    )

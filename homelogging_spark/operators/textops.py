@@ -384,19 +384,17 @@ FROM shared GROUP BY 1
 """
 
 
-def repetition_scores(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def repetition_columns(
+    text: Column,
     max_bigram_cover: float = 0.2,
     max_dup_trigram: float = 0.3,
-) -> DataFrame:
+) -> dict[str, Column]:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
-    the rules RefinedWeb/Dolma reuse): the fraction of a document
-    covered by its single most frequent word bigram, and the duplicate
-    fraction of its word trigrams. Boilerplate, SEO spam, and
-    templated pages light both up; the ``keep`` flag applies the
-    conventional thresholds.
+    the rules RefinedWeb/Dolma reuse) as composable columns: the
+    fraction of a document covered by its single most frequent word
+    bigram, the duplicate fraction of its word trigrams, and the
+    ``keep`` flag applying the conventional thresholds. Boilerplate,
+    SEO spam, and templated pages light both up.
 
     Scale: ZERO shuffle — both metrics are per-row array computations.
     The top-bigram count is a single-pass run-length fold over the
@@ -407,7 +405,7 @@ def repetition_scores(
     corpus scan. Mirrors ``repetition_scores_sql``."""
     from homelogging_spark.functions.texthash import tokens, word_shingles
 
-    toks = tokens(F.col(text_col))
+    toks = tokens(text)
     n = F.size(toks)
     big = F.array_sort(word_shingles(toks, 2, distinct=False))
     tri = word_shingles(toks, 3, distinct=False)
@@ -433,15 +431,34 @@ def repetition_scores(
         n >= 3,
         F.lit(1.0) - F.size(F.array_distinct(tri)) / (n - 2),
     ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n.cast("bigint"),
+        "top_bigram_cover": cover,
+        "dup_trigram_frac": dup_tri,
+        "keep": (cover <= F.lit(max_bigram_cover))
+        & (dup_tri <= F.lit(max_dup_trigram)),
+    }
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bigram_cover: float = 0.2,
+    max_dup_trigram: float = 0.3,
+) -> DataFrame:
+    """Per-doc repetition report: :func:`repetition_columns` projected
+    alongside the id — see that function for semantics and the scale
+    argument."""
+    c = repetition_columns(
+        F.col(text_col), max_bigram_cover, max_dup_trigram
+    )
     return df.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        cover.alias("top_bigram_cover"),
-        dup_tri.alias("dup_trigram_frac"),
-        (
-            (cover <= F.lit(max_bigram_cover))
-            & (dup_tri <= F.lit(max_dup_trigram))
-        ).alias("keep"),
+        c["n_tokens"].alias("n_tokens"),
+        c["top_bigram_cover"].alias("top_bigram_cover"),
+        c["dup_trigram_frac"].alias("dup_trigram_frac"),
+        c["keep"].alias("keep"),
     )
 
 

@@ -79,30 +79,6 @@ FROM documents GROUP BY 1
 """
 
 
-def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality gate over the corpus (see
-    ``textops.repetition_scores``): top-bigram coverage + duplicate
-    trigram fraction + keep flag, zero shuffle (per-row array fold)."""
-    docs = _docs(spark, sf_dir)
-    out = textops.repetition_scores(docs)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        quantize("top_bigram_cover").alias("top_bigram_cover"),
-        quantize("dup_trigram_frac").alias("dup_trigram_frac"),
-        "keep",
-    )
-
-
-ORACLE_REPETITION_SCORES = f"""
-SELECT doc_id, n_tokens,
-       {quantize_sql('top_bigram_cover')} AS top_bigram_cover,
-       {quantize_sql('dup_trigram_frac')} AS dup_trigram_frac,
-       keep
-FROM ({textops.repetition_scores_sql()})
-"""
-
-
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub gate (``textops.pii_scrub``): PII is SYNTHESIZED into
     each doc deterministically (the sources-registry pattern — both
@@ -175,8 +151,15 @@ FROM t
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signal panel — the r7 merge of the former
+    separate ``repetition_scores`` query (window-slot consolidation per
+    the COVERAGE.md registry-growth policy): the length/stopword/punct
+    quality columns AND the Gopher repetition gate
+    (``textops.repetition_columns``) in ONE zero-shuffle projection
+    over the corpus scan."""
     docs = _docs(spark, sf_dir)
     cols = textops.quality_columns(F.col("text"))
+    rep = textops.repetition_columns(F.col("text"))
     return docs.select(
         "doc_id",
         cols["n_tokens"].alias("n_tokens"),
@@ -184,18 +167,29 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(cols["stopword_ratio"]).alias("stopword_ratio"),
         quantize(cols["punct_ratio"]).alias("punct_ratio"),
         quantize(cols["quality_score"]).alias("quality_score"),
+        quantize(rep["top_bigram_cover"]).alias("top_bigram_cover"),
+        quantize(rep["dup_trigram_frac"]).alias("dup_trigram_frac"),
+        rep["keep"].alias("rep_keep"),
     )
 
 
 _QC = textops.quality_columns_sql("text")
 ORACLE_QUALITY_SCORE = f"""
+WITH rep AS (
+  SELECT doc_id,
+         top_bigram_cover, dup_trigram_frac, keep AS rep_keep
+  FROM ({textops.repetition_scores_sql()})
+)
 SELECT doc_id,
        {_QC['n_tokens']} AS n_tokens,
        {quantize_sql(_QC['mean_token_len'])} AS mean_token_len,
        {quantize_sql(_QC['stopword_ratio'])} AS stopword_ratio,
        {quantize_sql(_QC['punct_ratio'])} AS punct_ratio,
-       {quantize_sql(_QC['quality_score'])} AS quality_score
-FROM documents
+       {quantize_sql(_QC['quality_score'])} AS quality_score,
+       {quantize_sql('top_bigram_cover')} AS top_bigram_cover,
+       {quantize_sql('dup_trigram_frac')} AS dup_trigram_frac,
+       rep_keep
+FROM documents JOIN rep USING (doc_id)
 """
 
 
@@ -1206,26 +1200,49 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks, so both engines order from bit-identical keys (the
     ``dedup_keep_best`` rule).
 
-    Scale note: the global position is an audit column; at 100 TB the
-    order ships as the composite sort key (stage, pos_in_source,
-    source) via ``repartitionByRange`` + per-partition offsets (the
-    ``budget_select`` two-pass prefix-sum shape) rather than a global
-    row_number window."""
+    Scale: NO global window anywhere (gated in ``test_plan_quality``).
+    Both global ranks come from ``sampling.distributed_row_number`` —
+    range-repartition + per-partition offsets, the ``budget_select``
+    two-pass prefix-sum shape — and the quintile stage is the
+    SQL-standard ``ntile(5)`` closed form over that rank and the corpus
+    count (first ``n % 5`` buckets take the extra row), so the output
+    is bit-identical to the naive ``Window.orderBy`` ntile plan the
+    DuckDB oracle still runs. The only per-stage window partitions by
+    (stage, source)."""
+    from homelogging_spark.operators.sampling import distributed_row_number
+
     docs = _docs(spark, sf_dir)
     q = quantize(textops.quality_columns(F.col("text"))["quality_score"])
     base = docs.select("doc_id", "source", q.alias("quality"))
-    w_stage = Window.orderBy(F.col("quality").desc(), "doc_id")
-    staged = base.withColumn("stage", F.ntile(5).over(w_stage).cast("bigint"))
+    ranked = distributed_row_number(
+        base, [F.col("quality").desc(), F.col("doc_id")], alias="__rank"
+    )
+    n_df = base.agg(F.count(F.lit(1)).alias("__n"))
+    r, n = F.col("__rank"), F.col("__n")
+    rem = n % 5
+    q_sz = (n - rem) / 5  # whole by construction
+    stage = F.when(
+        r <= rem * (q_sz + 1), F.ceil(r / (q_sz + 1))
+    ).otherwise(rem + F.ceil((r - rem * (q_sz + 1)) / q_sz))
+    staged = (
+        ranked.join(F.broadcast(n_df))
+        .withColumn("stage", stage.cast("bigint"))
+        .drop("__rank", "__n")
+    )
     w_src = Window.partitionBy("stage", "source").orderBy(
         F.col("quality").desc(), "doc_id"
     )
     pos = staged.withColumn(
         "pos_in_source", F.row_number().over(w_src).cast("bigint")
     )
-    w_glob = Window.orderBy("stage", "pos_in_source", "source", "doc_id")
-    return pos.withColumn(
-        "global_pos", F.row_number().over(w_glob).cast("bigint")
-    ).select("doc_id", "source", "stage", "pos_in_source", "global_pos", "quality")
+    out = distributed_row_number(
+        pos,
+        [F.col("stage"), F.col("pos_in_source"), F.col("source"), F.col("doc_id")],
+        alias="global_pos",
+    )
+    return out.select(
+        "doc_id", "source", "stage", "pos_in_source", "global_pos", "quality"
+    )
 
 
 ORACLE_CURRICULUM_ORDER = f"""
@@ -1255,7 +1272,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
-    "repetition_scores": q_repetition_scores,
     "pii_scrub": q_pii_scrub,
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
@@ -1287,7 +1303,6 @@ LLM_ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
-    "repetition_scores": ORACLE_REPETITION_SCORES,
     "pii_scrub": ORACLE_PII_SCRUB,
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,

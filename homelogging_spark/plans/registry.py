@@ -2355,7 +2355,14 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # r7: a changed query's old green row certifies the old code, so it
     # re-enters the window regardless of how recent that row is.
     # (The r6 entries were cleared first thing this round — the landed
-    # CORRECTNESS_r06.json recertified all nine.)
+    # CORRECTNESS_r06.json recertified all nine. These three changed
+    # after that: energy_interpolate ported the reference's exact
+    # reset-row branch order; curriculum_order moved both global ranks
+    # to the distributed two-pass prefix sum; quality_score absorbed
+    # the former repetition_scores query's columns.)
+    "energy_interpolate",
+    "curriculum_order",
+    "quality_score",
 })
 
 

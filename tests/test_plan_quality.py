@@ -135,6 +135,45 @@ class TestPlanQuality:
         assert plan.count("events.parquet") <= 1
         assert "meters_sf" in plan  # reads the materialized dim
 
+    def test_curriculum_order_has_no_global_window(self, spark):
+        """curriculum_order's quintile stage and global position both
+        derive from the distributed two-pass prefix-sum rank
+        (sampling.distributed_row_number), NOT a global Window.orderBy
+        — the only unpartitioned windows allowed in its plan are the
+        per-partition-offset prefixes over the metadata-sized ``_pid``
+        totals (one row per range partition). A physical Window node
+        prints 3 bracket groups when partitioned ([exprs], [partition],
+        [order]) and 2 when global ([exprs], [order])."""
+        import re
+
+        from homelogging_spark.plans.registry import QUERIES
+
+        plan = plan_of(QUERIES["curriculum_order"](spark, SF))
+        offenders = []
+        for ln in plan.splitlines():
+            m = re.search(r"\bWindow\b", ln)
+            if not m or "windowspecdefinition" not in ln:
+                continue
+            body = ln[m.end() :]
+            groups, depth, cur = [], 0, ""
+            for ch in body:
+                if ch == "[":
+                    depth += 1
+                    if depth == 1:
+                        cur = ""
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(cur)
+                        continue
+                if depth >= 1:
+                    cur += ch
+            unpartitioned = len(groups) < 3
+            if unpartitioned and "_pid" not in ln:
+                offenders.append(ln.strip()[:160])
+        assert offenders == [], offenders
+
     @pytest.mark.parametrize("scope", ["all"])
     def test_no_cartesian_products_anywhere(self, spark, scope):
         import __spark_entry__ as entry
