@@ -67,6 +67,14 @@ def main() -> None:
 
     _warm_python_workers(spark)
 
+    # Environment calibration: three fixed data-independent probes timed
+    # every run (functions/envprobe.py). Cross-round comparisons start
+    # here — if the probes moved 2x between records, the queries moving
+    # 2x is the box, not the code (the r6 lesson).
+    from homelogging_spark.functions.envprobe import calibration_probes
+
+    calibration = calibration_probes(spark)
+
     # Median of n_iters runs per query: single-run numbers on this harness
     # swing ±30% (three false regressions flagged in r2); the median is
     # what vs_prev compares, and queries_max keeps the worst (usually
@@ -130,6 +138,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "iters": n_iters,
+        "calibration": calibration,
         "queries_max": timings_cold,
     }
     # Regression visibility: per-query delta vs the previous round's
@@ -247,6 +256,7 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
         "iters": n_iters,
+        "cal": calibration,
         "local": os.path.basename(local_path),
     }
     if vs_prev:

@@ -31,6 +31,9 @@ def counter_rollover_correct(
     epsilon: float = 0.0,
     corrected_alias: str = "corrected",
     offset_alias: str = "offset",
+    rounded_compare: bool = False,
+    compare_digits: int = 1,
+    stored_digits: int = 3,
 ) -> DataFrame:
     """Monotonic-counter rollover correction (ST2/ST3 —
     ``Kasa/KasaLogger.cs:55-75``, ``Tapo/TapoLogger.cs:87-107``).
@@ -45,6 +48,18 @@ def counter_rollover_correct(
         reset_i   = raw_i < raw_{i-1} - eps
         offset_i  = sum_{j<=i, reset_j} raw_{j-1}
         corrected = raw_i + offset_i
+
+    ``rounded_compare=True`` is the EXACT Tapo detection form
+    (``TapoLogger.cs:100-107``): the stored last reading is
+    ``round(prev, stored_digits)`` (the reference stores series values
+    rounded to 3 decimals, ``:100``) and a reset fires iff
+    ``round(cur, compare_digits) < round(last, compare_digits)`` —
+    near-boundary monthly resets (e.g. 99.96 → 99.94, both rounding to
+    different tenths) classify per the reference where the epsilon band
+    would differ, and the offset accumulates the ROUNDED last reading.
+    Caveat: C# ``Math.Round`` is banker's (half-to-even) while Spark
+    ``F.round`` is HALF_UP; they differ only on exact binary midpoints
+    (``*.25`` at 1 digit), which real kWh readings don't hit.
     """
     w = _ordered_window(keys, ts_col)
     cum = (
@@ -53,9 +68,18 @@ def counter_rollover_correct(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag(F.col(raw_col)).over(w)
-    reset = (prev.isNotNull()) & (F.col(raw_col) < prev - F.lit(epsilon))
+    if rounded_compare:
+        last_stored = F.round(prev, stored_digits)
+        reset = prev.isNotNull() & (
+            F.round(F.col(raw_col), compare_digits)
+            < F.round(last_stored, compare_digits)
+        )
+        carried = last_stored
+    else:
+        reset = (prev.isNotNull()) & (F.col(raw_col) < prev - F.lit(epsilon))
+        carried = prev
     offset = F.coalesce(
-        F.sum(F.when(reset, prev).otherwise(F.lit(0.0))).over(cum), F.lit(0.0)
+        F.sum(F.when(reset, carried).otherwise(F.lit(0.0))).over(cum), F.lit(0.0)
     )
     return df.withColumn(offset_alias, offset).withColumn(
         corrected_alias, F.col(raw_col) + F.col(offset_alias)

@@ -236,11 +236,21 @@ def decode_basic_audio(data: bytes) -> tuple[int, int, int, float]:
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if i + 8 + size > len(data):
+            # declared chunk size overruns the buffer: malformed file —
+            # reject instead of decoding plausible-but-wrong stats
+            raise ValueError(
+                f"WAVE chunk {cid!r} declares {size} bytes past end of data"
+            )
         body = data[i + 8 : i + 8 + size]
-        if cid == b"fmt ":
+        if cid == b"fmt " and fmt is None:
             fmt = body
-        elif cid == b"data":
+        elif cid == b"data" and pcm is None:
             pcm = body
+        if fmt is not None and pcm is not None:
+            # canonical files carry exactly one fmt and one data chunk;
+            # stop so a later duplicate can't silently overwrite them
+            break
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("WAVE missing fmt or data chunk")

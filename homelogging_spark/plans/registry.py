@@ -2378,7 +2378,21 @@ def _latest_green_round() -> dict[str, int]:
 
     root = Path(__file__).resolve().parents[2]
     out: dict[str, int] = {}
-    for p in root.glob("CORRECTNESS_r*.json"):
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not files:
+        # outside the repo checkout (e.g. installed package) there are
+        # no artifacts: every rank becomes -1 and the window order
+        # degrades to registration order. Harmless for query RESULTS,
+        # but make the degradation visible instead of silent.
+        import warnings
+
+        warnings.warn(
+            f"no CORRECTNESS_r*.json under {root}; driver-window order "
+            "falls back to registration order",
+            stacklevel=2,
+        )
+        return out
+    for p in files:
         m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if not m:
             continue

@@ -61,6 +61,56 @@ def test_counter_rollover_epsilon_ignores_jitter(spark):
     assert [r.offset for r in out.orderBy("ts").collect()] == [0.0, 0.0, 0.0]
 
 
+def test_tapo_rounded_compare_exact_semantics(spark):
+    """ST3 exact detection form (``Tapo/TapoLogger.cs:100-107``): reset
+    iff round(cur, 1) < round(round(prev, 3), 1) — boundary cases the
+    epsilon band classifies differently."""
+    rows = [
+        ("m", ts(0), 100.04),
+        # epsilon form (eps=0.01): 99.97 < 100.03 → reset. Reference:
+        # round(99.97,1)=100.0 NOT < round(100.04,1)=100.0 → NO reset.
+        ("m", ts(1), 99.97),
+        # a real monthly reset near the boundary: round(0.02,1)=0.0 <
+        # round(99.97,1)=100.0 → reset, offset += round(99.97,3)=99.97
+        ("m", ts(2), 0.02),
+    ]
+    df = spark.createDataFrame(rows, "meter_id string, ts timestamp, raw double")
+    exact = counter_rollover_correct(
+        df, ["meter_id"], "raw", rounded_compare=True
+    ).orderBy("ts").collect()
+    assert [r.offset for r in exact] == [0.0, 0.0, 99.97]
+    assert abs(exact[2].corrected - (0.02 + 99.97)) < 1e-12
+    # the epsilon form classifies ts(1) as a reset — the divergence the
+    # exact twin exists to remove
+    eps = counter_rollover_correct(
+        df, ["meter_id"], "raw", epsilon=0.01
+    ).orderBy("ts").collect()
+    assert eps[1].offset == 100.04
+
+    # VERDICT r6 example: 99.96 → 99.94 rounds to different tenths
+    # (100.0 vs 99.9) → the reference DOES classify it as a reset even
+    # though the drop is only 0.02
+    df2 = spark.createDataFrame(
+        [("m", ts(0), 99.96), ("m", ts(1), 99.94)],
+        "meter_id string, ts timestamp, raw double",
+    )
+    got = counter_rollover_correct(
+        df2, ["meter_id"], "raw", rounded_compare=True
+    ).orderBy("ts").collect()
+    assert [r.offset for r in got] == [0.0, 99.96]
+    # stored-digits rounding carries into the offset: prev rounds to 3
+    # decimals BEFORE accumulating (TapoLogger.cs:100)
+    df3 = spark.createDataFrame(
+        [("m", ts(0), 12.00046), ("m", ts(1), 0.5)],
+        "meter_id string, ts timestamp, raw double",
+    )
+    got3 = counter_rollover_correct(
+        df3, ["meter_id"], "raw", rounded_compare=True
+    ).orderBy("ts").collect()
+    assert got3[1].offset == 12.0
+    assert got3[1].corrected == 12.5
+
+
 def test_kasa_offset_replace_exact_semantics(spark):
     # ST2 exact: on reset the offset is REPLACED with round(last_total, 4)
     rows = [

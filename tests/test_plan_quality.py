@@ -25,6 +25,8 @@ SF = "/root/testdata/sf0.001"
 # series column plans BroadcastHashJoin (asserted below).
 # tfidf_top_terms: a 1-row broadcast cross attaching the corpus-size
 # scalar to the df table — a constant lookup, not a pair blowup.
+# curriculum_order (r7): the same 1-row corpus-count broadcast, feeding
+# the ntile closed form — a constant lookup.
 # pq_codes: the K·M-row codebook broadcast against each vector — a
 # constant-width map-side lookup, the intended PQ assignment shape.
 # length_drift_psi: a 1-row totals broadcast against the 10-bin
@@ -44,6 +46,7 @@ BROADCAST_NESTED_LOOP_OK = {
     "ann_lsh_topk",
     "semantic_dedup",
     "grid_resample_locf",
+    "curriculum_order",
     "values_projection",
     "tfidf_top_terms",
     "pq_codes",

@@ -8,7 +8,7 @@ reproduces the r4 treatment: the same session-level warm-up bench.py
 performs, then N consecutive runs per flagged query, so run 1 shows the
 cold-first cost and runs 2..N the plan's real cost.
 
-Usage: python tools/coldwarm.py query1 [query2 ...] [--runs N]
+Usage: python tools/coldwarm.py query1 [query2 ...] [--runs=N | --runs N]
 Prints one JSON line per query: {"query": ..., "runs": [sec, ...]}.
 """
 
@@ -25,13 +25,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_runs = 5
-    for a in sys.argv[1:]:
+    argv, args, n_runs = sys.argv[1:], [], 5
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            n_runs = int(a.split("=", 1)[1])
+            # both documented forms: --runs=N and --runs N
+            if "=" in a:
+                n_runs = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit("--runs needs a value: --runs=N | --runs N")
+                n_runs = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if not args:
-        raise SystemExit("usage: coldwarm.py query1 [query2 ...] [--runs=N]")
+        raise SystemExit("usage: coldwarm.py query1 [query2 ...] [--runs=N | --runs N]")
 
     import __spark_entry__ as entry
     from homelogging_spark.session import get_spark
@@ -45,6 +56,12 @@ def main() -> None:
     queries["time_range_filter"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # same calibration probes bench.py records: a solo record is only
+    # comparable to an in-suite record through their calibrations
+    from homelogging_spark.functions.envprobe import calibration_probes
+
+    print(json.dumps({"calibration": calibration_probes(spark)}))
 
     for name in args:
         runs = []
