@@ -182,13 +182,24 @@ def budget_select(
     data. Output: input columns + ``cum_weight`` (running total
     INCLUDING the row), filtered to ``cum_weight <= budget`` unless
     ``filter_to_budget=False`` (callers that need the over-budget rows
-    too, e.g. to label WHY a row was dropped, filter themselves)."""
+    too, e.g. to label WHY a row was dropped, filter themselves).
+
+    The ranked frame is persisted (tracked — released by the caller's
+    ``release_caches`` point): a two-pass algorithm evaluates its input
+    three times (repartitionByRange's sampling job, the per-partition
+    totals, the offset join), and when the order keys carry expensive
+    lineage (quality text-ops) the recompute costs more than the
+    materialization — measured 5x on curriculum_order (SCALE.md r7)."""
     from pyspark.sql import Window
+
+    from homelogging_spark.functions.cachelife import tracked_persist
 
     ranked = df.repartitionByRange(n_ranges, *order_cols).sortWithinPartitions(
         *order_cols
     )
-    with_pid = ranked.withColumn("_pid", F.spark_partition_id())
+    with_pid = tracked_persist(
+        ranked.withColumn("_pid", F.spark_partition_id())
+    )
     totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("_part_total"))
     # prefix over the partition totals: N_ranges rows on one task —
     # metadata, not data

@@ -1209,11 +1209,15 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical to the naive ``Window.orderBy`` ntile plan the
     DuckDB oracle still runs. The only per-stage window partitions by
     (stage, source)."""
+    from homelogging_spark.functions.cachelife import tracked_persist
     from homelogging_spark.operators.sampling import distributed_row_number
 
     docs = _docs(spark, sf_dir)
     q = quantize(textops.quality_columns(F.col("text"))["quality_score"])
-    base = docs.select("doc_id", "source", q.alias("quality"))
+    # persist the narrow (doc_id, source, quality) projection: the
+    # two-pass rank evaluates its input lineage more than once, and the
+    # quality text-ops are the expensive part of this query's lineage
+    base = tracked_persist(docs.select("doc_id", "source", q.alias("quality")))
     ranked = distributed_row_number(
         base, [F.col("quality").desc(), F.col("doc_id")], alias="__rank"
     )

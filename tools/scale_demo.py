@@ -223,6 +223,71 @@ def embedding_tier(spark, factor: int, results: list) -> None:
             )
 
 
+def curriculum_tier(spark, factor: int) -> None:
+    """A/B the r7 distributed curriculum_order plan against the naive
+    global-window plan it replaced (r6 form: ntile + row_number over an
+    unpartitioned Window — the whole corpus through ONE task) at 1x and
+    Nx. Outputs are identical (same oracle); the measurement shows what
+    removing the single-task funnel buys as the corpus grows."""
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.numeric import quantize
+    from homelogging_spark.operators import textops
+    from homelogging_spark.plans.llm_registry import q_curriculum_order
+    from homelogging_spark.tables import spread
+
+    def naive(sf_dir):
+        # the pre-r7 plan, verbatim shape (llm_registry.py history)
+        docs = spread(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
+        q = quantize(textops.quality_columns(F.col("text"))["quality_score"])
+        base = docs.select("doc_id", "source", q.alias("quality"))
+        w_stage = Window.orderBy(F.col("quality").desc(), "doc_id")
+        staged = base.withColumn(
+            "stage", F.ntile(5).over(w_stage).cast("bigint")
+        )
+        w_src = Window.partitionBy("stage", "source").orderBy(
+            F.col("quality").desc(), "doc_id"
+        )
+        pos = staged.withColumn(
+            "pos_in_source", F.row_number().over(w_src).cast("bigint")
+        )
+        w_glob = Window.orderBy("stage", "pos_in_source", "source", "doc_id")
+        return pos.withColumn(
+            "global_pos", F.row_number().over(w_glob).cast("bigint")
+        ).select(
+            "doc_id", "source", "stage", "pos_in_source", "global_pos", "quality"
+        )
+
+    big_dir = blow_up_events(spark, factor)
+    for sf_dir in (BASE_SF, big_dir):
+        doc_rows = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        from homelogging_spark.functions.cachelife import release_caches
+
+        for name, fn in (
+            ("curriculum_distributed", lambda d=sf_dir: q_curriculum_order(spark, d)),
+            ("curriculum_naive_window", lambda d=sf_dir: naive(d)),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            release_caches()
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "dir": os.path.basename(sf_dir),
+                        "rows_in": doc_rows,
+                        "sec": round(time.time() - t0, 2),
+                    }
+                )
+            )
+            release_caches()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     tier = sys.argv[2] if len(sys.argv) > 2 else "text"
@@ -233,6 +298,10 @@ def main() -> None:
         results: list = []
         embedding_tier(spark, factor, results)
         print(json.dumps({"factor": factor, "tier": "emb", "n": len(results)}))
+        return
+
+    if tier == "curriculum":
+        curriculum_tier(spark, factor)
         return
 
     big_dir = blow_up_events(spark, factor)
