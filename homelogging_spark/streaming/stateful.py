@@ -274,3 +274,80 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCHED_OUTPUT_DDL = (
+    "meter_id string, last_attempt_ts timestamp, last_ok_ts timestamp,"
+    " fail_streak bigint, delay_s double, next_poll_ts timestamp"
+)
+SCHED_STATE_DDL = (
+    "last_attempt_ms long, last_ok_ms long, fail_streak long, interval_s double"
+)
+
+
+def make_poll_schedule_apply(cap_s: float = 3600.0):
+    """Per-device schedule state update — the streaming form of
+    ``operators/scheduling.next_poll_schedule`` (ST8, reference
+    ``LoggerService.cs:28-50``): as attempt rows land, each device's
+    (last attempt, last success, consecutive-failure streak, configured
+    interval) survives micro-batches in the state store, and every
+    micro-batch emits ONE updated schedule row per touched device with
+    the same closed-form backoff ``min(interval * 2^streak, cap)`` and
+    millisecond-truncated ``next_poll_ts`` arithmetic as the batch
+    aggregation — so draining a fixture equals the batch operator
+    exactly (pinned in test_streaming_stateful.py; rows with IDENTICAL
+    timestamps have engine-dependent fold order in both forms — attempt
+    logs are tie-free by construction, one row per poll attempt)."""
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_ms, ok_ms, streak, interval = (
+            state.get if state.exists else (None, None, 0, None)
+        )
+        pdf = _collect_sorted(batches)
+        if pdf is not None:
+            for row in pdf.itertuples():
+                ts_ms = int(row.ts.value // 1_000_000)  # ns -> ms truncation
+                last_ms = ts_ms
+                interval = float(row.interval_s)
+                if bool(row.ok):
+                    ok_ms, streak = ts_ms, 0
+                else:
+                    streak += 1
+            delay = min(interval * (2.0 ** streak), cap_s)
+            yield pd.DataFrame(
+                {
+                    "meter_id": [key[0]],
+                    "last_attempt_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "last_ok_ts": [
+                        pd.Timestamp(ok_ms, unit="ms") if ok_ms is not None else pd.NaT
+                    ],
+                    "fail_streak": [streak],
+                    "delay_s": [delay],
+                    "next_poll_ts": [
+                        pd.Timestamp(last_ms + int(delay * 1000.0), unit="ms")
+                    ],
+                }
+            )
+        state.update((last_ms, ok_ms, streak, interval))
+
+    return _apply
+
+
+def streaming_poll_schedule(stream: DataFrame, cap_s: float = 3600.0) -> DataFrame:
+    """Adaptive poll schedule over a streaming attempt log with columns
+    (meter_id, ts, ok, interval_s); state is four scalars per device,
+    output mode append — one schedule row per device per micro-batch
+    that touched it (the LATEST row per device is the live schedule).
+    ``due_in_s`` is wall-clock-relative and left to the consumer (the
+    batch form takes an explicit ``now_ts`` for it)."""
+    return stream.groupBy("meter_id").applyInPandasWithState(
+        make_poll_schedule_apply(cap_s),
+        outputStructType=SCHED_OUTPUT_DDL,
+        stateStructType=SCHED_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

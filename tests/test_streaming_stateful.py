@@ -435,3 +435,105 @@ class TestStreamingMultimodalDecode:
         }
         assert len(streamed) == 12
         assert streamed == batched
+
+
+class TestStreamingPollSchedule:
+    def test_drain_equals_batch_schedule(self, spark, tmp_path):
+        """ST8 streaming twin: draining the attempt log through the
+        state-store fold, the LAST emitted row per device equals the
+        batch next_poll_schedule aggregation on the same data — streak
+        carried across micro-batch boundaries, interval from the latest
+        attempt, identical ms-truncated next_poll arithmetic."""
+        import json as _json
+
+        from homelogging_spark.operators.scheduling import next_poll_schedule
+        from homelogging_spark.streaming.stateful import streaming_poll_schedule
+
+        rows = [
+            # m1: ok, then fails split ACROSS batches -> streak must
+            # survive the state store
+            {"meter_id": "m1", "ts": "2024-05-01T11:50:00Z", "ok": True, "interval_s": 60.0},
+            {"meter_id": "m1", "ts": "2024-05-01T11:51:00Z", "ok": False, "interval_s": 60.0},
+            # m2: interval lowered on the latest attempt
+            {"meter_id": "m2", "ts": "2024-05-01T11:40:00Z", "ok": True, "interval_s": 300.0},
+        ]
+        rows2 = [
+            {"meter_id": "m1", "ts": "2024-05-01T11:52:00Z", "ok": False, "interval_s": 60.0},
+            {"meter_id": "m2", "ts": "2024-05-01T11:59:00Z", "ok": True, "interval_s": 60.0},
+            # m3: never succeeded
+            {"meter_id": "m3", "ts": "2024-05-01T11:58:00Z", "ok": False, "interval_s": 30.0},
+        ]
+        src = tmp_path / "landing"
+        src.mkdir()
+        (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+        (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+
+        stream = (
+            spark.readStream.format("json")
+            .schema("meter_id string, ts timestamp, ok boolean, interval_s double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_poll_schedule(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        drained = spark.read.parquet(str(out_dir))
+        # live schedule = the latest emitted row per device
+        import datetime
+
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        latest = {
+            r.meter_id: r
+            for r in drained.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("meter_id").orderBy(
+                        F.col("last_attempt_ts").desc()
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+
+        batch_df = spark.createDataFrame(
+            [
+                (
+                    r["meter_id"],
+                    datetime.datetime.fromisoformat(
+                        r["ts"].replace("Z", "+00:00")
+                    ).replace(tzinfo=None),
+                    r["ok"],
+                    r["interval_s"],
+                )
+                for r in rows + rows2
+            ],
+            "meter_id string, ts timestamp, ok boolean, interval_s double",
+        )
+        batch = {
+            r.meter_id: r
+            for r in next_poll_schedule(batch_df, "2024-05-01 12:00:00").collect()
+        }
+
+        assert set(latest) == set(batch) == {"m1", "m2", "m3"}
+        for m in sorted(batch):
+            s, b = latest[m], batch[m]
+            assert s.fail_streak == b.fail_streak, m
+            assert s.delay_s == b.delay_s, m
+            assert s.last_attempt_ts == b.last_attempt_ts, m
+            assert s.last_ok_ts == b.last_ok_ts, m
+            assert s.next_poll_ts == b.next_poll_ts, m
+        # the specific semantics the fixture exercises
+        assert batch["m1"].fail_streak == 2 and batch["m1"].delay_s == 240.0
+        assert batch["m2"].delay_s == 60.0  # lowered interval took effect
+        assert batch["m3"].last_ok_ts is None and batch["m3"].fail_streak == 1
