@@ -49,6 +49,7 @@ def next_poll_schedule(
     interval_col: str = "interval_s",
     floor_s: float = DEFAULT_FLOOR_S,
     cap_s: float = DEFAULT_CAP_S,
+    retry_window_ms: int = 0,
 ) -> DataFrame:
     """Derive each device's next poll time from its attempt log.
 
@@ -63,9 +64,20 @@ def next_poll_schedule(
     max(next_poll - now, floor) — the reference's ``interval - elapsed``
     with its 5 s floor (LoggerService.cs:39-43).
 
+    ``retry_window_ms``: ST9's exact retry-once accounting
+    (LoggerService.cs:62-73): the ``Retry`` wrapper re-runs a failed
+    poll immediately, and only the SET (attempt + failed retry) counts
+    as one failure toward the backoff doubling. With a non-zero window,
+    post-success failures within ``retry_window_ms`` of the previous
+    failure collapse into that failure's set, and ``fail_streak``
+    counts sets — so a fail + failed-retry pair doubles the delay ONCE,
+    exactly like the reference. The default 0 counts every attempt row
+    (each attempt its own set).
+
     Two shuffles, both keyed on the device id: the per-device extrema
     aggregation and the failure-streak count (an anti-filtered co-keyed
-    aggregation, not a window over the full log).
+    aggregation; the retry-window form adds a per-device lag window
+    over the post-success failures — partitioned, never global).
     """
     keys = keys or ["meter_id"]
     now = F.lit(now_ts).cast("timestamp")
@@ -80,14 +92,30 @@ def next_poll_schedule(
     )
     # consecutive failures since the last success: count attempts that
     # are strictly later than last_ok_ts (all of them if never ok)
-    streak = (
-        attempts.join(per_dev.select(*keys, "last_ok_ts"), keys)
-        .where(
-            F.col("last_ok_ts").isNull() | (F.col(ts_col) > F.col("last_ok_ts"))
-        )
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("fail_streak"))
+    post_ok = attempts.join(per_dev.select(*keys, "last_ok_ts"), keys).where(
+        F.col("last_ok_ts").isNull() | (F.col(ts_col) > F.col("last_ok_ts"))
     )
+    if retry_window_ms > 0:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+        gap_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(
+            F.lag(F.col(ts_col)).over(w)
+        )
+        new_set = gap_ms.isNull() | (gap_ms > F.lit(retry_window_ms))
+        streak = (
+            post_ok.withColumn("__new_set", new_set)
+            .groupBy(*keys)
+            .agg(
+                F.sum(F.when(F.col("__new_set"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("fail_streak")
+            )
+        )
+    else:
+        streak = post_ok.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("fail_streak")
+        )
     out = (
         per_dev.join(streak, keys, "left")
         .withColumn("fail_streak", F.coalesce("fail_streak", F.lit(0).cast("bigint")))

@@ -81,6 +81,34 @@ class TestNextPollSchedule:
         r = next_poll_schedule(_attempts(spark, rows), NOW).collect()[0]
         assert r.fail_streak == 2 and r.delay_s == 240.0
 
+    def test_st9_retry_window_counts_sets_not_attempts(self, spark):
+        """The exact reference accounting (LoggerService.cs:62-73): the
+        Retry wrapper re-runs a failed poll immediately, and only the
+        SET counts toward the doubling — a fail + failed-retry pair 5 s
+        apart is ONE failure (delay x2, not x4); two independent failed
+        sets are two (x4)."""
+        rows = [
+            ("m1", "2024-05-01 11:40:00", True, 60.0),
+            ("m1", "2024-05-01 11:41:00", False, 60.0),
+            ("m1", "2024-05-01 11:41:05", False, 60.0),  # the retry
+        ]
+        r = next_poll_schedule(
+            _attempts(spark, rows), NOW, retry_window_ms=10_000
+        ).collect()[0]
+        assert r.fail_streak == 1 and r.delay_s == 120.0
+        # two failed sets a minute apart -> streak 2
+        rows2 = rows + [
+            ("m1", "2024-05-01 11:42:10", False, 60.0),
+            ("m1", "2024-05-01 11:42:15", False, 60.0),  # its retry
+        ]
+        r2 = next_poll_schedule(
+            _attempts(spark, rows2), NOW, retry_window_ms=10_000
+        ).collect()[0]
+        assert r2.fail_streak == 2 and r2.delay_s == 240.0
+        # default window 0 keeps the per-attempt accounting
+        r0 = next_poll_schedule(_attempts(spark, rows), NOW).collect()[0]
+        assert r0.fail_streak == 2 and r0.delay_s == 240.0
+
     def test_lowered_interval_takes_effect(self, spark):
         """The interval comes from the LATEST attempt row: lowering a
         device's configured interval must change the schedule even
