@@ -275,3 +275,35 @@ class TestWavDecodeProperties:
         assert (n_ch, rate, n_out) == (n_channels, 8000, n_frames)
         x = np.array(used, dtype=np.float64) / 32768.0
         assert math.isclose(rms, float(np.sqrt(np.mean(x * x))), rel_tol=1e-12)
+
+
+def ntile5_closed_form(r: int, n: int) -> int:
+    """The curriculum_order quintile formula (llm_registry.py): SQL
+    ntile(5) as a pure function of global rank r (1-based) and total n."""
+    rem = n % 5
+    q_sz = (n - rem) // 5
+    if r <= rem * (q_sz + 1):
+        return -(-r // (q_sz + 1))  # ceil
+    return rem + -(-(r - rem * (q_sz + 1)) // q_sz)
+
+
+class TestNtileClosedForm:
+    def test_matches_real_ntile_for_every_small_n(self):
+        """The distributed curriculum plan derives the quintile stage
+        from this closed form instead of a global-window ntile; if the
+        formula drifted from SQL-standard ntile semantics (first n%5
+        buckets take the extra row) the oracle hash would catch it only
+        at the fixture's single N — pin it for EVERY n up to 500
+        against DuckDB's ntile."""
+        import duckdb
+
+        con = duckdb.connect()
+        for n in list(range(1, 60)) + [63, 97, 100, 101, 250, 499, 500]:
+            got = [ntile5_closed_form(r, n) for r in range(1, n + 1)]
+            want = [
+                row[0]
+                for row in con.execute(
+                    f"SELECT ntile(5) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r)"
+                ).fetchall()
+            ]
+            assert got == want, f"n={n}"
