@@ -710,6 +710,80 @@ FROM best GROUP BY 1
 """
 
 
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 §IV): rank the
+    ENCODED corpus against raw query vectors without ever decoding —
+    the memory-bounded ANN path where 100 TB of float vectors live as
+    M-byte codes and only the K·M-entry distance tables are computed
+    per query.
+
+    Per query, a distance table ``d2(q_m, c_{m,cid})`` over the tiny
+    broadcast codebook (Q·M·K rows); the approximate distance to a
+    vector is the sum of table lookups at its codes — by construction
+    EXACTLY the L2 of the query to the vector's codebook
+    reconstruction, which is what the unit pin asserts against a
+    reconstruct-then-measure reference.
+
+    Scale shape: codes unpivot to N·M (vec, subspace, cid) rows, join
+    the broadcast table (constant-width lookup, no shuffle), one
+    shuffle on the vector id for the M-term sum, one partitioned
+    window for per-query top-k. Nothing touches the raw corpus
+    embeddings and no stage exceeds O(N·M·Q) rows.
+
+    Returns (query_id, rank, vec_id, adc_d2) — ascending approximate
+    distance, id tiebreak."""
+    sub_dim = dim // n_subspaces
+    q_sub = F.slice(
+        F.col("q_emb"), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
+    )
+    dtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "subspace", "cid", l2_sq(q_sub, F.col("cemb")).alias("d2")
+        )
+    )
+    unpivoted = codes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("subspace"),
+                        F.col(f"code_{m}").alias("cid"),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.subspace").alias("subspace"), F.col("sc.cid").alias("cid"))
+    summed = (
+        unpivoted.join(F.broadcast(dtab), ["subspace", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col(id_col))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+            "adc_d2",
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -500,3 +500,76 @@ class TestCurriculumOrder:
         for r in rows:
             sizes[r.stage] += 1
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+class TestPqAdcTopk:
+    """PQ asymmetric-distance search: ADC(q, v) must equal the L2 of q
+    to v's codebook reconstruction EXACTLY (that is its definition),
+    and the ranking must surface the planted nearest vector."""
+
+    def _fixture(self, spark, dim=8, n=24, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        return df, vecs
+
+    def test_adc_equals_reconstruction_distance(self, spark):
+        dim, m = 8, 2
+        corpus, vecs = self._fixture(spark, dim=dim)
+        cb = similarity.pq_codebook(
+            corpus, n_subspaces=m, n_centroids=4, dim=dim, sample_mod=None
+        )
+        codes = similarity.pq_codes(
+            corpus, n_subspaces=m, n_centroids=4, dim=dim, codebook=cb
+        )
+        q = corpus.where("vec_id = 0")
+        out = similarity.pq_adc_topk(
+            q, codes, cb, k=len(vecs), n_subspaces=m, dim=dim
+        ).collect()
+        assert len(out) == len(vecs)
+
+        # numpy reference: reconstruct each vector from its codes, then
+        # measure true L2^2 to the query — must match ADC exactly
+        import numpy as np
+
+        cents = {
+            (r.subspace, r.cid): np.array(r.cemb) for r in cb.collect()
+        }
+        code_rows = {r.vec_id: r for r in codes.collect()}
+        q0 = np.array(vecs[0])
+        sub = dim // m
+        for r in out:
+            cr = code_rows[r.vec_id]
+            recon = np.concatenate(
+                [cents[(s, getattr(cr, f"code_{s}"))] for s in range(m)]
+            )
+            want = float(((q0 - recon) ** 2).sum())
+            assert r.adc_d2 == pytest.approx(want, rel=1e-9), r.vec_id
+
+    def test_planted_neighbor_ranks_first(self, spark):
+        dim, m = 8, 2
+        corpus, vecs = self._fixture(spark, dim=dim)
+        # plant an exact duplicate of vec 0 as id 100 -> same codes,
+        # ADC distance identical to vec 0's own, ranks at the top
+        dup = spark.createDataFrame(
+            [(100, [float(x) for x in vecs[0]])],
+            "vec_id long, embedding array<double>",
+        )
+        full = corpus.unionByName(dup)
+        cb = similarity.pq_codebook(
+            full, n_subspaces=m, n_centroids=4, dim=dim, sample_mod=None
+        )
+        codes = similarity.pq_codes(
+            full, n_subspaces=m, n_centroids=4, dim=dim, codebook=cb
+        )
+        out = similarity.pq_adc_topk(
+            corpus.where("vec_id = 0"), codes, cb, k=2, n_subspaces=m, dim=dim
+        ).collect()
+        top_ids = {r.vec_id for r in out}
+        assert 0 in top_ids and 100 in top_ids  # query and its double
+        assert out[0].adc_d2 == out[1].adc_d2  # identical codes
