@@ -784,6 +784,104 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    cell_assignments: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS IVF-PQ architecture (Jégou et al. 2011 §V) as a
+    DataFrame composition: a coarse quantizer prunes the search to the
+    query's ``nprobe`` nearest cells, then PQ asymmetric distance ranks
+    the surviving CODES — raw corpus embeddings appear in neither stage,
+    which is the whole point at 100 TB (the index is cell ids + M-byte
+    codes, both built once at ingest).
+
+    ``cell_assignments``: (vec_id, centroid_id) — `ivf_assign(corpus,
+    centroids, 1)` materialized at ingest. ``codes``: `pq_codes`
+    output. Non-residual variant: codes quantize the raw vectors, not
+    the cell residuals — the recall/simplicity tradeoff documented in
+    the paper; the exact-rerank stage of a production pipeline sits
+    downstream either way.
+
+    Scale shape: probes are Q·nprobe rows joined to the cell index on
+    centroid_id (shuffle bounded by the probed cells ~ nprobe/K of the
+    corpus), candidates then ride the `pq_adc_topk` lookup path.
+    Returns (query_id, rank, vec_id, adc_d2)."""
+    sub_dim = dim // n_subspaces
+    probes = ivf_assign(queries, centroids, nprobe, id_col, emb_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    # candidate PAIRS: this query's probed cells only — scoring is
+    # pair-restricted, so one query's candidates never displace
+    # another's ranking
+    cand = (
+        probes.join(
+            cell_assignments.select(F.col(id_col), "centroid_id"), "centroid_id"
+        )
+        .select("query_id", id_col)
+        .distinct()
+    )
+    q_sub = F.slice(
+        F.col("q_emb"), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
+    )
+    dtab = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "subspace", "cid", l2_sq(q_sub, F.col("cemb")).alias("d2")
+        )
+    )
+    unpivoted = (
+        codes.join(cand.select(id_col).distinct(), id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("subspace"),
+                            F.col(f"code_{m}").alias("cid"),
+                        )
+                        for m in range(n_subspaces)
+                    ]
+                )
+            ).alias("sc"),
+        )
+        .select(
+            id_col,
+            F.col("sc.subspace").alias("subspace"),
+            F.col("sc.cid").alias("cid"),
+        )
+    )
+    summed = (
+        unpivoted.join(cand, id_col)
+        .join(F.broadcast(dtab), ["query_id", "subspace", "cid"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col(id_col))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+            "adc_d2",
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -573,3 +573,68 @@ class TestPqAdcTopk:
         top_ids = {r.vec_id for r in out}
         assert 0 in top_ids and 100 in top_ids  # query and its double
         assert out[0].adc_d2 == out[1].adc_d2  # identical codes
+
+
+class TestIvfPqTopk:
+    def test_matches_manual_cell_restricted_adc(self, spark):
+        """IVF-PQ == (probe cells -> pair-restricted ADC): verified
+        against a numpy reference that reconstructs candidates from
+        their codes and ranks true L2 within the probed cells only."""
+        import random
+
+        import numpy as np
+
+        dim, m, n = 8, 2, 30
+        rng = random.Random(3)
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = similarity.kmeans_lite_centroids(
+            corpus, n_centroids=4, n_iters=1, dim=dim, sample_mod=None
+        )
+        cells = similarity.ivf_assign(corpus, cents, 1).select(
+            "vec_id", "centroid_id"
+        )
+        cb = similarity.pq_codebook(
+            corpus, n_subspaces=m, n_centroids=4, dim=dim, sample_mod=None
+        )
+        codes = similarity.pq_codes(
+            corpus, n_subspaces=m, n_centroids=4, dim=dim, codebook=cb
+        )
+        queries = corpus.where("vec_id < 2")
+        out = similarity.ivf_pq_topk(
+            queries, cells, codes, cb, cents, k=3, nprobe=2,
+            n_subspaces=m, dim=dim,
+        ).collect()
+
+        # numpy reference
+        cell_of = {r.vec_id: r.centroid_id for r in cells.collect()}
+        cent_rows = {
+            (r.subspace, r.cid): np.array(r.cemb) for r in cb.collect()
+        }
+        code_rows = {r.vec_id: r for r in codes.collect()}
+        probe_rows = similarity.ivf_assign(queries, cents, 2).select(
+            "vec_id", "centroid_id"
+        ).collect()
+        probes = {}
+        for r in probe_rows:
+            probes.setdefault(r.vec_id, set()).add(r.centroid_id)
+        sub = dim // m
+        for qid in (0, 1):
+            q = np.array(vecs[qid])
+            cand = [v for v in range(n) if cell_of[v] in probes[qid]]
+            dists = {}
+            for v in cand:
+                cr = code_rows[v]
+                recon = np.concatenate(
+                    [cent_rows[(s, getattr(cr, f"code_{s}"))] for s in range(m)]
+                )
+                dists[v] = float(((q - recon) ** 2).sum())
+            want = sorted(cand, key=lambda v: (dists[v], v))[:3]
+            got = [r.vec_id for r in out if r.query_id == qid]
+            assert got == want, qid
+            for r in out:
+                if r.query_id == qid:
+                    assert r.adc_d2 == pytest.approx(dists[r.vec_id], rel=1e-9)
