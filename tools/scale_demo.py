@@ -193,6 +193,88 @@ def embedding_tier(spark, factor: int, results: list) -> None:
                 lambda c=corpus, ce=trained: semantic_dedup(c, ce, threshold=0.9),
                 n,
             )
+        # IVF-PQ: the code-only search path — index (cells + codes +
+        # codebook) built once per dir like an ingest artifact, then the
+        # probe+ADC query timed; recall@k vs exact cosine reported so
+        # the speed has an honesty number attached
+        from pyspark.sql import Window
+
+        from homelogging_spark.operators.similarity import (
+            ivf_assign,
+            ivf_pq_topk,
+            l2_sq,
+            pq_codebook,
+            pq_codes,
+        )
+
+        # dials: M=16 subspaces x K=32 centroids = 80-bit codes, the
+        # budget at which the isotropic-gaussian fixture (the PQ
+        # adversarial case — no cluster structure, vanishing true-NN
+        # margins) yields non-floor recall; see SCALE.md "IVF-PQ
+        # honesty" for the measured dial curve
+        pq_m, pq_k, n_probe = 16, 32, 4
+        k_cells = base_k * f
+        cents = _seed_centroid_frame(spark, k_cells, dim)
+        t0 = time.time()
+        from homelogging_spark.functions.cachelife import tracked_persist
+
+        cells = tracked_persist(
+            ivf_assign(corpus, cents, 1).select("vec_id", "centroid_id")
+        )
+        cb = tracked_persist(
+            pq_codebook(corpus, n_subspaces=pq_m, n_centroids=pq_k, dim=dim)
+        )
+        pcodes = tracked_persist(
+            pq_codes(
+                corpus, n_subspaces=pq_m, n_centroids=pq_k, dim=dim, codebook=cb
+            )
+        )
+        cells.count(), cb.count(), pcodes.count()
+        print(json.dumps({"ivfpq_index_build_sec": round(time.time() - t0, 2)}))
+        timed(
+            f"ivf_pq_topk[x{f}]",
+            sf_dir,
+            lambda q=queries, ce=cents, cl=cells, co=pcodes, c=cb: ivf_pq_topk(
+                q, cl, co, c, ce, k=3, nprobe=n_probe, n_subspaces=pq_m, dim=dim
+            ),
+            n,
+        )
+        # exact-L2 reference (ADC approximates L2, so the honest recall
+        # baseline is L2 top-k, not the cosine ranker)
+        q_side = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        l2_scored = corpus.crossJoin(F.broadcast(q_side)).select(
+            "query_id",
+            "vec_id",
+            l2_sq(F.col("q_emb"), F.col("embedding")).alias("d2"),
+        )
+        w_l2 = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("vec_id"))
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in l2_scored.withColumn("rn", F.row_number().over(w_l2))
+            .where(F.col("rn") <= 3)
+            .collect()
+        }
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                queries, cells, pcodes, cb, cents, k=3, nprobe=n_probe,
+                n_subspaces=pq_m, dim=dim,
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "ivf_pq_recall_at_3": round(
+                        len(exact & got) / max(len(exact), 1), 3
+                    ),
+                    "dir": os.path.basename(sf_dir),
+                }
+            )
+        )
+        release_caches()
+
         dials = [("scaled", f)] if f == 1 else [("scaled", f), ("fixed", 1)]
         for dial, df_ in dials:
             cents = _seed_centroid_frame(spark, base_k * df_, dim)
