@@ -45,11 +45,25 @@ def main() -> None:
         raise SystemExit("usage: coldwarm.py query1 [query2 ...] [--runs=N | --runs N]")
 
     import __spark_entry__ as entry
+
+    queries = entry.queries()
+    unknown = [n for n in args if n not in queries]
+    if unknown:
+        import difflib
+
+        hints = {
+            n: difflib.get_close_matches(n, queries.keys(), n=3, cutoff=0.4)
+            for n in unknown
+        }
+        raise SystemExit(
+            f"unknown queries: {hints} — note r7 merged repetition_scores "
+            "into quality_score (COVERAGE.md consolidations)"
+        )
+
     from homelogging_spark.session import get_spark
 
     spark = get_spark("coldwarm")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry.queries()
 
     # the same session-level warm-up bench.py performs (one cheap query
     # so JVM/codegen/parquet-footer caches are in their bench state)
