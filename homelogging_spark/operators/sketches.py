@@ -1,0 +1,301 @@
+"""Mergeable set sketches: KMV (k-minimum-values) and count-min.
+
+Completes the engine's mergeable-sketch family for 100 TB rollups:
+
+- ``hll_distinct_rollup`` (plans/registry.py) answers *how many
+  distinct* per group and merges by register-max — but HLL can only
+  UNION. The **KMV / theta sketch** here (Bar-Yossef et al. 2002; Beyer
+  et al. SIGMOD 2007 "On synopses for distinct-value estimation") also
+  estimates **intersections and Jaccard** between groups — the question
+  a corpus curator actually asks ("how much does source A overlap
+  source B?") without ever forming the cross join.
+- ``histogram_quantile_rollup`` merges quantile histograms by
+  bucket-sum; the **count-min sketch** here (Cormode & Muthukrishnan
+  2005) is the frequency analogue: a constant-size ``depth × width``
+  counter table answering per-key frequency queries with a one-sided
+  (over-estimate only) error, merged by element-wise register sum.
+
+Determinism contract (same as the HLL rollup): every hash derives from
+md5 of a salted key — no RNG, no seed to ship — so register tables,
+sketch arrays, estimates, and merges are bit-for-bit replicable in any
+engine with ``md5`` (the ``*_sql`` twins emit the DuckDB form; r8
+registers the driver queries in the two spare window slots).
+
+Scale design:
+
+- **KMV build** shuffles ``(group, 52-bit hash)`` pairs — never the
+  values themselves — with a map-side ``distinct`` combine; the
+  per-group k-selection sorts only each group's distinct hashes. The
+  sketch is one array<bigint> row per group (k·8 bytes), so any
+  downstream set algebra (union, intersection, Jaccard, pairwise
+  overlap matrices) runs on dim-sized data with array expressions.
+- **KMV merge is closed**: k smallest of the concatenated sketches is
+  EXACTLY the sketch of the concatenated inputs (pinned in tests) —
+  per-partition / per-day sketches roll up without rescanning raw data.
+- **Count-min build** explodes ``depth`` register coordinates per row,
+  but the groupBy partial-aggregates map-side to at most depth·width
+  counters per task before the shuffle — the exchange carries
+  registers, not rows. Point queries broadcast the register table
+  (depth·width rows) onto the key panel; merge = register-wise sum.
+
+Reference scope note: the reference system never needed set sketches
+(its corpus is one household's telemetry); this module is part of the
+LLM-training-data tier (SURVEY.md "beyond the reference" extensions),
+sitting beside the dedup/similarity operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.sampling import _U_DENOM
+
+# 52-bit hash domain (first 13 md5 hex digits) — the same convention as
+# sampling.uniform_from_key, kept as BIGINT so ordering/dedup are exact.
+
+
+def _hash52(key: Column, salt: str) -> Column:
+    hx = F.md5(F.concat(F.lit(salt + "|"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("bigint")
+
+
+def _hash52_sql(key: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 13) "
+        f"AS BIGINT)"
+    )
+
+
+# --- KMV / theta sketch --------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 52-bit hashes of
+    ``key_col``, as one sorted array<bigint> row per group.
+
+    Output: ``group_cols... , kmv array<bigint>, n_kept bigint`` where
+    ``n_kept < k`` means the group had fewer than k distinct keys and
+    the sketch IS the exact distinct hash set.
+
+    One shuffle on (group, hash) with map-side distinct combine; the
+    window sort runs per group over distinct hashes only.
+    """
+    group_cols = group_cols or []
+    hashed = df.select(
+        *group_cols, _hash52(F.col(key_col), salt).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols or [F.lit(1)]).orderBy("__h")
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+
+def kmv_estimate(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact ``size`` when the
+    sketch is unsaturated, else ``(k-1) / u_(k)`` with ``u_(k)`` the
+    k-th smallest hash scaled to (0,1). Pure double arithmetic — the
+    oracle twin evaluates the identical expression."""
+    kth_u = F.element_at(kmv, k).cast("double") / F.lit(_U_DENOM)
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+        F.lit(float(k - 1)) / kth_u
+    )
+
+
+def kmv_estimate_sql(kmv: str, k: int) -> str:
+    return (
+        f"CASE WHEN len({kmv}) < {k} THEN CAST(len({kmv}) AS DOUBLE) "
+        f"ELSE {float(k - 1)} / (CAST(({kmv})[{k}] AS DOUBLE) / {_U_DENOM}) END"
+    )
+
+
+def kmv_merge_arrays(a: Column, b: Column, k: int) -> Column:
+    """Union-merge two KMV arrays: k smallest of the deduplicated
+    concatenation. CLOSED under the sketch definition — identical to
+    sketching the concatenated raw inputs (pinned in tests)."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_merge_arrays_sql(a: str, b: str, k: int) -> str:
+    return f"list_slice(list_sort(list_distinct(list_concat({a}, {b}))), 1, {k})"
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups, from
+    sketches alone (Beyer et al. 2007 §4): for groups A, B with sketch
+    arrays S_A, S_B,
+
+    - L = the k smallest of S_A ∪ S_B  (= the KMV sketch of A ∪ B),
+    - ``union_est``    from ``kmv_estimate(L)``,
+    - ``jaccard_est``  = |L ∩ S_A ∩ S_B| / |L|  (fraction of the union
+      sample that landed in both sets — L is a uniform sample of the
+      union's hash domain),
+    - ``intersection_est`` = jaccard_est · union_est.
+
+    Input is the ``kmv_sketch`` output (one row per group): the pair
+    join is dim-sized — |G|² sketch rows, never corpus rows. Standard
+    error ~ 1/√k on the Jaccard; callers pick k for the tolerance.
+    """
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    L = kmv_merge_arrays(F.col("kmv_a"), F.col("kmv_b"), k)
+    both = F.array_intersect(F.col("kmv_a"), F.col("kmv_b"))
+    n_l = F.size(L)
+    n_both_in_l = F.size(F.array_intersect(L, both))
+    union_est = kmv_estimate(L, k)
+    jac = n_both_in_l.cast("double") / n_l.cast("double")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        n_l.cast("bigint").alias("n_union_sample"),
+        n_both_in_l.cast("bigint").alias("n_both_in_sample"),
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+        (jac * union_est).alias("intersection_est"),
+    )
+
+
+# --- count-min sketch ----------------------------------------------------------
+
+
+def _cm_col(key: Column, row: int, width: int, salt: str) -> Column:
+    """Register column for hash row ``row``: md5('<salt>|<row>|' || key)
+    taken as a 52-bit integer mod width. Rows are independent salted
+    hashes — the standard pairwise-independent family substitute, same
+    trick as the MinHash permutations."""
+    return _hash52(key, f"{salt}|{row}") % width
+
+
+def _cm_col_sql(key: str, row: int, width: int, salt: str) -> str:
+    return f"({_hash52_sql(key, f'{salt}|{row}')} % {width})"
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min register table: ``(row, col, cnt)`` with exactly
+    depth·width possible coordinates. ``weight_col`` switches from
+    counting rows to summing a non-negative weight (e.g. token counts).
+
+    The explode is depth rows per input row, but partial aggregation
+    collapses each task's contribution to ≤ depth·width counters before
+    the exchange — the shuffle is register-sized regardless of input
+    rows. Merging two sketches = unioning their register tables and
+    re-summing (pinned in tests).
+    """
+    key = F.col(key_col)
+    wt = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cm_col(key, r, width, salt).cast("int").alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"), wt.alias("__w"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise register sum — the count-min merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Frequency estimate per key: min over the key's ``depth`` register
+    cells. The register table (≤ depth·width rows) is broadcast; the
+    key panel streams through one scan + a bounded-fanout join. The
+    estimate NEVER under-counts (the count-min guarantee; pinned)."""
+    key = F.col(key_col)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cm_col(key, r, width, salt).cast("int").alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    exploded = keys.select(key_col, F.explode(coords).alias("c")).select(
+        key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["row", "col"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))
+
+
+def heavy_hitters_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Top-k frequent keys with the count-min estimate and its
+    overestimate alongside the exact count — the honesty-column
+    convention (`hll_distinct_rollup`'s rel_err). The exact pass is a
+    partial-agg + TakeOrderedAndProject (same shape as ``topk_ngrams``);
+    the sketch pass is the constant-size structure a 100 TB rollup
+    would keep per partition/day and merge.
+
+    Output: ``key, n_exact, cm_est, overestimate`` (≥ 0 always).
+    """
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.col(key_col))
+        .limit(k)
+    )
+    sk = cm_sketch(df, key_col, depth, width, salt)
+    est = cm_query(sk, exact.select(key_col), key_col, depth, width, salt)
+    return (
+        exact.join(est, key_col)
+        .select(
+            key_col,
+            "n_exact",
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            (F.col("cm_est") - F.col("n_exact")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), F.col(key_col))
+    )

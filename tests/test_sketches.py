@@ -1,0 +1,206 @@
+"""KMV / count-min sketch pins.
+
+The properties that make these sketches trustworthy at 100 TB, each
+pinned mechanically:
+
+- KMV merge closure: sketch(A) ⊎ sketch(B) == sketch(A ∪ B) EXACTLY
+  (array equality) — per-day sketches roll up without rescans.
+- KMV exactness below saturation, bounded error above it.
+- Overlap estimates track exact Jaccard/intersection within the ~1/√k
+  band on a constructed overlap.
+- Count-min one-sided error: cm_est ≥ n_exact for EVERY key, with
+  equality when the register table is collision-free.
+- Count-min merge = register-wise sum, exactly.
+- The ``*_sql`` twins reproduce the Spark values bit-for-bit in DuckDB
+  (pre-certifying the r8 driver-oracle registration).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators import sketches as sk
+
+
+def _docs(spark, groups):
+    """rows (grp, key) from {group: [keys]}."""
+    rows = [(g, k) for g, keys in groups.items() for k in keys]
+    return spark.createDataFrame(rows, "grp string, key string")
+
+
+class TestKmv:
+    def test_exact_below_saturation(self, spark):
+        df = _docs(spark, {"a": [f"k{i}" for i in range(10)] * 3})
+        out = sk.kmv_sketch(df, "key", ["grp"], k=64).collect()
+        assert len(out) == 1
+        assert out[0].n_kept == 10  # duplicates collapse
+        est = (
+            sk.kmv_sketch(df, "key", ["grp"], k=64)
+            .select(sk.kmv_estimate(F.col("kmv"), 64).alias("e"))
+            .collect()[0]
+            .e
+        )
+        assert est == 10.0
+
+    def test_estimate_above_saturation(self, spark):
+        n, k = 2000, 64
+        df = _docs(spark, {"a": [f"key{i}" for i in range(n)]})
+        est = (
+            sk.kmv_sketch(df, "key", ["grp"], k=k)
+            .select(sk.kmv_estimate(F.col("kmv"), k).alias("e"))
+            .collect()[0]
+            .e
+        )
+        # standard error ~ n/sqrt(k-2) ≈ 254; allow 4 sigma
+        assert abs(est - n) < 4 * n / (k - 2) ** 0.5
+
+    def test_merge_closure(self, spark):
+        a = [f"a{i}" for i in range(300)]
+        b = [f"b{i}" for i in range(200)] + a[:100]  # overlap
+        k = 32
+        sa = sk.kmv_sketch(_docs(spark, {"g": a}), "key", [], k=k)
+        sb = sk.kmv_sketch(_docs(spark, {"g": b}), "key", [], k=k)
+        both = sa.crossJoin(sb.select(F.col("kmv").alias("kmv2"))).select(
+            sk.kmv_merge_arrays(F.col("kmv"), F.col("kmv2"), k).alias("m")
+        )
+        merged = both.collect()[0].m
+        direct = (
+            sk.kmv_sketch(_docs(spark, {"g": a + b}), "key", [], k=k)
+            .collect()[0]
+            .kmv
+        )
+        assert merged == direct  # exact array equality
+
+    def test_overlap_estimates(self, spark):
+        # |A| = |B| = 600, |A ∩ B| = 200 → union 1000, jaccard 0.2
+        shared = [f"s{i}" for i in range(200)]
+        a = shared + [f"a{i}" for i in range(400)]
+        b = shared + [f"b{i}" for i in range(400)]
+        k = 256
+        s = sk.kmv_sketch(
+            _docs(spark, {"A": a, "B": b}), "key", ["grp"], k=k
+        )
+        row = sk.kmv_overlap(s, "grp", k=k).collect()[0]
+        assert (row.group_a, row.group_b) == ("A", "B")
+        assert abs(row.jaccard_est - 0.2) < 4 * 0.5 / k**0.5
+        assert abs(row.union_est - 1000) < 4 * 1000 / (k - 2) ** 0.5
+        assert abs(row.intersection_est - 200) < 0.35 * 200 + 40
+
+    def test_estimate_sql_twin_bit_identical(self, spark):
+        df = _docs(spark, {"a": [f"key{i}" for i in range(500)]})
+        k = 64
+        spark_rows = (
+            sk.kmv_sketch(df, "key", ["grp"], k=k)
+            .select("kmv", sk.kmv_estimate(F.col("kmv"), k).alias("e"))
+            .collect()
+        )
+        kmv, e_spark = spark_rows[0].kmv, spark_rows[0].e
+        con = duckdb.connect()
+        # build the same sketch in DuckDB from scratch, then estimate
+        keys = ", ".join(f"('key{i}')" for i in range(500))
+        e_sql = sk.kmv_estimate_sql("l", k)
+        got = con.execute(
+            f"""
+            WITH raw(key) AS (VALUES {keys}),
+            h AS (SELECT DISTINCT {sk._hash52_sql('key', 'kmv')} AS h FROM raw),
+            s AS (SELECT list_sort(list(h)) AS fl FROM h),
+            t AS (SELECT list_slice(fl, 1, {k}) AS l FROM s)
+            SELECT l, {e_sql} FROM t
+            """
+        ).fetchone()
+        assert list(got[0]) == list(kmv)
+        assert got[1] == e_spark  # identical doubles
+
+
+class TestCountMin:
+    DEPTH, WIDTH = 4, 512
+
+    def _skewed(self, spark):
+        rows = (
+            [("hot",)] * 400
+            + [("warm",)] * 120
+            + [(f"tail{i}",) for i in range(300)]
+        )
+        return spark.createDataFrame(rows, "key string")
+
+    def test_never_undercounts(self, spark):
+        df = self._skewed(spark)
+        sketch = sk.cm_sketch(df, "key", self.DEPTH, self.WIDTH)
+        exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        est = sk.cm_query(
+            sketch, exact.select("key"), "key", self.DEPTH, self.WIDTH
+        )
+        rows = exact.join(est, "key").collect()
+        assert len(rows) == 302
+        assert all(r.cm_est >= r.n for r in rows)
+
+    def test_register_count_bounded(self, spark):
+        sketch = sk.cm_sketch(self._skewed(spark), "key", self.DEPTH, self.WIDTH)
+        assert sketch.count() <= self.DEPTH * self.WIDTH
+        # total per hash row conserves the input row count
+        per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+        assert {r.s for r in per_row} == {820}
+
+    def test_merge_is_register_sum(self, spark):
+        df = self._skewed(spark)
+        s_all = sk.cm_sketch(df, "key", self.DEPTH, self.WIDTH)
+        # split deterministically by key: hot vs rest
+        hot = df.where("key = 'hot'")
+        rest = df.where("key != 'hot'")
+        merged = sk.cm_merge(
+            sk.cm_sketch(hot, "key", self.DEPTH, self.WIDTH),
+            sk.cm_sketch(rest, "key", self.DEPTH, self.WIDTH),
+        )
+        a = {(r.row, r.col): r.cnt for r in s_all.collect()}
+        m = {(r.row, r.col): r.cnt for r in merged.collect()}
+        assert a == m
+
+    def test_heavy_hitters_report(self, spark):
+        out = sk.heavy_hitters_report(
+            self._skewed(spark), "key", k=2, depth=self.DEPTH, width=self.WIDTH
+        ).collect()
+        assert [(r.key, r.n_exact) for r in out] == [("hot", 400), ("warm", 120)]
+        assert all(r.overestimate >= 0 for r in out)
+
+    def test_register_coords_sql_twin(self, spark):
+        """The DuckDB coordinate expression places every key in the same
+        (row, col) cells as the Spark build — register tables built by
+        the two engines are identical."""
+        df = self._skewed(spark).distinct()
+        coords_spark = sorted(
+            (r.key, r.row, r.col)
+            for r in df.select(
+                "key",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(rr).cast("int").alias("row"),
+                                sk._cm_col(F.col("key"), rr, self.WIDTH, "cm")
+                                .cast("int")
+                                .alias("col"),
+                            )
+                            for rr in range(self.DEPTH)
+                        ]
+                    )
+                ).alias("c"),
+            )
+            .select("key", "c.row", "c.col")
+            .collect()
+        )
+        con = duckdb.connect()
+        keys = ", ".join(
+            f"('{k}')" for k in sorted({r[0] for r in coords_spark})
+        )
+        sql_rows = []
+        for rr in range(self.DEPTH):
+            got = con.execute(
+                f"WITH raw(key) AS (VALUES {keys}) "
+                f"SELECT key, {rr}, {sk._cm_col_sql('key', rr, self.WIDTH, 'cm')} "
+                f"FROM raw"
+            ).fetchall()
+            sql_rows.extend((k, r, c) for k, r, c in got)
+        assert sorted(sql_rows) == coords_spark
