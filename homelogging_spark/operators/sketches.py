@@ -149,6 +149,15 @@ def kmv_overlap(
     Input is the ``kmv_sketch`` output (one row per group): the pair
     join is dim-sized — |G|² sketch rows, never corpus rows. Standard
     error ~ 1/√k on the Jaccard; callers pick k for the tolerance.
+
+    Plan shape: the right side is an explicit ``broadcast`` so the
+    non-equi pair condition plans a BroadcastNestedLoopJoin over the
+    dim-sized sketch table (the adjudicated constant-side-broadcast
+    shape) — NEVER a CartesianProduct, whose |partsₐ|·|partsᵦ| task
+    grid costs ~10 s of pure scheduling overhead even for 20 groups.
+    The merged sketch ``L`` and the counts over it are staged through
+    intermediate projections so each is evaluated once per pair, not
+    re-expanded inside every downstream estimate expression.
     """
     a = sketches.select(
         F.col(group_col).alias("group_a"), F.col("kmv").alias("kmv_a")
@@ -156,21 +165,30 @@ def kmv_overlap(
     b = sketches.select(
         F.col(group_col).alias("group_b"), F.col("kmv").alias("kmv_b")
     )
-    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
-    L = kmv_merge_arrays(F.col("kmv_a"), F.col("kmv_b"), k)
-    both = F.array_intersect(F.col("kmv_a"), F.col("kmv_b"))
-    n_l = F.size(L)
-    n_both_in_l = F.size(F.array_intersect(L, both))
-    union_est = kmv_estimate(L, k)
-    jac = n_both_in_l.cast("double") / n_l.cast("double")
-    return pairs.select(
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    staged = pairs.select(
         "group_a",
         "group_b",
-        n_l.cast("bigint").alias("n_union_sample"),
-        n_both_in_l.cast("bigint").alias("n_both_in_sample"),
-        union_est.alias("union_est"),
+        kmv_merge_arrays(F.col("kmv_a"), F.col("kmv_b"), k).alias("__l"),
+        F.array_intersect(F.col("kmv_a"), F.col("kmv_b")).alias("__both"),
+    ).select(
+        "group_a",
+        "group_b",
+        F.size("__l").alias("__n_l"),
+        F.size(F.array_intersect(F.col("__l"), F.col("__both"))).alias(
+            "__n_both"
+        ),
+        kmv_estimate(F.col("__l"), k).alias("union_est"),
+    )
+    jac = F.col("__n_both").cast("double") / F.col("__n_l").cast("double")
+    return staged.select(
+        "group_a",
+        "group_b",
+        F.col("__n_l").cast("bigint").alias("n_union_sample"),
+        F.col("__n_both").cast("bigint").alias("n_both_in_sample"),
+        "union_est",
         jac.alias("jaccard_est"),
-        (jac * union_est).alias("intersection_est"),
+        (jac * F.col("union_est")).alias("intersection_est"),
     )
 
 

@@ -89,6 +89,18 @@ class TestKmv:
         assert abs(row.union_est - 1000) < 4 * 1000 / (k - 2) ** 0.5
         assert abs(row.intersection_est - 200) < 0.35 * 200 + 40
 
+    def test_overlap_plans_bnlj_not_cartesian(self, spark):
+        """The non-equi pair join must plan as a broadcast nested-loop
+        over the dim-sized sketch table. A CartesianProduct here costs
+        |partsA|*|partsB| tasks of pure scheduling overhead (measured
+        ~10 s for 20 groups on local[32]) and is the one join shape the
+        repo-wide anti-pattern sweep forbids."""
+        df = _docs(spark, {"A": ["x", "y"], "B": ["y", "z"]})
+        s = sk.kmv_sketch(df, "key", ["grp"], k=8)
+        plan = sk.kmv_overlap(s, "grp", k=8)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
     def test_estimate_sql_twin_bit_identical(self, spark):
         df = _docs(spark, {"a": [f"key{i}" for i in range(500)]})
         k = 64

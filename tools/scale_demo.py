@@ -370,11 +370,83 @@ def curriculum_tier(spark, factor: int) -> None:
             release_caches()
 
 
+def sketch_tier(spark, factor: int) -> None:
+    """Scale runs for the mergeable-sketch family (operators/sketches.py)
+    over the blown-up documents' token stream (docs x ~54 word tokens):
+
+    - ``kmv_build``: per-source KMV sketches of the token vocabulary.
+      Cost model: one scan + map-side distinct combine + per-group
+      k-select; rows grow Nx but the DISTINCT token set per source is
+      ~flat under the blow-up (copies share the base text), so the
+      exchange after the combine is ~constant and wall should grow
+      well UNDER Nx (scan-dominated).
+    - ``kmv_overlap``: pairwise Jaccard/intersection between all 20
+      sources from the sketch rows alone — 190 pairs regardless of
+      corpus size. The measurement pins the headline claim: overlap
+      cost is CONSTANT in corpus size (it never touches raw rows).
+    - ``cm_heavy_hitters``: exact top-10 + count-min estimates.
+      Register table bounded at depth*width at any size; wall tracks
+      the scan+partial-agg like any bounded-key aggregation.
+    """
+    from homelogging_spark.functions.cachelife import release_caches
+    from homelogging_spark.operators import sketches as sk
+    from homelogging_spark.tables import spread
+
+    big_dir = blow_up_events(spark, factor)
+    for sf_dir in (BASE_SF, big_dir):
+        docs = spread(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        )
+        toks = docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        ).where(F.length("tok") > 0)
+        n = toks.count()
+
+        def timed(name, fn, rows_in=n, d=sf_dir):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "dir": os.path.basename(d),
+                        "rows_in": rows_in,
+                        "sec": round(time.time() - t0, 2),
+                    }
+                )
+            )
+
+        timed("kmv_build", lambda t=toks: sk.kmv_sketch(t, "tok", ["source"], k=256))
+        # overlap runs on the MATERIALIZED sketch rows (20 rows) — the
+        # production shape: sketches are the stored rollup artifact;
+        # set algebra never rescans the corpus
+        sketch_rows = sk.kmv_sketch(toks, "tok", ["source"], k=256).collect()
+        sk_df = spark.createDataFrame(sketch_rows)
+        timed(
+            "kmv_overlap",
+            lambda s=sk_df: sk.kmv_overlap(s, "source", k=256),
+            rows_in=len(sketch_rows),
+        )
+        timed(
+            "cm_heavy_hitters",
+            lambda t=toks: sk.heavy_hitters_report(
+                t, "tok", k=10, depth=4, width=1024
+            ),
+        )
+        release_caches()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     tier = sys.argv[2] if len(sys.argv) > 2 else "text"
     spark = get_spark("scale-demo")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if tier == "sketch":
+        sketch_tier(spark, factor)
+        return
 
     if tier == "emb":
         results: list = []
