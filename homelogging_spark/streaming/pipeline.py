@@ -134,3 +134,88 @@ def streaming_snapshot_dedup(stream: DataFrame, old_digests: DataFrame) -> DataF
             (~hit).alias("keep"),
         )
     )
+
+
+def start_kmv_rollup_stream(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...],
+    state_path: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    salt: str = "kmv",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental KMV distinct-sketch rollup: foreachBatch sketches each
+    micro-batch and union-merges it into the persistent per-group sketch
+    table at ``state_path``.
+
+    Correct BY the merge-closure property (``operators/sketches``:
+    k-smallest of concatenated sketches == sketch of concatenated
+    inputs, pinned in ``test_sketches``): the drained state table equals
+    the batch ``kmv_sketch`` over every row ever streamed, exactly.
+    Two properties make it production-shaped:
+
+    - **State is dim-sized** — one k-array row per group (k·8 bytes),
+      never raw keys; a year of per-day micro-batches folds into the
+      same constant-size table that answers distinct / overlap /
+      Jaccard queries via ``kmv_estimate`` / ``kmv_overlap``.
+    - **Idempotent under replay** — the merge dedups hashes
+      (``array_distinct``), so re-delivering a micro-batch after a
+      crash-restart is a no-op on the state; at-least-once foreachBatch
+      delivery therefore yields exactly-once sketch semantics (pinned).
+
+    The state swap follows ``operators/maintenance``'s stage-then-rename
+    discipline: the merged table is fully written to a staging dir
+    BEFORE the live dir is touched (never overwrite-while-reading), then
+    two renames swap it in.
+    """
+    from homelogging_spark.operators.maintenance import _fs
+    from homelogging_spark.operators.sketches import kmv_merge_arrays, kmv_sketch
+
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = kmv_sketch(batch, key_col, groups, k=k, salt=salt)
+        hadoop, fs = _fs(spark, state_path)
+        P = hadoop.Path
+        exists = fs.exists(P(state_path))
+        if exists:
+            empty = F.array().cast("array<bigint>")
+            merged = (
+                spark.read.parquet(state_path)
+                .select(*groups, F.col("kmv").alias("__old"))
+                .join(
+                    new.select(*groups, F.col("kmv").alias("__new")),
+                    groups,
+                    "full",
+                )
+                .select(
+                    *groups,
+                    kmv_merge_arrays(
+                        F.coalesce(F.col("__old"), empty),
+                        F.coalesce(F.col("__new"), empty),
+                        k,
+                    ).alias("kmv"),
+                )
+            )
+        else:
+            merged = new.select(*groups, "kmv")
+        merged = merged.withColumn("n_kept", F.size("kmv").cast("bigint"))
+        tmp, trash = state_path + ".__tmp", state_path + ".__trash"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(P(trash), True)
+        if exists:
+            fs.rename(P(state_path), P(trash))
+        fs.rename(P(tmp), P(state_path))
+        fs.delete(P(trash), True)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

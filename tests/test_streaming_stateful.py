@@ -537,3 +537,128 @@ class TestStreamingPollSchedule:
         assert batch["m1"].fail_streak == 2 and batch["m1"].delay_s == 240.0
         assert batch["m2"].delay_s == 60.0  # lowered interval took effect
         assert batch["m3"].last_ok_ts is None and batch["m3"].fail_streak == 1
+
+
+class TestStreamingSketches:
+    """Streaming twins for the mergeable-sketch family: the batch
+    operators compose with Structured Streaming through the two shapes
+    mergeability allows — foreachBatch state-merge (KMV) and a
+    bounded-key streaming aggregation (count-min)."""
+
+    def _write_chunks(self, spark, src, n_chunks=3, per=40):
+        schema = "grp string, key string"
+        for c in range(n_chunks):
+            rows = [
+                (f"g{i % 2}", f"key{(c * per + i) % 70}") for i in range(per)
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+        return schema
+
+    def test_kmv_rollup_stream_equals_batch(self, spark, tmp_path):
+        """Drained foreachBatch KMV state == batch sketch of all rows,
+        EXACTLY (merge closure), including groups absent from some
+        micro-batches."""
+        from homelogging_spark.operators.sketches import kmv_sketch
+        from homelogging_spark.streaming.pipeline import start_kmv_rollup_stream
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        schema = self._write_chunks(spark, src)
+        state = str(tmp_path / "kmv_state")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = start_kmv_rollup_stream(
+            stream, "key", ("grp",), state, str(tmp_path / "ckpt"), k=16
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r.grp: (list(r.kmv), r.n_kept)
+            for r in spark.read.parquet(state).collect()
+        }
+        batch = {
+            r.grp: (list(r.kmv), r.n_kept)
+            for r in kmv_sketch(
+                spark.read.parquet(str(src)), "key", ["grp"], k=16
+            ).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) == 2
+
+    def test_kmv_rollup_replay_idempotent(self, spark, tmp_path):
+        """Re-delivering every micro-batch (fresh checkpoint over the
+        same source) leaves the state bit-identical: array_distinct
+        absorbs duplicate hashes, so at-least-once delivery gives
+        exactly-once sketch semantics."""
+        from homelogging_spark.streaming.pipeline import start_kmv_rollup_stream
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        schema = self._write_chunks(spark, src)
+        state = str(tmp_path / "kmv_state")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = start_kmv_rollup_stream(
+                stream, "key", ("grp",), state, str(tmp_path / ckpt), k=16
+            )
+            q.awaitTermination(180)
+
+        drain("ckpt1")
+        first = {
+            r.grp: (list(r.kmv), r.n_kept)
+            for r in spark.read.parquet(state).collect()
+        }
+        drain("ckpt2")  # full replay: every file re-delivered
+        second = {
+            r.grp: (list(r.kmv), r.n_kept)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert first == second
+
+    def test_cm_sketch_streams_bounded_state(self, spark, tmp_path):
+        """cm_sketch IS a streaming aggregation with bounded state: the
+        register key space is depth x width regardless of input
+        cardinality, so complete-mode output is a constant-size table.
+        Drained registers == batch registers."""
+        from homelogging_spark.operators.sketches import cm_sketch
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        schema = self._write_chunks(spark, src)
+        depth, width = 3, 64
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            cm_sketch(stream, "key", depth, width)
+            .writeStream.format("memory")
+            .queryName("cm_stream_regs")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.row, r.col): r.cnt
+            for r in spark.sql("select * from cm_stream_regs").collect()
+        }
+        batch = {
+            (r.row, r.col): r.cnt
+            for r in cm_sketch(
+                spark.read.parquet(str(src)), "key", depth, width
+            ).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) <= depth * width
