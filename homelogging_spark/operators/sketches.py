@@ -317,3 +317,159 @@ def heavy_hitters_report(
         )
         .orderBy(F.desc("n_exact"), F.col(key_col))
     )
+
+
+# --- Bloom filter --------------------------------------------------------------
+#
+# The membership member of the summary family (HLL answers cardinality,
+# KMV set algebra, count-min frequency, the histogram rollup quantiles;
+# Bloom answers "have we seen this key?"). The canonical 100 TB use is
+# the crawl/ingest seen-set: gate an incoming key stream against the
+# retained corpus WITHOUT joining the full digest table — the filter is
+# m bits regardless of corpus size, broadcasts to every executor, and
+# never returns a false negative, so only "maybe" keys proceed to the
+# exact digest join (`dedup.incremental_dedup`'s anti-hit stage).
+#
+# Words hold 63 bits (positions 0..62): bit 63 is the BIGINT sign bit,
+# and signed-shift semantics at the sign boundary are the one place
+# Spark and DuckDB could diverge — excluded by construction so the
+# register tables are bit-identical in both engines.
+
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(key: Column, j: int, m_bits: int, salt: str) -> list[Column]:
+    """j independent bit positions in [0, m_bits) — salted md5 per hash
+    function, the same family substitute as count-min's rows."""
+    return [_hash52(key, f"{salt}|{i}") % m_bits for i in range(j)]
+
+
+def _bloom_positions_sql(key: str, j: int, m_bits: int, salt: str) -> list[str]:
+    return [f"({_hash52_sql(key, f'{salt}|{i}')} % {m_bits})" for i in range(j)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    j: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the filter as a word table ``(word int, bits bigint)`` with
+    at most ceil(m_bits/63) rows. The explode is j positions per input
+    row, but the groupBy partial-aggregates bit-OR map-side, so the
+    exchange carries ≤ word-table-sized data per task regardless of
+    input rows (the count-min shape). Merge two filters built with the
+    same (m_bits, j, salt) via ``bloom_merge``."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, j, m_bits, salt))).alias("__p")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("__p") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(__p % {_BLOOM_WORD_BITS} AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Word-wise bit-OR — union semantics, closed under the filter
+    definition (merge of builds == build of the concatenated inputs,
+    pinned in tests)."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    filt: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    j: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership probe: ``key, maybe_present boolean``. False ⇒ the key
+    was DEFINITELY never inserted (no false negatives — pinned); True ⇒
+    present with false-positive rate ≈ (1 - e^{-jn/m})^j, the caller's
+    dial via m_bits/j. The word table broadcasts; the key panel streams
+    through one scan + a j-fanout join + an all-bits-set gate."""
+    key = F.col(key_col)
+    coords = keys.select(
+        key_col,
+        F.explode(F.array(*_bloom_positions(key, j, m_bits, salt))).alias("__p"),
+    ).select(
+        key_col,
+        (F.col("__p") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+        (F.col("__p") % _BLOOM_WORD_BITS).cast("int").alias("__bit"),
+    )
+    probed = coords.join(F.broadcast(filt), ["word"], "left").select(
+        key_col,
+        F.coalesce(
+            F.getbit(F.col("bits"), F.col("__bit")) == 1, F.lit(False)
+        ).alias("__hit"),
+    )
+    return probed.groupBy(key_col).agg(
+        F.min("__hit").alias("maybe_present")
+    )
+
+
+def bloom_word_sql(key: str, j: int, m_bits: int, salt: str) -> str:
+    """DuckDB twin of one key's (word, mask) coordinate set as a list of
+    STRUCT(word, mask) — unnest it to replicate ``bloom_build``'s
+    register table bit-for-bit."""
+    items = ", ".join(
+        f"{{'word': CAST({p} // {_BLOOM_WORD_BITS} AS INT), "
+        f"'mask': (CAST(1 AS BIGINT) << CAST({p} % {_BLOOM_WORD_BITS} AS INT))}}"
+        for p in _bloom_positions_sql(key, j, m_bits, salt)
+    )
+    return f"[{items}]"
+
+
+def bloom_contains_inline(
+    df: DataFrame,
+    filt: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    j: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Stateless membership probe: ``df`` with a ``maybe_present``
+    column appended — j broadcast hash joins against the word table,
+    one per hash function, folded into a conjunction. No explode, no
+    groupBy: unlike ``bloom_contains`` (the batch panel form) this
+    keeps the input's row identity and is legal mid-stream (stream-
+    static broadcast joins only; Structured Streaming forbids the
+    aggregation the panel form uses). j is small (3-7) so the join
+    chain is j probes of an ≤ m/63-row broadcast table."""
+    out = df
+    key = F.col(key_col)
+    hits = []
+    for i, pos_col in enumerate(_bloom_positions(key, j, m_bits, salt)):
+        w, b, bits = f"__bw{i}", f"__bb{i}", f"__bbits{i}"
+        out = (
+            out.withColumn(w, (pos_col / _BLOOM_WORD_BITS).cast("int"))
+            .withColumn(b, (pos_col % _BLOOM_WORD_BITS).cast("int"))
+            .join(
+                F.broadcast(
+                    filt.select(
+                        F.col("word").alias(w), F.col("bits").alias(bits)
+                    )
+                ),
+                w,
+                "left",
+            )
+        )
+        hits.append(
+            F.coalesce(F.getbit(F.col(bits), F.col(b)) == 1, F.lit(False))
+        )
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    drop = [c for i in range(j) for c in (f"__bw{i}", f"__bb{i}", f"__bbits{i}")]
+    return out.withColumn("maybe_present", maybe).drop(*drop)

@@ -216,3 +216,110 @@ class TestCountMin:
             ).fetchall()
             sql_rows.extend((k, r, c) for k, r, c in got)
         assert sorted(sql_rows) == coords_spark
+
+
+class TestBloom:
+    M, J = 1 << 12, 5
+
+    def _keys(self, spark, prefix, n):
+        return spark.createDataFrame(
+            [(f"{prefix}{i}",) for i in range(n)], "key string"
+        )
+
+    def test_no_false_negatives(self, spark):
+        """Every inserted key probes maybe_present=True — the Bloom
+        guarantee that makes the filter safe as a dedup pre-gate."""
+        inserted = self._keys(spark, "in", 500)
+        filt = sk.bloom_build(inserted, "key", self.M, self.J)
+        out = sk.bloom_contains(filt, inserted, "key", self.M, self.J).collect()
+        assert len(out) == 500
+        assert all(r.maybe_present for r in out)
+
+    def test_false_positive_rate_in_band(self, spark):
+        """Non-members mostly probe absent: with n=500, m=4096, j=5 the
+        theoretical FPR is (1-e^{-jn/m})^j ≈ 2.9%; allow generous slack
+        (deterministic hashes — this pins a fixed value, no flake)."""
+        filt = sk.bloom_build(self._keys(spark, "in", 500), "key", self.M, self.J)
+        out = sk.bloom_contains(
+            filt, self._keys(spark, "out", 1000), "key", self.M, self.J
+        ).collect()
+        fpr = sum(r.maybe_present for r in out) / len(out)
+        assert fpr < 0.10
+
+    def test_merge_closure(self, spark):
+        """bloom_merge(build(A), build(B)) == build(A ∪ B) — exact word
+        table equality, the per-day rollup contract."""
+        a, b = self._keys(spark, "a", 300), self._keys(spark, "b", 200)
+        merged = sk.bloom_merge(
+            sk.bloom_build(a, "key", self.M, self.J),
+            sk.bloom_build(b, "key", self.M, self.J),
+        )
+        direct = sk.bloom_build(a.unionByName(b), "key", self.M, self.J)
+        as_map = lambda df: {r.word: r.bits for r in df.collect()}
+        assert as_map(merged) == as_map(direct)
+
+    def test_word_table_bounded_and_sign_bit_free(self, spark):
+        filt = sk.bloom_build(self._keys(spark, "x", 5000), "key", self.M, self.J)
+        rows = filt.collect()
+        assert len(rows) <= -(-self.M // 63)  # ceil(m/63)
+        assert all(r.bits > 0 for r in rows)  # bit 63 never set
+
+    def test_build_sql_twin_bit_identical(self, spark):
+        """DuckDB replicates the word table exactly from bloom_word_sql
+        — pre-certifying an oracle-checked registration."""
+        keys = [f"k{i}" for i in range(200)]
+        filt = {
+            r.word: r.bits
+            for r in sk.bloom_build(
+                spark.createDataFrame([(k,) for k in keys], "key string"),
+                "key",
+                self.M,
+                self.J,
+            ).collect()
+        }
+        con = duckdb.connect()
+        vals = ", ".join(f"('{k}')" for k in keys)
+        coords = sk.bloom_word_sql("key", self.J, self.M, "bloom")
+        got = dict(
+            con.execute(
+                f"""
+                WITH raw(key) AS (VALUES {vals}),
+                c AS (SELECT unnest({coords}) AS wm FROM raw)
+                SELECT wm.word, bit_or(wm.mask) FROM c GROUP BY 1
+                """
+            ).fetchall()
+        )
+        assert got == filt
+
+    def test_probe_broadcasts_filter(self, spark):
+        filt = sk.bloom_build(self._keys(spark, "x", 100), "key", self.M, self.J)
+        plan = (
+            sk.bloom_contains(filt, self._keys(spark, "q", 10), "key", self.M, self.J)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_inline_probe_matches_panel_form(self, spark):
+        """bloom_contains_inline (j broadcast joins, streaming-legal) ==
+        bloom_contains (explode+groupBy panel form) verdict-for-verdict,
+        and it preserves the input's row identity and extra columns."""
+        filt = sk.bloom_build(self._keys(spark, "in", 300), "key", self.M, self.J)
+        panel = self._keys(spark, "in", 150).unionByName(
+            self._keys(spark, "out", 150)
+        ).withColumn("extra", F.length("key"))
+        inline = {
+            r.key: (r.maybe_present, r.extra)
+            for r in sk.bloom_contains_inline(
+                panel, filt, "key", self.M, self.J
+            ).collect()
+        }
+        grouped = {
+            r.key: r.maybe_present
+            for r in sk.bloom_contains(
+                filt, panel.select("key"), "key", self.M, self.J
+            ).collect()
+        }
+        assert len(inline) == 300
+        assert {k: v[0] for k, v in inline.items()} == grouped
+        assert all(v[1] == len(k) for k, v in inline.items())
