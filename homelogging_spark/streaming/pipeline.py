@@ -219,3 +219,63 @@ def start_kmv_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_bloom_dedup(
+    stream: DataFrame,
+    old_digests: DataFrame,
+    m_bits: int = 1 << 20,
+    j: int = 5,
+    salt: str = "bloom",
+) -> DataFrame:
+    """``streaming_snapshot_dedup`` with a Bloom pre-gate — the 100 TB
+    form of the seen-set check. The retained corpus's digest table may
+    hold billions of 16-byte keys (too big to broadcast, so the exact
+    anti-hit is a SHUFFLE join per micro-batch); its Bloom filter is
+    m_bits/8 bytes REGARDLESS of corpus size and broadcasts once.
+
+    Per micro-batch each doc is probed against the broadcast filter
+    (``sketches.bloom_contains_inline`` — stateless, streaming-legal):
+
+    - ``bloom_probed = false`` ⇒ definitely new (no false negatives):
+      the exact join's condition short-circuits, so these rows null-
+      extend WITHOUT matching against the digest table. For a mostly-
+      novel stream this is most rows.
+    - ``bloom_probed = true`` ⇒ duplicate OR false positive
+      (FPR-bounded): resolved by the exact digest join.
+
+    The OUTPUT is therefore bit-identical to
+    ``streaming_snapshot_dedup`` (pinned in tests) — the filter changes
+    the plan, never the answer; ``bloom_probed`` is emitted so the
+    saved exact-join traffic is observable per batch.
+    """
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_inline,
+    )
+
+    digests = old_digests.select("content_hash").distinct()
+    filt = bloom_build(digests, "content_hash", m_bits, j, salt)
+    hashed = stream.withColumn("content_hash", F.md5(F.col("text")))
+    probed = bloom_contains_inline(
+        hashed, filt, "content_hash", m_bits, j, salt
+    ).withColumnRenamed("maybe_present", "bloom_probed")
+    right = digests.withColumn("_hit", F.lit(True))
+    hit = F.coalesce(F.col("_hit"), F.lit(False))
+    return (
+        probed.join(
+            right,
+            (probed["content_hash"] == right["content_hash"])
+            & F.col("bloom_probed"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "text",
+            "bloom_probed",
+            hit.alias("exact_dup"),
+            (~hit).alias("keep"),
+        )
+    )

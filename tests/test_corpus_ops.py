@@ -266,3 +266,77 @@ class TestStreamingSnapshotDedup:
             for r in dedup.incremental_dedup(new_df, old).collect()
         }
         assert batch == {k: v.exact_dup for k, v in got.items()}
+
+
+class TestStreamingBloomDedup:
+    def test_bloom_gate_output_identical_and_gate_effective(self, spark, tmp_path):
+        """streaming_bloom_dedup must emit bit-identical exact_dup/keep
+        verdicts to the ungated streaming_snapshot_dedup (the filter
+        changes the plan, never the answer), every true duplicate must
+        probe bloom_probed=True (no false negatives), and at least one
+        genuinely-new doc must probe False (the gate actually skips
+        exact-join work for novel rows at this m/j)."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            streaming_bloom_dedup,
+            streaming_snapshot_dedup,
+        )
+
+        old = spark.createDataFrame(
+            [(i, f"kept corpus doc {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        old_digests = old.select(F.md5(F.col("text")).alias("content_hash"))
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        new_rows = [
+            {"doc_id": 100 + i, "text": f"kept corpus doc {i}"} for i in range(0, 6)
+        ] + [
+            {"doc_id": 200 + i, "text": f"novel doc number {i}"} for i in range(20)
+        ]
+        for i, r in enumerate(new_rows):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        def drain(make, name):
+            stream = (
+                spark.readStream.format("json")
+                .schema(DOCS_DDL)
+                .option("maxFilesPerTrigger", 7)
+                .load(str(src))
+            )
+            out_dir = tmp_path / f"out_{name}"
+            q = (
+                make(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+
+        gated = drain(
+            lambda s: streaming_bloom_dedup(s, old_digests, m_bits=1 << 12, j=5),
+            "bloom",
+        )
+        plain = drain(lambda s: streaming_snapshot_dedup(s, old_digests), "plain")
+
+        assert set(gated) == set(plain) == {r["doc_id"] for r in new_rows}
+        for did in plain:
+            assert (gated[did].exact_dup, gated[did].keep) == (
+                plain[did].exact_dup,
+                plain[did].keep,
+            )
+        # no false negatives: every true dup probed positive
+        assert all(gated[d].bloom_probed for d in gated if gated[d].exact_dup)
+        # the gate is effective: some novel docs skip the exact join
+        assert any(
+            not gated[d].bloom_probed for d in gated if gated[d].keep
+        )
