@@ -435,6 +435,41 @@ def sketch_tier(spark, factor: int) -> None:
                 t, "tok", k=10, depth=4, width=1024
             ),
         )
+        # Bloom: build the seen-set filter over the corpus digests, then
+        # probe a half-novel key panel inline. The claims measured: the
+        # word table stays <= ceil(m/63) rows at any corpus size, and
+        # the maybe-fraction (rows the exact join would still see) stays
+        # at dup_share + FPR rather than growing with the corpus.
+        digests = docs.select(F.md5(F.col("text")).alias("content_hash"))
+        m_bits, j = 1 << 20, 5
+        timed(
+            "bloom_build",
+            lambda d=digests: sk.bloom_build(d, "content_hash", m_bits, j),
+        )
+        filt = sk.bloom_build(digests, "content_hash", m_bits, j)
+        panel = digests.limit(2000).unionByName(
+            spark.range(4000).select(
+                F.md5(F.concat(F.lit("novel"), F.col("id").cast("string"))).alias(
+                    "content_hash"
+                )
+            )
+        )
+        probed = sk.bloom_contains_inline(
+            panel, filt, "content_hash", m_bits, j
+        )
+        n_words = filt.count()
+        maybe = probed.where("maybe_present").count()
+        total = panel.count()
+        print(
+            json.dumps(
+                {
+                    "query": "bloom_probe_stats",
+                    "dir": os.path.basename(sf_dir),
+                    "filter_words": n_words,
+                    "maybe_fraction": round(maybe / total, 4),
+                }
+            )
+        )
         release_caches()
 
 
