@@ -307,3 +307,113 @@ class TestNtileClosedForm:
                 ).fetchall()
             ]
             assert got == want, f"n={n}"
+
+
+# --- sketch family laws (operators/sketches.py) -------------------------------
+# Pure restatements of the md5-deterministic sketch builds; the Spark
+# and DuckDB forms compute these exact integers (pinned bit-for-bit in
+# test_sketches), so laws proven here hold for the engine operators.
+
+
+def _h52(key: str, salt: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:13], 16)
+
+
+def kmv_pure(keys: list[str], k: int, salt: str = "kmv") -> list[int]:
+    return sorted({_h52(x, salt) for x in keys})[:k]
+
+
+def kmv_merge_pure(a: list[int], b: list[int], k: int) -> list[int]:
+    return sorted(set(a) | set(b))[:k]
+
+
+def bloom_words_pure(keys: list[str], m: int, j: int, salt: str = "bloom"):
+    words: dict[int, int] = {}
+    for x in keys:
+        for i in range(j):
+            pos = _h52(x, f"{salt}|{i}") % m
+            words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
+    return words
+
+
+def cm_regs_pure(keys: list[str], depth: int, width: int, salt: str = "cm"):
+    regs: dict[tuple[int, int], int] = {}
+    for x in keys:
+        for r in range(depth):
+            c = _h52(x, f"{salt}|{r}") % width
+            regs[(r, c)] = regs.get((r, c), 0) + 1
+    return regs
+
+
+_keys = st.lists(st.text(min_size=0, max_size=8), max_size=80)
+
+
+class TestSketchProperties:
+    @given(_keys, _keys, st.integers(min_value=1, max_value=32))
+    @settings(max_examples=200, deadline=None)
+    def test_kmv_merge_closure_universal(self, a, b, k):
+        """merge(sketch(A), sketch(B)) == sketch(A ∪ B) for EVERY input
+        pair and every k — the law that makes per-partition / per-day
+        rollups exact, not approximately-composable."""
+        assert kmv_merge_pure(
+            kmv_pure(a, k), kmv_pure(b, k), k
+        ) == kmv_pure(a + b, k)
+
+    @given(_keys, st.integers(min_value=1, max_value=32))
+    @settings(max_examples=100, deadline=None)
+    def test_kmv_idempotent_and_exact_below_k(self, a, k):
+        s = kmv_pure(a, k)
+        # replay-idempotence (the streaming rollup's crash guarantee)
+        assert kmv_merge_pure(s, s, k) == s
+        # unsaturated sketch IS the exact distinct hash set
+        if len({_h52(x, "kmv") for x in a}) <= k:
+            assert set(s) == {_h52(x, "kmv") for x in a}
+
+    @given(
+        _keys,
+        st.integers(min_value=64, max_value=4096),
+        st.integers(min_value=1, max_value=7),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_bloom_no_false_negatives_universal(self, keys, m, j):
+        """Every inserted key probes present, for EVERY (m, j) — the
+        guarantee that makes the pre-gate safe at any dial setting."""
+        words = bloom_words_pure(keys, m, j)
+        for x in keys:
+            for i in range(j):
+                pos = _h52(x, f"bloom|{i}") % m
+                assert words.get(pos // 63, 0) >> (pos % 63) & 1
+
+    @given(_keys, _keys, st.integers(min_value=64, max_value=1024))
+    @settings(max_examples=100, deadline=None)
+    def test_bloom_merge_closure_universal(self, a, b, m):
+        wa, wb = bloom_words_pure(a, m, 4), bloom_words_pure(b, m, 4)
+        merged = {
+            w: wa.get(w, 0) | wb.get(w, 0) for w in set(wa) | set(wb)
+        }
+        assert merged == bloom_words_pure(a + b, m, 4)
+
+    @given(_keys, st.integers(min_value=1, max_value=4), st.integers(min_value=4, max_value=64))
+    @settings(max_examples=100, deadline=None)
+    def test_cm_never_undercounts_universal(self, keys, depth, width):
+        """min over a key's registers ≥ its true multiplicity for EVERY
+        input multiset and dial — the one-sided-error law."""
+        regs = cm_regs_pure(keys, depth, width)
+        from collections import Counter
+
+        for x, n in Counter(keys).items():
+            est = min(
+                regs[(r, _h52(x, f"cm|{r}") % width)] for r in range(depth)
+            )
+            assert est >= n
+
+    @given(_keys, _keys, st.integers(min_value=4, max_value=64))
+    @settings(max_examples=100, deadline=None)
+    def test_cm_merge_is_register_sum_universal(self, a, b, width):
+        ra, rb = cm_regs_pure(a, 3, width), cm_regs_pure(b, 3, width)
+        merged = {
+            c: ra.get(c, 0) + rb.get(c, 0) for c in set(ra) | set(rb)
+        }
+        assert merged == cm_regs_pure(a + b, 3, width)
