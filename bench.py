@@ -238,11 +238,15 @@ def main() -> None:
     if rounds:
         next_round = int(re.search(r"BENCH_r(\d+)", rounds[-1]).group(1)) + 1
     local_path = os.path.join(here, f"BENCH_LOCAL_r{next_round:02d}.json")
-    try:
-        with open(local_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=False)
-    except OSError:
-        pass
+    # only a default-SF run is the round's committed record: an ad-hoc
+    # SPARK_GRAFT_SF_DIR contract check (e.g. sf0.001) must not clobber
+    # the sf0.1 BENCH_LOCAL file (it did once in r7)
+    if "SPARK_GRAFT_SF_DIR" not in os.environ:
+        try:
+            with open(local_path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=False)
+        except OSError:
+            pass
 
     vs_prev = out.get("vs_prev")
     if vs_prev:
