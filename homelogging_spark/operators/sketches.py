@@ -76,6 +76,7 @@ def kmv_sketch(
     group_cols: list[str] | None = None,
     k: int = 64,
     salt: str = "kmv",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Per-group KMV sketch: the ``k`` smallest distinct 52-bit hashes of
     ``key_col``, as one sorted array<bigint> row per group.
@@ -84,15 +85,33 @@ def kmv_sketch(
     ``n_kept < k`` means the group had fewer than k distinct keys and
     the sketch IS the exact distinct hash set.
 
-    One shuffle on (group, hash) with map-side distinct combine; the
-    window sort runs per group over distinct hashes only.
+    Plan (two-stage salted k-selection — output independent of
+    ``n_salts``, pinned): a single per-group window would sort EVERY
+    distinct hash of a group in one task — with few large groups (or
+    no groups at all, where it degrades to a global window) that is
+    the single-task funnel ``curriculum_order`` had to shed. Instead
+    stage 1 selects k-smallest per (group, hash % n_salts) — n_salts×
+    the parallelism, and each of a group's k global minima is
+    necessarily in its own bucket's top-k, so the union of bucket
+    winners is a superset of the answer; stage 2 re-selects k over the
+    ≤ n_salts·k survivors per group, a bounded sort. Shuffles: the
+    map-side-combined distinct on (group, hash), then two bounded
+    exchanges.
     """
     group_cols = group_cols or []
     hashed = df.select(
         *group_cols, _hash52(F.col(key_col), salt).alias("__h")
     ).distinct()
-    w = Window.partitionBy(*group_cols or [F.lit(1)]).orderBy("__h")
-    kept = hashed.withColumn("__rn", F.row_number().over(w)).where(
+    w1 = Window.partitionBy(
+        *group_cols, (F.col("__h") % n_salts).alias("__s")
+    ).orderBy("__h")
+    survivors = (
+        hashed.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*group_cols or [F.lit(1)]).orderBy("__h")
+    kept = survivors.withColumn("__rn", F.row_number().over(w2)).where(
         F.col("__rn") <= k
     )
     return kept.groupBy(*group_cols).agg(

@@ -323,3 +323,46 @@ class TestBloom:
         assert len(inline) == 300
         assert {k: v[0] for k, v in inline.items()} == grouped
         assert all(v[1] == len(k) for k, v in inline.items())
+
+
+class TestKmvSaltedSelection:
+    def test_output_invariant_under_n_salts(self, spark):
+        """The two-stage salted k-selection is EXACT for every n_salts:
+        each global minimum is in its own salt bucket's top-k, so the
+        survivor union always contains the answer."""
+        df = _docs(spark, {"a": [f"k{i}" for i in range(500)],
+                           "b": [f"x{i}" for i in range(30)]})
+        base = {
+            r.grp: (list(r.kmv), r.n_kept)
+            for r in sk.kmv_sketch(df, "key", ["grp"], k=32, n_salts=1).collect()
+        }
+        for s in (2, 32, 1000):
+            got = {
+                r.grp: (list(r.kmv), r.n_kept)
+                for r in sk.kmv_sketch(
+                    df, "key", ["grp"], k=32, n_salts=s
+                ).collect()
+            }
+            assert got == base, f"n_salts={s}"
+        # unsaturated group is the exact distinct set at every dial
+        assert base["b"][1] == 30
+
+    def test_no_group_build_has_no_unsalted_global_window(self, spark):
+        """With no group columns the FIRST selection stage must still
+        partition by the salt — the raw distinct-hash stream never
+        funnels through a single task's sort (the curriculum_order
+        lesson). Only the bounded survivor re-selection (≤ n_salts·k
+        rows) may run unpartitioned."""
+        df = _docs(spark, {"a": [f"k{i}" for i in range(100)]})
+        plan = (
+            sk.kmv_sketch(df, "key", [], k=8, n_salts=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # stage 1 partitions on (hash % n_salts), and Spark's
+        # WindowGroupLimit prunes to top-k in a Partial phase BEFORE the
+        # exchange — the selection is map-side, the shuffle carries at
+        # most k rows per salt bucket per task
+        assert "% 16)], [__h" in plan and "row_number(), 8, Partial" in plan
+        # stage 2 (the unpartitioned re-selection) exists but only over
+        # the bounded survivors
+        assert plan.count("Window [row_number()") == 2
