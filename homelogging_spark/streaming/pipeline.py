@@ -279,3 +279,67 @@ def streaming_bloom_dedup(
             (~hit).alias("keep"),
         )
     )
+
+
+def streaming_windowed_cm(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    watermark: str = "10 minutes",
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Per-event-time-window count-min registers with watermark-driven
+    finalization — the trending-keys shape ("what was hot each hour").
+
+    The batch ``cm_sketch`` composes with streaming in complete mode,
+    but complete re-emits the ENTIRE register table every micro-batch —
+    unbounded output over time. This form groups by
+    ``window(ts, bucket)`` alongside the register coordinates and runs
+    in APPEND mode: late rows inside the watermark still amend their
+    window's registers; once the watermark passes a window closes and
+    its ≤ depth·width register rows emit exactly once. State is
+    bounded at open_windows × depth × width regardless of key
+    cardinality — the sketch keeps the per-window state constant where
+    exact per-key counting would grow with the vocabulary.
+
+    Downstream, each finalized window's registers answer point queries
+    via ``sketches.cm_query`` and roll up across windows via
+    ``sketches.cm_merge`` (register-sum) without rescanning events —
+    the same merge law the batch pins certify.
+
+    Output: ``window_start, window_end, row, col, cnt``.
+    """
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.sketches import _hash52 as _sk_hash52
+
+    key = F.col(key_col)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (_sk_hash52(key, f"{salt}|{r}") % width).cast("int").alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(coords).alias("c"))
+        .groupBy(
+            F.window(ts_col, bucket).alias("w"),
+            F.col("c.row").alias("row"),
+            F.col("c.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "row",
+            "col",
+            "cnt",
+        )
+    )

@@ -662,3 +662,68 @@ class TestStreamingSketches:
         }
         assert streamed == batch
         assert len(streamed) <= depth * width
+
+    def test_windowed_cm_append_finalization(self, spark, tmp_path):
+        """Watermark-closed windows emit their count-min registers
+        exactly once (append mode), each window's registers equal the
+        batch cm_sketch over that window's rows, and state never holds
+        more than open_windows x depth x width."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from homelogging_spark.operators.sketches import cm_sketch
+        from homelogging_spark.streaming.pipeline import streaming_windowed_cm
+
+        depth, width = 3, 32
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        rows = []
+        for h in (0, 1):  # two full hourly windows
+            for i in range(40):
+                rows.append((base + dt.timedelta(hours=h, minutes=i % 50),
+                             f"key{i % 7}"))
+        # sentinel far in the future: drives the watermark past hours 0-1
+        rows.append((base + dt.timedelta(hours=6), "sentinel"))
+        schema = "ts timestamp, key string"
+        src = tmp_path / "landing"
+        src.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_windowed_cm(
+                stream, "key", bucket="1 hour", watermark="10 minutes",
+                depth=depth, width=width,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(str(out_dir)).collect()
+        emitted = {}
+        for r in got:
+            emitted.setdefault(r.window_start.hour, {})[(r.row, r.col)] = r.cnt
+        # hours 0 and 1 finalized; the sentinel's own window did not
+        assert set(emitted) == {0, 1}
+        batch_df = spark.createDataFrame(rows, schema)
+        for h in (0, 1):
+            window_rows = batch_df.where(
+                (F.col("ts") >= str(base + dt.timedelta(hours=h)))
+                & (F.col("ts") < str(base + dt.timedelta(hours=h + 1)))
+            )
+            want = {
+                (r.row, r.col): r.cnt
+                for r in cm_sketch(window_rows, "key", depth, width).collect()
+            }
+            assert emitted[h] == want
+            assert len(emitted[h]) <= depth * width
