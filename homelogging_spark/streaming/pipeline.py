@@ -182,6 +182,13 @@ def start_kmv_rollup_stream(
         new = kmv_sketch(batch, key_col, groups, k=k, salt=salt)
         hadoop, fs = _fs(spark, state_path)
         P = hadoop.Path
+        trash0 = state_path + ".__trash"
+        if not fs.exists(P(state_path)) and fs.exists(P(trash0)):
+            # crash landed between the two swap renames (live moved to
+            # trash, staged copy not yet promoted): the trash IS the
+            # last committed state — restore it before merging, else
+            # this batch would silently rebuild from itself alone
+            fs.rename(P(trash0), P(state_path))
         exists = fs.exists(P(state_path))
         if exists:
             empty = F.array().cast("array<bigint>")

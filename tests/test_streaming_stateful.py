@@ -727,3 +727,53 @@ class TestStreamingSketches:
             }
             assert emitted[h] == want
             assert len(emitted[h]) <= depth * width
+
+    def test_kmv_rollup_recovers_mid_swap_crash(self, spark, tmp_path):
+        """If a crash lands between the state swap's two renames (live
+        moved aside, staged copy not yet promoted), the next batch must
+        restore the trash — NOT silently rebuild from itself alone."""
+        import os
+
+        from homelogging_spark.streaming.pipeline import start_kmv_rollup_stream
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        schema = self._write_chunks(spark, src, n_chunks=2)
+        state = str(tmp_path / "kmv_state")
+
+        def drain(ckpt):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = start_kmv_rollup_stream(
+                stream, "key", ("grp",), state, str(tmp_path / ckpt), k=16
+            )
+            q.awaitTermination(180)
+
+        drain("ckpt1")
+        committed = {
+            r.grp: list(r.kmv) for r in spark.read.parquet(state).collect()
+        }
+        # simulate the crash window: live state sits in .__trash
+        os.rename(state, state + ".__trash")
+        # a later chunk arrives; the new drain must restore then merge
+        self._write_chunks(spark, src, n_chunks=1, per=25)
+        drain("ckpt2_fresh")  # fresh checkpoint: all 3 chunks redeliver
+        recovered = {
+            r.grp: list(r.kmv) for r in spark.read.parquet(state).collect()
+        }
+        # every committed hash survives (restored + replay-idempotent),
+        # and the batch equivalence still holds over ALL rows
+        from homelogging_spark.operators.sketches import kmv_sketch
+
+        want = {
+            r.grp: list(r.kmv)
+            for r in kmv_sketch(
+                spark.read.parquet(str(src)), "key", ["grp"], k=16
+            ).collect()
+        }
+        assert recovered == want
+        for g, kmv in committed.items():
+            assert set(kmv) <= set(recovered[g]) | set(want[g])
