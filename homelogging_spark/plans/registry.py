@@ -2351,19 +2351,37 @@ WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
 # a latest-round row sorts before everything that has one; the
 # registry-size cap in tests/test_rotation_guard.py keeps the count of
 # such queries <= 50), leaving exactly ONE hand-maintained input:
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r7: a changed query's old green row certifies the old code, so it
-    # re-enters the window regardless of how recent that row is.
-    # (The r6 entries were cleared first thing this round — the landed
-    # CORRECTNESS_r06.json recertified all nine. These three changed
-    # after that: energy_interpolate ported the reference's exact
-    # reset-row branch order; curriculum_order moved both global ranks
-    # to the distributed two-pass prefix sum; quality_score absorbed
-    # the former repetition_scores query's columns.)
-    "energy_interpolate",
-    "curriculum_order",
-    "quality_score",
-})
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # query -> round in which its semantics last changed. A changed
+    # query's old green row certifies the OLD code, so it re-enters the
+    # window regardless of how recent that row is — UNTIL a green row
+    # from the change round (or later) lands, at which point the entry
+    # expires AUTOMATICALLY (see _active_changed). The r6 round ended
+    # with the guard red at judge time precisely because the flat set
+    # could not see that the freshly-landed artifact had already
+    # recertified its members; the round tag closes that failure mode —
+    # entries here never need clearing for correctness, only pruning
+    # for tidiness.
+    #
+    # r7: energy_interpolate ported the reference's exact reset-row
+    # branch order; curriculum_order moved both global ranks to the
+    # distributed two-pass prefix sum; quality_score absorbed the
+    # former repetition_scores query's columns.
+    "energy_interpolate": 7,
+    "curriculum_order": 7,
+    "quality_score": 7,
+}
+
+
+def _active_changed(greens: dict[str, int]) -> set[str]:
+    """The not-yet-recertified subset of ``_CHANGED_IN_ROUND``: entries
+    whose change round has no green driver row at or after it. Expires
+    each entry the moment the driver's artifact certifies the new code,
+    so the rotation guard cannot go red post-hoc when a round's
+    CORRECTNESS file lands after the final commit."""
+    return {
+        n for n, rnd in _CHANGED_IN_ROUND.items() if greens.get(n, 0) < rnd
+    }
 
 
 def _latest_green_round() -> dict[str, int]:
@@ -2416,17 +2434,18 @@ def _latest_green_round() -> dict[str, int]:
 
 
 def _driver_window_order(merged: dict) -> dict:
-    unknown = [n for n in _CHANGED_THIS_ROUND if n not in merged]
+    unknown = [n for n in _CHANGED_IN_ROUND if n not in merged]
     if unknown:  # typo guard — fail at import, not in the driver
-        raise KeyError(f"_CHANGED_THIS_ROUND names unknown queries: {unknown}")
+        raise KeyError(f"_CHANGED_IN_ROUND names unknown queries: {unknown}")
     greens = _latest_green_round()
+    changed = _active_changed(greens)
     orig = {n: i for i, n in enumerate(merged)}
 
     def staleness(n: str) -> tuple[int, int]:
-        # never-green and changed-this-round first (rank -1), then by
+        # never-green and actively-changed first (rank -1), then by
         # latest green round ascending; registration order breaks ties
         # so the computed order is deterministic round-over-round
-        rank = -1 if n not in greens or n in _CHANGED_THIS_ROUND else greens[n]
+        rank = -1 if n not in greens or n in changed else greens[n]
         return (rank, orig[n])
 
     return {n: merged[n] for n in sorted(merged, key=staleness)}

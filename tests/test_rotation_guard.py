@@ -67,25 +67,26 @@ def test_no_query_goes_two_rounds_stale():
     assert not late, (
         "queries without a driver row from the latest recorded round sit "
         f"past the {WINDOW}-row window and would go 2+ rounds stale: {late}. "
-        "Usual cause: registry._CHANGED_THIS_ROUND still lists queries "
-        "whose new code the latest round already recertified — clear "
-        "them; otherwise consolidate queries to free window slots."
+        "Since r7 registry._CHANGED_IN_ROUND entries auto-expire when a "
+        "green row from their change round lands, so this should only "
+        "fire on genuine window overflow — consolidate queries to free "
+        "window slots."
     )
 
 
 def test_computed_order_is_staleness_sorted():
     """Since r6 the registry order is COMPUTED (stalest green row first;
-    never-green and _CHANGED_THIS_ROUND forced to the front). Re-derive
+    never-green and actively-changed forced to the front). Re-derive
     the expected order from the committed files INDEPENDENTLY of the
     registry's own parser and pin the grouping: no query with an older
     (or no) green row may sit after a query with a newer one, unless
-    the newer one is flagged changed."""
-    from homelogging_spark.plans.registry import _CHANGED_THIS_ROUND
+    the newer one is flagged changed and not yet recertified."""
+    from homelogging_spark.plans.registry import _CHANGED_IN_ROUND
 
     order = _registry_order()
-    assert _CHANGED_THIS_ROUND <= set(order), (
-        f"_CHANGED_THIS_ROUND names unknown queries: "
-        f"{sorted(_CHANGED_THIS_ROUND - set(order))}"
+    assert set(_CHANGED_IN_ROUND) <= set(order), (
+        f"_CHANGED_IN_ROUND names unknown queries: "
+        f"{sorted(set(_CHANGED_IN_ROUND) - set(order))}"
     )
 
     greens: dict[str, int] = {}
@@ -93,14 +94,43 @@ def test_computed_order_is_staleness_sorted():
         for name in rows_by_name:
             greens[name] = rnd
 
+    active = {
+        n for n, rnd in _CHANGED_IN_ROUND.items() if greens.get(n, 0) < rnd
+    }
+
     def rank(q: str) -> int:
-        return -1 if q not in greens or q in _CHANGED_THIS_ROUND else greens[q]
+        return -1 if q not in greens or q in active else greens[q]
 
     ranks = [rank(q) for q in order]
     assert ranks == sorted(ranks), (
         "registry order is not sorted by driver-row staleness; first "
         f"inversion near: {[(q, rank(q)) for q in order][:60]}"
     )
+
+
+def test_changed_entries_expire_when_their_round_lands():
+    """The r6 judge-time failure: the flat changed-set kept force-
+    fronting queries AFTER the round's CORRECTNESS file had recertified
+    them, pushing rotation candidates past the window. The round-tagged
+    form must expire each entry once a green row >= its change round
+    exists — simulated here by feeding the expiry rule a synthetic
+    greens map, independent of what is currently committed."""
+    from homelogging_spark.plans.registry import (
+        _CHANGED_IN_ROUND,
+        _active_changed,
+    )
+
+    if not _CHANGED_IN_ROUND:
+        return  # nothing flagged this round — trivially safe
+    # before the artifact lands: every entry is active
+    before = {n: rnd - 1 for n, rnd in _CHANGED_IN_ROUND.items()}
+    assert _active_changed(before) == set(_CHANGED_IN_ROUND)
+    # the moment each entry's change round is certified: all expire
+    after = dict(_CHANGED_IN_ROUND)
+    assert _active_changed(after) == set()
+    # later rounds keep them expired
+    later = {n: rnd + 3 for n, rnd in _CHANGED_IN_ROUND.items()}
+    assert _active_changed(later) == set()
 
 
 def _correctness_rounds_green() -> dict[int, set[str]]:
