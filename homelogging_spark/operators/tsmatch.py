@@ -1,0 +1,140 @@
+"""Time-series subsequence pattern matching (similarity search).
+
+"Find the stretches that look like THIS" — the query the reference's
+dashboards answer by eye (flow-temperature curves, battery cycles,
+defrost dips) and the retrieved corpus treats as a first-class
+distributed problem (Time Series Similarity Search for Streaming Data
+in Distributed Systems, EDBT 2019). Given a length-L query pattern,
+score every length-L contiguous hourly subsequence of every series by
+z-normalized Euclidean distance — shape match, invariant to each
+window's offset and amplitude — and return the global top-k.
+
+Spark shape (scale notes):
+
+- The sliding windows come from a per-series ``rowsBetween(-(L-1), 0)``
+  frame over the hourly grid — partitioned by series, never global;
+  state per task is the L-row frame. Contiguity is enforced by
+  comparing the frame's first bucket index to ``current - (L-1)``
+  (gappy stretches produce no candidate rather than a wrong one).
+- The z-normalized distance is pure column algebra over the collected
+  window array (``aggregate``/``transform`` — JVM-side, no UDF):
+  dist² = Σ (ẑ_w[i] − ẑ_p[i])², with the pattern's ẑ_p a literal
+  array broadcast in the plan.
+- Top-k is a global ``orderBy(dist).limit(k)`` —
+  TakeOrderedAndProject, per-partition heaps then one k-row merge,
+  never a full sort.
+- Flat windows (std = 0) carry no shape: scored only if the pattern is
+  also flat (then dist 0 by convention), else skipped — mirrors the
+  z-norm domain.
+
+At 100 TB the hourly grid per series is ~9k rows/year — the window
+frame stays tiny; the candidate stream is one row per (series, hour)
+and the top-k heap bounds what survives each task.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _znorm_literal(pattern: Sequence[float]) -> list[float]:
+    mu = sum(pattern) / len(pattern)
+    var = sum((x - mu) ** 2 for x in pattern) / len(pattern)
+    sd = math.sqrt(var)
+    if sd == 0.0:
+        return [0.0] * len(pattern)
+    return [(x - mu) / sd for x in pattern]
+
+
+def _znorm_col(arr: Column, length: int) -> Column:
+    n = F.lit(float(length))
+    mu = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+    var = (
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)) / n
+    )
+    sd = F.sqrt(var)
+    return F.when(
+        sd > 0, F.transform(arr, lambda x: (x - mu) / sd)
+    ).otherwise(F.transform(arr, lambda x: F.lit(0.0)))
+
+
+def pattern_match_topk(
+    hourly: DataFrame,
+    pattern: Sequence[float],
+    key_col: str = "series",
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Global top-``k`` z-normalized matches of ``pattern`` over every
+    series' hourly sequence.
+
+    ``hourly``: one row per (key, bucket) with ``bucket`` a timestamp
+    on a regular hourly grid (`q_grid_resample_locf`'s output contract;
+    gaps allowed — gappy windows are skipped, not mis-scored).
+
+    Output: ``key, window_start, window_end, dist, window_values`` —
+    ascending distance, ties broken by (key, window_start) so the
+    result is deterministic.
+    """
+    L = len(pattern)
+    if L < 2:
+        raise ValueError("pattern needs at least 2 points")
+    zp = _znorm_literal(pattern)
+    pat_flat = all(v == 0.0 for v in zp)
+    idx = F.floor(F.unix_timestamp(F.col(bucket_col)) / 3600).cast("bigint")
+    renamed = hourly.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col),
+        idx.alias("__idx"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("__idx").asc()).rowsBetween(
+        -(L - 1), 0
+    )
+    framed = renamed.select(
+        "key",
+        F.col(bucket_col),
+        "__idx",
+        F.collect_list("__v").over(w).alias("__win"),
+        F.min("__idx").over(w).alias("__first_idx"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    # full AND contiguous: L rows whose first bucket is exactly L-1 back
+    cand = framed.where(
+        (F.col("__n") == L) & (F.col("__first_idx") == F.col("__idx") - (L - 1))
+    )
+    zw = _znorm_col(F.col("__win"), L)
+    zp_lit = F.array(*[F.lit(float(v)) for v in zp])
+    dist2 = F.aggregate(
+        F.zip_with(zw, zp_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        "key",
+        (F.col(bucket_col) - F.expr(f"INTERVAL {L - 1} HOURS")).alias(
+            "window_start"
+        ),
+        F.col(bucket_col).alias("window_end"),
+        F.sqrt(dist2).alias("dist"),
+        F.col("__win").alias("window_values"),
+    )
+    if not pat_flat:
+        # flat windows z-norm to all-zeros; against a non-flat pattern
+        # their distance is the pattern's norm — a degenerate "match
+        # anything flat" artifact. Drop them.
+        flat = F.aggregate(
+            F.transform(
+                F.col("window_values"),
+                lambda x: F.when(x != F.element_at(F.col("window_values"), 1), 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ) == 0
+        scored = scored.where(~flat)
+    return scored.orderBy(F.asc("dist"), "key", "window_start").limit(k)
