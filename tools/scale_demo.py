@@ -473,6 +473,44 @@ def sketch_tier(spark, factor: int) -> None:
         release_caches()
 
 
+def tsmatch_tier(spark, factor: int) -> None:
+    """Scale run for subsequence pattern matching: events -> per-series
+    hourly grid (user_id-bucketed series so the key count is realistic)
+    -> top-5 z-normalized matches of a 6-hour pattern. The blow-up
+    shifts copies by whole days, so the grid's hour span — and with it
+    the candidate-window count — grows with the factor; the claim is
+    wall tracking the candidate count (keyed frames + TakeOrdered heap,
+    no global sort)."""
+    from homelogging_spark.operators.tsmatch import pattern_match_topk
+
+    big_dir = blow_up_events(spark, factor)
+    pattern = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]
+    for sf_dir in (BASE_SF, big_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        grid = (
+            ev.groupBy(
+                (F.col("user_id") % 50).cast("string").alias("series"),
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            )
+            .agg(F.avg("value").alias("value"))
+        )
+        n = grid.count()
+        fn = lambda g=grid: pattern_match_topk(g, pattern, k=5)
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        print(
+            json.dumps(
+                {
+                    "query": "pattern_match_topk",
+                    "dir": os.path.basename(sf_dir),
+                    "grid_rows": n,
+                    "sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     tier = sys.argv[2] if len(sys.argv) > 2 else "text"
@@ -481,6 +519,10 @@ def main() -> None:
 
     if tier == "sketch":
         sketch_tier(spark, factor)
+        return
+
+    if tier == "tsmatch":
+        tsmatch_tier(spark, factor)
         return
 
     if tier == "emb":
