@@ -8,6 +8,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from homelogging_spark.operators.tsmatch import pattern_match_topk
 
 BASE = dt.datetime(2026, 1, 1, 0, 0, 0)
@@ -116,3 +118,95 @@ class TestPatternMatch:
         assert "windowspecdefinition(key#" in plan
         assert "Exchange hashpartitioning(key#" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+class TestRegistrationDraft:
+    """END-TO-END draft of a future driver registration: the exact
+    pattern_match_topk query shape AND a complete DuckDB oracle
+    (windowed list() frames + lateral-alias z-norm), over the real
+    sf0.01 events table. The grid metric is an hourly event COUNT —
+    integer-exact in both engines, so no float-summation-order hazard
+    enters before the (identically-ordered) distance fold. Promotion
+    blocked only by the registry's 100-query cap (COVERAGE.md runway)."""
+
+    SF = "/root/testdata/sf0.01"
+    PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]
+    K = 7
+
+    def test_matches_full_duckdb_oracle(self, spark):
+        import duckdb
+
+        from homelogging_spark.functions.numeric import quantize, quantize_sql
+        from homelogging_spark.operators.tsmatch import (
+            _znorm_literal,
+            pattern_match_topk,
+        )
+        from homelogging_spark.tables import load_table
+
+        L = len(self.PATTERN)
+        events = load_table(spark, self.SF, "events")
+        grid = events.groupBy(
+            (F.col("user_id") % 20).cast("string").alias("series"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        out = pattern_match_topk(grid, self.PATTERN, k=self.K).select(
+            "key",
+            "window_start",
+            "window_end",
+            quantize("dist").alias("dist"),
+        )
+        got = out.toPandas()
+
+        zp = _znorm_literal(self.PATTERN)
+        zp_sql = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in zp) + "]"
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{self.SF}/events.parquet'"
+        )
+        oracle = f"""
+WITH grid AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+idxd AS (SELECT key, bucket, CAST(floor(epoch(bucket) / 3600) AS BIGINT) AS idx, v FROM grid),
+framed AS (
+  SELECT key, bucket, idx,
+         list(v) OVER w AS win,
+         min(idx) OVER w AS first_idx,
+         count(*) OVER w AS n
+  FROM idxd
+  WINDOW w AS (PARTITION BY key ORDER BY idx ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW)),
+cand AS (SELECT * FROM framed WHERE n = {L} AND first_idx = idx - {L - 1}),
+z AS (
+  SELECT key, bucket, win,
+         list_aggregate(win, 'sum') / {L} AS mu,
+         sqrt(list_aggregate(list_transform(win, x -> (x - mu) * (x - mu)), 'sum') / {L}) AS sd,
+         CASE WHEN sd > 0 THEN list_transform(win, x -> (x - mu) / sd)
+              ELSE list_transform(win, x -> CAST(0.0 AS DOUBLE)) END AS zw
+  FROM cand),
+scored AS (
+  SELECT key,
+         bucket - INTERVAL {L - 1} HOURS AS window_start,
+         bucket AS window_end,
+         sqrt(list_aggregate(
+             list_transform(generate_series(1, {L}), i -> (zw[i] - ({zp_sql})[i]) * (zw[i] - ({zp_sql})[i])),
+             'sum')) AS dist,
+         len(list_filter(win, x -> x != win[1])) AS n_nonflat
+  FROM z)
+SELECT key, window_start, window_end, {quantize_sql('dist')} AS dist
+FROM scored
+WHERE n_nonflat > 0
+ORDER BY scored.dist ASC, key, window_start
+LIMIT {self.K}
+"""
+        want = con.execute(oracle).df()
+        assert len(got) == len(want) == self.K
+        import pandas as pd
+
+        got = got.reset_index(drop=True)
+        want = want.reset_index(drop=True)
+        for c in ("key", "window_start", "window_end", "dist"):
+            pd.testing.assert_series_equal(
+                got[c], want[c], check_dtype=False, check_exact=True
+            )
