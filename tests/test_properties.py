@@ -417,3 +417,56 @@ class TestSketchProperties:
             c: ra.get(c, 0) + rb.get(c, 0) for c in set(ra) | set(rb)
         }
         assert merged == cm_regs_pure(a + b, 3, width)
+
+
+# --- pattern-match z-norm laws (operators/tsmatch.py) -------------------------
+
+
+def _znorm_pure(xs: list[float]) -> list[float]:
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / len(xs)
+    sd = math.sqrt(var)
+    return [(x - mu) / sd for x in xs] if sd > 0 else [0.0] * len(xs)
+
+
+def _zdist(a: list[float], b: list[float]) -> float:
+    za, zb = _znorm_pure(a), _znorm_pure(b)
+    return math.sqrt(sum((x - y) ** 2 for x, y in zip(za, zb)))
+
+
+# integer-valued windows with real spread: the laws are exact
+# mathematics; degenerate float regimes (spread below the addition's
+# ulp, e.g. [0, 1e-45] + 1.0) are cancellation artifacts, not law
+# violations, so the strategy stays in numerically meaningful territory
+_win = st.lists(
+    st.integers(min_value=-1000, max_value=1000).map(float),
+    min_size=2,
+    max_size=24,
+).filter(lambda w: max(w) - min(w) >= 1.0)
+
+
+class TestPatternMatchProperties:
+    @given(
+        _win,
+        st.floats(min_value=1e-3, max_value=1e3),
+        st.floats(min_value=-1e4, max_value=1e4),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_affine_invariance(self, w, a, b):
+        """dist(a·w + b, p) == dist(w, p) for every a > 0, b — the
+        invariance that makes the matcher a SHAPE search. Evaluated via
+        the z-norm core the Spark column algebra restates."""
+        p = [float(x) for x in range(len(w))]  # fixed shaped pattern
+        scaled = [a * x + b for x in w]
+        d0, d1 = _zdist(w, p), _zdist(scaled, p)
+        assert math.isclose(d0, d1, rel_tol=1e-6, abs_tol=1e-6)
+
+    @given(_win)
+    @settings(max_examples=200, deadline=None)
+    def test_self_distance_zero_and_bounded(self, w):
+        """dist(w, w) == 0, and every z-normalized distance is bounded
+        by 2·√L (both vectors lie on the radius-√L sphere)."""
+        assert abs(_zdist(w, w)) <= 1e-9
+        other = list(reversed(w))
+        L = len(w)
+        assert _zdist(w, other) <= 2.0 * math.sqrt(L) + 1e-9
