@@ -153,6 +153,7 @@ def kmv_overlap(
     sketches: DataFrame,
     group_col: str,
     k: int = 64,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Pairwise set-overlap estimates between every two groups, from
     sketches alone (Beyer et al. 2007 §4): for groups A, B with sketch
@@ -169,7 +170,8 @@ def kmv_overlap(
     join is dim-sized — |G|² sketch rows, never corpus rows. Standard
     error ~ 1/√k on the Jaccard; callers pick k for the tolerance.
 
-    Plan shape: the right side is an explicit ``broadcast`` so the
+    Plan shape (``candidates_only=False``, right for up to a few
+    hundred groups): the right side is an explicit ``broadcast`` so the
     non-equi pair condition plans a BroadcastNestedLoopJoin over the
     dim-sized sketch table (the adjudicated constant-side-broadcast
     shape) — NEVER a CartesianProduct, whose |partsₐ|·|partsᵦ| task
@@ -177,6 +179,20 @@ def kmv_overlap(
     The merged sketch ``L`` and the counts over it are staged through
     intermediate projections so each is evaluated once per pair, not
     re-expanded inside every downstream estimate expression.
+
+    ``candidates_only=True`` is the MANY-groups scale path (10k groups
+    → 50M all-pairs is exactly the blow-up the dedup tier's banded
+    joins exist to avoid): candidate pairs come from an EQUI join on
+    the exploded sketch elements — two groups pair iff they share at
+    least one sketch hash — so the pair space is bounded by shared-
+    element co-occurrence, not |G|². A pair sharing no sketch hash has
+    ``n_both_in_sample = 0`` (jaccard_est 0, the sketch's resolution
+    floor), so the omitted rows are exactly the no-evidence-of-overlap
+    pairs; every emitted row is IDENTICAL to the all-pairs form
+    (pinned). Skew note: a hash shared by m groups contributes
+    C(m, 2) candidates — fine for overlap analysis where sharing is
+    the signal; a pathological all-groups-identical corpus degrades to
+    the full pair set, which is then the true answer.
     """
     a = sketches.select(
         F.col(group_col).alias("group_a"), F.col("kmv").alias("kmv_a")
@@ -184,7 +200,25 @@ def kmv_overlap(
     b = sketches.select(
         F.col(group_col).alias("group_b"), F.col("kmv").alias("kmv_b")
     )
-    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    if candidates_only:
+        elems = sketches.select(
+            F.col(group_col).alias("g"), F.explode("kmv").alias("__h")
+        )
+        cand = (
+            elems.select(F.col("g").alias("group_a"), "__h")
+            .join(
+                elems.select(F.col("g").alias("group_b"), "__h"),
+                "__h",
+            )
+            .where(F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b")
+            .distinct()
+        )
+        pairs = cand.join(F.broadcast(a), "group_a").join(
+            F.broadcast(b), "group_b"
+        )
+    else:
+        pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
     staged = pairs.select(
         "group_a",
         "group_b",

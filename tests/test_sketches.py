@@ -488,3 +488,39 @@ FROM exact e JOIN est USING (tok)
 ORDER BY e.n_exact DESC, e.tok
 """
         self._cmp(out, oracle)
+
+
+class TestKmvOverlapCandidates:
+    def test_candidates_form_equals_all_pairs_on_overlapping(self, spark):
+        """candidates_only drops EXACTLY the pairs with zero shared
+        sketch hashes (the sketch's no-evidence floor); every emitted
+        row is identical to the all-pairs form."""
+        groups = {
+            "a": [f"s{i}" for i in range(50)] + [f"a{i}" for i in range(50)],
+            "b": [f"s{i}" for i in range(50)] + [f"b{i}" for i in range(50)],
+            "c": [f"c{i}" for i in range(80)],      # disjoint from all
+            "d": [f"b{i}" for i in range(25)] + [f"d{i}" for i in range(30)],
+        }
+        s = sk.kmv_sketch(_docs(spark, groups), "key", ["grp"], k=64)
+        full = {
+            (r.group_a, r.group_b): r
+            for r in sk.kmv_overlap(s, "grp", k=64).collect()
+        }
+        cand = {
+            (r.group_a, r.group_b): r
+            for r in sk.kmv_overlap(
+                s, "grp", k=64, candidates_only=True
+            ).collect()
+        }
+        # every candidate row matches the all-pairs row exactly
+        for key, row in cand.items():
+            assert tuple(row) == tuple(full[key])
+        # the dropped pairs are exactly those with zero sample overlap
+        dropped = set(full) - set(cand)
+        assert dropped and all(
+            full[p].n_both_in_sample == 0 for p in dropped
+        )
+        # and every zero-overlap-evidence pair was dropped
+        assert all(
+            p in cand for p in full if full[p].n_both_in_sample > 0
+        )
