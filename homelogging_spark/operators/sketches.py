@@ -189,10 +189,15 @@ def kmv_overlap(
     ``n_both_in_sample = 0`` (jaccard_est 0, the sketch's resolution
     floor), so the omitted rows are exactly the no-evidence-of-overlap
     pairs; every emitted row is IDENTICAL to the all-pairs form
-    (pinned). Skew note: a hash shared by m groups contributes
-    C(m, 2) candidates — fine for overlap analysis where sharing is
-    the signal; a pathological all-groups-identical corpus degrades to
-    the full pair set, which is then the true answer.
+    (pinned). Dial guidance (measured, SCALE.md): the pruning only
+    bites when group CONTENTS are mostly disjoint — per-shard digest
+    sets, URL partitions — where it collapses the output to the true
+    overlap structure (25 of 124 750 pairs at 500 digest groups).
+    Shared-vocabulary token sketches share hashes almost surely, so
+    every pair survives and the candidate join is pure overhead — keep
+    the default there. Skew note: a hash shared by m groups
+    contributes C(m, 2) candidates; an all-groups-identical corpus
+    degrades to the full pair set, which is then the true answer.
     """
     a = sketches.select(
         F.col(group_col).alias("group_a"), F.col("kmv").alias("kmv_a")
