@@ -220,6 +220,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_pairs_dual(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    ngram_n: int = 3,
+    word_threshold: float = 0.7,
+    char_threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Both near-dup verify metrics over ONE shared LSH candidate pass —
+    the r8 window-slot consolidation of ``minhash_near_dup_pairs`` and
+    ``ngram_jaccard_pairs`` (COVERAGE.md registry-growth policy): the
+    word-shingle Jaccard and the char-n-gram Jaccard are computed on the
+    same candidate pairs, so one driver row certifies both verify paths
+    end to end (candidates, hashed-set join, both metrics, both
+    thresholds).
+
+    Emits every candidate pair passing EITHER threshold, with both
+    (raw-threshold) verdict flags alongside both similarity values.
+    Plan: identical to the single-metric forms — one persisted hashed
+    base frame (both hash families materialized in the same scan), the
+    banded candidate join, one verify join carrying two long arrays per
+    side. Never all-pairs.
+    """
+    base = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingle_base_hash(word_shingles(tokens(F.col(text_col)), shingle_n))
+            ).alias("bh"),
+            F.array_distinct(
+                shingle_base_hash(char_ngrams(F.col(text_col), ngram_n))
+            ).alias("grams"),
+        )
+    )
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
+    a = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("bh").alias("sh_a"),
+        F.col("grams").alias("g_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("bh").alias("sh_b"),
+        F.col("grams").alias("g_b"),
+    )
+    verified = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("ngram_jaccard", jaccard(F.col("g_a"), F.col("g_b")))
+        .where(
+            (F.col("jaccard") >= F.lit(word_threshold))
+            | (F.col("ngram_jaccard") >= F.lit(char_threshold))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "ngram_jaccard",
+        (F.col("jaccard") >= F.lit(word_threshold)).alias("word_dup"),
+        (F.col("ngram_jaccard") >= F.lit(char_threshold)).alias("char_dup"),
+    )
+
+
+def fingerprint_panel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_anchors: int = 4,
+) -> DataFrame:
+    """Both fingerprint families in one corpus scan — the r8 window-slot
+    consolidation of ``fingerprint_anchors`` and ``simhash_fingerprints``
+    (COVERAGE.md registry-growth policy): the winnowing-style anchor
+    fingerprint AND the 16-bit SimHash (with its exact-fingerprint
+    bucket size) are projected from the same tokenization, so one driver
+    row certifies both. One scan; the only shuffle is the simhash bucket
+    window (bounded: 2^16 possible fingerprints)."""
+    toks = tokens(F.col(text_col))
+    sh = word_shingles(toks, n=shingle_n)
+    anchors = F.slice(F.array_sort(F.transform(sh, F.md5)), 1, n_anchors)
+    base = df.select(
+        F.col(id_col),
+        F.concat_ws(",", anchors).alias("anchors"),
+        F.md5(F.concat_ws(",", anchors)).alias("fingerprint"),
+        simhash16(token_md5(toks)).alias("simhash"),
+    )
+    w = Window.partitionBy("simhash")
+    return base.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -102,7 +102,12 @@ def pattern_match_topk(
         "__idx",
         F.collect_list("__v").over(w).alias("__win"),
         F.min("__idx").over(w).alias("__first_idx"),
-        F.count(F.lit(1)).over(w).alias("__n"),
+        # count the VALUE, not rows: collect_list drops nulls, so a null
+        # value inside the frame must shrink __n below L and fail the
+        # completeness gate — counting rows would let a null-padded
+        # window through with a NULL distance that sorts into the top-k
+        # (r7 ADVICE finding)
+        F.count("__v").over(w).alias("__n"),
     )
     # full AND contiguous: L rows whose first bucket is exactly L-1 back
     cand = framed.where(

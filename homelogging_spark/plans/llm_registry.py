@@ -240,32 +240,61 @@ FROM c WHERE cum <= 10000.0
 """
 
 
-def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global most-frequent word bigrams (counts + deterministic
-    tiebreak); compiles to partial-agg + TakeOrderedAndProject — no
-    partition ever holds more than its local top-k."""
-    docs = _docs(spark, sf_dir)
-    return textops.topk_ngrams(docs, k=25, n=2)
-
-
-ORACLE_TOPK_NGRAMS = textops.topk_ngrams_sql(k=25, n=2)
-
-
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 tf·idf terms (idf = ln(N/df); ln is computed from
-    integer-exact tf/df/N on both engines, so the scores agree to the
-    quantize precision)."""
+    """Term-importance panel at both grains — the r8 merge of the former
+    ``topk_ngrams`` driver query (window-slot consolidation per the
+    COVERAGE.md registry-growth policy): one result carries
+
+    - ``scope='doc'``: per-doc top-3 tf·idf terms (idf = ln(N/df); ln is
+      computed from integer-exact tf/df/N on both engines, so the
+      scores agree to the quantize precision);
+    - ``scope='corpus'``: the global top-25 word bigrams with their
+      exact counts and ranks — the former ``topk_ngrams`` output,
+      embedded verbatim (doc_id/df/tfidf NULL at corpus scope).
+
+    Both certify the gram-aggregation path (explode → partial-agg
+    shuffle on the gram). The corpus branch still compiles to
+    TakeOrderedAndProject; its rank window runs AFTER the limit, over
+    exactly 25 rows — bounded, not a global-window funnel."""
     docs = _docs(spark, sf_dir)
-    out = textops.tfidf_top_terms(docs, k=3)
-    return out.select(
-        "doc_id", "rank", "term", "tf", "df", quantize("tfidf").alias("tfidf")
+    per_doc = textops.tfidf_top_terms(docs, k=3).select(
+        F.lit("doc").alias("scope"),
+        F.col("doc_id"),
+        "rank",
+        "term",
+        "tf",
+        "df",
+        quantize("tfidf").alias("tfidf"),
     )
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
+    corpus = (
+        textops.topk_ngrams(docs, k=25, n=2)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.lit("corpus").alias("scope"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "rank",
+            F.col("ngram").alias("term"),
+            F.col("n").alias("tf"),
+            F.lit(None).cast("bigint").alias("df"),
+            F.lit(None).cast("double").alias("tfidf"),
+        )
+    )
+    return per_doc.unionByName(corpus)
 
 
 ORACLE_TFIDF_TOP_TERMS = f"""
-WITH base AS ({textops.tfidf_top_terms_sql(k=3)})
-SELECT doc_id, rank, term, tf, df, {quantize_sql('tfidf')} AS tfidf
+WITH base AS ({textops.tfidf_top_terms_sql(k=3)}),
+corpus AS ({textops.topk_ngrams_sql(k=25, n=2)})
+SELECT 'doc' AS scope, doc_id, rank, term, tf, df,
+       {quantize_sql('tfidf')} AS tfidf
 FROM base
+UNION ALL
+SELECT 'corpus' AS scope, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank,
+       ngram AS term, n AS tf,
+       CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS tfidf
+FROM corpus
 """
 
 
@@ -383,9 +412,27 @@ FROM documents
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with BOTH verify metrics over one shared LSH
+    candidate pass — the r8 merge of the former ``ngram_jaccard``
+    driver query (window-slot consolidation per the COVERAGE.md
+    registry-growth policy): every candidate pair passing either
+    threshold is emitted with its word-shingle Jaccard AND its
+    char-trigram Jaccard plus both verdict flags, so one driver row
+    certifies both verify paths (``dedup.near_dup_pairs_dual``). The
+    former single-metric outputs are exactly the ``word_dup`` /
+    ``char_dup`` row subsets."""
     docs = _docs(spark, sf_dir)
-    out = dedup.minhash_near_dup_pairs(docs, threshold=0.7)
-    return out.select("doc_a", "doc_b", quantize("jaccard").alias("jaccard"))
+    out = dedup.near_dup_pairs_dual(
+        docs, word_threshold=0.7, char_threshold=0.5
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        quantize("jaccard").alias("jaccard"),
+        quantize("ngram_jaccard").alias("ngram_jaccard"),
+        "word_dup",
+        "char_dup",
+    )
 
 
 def _lsh_cte_prefix(n_hashes: int = 16, n_bands: int = 4) -> str:
@@ -412,49 +459,40 @@ pairs AS (
 )"""
 
 
-def _minhash_near_dup_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
-    return f"""
-WITH {_lsh_cte_prefix(n_hashes, n_bands)},
-v AS (
-  SELECT p.doc_a, p.doc_b,
-         len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS j
-  FROM pairs p JOIN bh x ON p.doc_a = x.doc_id JOIN bh y ON p.doc_b = y.doc_id
-)
-SELECT doc_a, doc_b, {quantize_sql('j')} AS jaccard FROM v WHERE j >= 0.7
-"""
-
-
-ORACLE_MINHASH_NEAR_DUP = _minhash_near_dup_oracle()
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-    return out.select(
-        "doc_a", "doc_b", quantize("ngram_jaccard").alias("ngram_jaccard")
-    )
-
-
-def _ngram_jaccard_oracle(
-    ngram_n: int = 3, threshold: float = 0.5, n_hashes: int = 16, n_bands: int = 4
+def _minhash_near_dup_oracle(
+    ngram_n: int = 3,
+    word_threshold: float = 0.7,
+    char_threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
 ) -> str:
     # grams are 60-bit hashes of the char n-grams (mirrors the Spark side:
-    # verify ships 8-byte ints, never gram strings).
+    # verify ships 8-byte ints, never gram strings). Both metrics verify
+    # the SAME candidate pair set; flags compare on the raw ratios, the
+    # emitted values are quantized.
     hashed_grams = f"list_distinct({shingle_base_hash_sql(char_ngrams_sql('text', ngram_n))})"
     return f"""
 WITH {_lsh_cte_prefix(n_hashes, n_bands)},
 g AS (SELECT doc_id, {hashed_grams} AS grams FROM documents),
 v AS (
   SELECT p.doc_a, p.doc_b,
-         len(list_intersect(x.grams, y.grams)) * 1.0
-           / len(list_distinct(x.grams || y.grams)) AS j
-  FROM pairs p JOIN g x ON p.doc_a = x.doc_id JOIN g y ON p.doc_b = y.doc_id
+         len(list_intersect(x.bh, y.bh)) * 1.0 / len(list_distinct(x.bh || y.bh)) AS jw,
+         len(list_intersect(cx.grams, cy.grams)) * 1.0
+           / len(list_distinct(cx.grams || cy.grams)) AS jc
+  FROM pairs p
+  JOIN bh x ON p.doc_a = x.doc_id JOIN bh y ON p.doc_b = y.doc_id
+  JOIN g cx ON p.doc_a = cx.doc_id JOIN g cy ON p.doc_b = cy.doc_id
 )
-SELECT doc_a, doc_b, {quantize_sql('j')} AS ngram_jaccard FROM v WHERE j >= {threshold}
+SELECT doc_a, doc_b,
+       {quantize_sql('jw')} AS jaccard,
+       {quantize_sql('jc')} AS ngram_jaccard,
+       (jw >= {word_threshold}) AS word_dup,
+       (jc >= {char_threshold}) AS char_dup
+FROM v WHERE jw >= {word_threshold} OR jc >= {char_threshold}
 """
 
 
-ORACLE_NGRAM_JACCARD = _ngram_jaccard_oracle()
+ORACLE_MINHASH_NEAR_DUP = _minhash_near_dup_oracle()
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,42 +548,40 @@ FROM ex LEFT JOIN near ON ex.doc_id = near.new_id
 """
 
 
-def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    out = dedup.simhash_fingerprints(docs)
-    return out.select(
-        "doc_id", "simhash", F.col("bucket_size").cast("bigint").alias("bucket_size")
-    )
-
-
-ORACLE_SIMHASH = f"""
-WITH h AS (
-  SELECT doc_id, {token_md5_sql(tokens_sql('text'))} AS hmd5 FROM documents
-), t AS (
-  SELECT doc_id, {simhash16_sql('hmd5')} AS simhash FROM h
-)
-SELECT doc_id, simhash,
-       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
-FROM t
-"""
-
-
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint panel — the r8 merge of the former
+    ``simhash_buckets`` driver query (window-slot consolidation per the
+    COVERAGE.md registry-growth policy): the winnowing-style anchor
+    fingerprint AND the 16-bit SimHash with its exact-fingerprint
+    bucket size, from one corpus scan (``dedup.fingerprint_panel``) —
+    one driver row certifies both fingerprint families."""
     docs = _docs(spark, sf_dir)
-    return dedup.fingerprint_anchors(docs)
+    out = dedup.fingerprint_panel(docs)
+    return out.select(
+        "doc_id",
+        "anchors",
+        "fingerprint",
+        "simhash",
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+    )
 
 
 ORACLE_DOC_FINGERPRINT = f"""
 WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
-sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh FROM toks),
+sh AS (SELECT doc_id, {word_shingles_sql('toks')} AS sh,
+              {token_md5_sql('toks')} AS hmd5
+       FROM toks),
 a AS (
   SELECT doc_id,
-         (list_sort(list_transform(sh, s -> md5(s))))[1:4] AS anchors
+         (list_sort(list_transform(sh, s -> md5(s))))[1:4] AS anchors,
+         {simhash16_sql('hmd5')} AS simhash
   FROM sh
 )
 SELECT doc_id,
        array_to_string(anchors, ',') AS anchors,
-       md5(array_to_string(anchors, ',')) AS fingerprint
+       md5(array_to_string(anchors, ',')) AS fingerprint,
+       simhash,
+       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
 FROM a
 """
 
@@ -1272,6 +1308,238 @@ FROM pos
 """
 
 
+# --- mergeable sketches / sharding (r8 registrations) -------------------------
+#
+# Promoted verbatim from their pre-certified drafts
+# (tests/test_sketches.py::TestR8RegistrationDrafts and
+# tests/test_tsmatch.py::TestRegistrationDraft ran these exact shapes
+# with full DuckDB oracles against real sf0.01 data in r7).
+
+_KMV_K = 128
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-vocabulary overlap between sources, from KMV
+    sketches alone (``operators/sketches.py``): per-source k-minimum-
+    value sketches of the word-token stream, then union / Jaccard /
+    intersection estimates for every source pair computed on the
+    dim-sized sketch rows — the set-algebra question the HLL rollup
+    (``q_hll_distinct_rollup``) cannot answer, without ever joining the
+    token streams. The oracle rebuilds the sketches and every estimate
+    bit-for-bit in DuckDB (md5-derived 52-bit hashes, identical merge
+    and estimator arithmetic)."""
+    from homelogging_spark.functions.texthash import tokens as _tokens
+    from homelogging_spark.operators import sketches as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
+    sketches = sk.kmv_sketch(toks, "tok", ["source"], k=_KMV_K)
+    return sk.kmv_overlap(sketches, "source", k=_KMV_K).select(
+        "group_a",
+        "group_b",
+        "n_union_sample",
+        "n_both_in_sample",
+        quantize("union_est").alias("union_est"),
+        quantize("jaccard_est").alias("jaccard_est"),
+        quantize("intersection_est").alias("intersection_est"),
+    )
+
+
+def _kmv_source_overlap_oracle(k: int = _KMV_K) -> str:
+    from homelogging_spark.operators import sketches as sk
+
+    h = sk._hash52_sql("tok", "kmv")
+    merge = sk.kmv_merge_arrays_sql("a.kmv", "b.kmv", k)
+    est = sk.kmv_estimate_sql("l", k)
+    return f"""
+WITH tok AS (SELECT source, unnest({tokens_sql('text')}) AS tok FROM documents),
+h AS (SELECT DISTINCT source, {h} AS h FROM tok),
+s AS (SELECT source, list_slice(list_sort(list(h)), 1, {k}) AS kmv FROM h GROUP BY source),
+pairs AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         {merge} AS l,
+         list_intersect(a.kmv, b.kmv) AS inter
+  FROM s a JOIN s b ON a.source < b.source),
+staged AS (
+  SELECT group_a, group_b,
+         len(l) AS n_l, len(list_intersect(l, inter)) AS n_both,
+         {est} AS union_est
+  FROM pairs)
+SELECT group_a, group_b,
+       CAST(n_l AS BIGINT) AS n_union_sample,
+       CAST(n_both AS BIGINT) AS n_both_in_sample,
+       {quantize_sql('union_est')} AS union_est,
+       {quantize_sql('CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE)')} AS jaccard_est,
+       {quantize_sql('(CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE)) * union_est')} AS intersection_est
+FROM staged
+"""
+
+
+ORACLE_KMV_SOURCE_OVERLAP = _kmv_source_overlap_oracle()
+
+_CM_DEPTH, _CM_WIDTH, _CM_TOPK = 4, 1024, 10
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters with count-min honesty columns
+    (``sketches.heavy_hitters_report``): exact top-10 tokens
+    (partial-agg + TakeOrderedAndProject) joined with the count-min
+    estimate from a 4×1024 register table, ``overestimate`` emitted so
+    the sketch's one-sided error is data, not argument. The register
+    table is the constant-size structure a 100 TB rollup keeps per
+    partition/day and merges by register sum; the oracle rebuilds the
+    registers and the min-over-rows probe bit-for-bit."""
+    from homelogging_spark.functions.texthash import tokens as _tokens
+    from homelogging_spark.operators import sketches as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return sk.heavy_hitters_report(
+        toks, "tok", k=_CM_TOPK, depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+
+
+def _token_heavy_hitters_oracle(
+    depth: int = _CM_DEPTH, width: int = _CM_WIDTH, topk: int = _CM_TOPK
+) -> str:
+    from homelogging_spark.operators import sketches as sk
+
+    reg_selects = "\nUNION ALL ".join(
+        f"SELECT {r} AS row, {sk._cm_col_sql('tok', r, width, 'cm')} AS col, "
+        f"CAST(1 AS BIGINT) AS w FROM tok"
+        for r in range(depth)
+    )
+    probe_selects = "\nUNION ALL ".join(
+        f"SELECT tok, {r} AS row, {sk._cm_col_sql('tok', r, width, 'cm')} AS col "
+        f"FROM exact"
+        for r in range(depth)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({tokens_sql('text')}) AS tok FROM documents),
+regs AS (SELECT row, col, SUM(w) AS cnt FROM ({reg_selects}) GROUP BY row, col),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY tok
+  ORDER BY n_exact DESC, tok LIMIT {topk}),
+probes AS ({probe_selects}),
+est AS (SELECT p.tok, min(coalesce(r.cnt, 0)) AS cm_est
+        FROM probes p LEFT JOIN regs r USING (row, col) GROUP BY p.tok)
+SELECT e.tok, e.n_exact,
+       CAST(est.cm_est AS BIGINT) AS cm_est,
+       CAST(est.cm_est - e.n_exact AS BIGINT) AS overestimate
+FROM exact e JOIN est USING (tok)
+"""
+
+
+ORACLE_TOKEN_HEAVY_HITTERS = _token_heavy_hitters_oracle()
+
+_BLOOM_M, _BLOOM_J = 1 << 12, 5
+
+
+def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom seen-set gate over content digests (``sketches.bloom_build``
+    / ``bloom_contains_inline``): docs with ``doc_id % 4 == 0`` play the
+    incoming snapshot, the rest the retained corpus (the
+    ``incremental_dedup`` split). The corpus digests build an m-bit word
+    table (≤ ceil(m/63) rows — broadcast-sized regardless of corpus
+    size); every incoming doc is probed INLINE (j broadcast joins, the
+    streaming-legal form `streaming_bloom_dedup` runs per micro-batch).
+    ``actually_seen`` (the exact digest join) is emitted alongside so
+    the no-false-negative law is certified in data:
+    ``actually_seen ⇒ maybe_present`` row by row. The oracle rebuilds
+    the word table bit-for-bit via ``bloom_word_sql``."""
+    from homelogging_spark.functions.cachelife import tracked_persist
+    from homelogging_spark.operators import sketches as sk
+
+    docs = _docs(spark, sf_dir)
+    old_dig = tracked_persist(
+        docs.where(F.col("doc_id") % 4 != 0)
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    # materialize the word table once: bloom_contains_inline references
+    # it in j differently-aliased broadcast joins, and without the
+    # persist the digest scan + bit-OR aggregation would re-execute per
+    # alias (the r7 ADVICE finding on streaming_bloom_dedup)
+    filt = tracked_persist(sk.bloom_build(old_dig, "digest", _BLOOM_M, _BLOOM_J))
+    hashed = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    probed = sk.bloom_contains_inline(hashed, filt, "digest", _BLOOM_M, _BLOOM_J)
+    seen = F.coalesce(F.col("_hit"), F.lit(False))
+    return (
+        probed.join(
+            F.broadcast(old_dig.withColumn("_hit", F.lit(True))), "digest", "left"
+        )
+        .select(
+            "doc_id",
+            "digest",
+            "maybe_present",
+            seen.alias("actually_seen"),
+            (~F.col("maybe_present")).alias("definitely_new"),
+        )
+    )
+
+
+def _bloom_seen_probe_oracle(m_bits: int = _BLOOM_M, j: int = _BLOOM_J) -> str:
+    from homelogging_spark.operators import sketches as sk
+
+    coords = sk.bloom_word_sql("digest", j, m_bits, "bloom")
+    probe_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, digest, {p} AS p FROM newdocs"
+        for p in sk._bloom_positions_sql("digest", j, m_bits, "bloom")
+    )
+    wb = sk._BLOOM_WORD_BITS
+    return f"""
+WITH newdocs AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 4 = 0),
+olddig AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 4 != 0),
+w AS (SELECT wm.word AS word, bit_or(wm.mask) AS bits
+      FROM (SELECT unnest({coords}) AS wm FROM olddig) GROUP BY 1),
+c AS (SELECT doc_id, digest, CAST(p // {wb} AS INT) AS word,
+             CAST(p % {wb} AS INT) AS bitpos
+      FROM ({probe_selects})),
+probe AS (SELECT doc_id, digest,
+                 bool_and(coalesce(((w.bits >> c.bitpos) & 1) = 1, FALSE)) AS maybe_present
+          FROM c LEFT JOIN w USING (word) GROUP BY 1, 2)
+SELECT p.doc_id, p.digest, p.maybe_present,
+       (o.digest IS NOT NULL) AS actually_seen,
+       NOT p.maybe_present AS definitely_new
+FROM probe p LEFT JOIN olddig o USING (digest)
+"""
+
+
+ORACLE_BLOOM_SEEN_PROBE = _bloom_seen_probe_oracle()
+
+_N_SHARDS = 8
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + publishing manifest
+    (``operators/sharding.py``): docs dealt round-robin over the
+    (token-count desc, doc_id) order into 8 shards — provable balance
+    ``max − min ≤ max item`` — then the per-shard manifest: counts,
+    token totals, min/max sizes, and the order-insensitive md5-XOR
+    content fingerprint two manifest versions diff by. The global rank
+    uses ``distributed_row_number`` (no global window); the manifest is
+    one bounded groupBy. Assign AND manifest certified by one oracle."""
+    from homelogging_spark.operators import sharding
+
+    docs = _docs(spark, sf_dir)
+    qc = textops.quality_columns(F.col("text"))
+    sized = docs.select("doc_id", qc["n_tokens"].alias("n_tokens"))
+    assigned = sharding.shard_assign(sized, _N_SHARDS)
+    return sharding.shard_manifest(assigned)
+
+
+def _shard_manifest_oracle() -> str:
+    from homelogging_spark.operators import sharding
+
+    sized = f"(SELECT doc_id, {_QC['n_tokens']} AS n_tokens FROM documents)"
+    return sharding.shard_manifest_sql(sized, _N_SHARDS)
+
+
+ORACLE_SHARD_MANIFEST = _shard_manifest_oracle()
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -1280,14 +1548,11 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
     "semantic_dedup": q_semantic_dedup,
-    "topk_ngrams": q_topk_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
     "length_drift_psi": q_length_drift_psi,
     "exact_dedup": q_exact_dedup,
     "minhash_near_dup": q_minhash_near_dup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash_buckets": q_simhash_buckets,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
     "corpus_build_pipeline": q_corpus_build_pipeline,
@@ -1301,6 +1566,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_byte_stats": q_multimodal_byte_stats,
     "frame_sample": q_frame_sample,
     "curriculum_order": q_curriculum_order,
+    "kmv_source_overlap": q_kmv_source_overlap,
+    "token_heavy_hitters": q_token_heavy_hitters,
+    "bloom_seen_probe": q_bloom_seen_probe,
+    "shard_manifest": q_shard_manifest,
 }
 
 LLM_ORACLES: dict[str, str] = {
@@ -1311,14 +1580,11 @@ LLM_ORACLES: dict[str, str] = {
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
-    "topk_ngrams": ORACLE_TOPK_NGRAMS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,
     "length_drift_psi": ORACLE_LENGTH_DRIFT_PSI,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "simhash_buckets": ORACLE_SIMHASH,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
@@ -1332,4 +1598,8 @@ LLM_ORACLES: dict[str, str] = {
     "multimodal_byte_stats": ORACLE_MULTIMODAL_BYTE_STATS,
     "frame_sample": ORACLE_FRAME_SAMPLE,
     "curriculum_order": ORACLE_CURRICULUM_ORDER,
+    "kmv_source_overlap": ORACLE_KMV_SOURCE_OVERLAP,
+    "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
+    "bloom_seen_probe": ORACLE_BLOOM_SEEN_PROBE,
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
 }

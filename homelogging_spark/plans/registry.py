@@ -1932,55 +1932,6 @@ FROM sched2
 
 
 # --- telemetry anomaly detection: per-series z-score -------------------------
-def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series outlier report: two-pass z-score — aggregate each
-    series' mean/stddev (quantized, so both engines score from
-    bit-identical statistics), broadcast the tiny stats table back onto
-    the readings, flag |z| > 3. The classic scalable anomaly shape: one
-    partial-agg shuffle for stats, one broadcast join, one final
-    partial-agg shuffle for the report — the fact table is scanned
-    twice, never sorted."""
-    events = load_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        quantize(F.avg("value")).alias("mean_v"),
-        quantize(F.stddev_samp("value")).alias("std_v"),
-    )
-    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
-    return (
-        events.join(F.broadcast(stats), "event_type")
-        .withColumn("z", z)
-        .groupBy("event_type", "mean_v", "std_v")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_anomalies"),
-            quantize(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
-        )
-        .select("event_type", "n", "mean_v", "std_v", "n_anomalies", "max_abs_z")
-    )
-
-
-ORACLE_ZSCORE_ANOMALY = f"""
-WITH s AS (
-  SELECT event_type,
-         {quantize_sql('avg(value)')} AS mean_v,
-         {quantize_sql('stddev_samp(value)')} AS std_v
-  FROM events GROUP BY 1
-), j AS (
-  SELECT e.event_type, s.mean_v, s.std_v,
-         (e.value - s.mean_v) / s.std_v AS z
-  FROM events e JOIN s USING (event_type)
-)
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       mean_v, std_v,
-       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-       {quantize_sql('max(abs(z))')} AS max_abs_z
-FROM j GROUP BY 1, 3, 4
-"""
-
-
 # --- pricing summary (TPC-H Q1 shape) -----------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,16 +2234,27 @@ FROM f
 # --- seasonal baseline residuals ----------------------------------------------
 
 def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-seasonal anomaly detection: each reading's residual
-    against its (ISO weekday, hour, series) baseline cell — the
-    load-profile (`q_load_profile`) turned from a report into a
-    per-reading diagnostic. Cells are quantized means/stds so both
-    engines flag from identical baselines; a reading is anomalous when
-    |value − cell_mean| > 2·cell_std.
+    """Anomaly report flagging each reading against BOTH baselines — the
+    r8 merge of the former ``zscore_anomaly`` driver query (window-slot
+    consolidation per the COVERAGE.md registry-growth policy):
 
-    Scale: the baseline frame is ≤ 7×24×series rows — broadcast back
-    onto the fact scan, so the whole query is one shuffle (the cell
-    aggregation) plus a map-side join; emits only the flagged rows."""
+    - calendar-seasonal: residual against the reading's (ISO weekday,
+      hour, series) cell — the load-profile (`q_load_profile`) turned
+      from a report into a per-reading diagnostic; flagged when
+      |value − cell_mean| > 2·cell_std;
+    - series-global: two-pass z-score against the series' overall
+      mean/stddev; flagged when |z| > 3 (the former zscore_anomaly
+      rule, certified per flagged row — its stats, its z arithmetic,
+      its threshold).
+
+    Both stats frames are quantized so the engines flag from identical
+    baselines. Emits the union of the two flag sets with both verdicts.
+
+    Scale: the baseline frames are ≤ 7×24×series and ≤ series rows —
+    both broadcast back onto the fact scan, so the query is two bounded
+    partial-agg shuffles plus map-side joins; the fact table is scanned
+    for stats and once for the report (caching a fact table to save a
+    scan is the 100 TB anti-pattern; dims would be bucketed instead)."""
     events = load_table(spark, sf_dir, "events")
     keyed = events.select(
         "event_id",
@@ -2305,9 +2267,18 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.avg("value")).alias("cell_mean"),
         quantize(F.stddev_pop("value")).alias("cell_std"),
     )
-    j = keyed.join(F.broadcast(cells), ["weekday", "hour", "event_type"])
+    glob = keyed.groupBy("event_type").agg(
+        quantize(F.avg("value")).alias("mean_v"),
+        quantize(F.stddev_samp("value")).alias("std_v"),
+    )
+    j = keyed.join(F.broadcast(cells), ["weekday", "hour", "event_type"]).join(
+        F.broadcast(glob), "event_type"
+    )
     resid = F.col("value") - F.col("cell_mean")
-    return j.where(F.abs(resid) > 2 * F.col("cell_std")).select(
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    seasonal = F.abs(resid) > 2 * F.col("cell_std")
+    global_ = F.abs(z) > 3.0
+    return j.where(seasonal | global_).select(
         "event_id",
         "event_type",
         "weekday",
@@ -2315,6 +2286,11 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize("value").alias("value"),
         "cell_mean",
         quantize(resid).alias("resid"),
+        "mean_v",
+        "std_v",
+        quantize(z).alias("z"),
+        seasonal.alias("seasonal_anomaly"),
+        global_.alias("global_anomaly"),
     )
 
 
@@ -2329,14 +2305,105 @@ WITH keyed AS (
          {quantize_sql('avg(value)')} AS cell_mean,
          {quantize_sql('stddev_pop(value)')} AS cell_std
   FROM keyed GROUP BY 1, 2, 3
+), gstats AS (
+  SELECT event_type,
+         {quantize_sql('avg(value)')} AS mean_v,
+         {quantize_sql('stddev_samp(value)')} AS std_v
+  FROM keyed GROUP BY 1
 )
 SELECT k.event_id, k.event_type, k.weekday, k.hour,
        {quantize_sql('k.value')} AS value,
        c.cell_mean,
-       {quantize_sql('k.value - c.cell_mean')} AS resid
-FROM keyed k JOIN cells c USING (weekday, hour, event_type)
+       {quantize_sql('k.value - c.cell_mean')} AS resid,
+       g.mean_v, g.std_v,
+       {quantize_sql('(k.value - g.mean_v) / g.std_v')} AS z,
+       (abs(k.value - c.cell_mean) > 2 * c.cell_std) AS seasonal_anomaly,
+       (abs((k.value - g.mean_v) / g.std_v) > 3.0) AS global_anomaly
+FROM keyed k
+JOIN cells c USING (weekday, hour, event_type)
+JOIN gstats g USING (event_type)
 WHERE abs(k.value - c.cell_mean) > 2 * c.cell_std
+   OR abs((k.value - g.mean_v) / g.std_v) > 3.0
 """
+
+
+# --- subsequence pattern matching (r8 registration) ----------------------------
+
+_PM_PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]
+_PM_K = 7
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search
+    (``operators/tsmatch.pattern_match_topk``): top-7 z-normalized
+    Euclidean matches of a 6-hour shape over every series' hourly grid
+    (series = user_id buckets, metric = hourly event count — integer-
+    exact in both engines, so no float-summation-order hazard enters
+    before the identically-ordered distance fold). Keyed sliding
+    frames, contiguity-gated, JVM-side array algebra, global top-k via
+    TakeOrderedAndProject. Promoted verbatim from the r7 draft
+    (``tests/test_tsmatch.py`` history)."""
+    from homelogging_spark.operators.tsmatch import pattern_match_topk
+
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        (F.col("user_id") % 20).cast("string").alias("series"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    return pattern_match_topk(grid, _PM_PATTERN, k=_PM_K).select(
+        "key",
+        "window_start",
+        "window_end",
+        quantize("dist").alias("dist"),
+    )
+
+
+def _pattern_match_oracle() -> str:
+    from homelogging_spark.operators.tsmatch import _znorm_literal
+
+    L = len(_PM_PATTERN)
+    zp = _znorm_literal(_PM_PATTERN)
+    zp_sql = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in zp) + "]"
+    return f"""
+WITH grid AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+         date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+idxd AS (SELECT key, bucket, CAST(floor(epoch(bucket) / 3600) AS BIGINT) AS idx, v FROM grid),
+framed AS (
+  SELECT key, bucket, idx,
+         list(v) OVER w AS win,
+         min(idx) OVER w AS first_idx,
+         count(v) OVER w AS n
+  FROM idxd
+  WINDOW w AS (PARTITION BY key ORDER BY idx ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW)),
+cand AS (SELECT * FROM framed WHERE n = {L} AND first_idx = idx - {L - 1}),
+z AS (
+  SELECT key, bucket, win,
+         list_aggregate(win, 'sum') / {L} AS mu,
+         sqrt(list_aggregate(list_transform(win, x -> (x - mu) * (x - mu)), 'sum') / {L}) AS sd,
+         CASE WHEN sd > 0 THEN list_transform(win, x -> (x - mu) / sd)
+              ELSE list_transform(win, x -> CAST(0.0 AS DOUBLE)) END AS zw
+  FROM cand),
+scored AS (
+  SELECT key,
+         bucket - INTERVAL {L - 1} HOURS AS window_start,
+         bucket AS window_end,
+         sqrt(list_aggregate(
+             list_transform(generate_series(1, {L}), i -> (zw[i] - ({zp_sql})[i]) * (zw[i] - ({zp_sql})[i])),
+             'sum')) AS dist,
+         len(list_filter(win, x -> x != win[1])) AS n_nonflat
+  FROM z)
+SELECT key, window_start, window_end, {quantize_sql('dist')} AS dist
+FROM scored
+WHERE n_nonflat > 0
+ORDER BY scored.dist ASC, key, window_start
+LIMIT {_PM_K}
+"""
+
+
+ORACLE_PATTERN_MATCH = _pattern_match_oracle()
 
 
 # --- driver-window ordering ---------------------------------------------------
@@ -2363,13 +2430,25 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # entries here never need clearing for correctness, only pruning
     # for tidiness.
     #
-    # r7: energy_interpolate ported the reference's exact reset-row
-    # branch order; curriculum_order moved both global ranks to the
-    # distributed two-pass prefix sum; quality_score absorbed the
-    # former repetition_scores query's columns.
-    "energy_interpolate": 7,
-    "curriculum_order": 7,
-    "quality_score": 7,
+    # MAINTENANCE CAVEAT (r7 ADVICE): an entry expires as soon as a
+    # green row from round >= its tag exists, so a query whose
+    # semantics change a SECOND time in the same round AFTER that
+    # round's CORRECTNESS artifact has already landed green would
+    # expire immediately and silently certify stale code. A change
+    # landing after the round's artifact must be tagged round + 1.
+    # (In practice the artifact lands at round end, after the final
+    # commit — but same-round re-changes must check.)
+    #
+    # r8: tfidf_top_terms absorbed topk_ngrams (scope column),
+    # minhash_near_dup absorbed ngram_jaccard (dual verify),
+    # doc_fingerprint absorbed simhash_buckets (one-scan panel),
+    # seasonal_residuals absorbed zscore_anomaly (both flag rules) —
+    # the four window-slot consolidations freeing slots for the r8
+    # registrations.
+    "tfidf_top_terms": 8,
+    "minhash_near_dup": 8,
+    "doc_fingerprint": 8,
+    "seasonal_residuals": 8,
 }
 
 
@@ -2499,9 +2578,9 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
     "grid_resample_locf": q_grid_resample_locf,
-    "zscore_anomaly": q_zscore_anomaly,
     "session_window_agg": q_session_window_agg,
     "next_poll_schedule": q_next_poll_schedule,
+    "pattern_match_topk": q_pattern_match,
     **LLM_QUERIES,
     **BATTERY_QUERIES,
     **SOURCES_QUERIES,
@@ -2556,9 +2635,9 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,
-    "zscore_anomaly": ORACLE_ZSCORE_ANOMALY,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
     "next_poll_schedule": ORACLE_NEXT_POLL_SCHEDULE,
+    "pattern_match_topk": ORACLE_PATTERN_MATCH,
     **LLM_ORACLES,
     **BATTERY_ORACLES,
     **SOURCES_ORACLES,

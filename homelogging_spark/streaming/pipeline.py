@@ -264,7 +264,21 @@ def streaming_bloom_dedup(
     )
 
     digests = old_digests.select("content_hash").distinct()
-    filt = bloom_build(digests, "content_hash", m_bits, j, salt)
+    # MATERIALIZE the word table before the stream starts:
+    # bloom_contains_inline references it in j differently-aliased
+    # broadcast joins, and a lazy plan would re-execute the full digest
+    # scan + distinct + bit-OR aggregation once per alias per
+    # micro-batch — for a billions-of-digests corpus that costs more
+    # than the exact join the filter exists to skip (r7 ADVICE). The
+    # persisted frame is ≤ ceil(m_bits/63) rows by construction; the
+    # count() forces it now, so every micro-batch's j broadcasts read
+    # the cached table. tracked_persist so a caller's release_caches()
+    # after the stream stops frees it (a mid-stream release only costs
+    # one recompute, never correctness).
+    from homelogging_spark.functions.cachelife import tracked_persist
+
+    filt = tracked_persist(bloom_build(digests, "content_hash", m_bits, j, salt))
+    filt.count()
     hashed = stream.withColumn("content_hash", F.md5(F.col("text")))
     probed = bloom_contains_inline(
         hashed, filt, "content_hash", m_bits, j, salt

@@ -45,14 +45,27 @@ def _registry_order() -> list[str]:
     return list(QUERIES.keys())
 
 
+def _size_ok(n_queries: int) -> bool:
+    return n_queries <= SUSTAINABLE_MAX
+
+
 def test_registry_size_sustainable():
     order = _registry_order()
-    assert len(order) <= SUSTAINABLE_MAX, (
+    assert _size_ok(len(order)), (
         f"{len(order)} registered queries > {SUSTAINABLE_MAX}: a {WINDOW}-row "
         "driver window cannot give every query a row within 2 rounds. "
         "Consolidate near-duplicate queries or widen the window "
         "(COVERAGE.md 'Registry growth policy')."
     )
+
+
+def test_sustainable_cap_boundary():
+    """The exact-100 boundary (COVERAGE.md at-cap maintenance): two
+    50-row windows cover at most 100 queries, so the guard must accept
+    exactly 100 and red-flag 101 — checked synthetically so the
+    boundary stays pinned while the live registry sits under the cap."""
+    assert _size_ok(SUSTAINABLE_MAX)
+    assert not _size_ok(SUSTAINABLE_MAX + 1)
 
 
 def test_no_query_goes_two_rounds_stale():

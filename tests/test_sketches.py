@@ -368,126 +368,19 @@ class TestKmvSaltedSelection:
         assert plan.count("Window [row_number()") == 2
 
 
-class TestR8RegistrationDrafts:
-    """END-TO-END pre-certification of the two r8 window-slot
-    registrations (COVERAGE.md r8 runway #4): the exact query shape AND
-    its full DuckDB oracle, run against the real sf0.01 testdata and
-    compared the way tools/check_oracle.py compares (columns sorted,
-    rows sorted, identical values). r8 promotes these verbatim into
-    plans/llm_registry (query -> QUERIES, oracle -> ORACLES) — the
-    integration risk is retired this round."""
+class TestR8Registrations:
+    """The r7 drafts (kmv_source_overlap, token_heavy_hitters) were
+    promoted verbatim into ``plans/llm_registry`` in r8, alongside
+    ``bloom_seen_probe`` — their full DuckDB oracles now run under
+    ``test_oracle_parity`` (sf0.001) and ``tools/check_oracle.py``
+    (sf0.01, both PASS at promotion time). This pin keeps the
+    registration itself red/green."""
 
-    SF = "/root/testdata/sf0.01"
+    def test_sketch_queries_registered_with_oracles(self):
+        from homelogging_spark.plans.llm_registry import LLM_ORACLES, LLM_QUERIES
 
-    def _cmp(self, spark_df, duck_sql):
-        import duckdb
-
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS "
-            f"SELECT * FROM '{self.SF}/documents.parquet'"
-        )
-        want = con.execute(duck_sql).df()
-        got = spark_df.toPandas()
-        assert sorted(got.columns) == sorted(want.columns)
-        import pandas as pd
-
-        def norm(df):
-            df = df.reindex(sorted(df.columns), axis=1)
-            return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
-                drop=True
-            )
-
-        got, want = norm(got), norm(want)
-        assert len(got) == len(want) and len(got) > 0
-        for c in got.columns:
-            pd.testing.assert_series_equal(
-                got[c], want[c], check_dtype=False, check_exact=True
-            )
-
-    def test_kmv_source_overlap_draft(self, spark):
-        from homelogging_spark.functions.numeric import quantize, quantize_sql
-        from homelogging_spark.functions.texthash import tokens, tokens_sql
-        from homelogging_spark.tables import load_table
-
-        K = 128
-        docs = load_table(spark, self.SF, "documents")
-        toks = docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("tok")
-        )
-        sketches = sk.kmv_sketch(toks, "tok", ["source"], k=K)
-        out = sk.kmv_overlap(sketches, "source", k=K).select(
-            "group_a",
-            "group_b",
-            "n_union_sample",
-            "n_both_in_sample",
-            quantize("union_est").alias("union_est"),
-            quantize("jaccard_est").alias("jaccard_est"),
-            quantize("intersection_est").alias("intersection_est"),
-        )
-        h = sk._hash52_sql("tok", "kmv")
-        merge = sk.kmv_merge_arrays_sql("a.kmv", "b.kmv", K)
-        est = sk.kmv_estimate_sql("l", K)
-        oracle = f"""
-WITH tok AS (SELECT source, unnest({tokens_sql('text')}) AS tok FROM documents),
-h AS (SELECT DISTINCT source, {h} AS h FROM tok),
-s AS (SELECT source, list_slice(list_sort(list(h)), 1, {K}) AS kmv FROM h GROUP BY source),
-pairs AS (
-  SELECT a.source AS group_a, b.source AS group_b,
-         {merge} AS l,
-         list_intersect(a.kmv, b.kmv) AS inter
-  FROM s a JOIN s b ON a.source < b.source),
-staged AS (
-  SELECT group_a, group_b,
-         len(l) AS n_l, len(list_intersect(l, inter)) AS n_both,
-         {est} AS union_est
-  FROM pairs)
-SELECT group_a, group_b,
-       CAST(n_l AS BIGINT) AS n_union_sample,
-       CAST(n_both AS BIGINT) AS n_both_in_sample,
-       {quantize_sql('union_est')} AS union_est,
-       {quantize_sql('CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE)')} AS jaccard_est,
-       {quantize_sql('(CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE)) * union_est')} AS intersection_est
-FROM staged
-"""
-        self._cmp(out, oracle)
-
-    def test_token_heavy_hitters_draft(self, spark):
-        from homelogging_spark.functions.texthash import tokens, tokens_sql
-        from homelogging_spark.tables import load_table
-
-        DEPTH, WIDTH, TOPK = 4, 1024, 10
-        docs = load_table(spark, self.SF, "documents")
-        toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-        out = sk.heavy_hitters_report(
-            toks, "tok", k=TOPK, depth=DEPTH, width=WIDTH
-        )
-        reg_selects = "\nUNION ALL ".join(
-            f"SELECT {r} AS row, {sk._cm_col_sql('tok', r, WIDTH, 'cm')} AS col, "
-            f"CAST(1 AS BIGINT) AS w FROM tok"
-            for r in range(DEPTH)
-        )
-        probe_selects = "\nUNION ALL ".join(
-            f"SELECT tok, {r} AS row, {sk._cm_col_sql('tok', r, WIDTH, 'cm')} AS col "
-            f"FROM exact"
-            for r in range(DEPTH)
-        )
-        oracle = f"""
-WITH tok AS (SELECT unnest({tokens_sql('text')}) AS tok FROM documents),
-regs AS (SELECT row, col, SUM(w) AS cnt FROM ({reg_selects}) GROUP BY row, col),
-exact AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY tok
-  ORDER BY n_exact DESC, tok LIMIT {TOPK}),
-probes AS ({probe_selects}),
-est AS (SELECT p.tok, min(coalesce(r.cnt, 0)) AS cm_est
-        FROM probes p LEFT JOIN regs r USING (row, col) GROUP BY p.tok)
-SELECT e.tok, e.n_exact,
-       CAST(est.cm_est AS BIGINT) AS cm_est,
-       CAST(est.cm_est - e.n_exact AS BIGINT) AS overestimate
-FROM exact e JOIN est USING (tok)
-ORDER BY e.n_exact DESC, e.tok
-"""
-        self._cmp(out, oracle)
+        for name in ("kmv_source_overlap", "token_heavy_hitters", "bloom_seen_probe"):
+            assert name in LLM_QUERIES and name in LLM_ORACLES, name
 
 
 class TestKmvOverlapCandidates:

@@ -120,93 +120,38 @@ class TestPatternMatch:
         assert "Exchange rangepartitioning" not in plan
 
 
-class TestRegistrationDraft:
-    """END-TO-END draft of a future driver registration: the exact
-    pattern_match_topk query shape AND a complete DuckDB oracle
-    (windowed list() frames + lateral-alias z-norm), over the real
-    sf0.01 events table. The grid metric is an hourly event COUNT —
-    integer-exact in both engines, so no float-summation-order hazard
-    enters before the (identically-ordered) distance fold. Promotion
-    blocked only by the registry's 100-query cap (COVERAGE.md runway)."""
+class TestNullValueGate:
+    def test_null_value_inside_frame_skips_window(self, spark):
+        """collect_list drops nulls, so the completeness gate must count
+        the VALUE column (r7 ADVICE): a null at hour 2 shrinks __n below
+        L for every frame containing it — no null-padded window may
+        reach scoring (where its NULL distance would sort into the
+        top-k)."""
+        import datetime as dt
 
-    SF = "/root/testdata/sf0.01"
-    PATTERN = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]
-    K = 7
-
-    def test_matches_full_duckdb_oracle(self, spark):
-        import duckdb
-
-        from homelogging_spark.functions.numeric import quantize, quantize_sql
-        from homelogging_spark.operators.tsmatch import (
-            _znorm_literal,
-            pattern_match_topk,
+        rows = [
+            ("s", BASE + dt.timedelta(hours=i), None if i == 2 else float(v))
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+        ]
+        df = spark.createDataFrame(
+            rows, "series string, bucket timestamp, value double"
         )
-        from homelogging_spark.tables import load_table
+        got = pattern_match_topk(df, [1.0, 2.0, 3.0], k=10).collect()
+        # identical verdict to physically removing the row: only the
+        # hours 3-5 window survives, and no NULL distance appears
+        assert {r.window_start.hour for r in got} == {3}
+        assert all(r.dist is not None for r in got)
 
-        L = len(self.PATTERN)
-        events = load_table(spark, self.SF, "events")
-        grid = events.groupBy(
-            (F.col("user_id") % 20).cast("string").alias("series"),
-            F.date_trunc("hour", F.col("ts")).alias("bucket"),
-        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
-        out = pattern_match_topk(grid, self.PATTERN, k=self.K).select(
-            "key",
-            "window_start",
-            "window_end",
-            quantize("dist").alias("dist"),
-        )
-        got = out.toPandas()
 
-        zp = _znorm_literal(self.PATTERN)
-        zp_sql = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in zp) + "]"
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{self.SF}/events.parquet'"
-        )
-        oracle = f"""
-WITH grid AS (
-  SELECT CAST(user_id % 20 AS VARCHAR) AS key,
-         date_trunc('hour', ts) AS bucket,
-         CAST(count(*) AS DOUBLE) AS v
-  FROM events GROUP BY 1, 2),
-idxd AS (SELECT key, bucket, CAST(floor(epoch(bucket) / 3600) AS BIGINT) AS idx, v FROM grid),
-framed AS (
-  SELECT key, bucket, idx,
-         list(v) OVER w AS win,
-         min(idx) OVER w AS first_idx,
-         count(*) OVER w AS n
-  FROM idxd
-  WINDOW w AS (PARTITION BY key ORDER BY idx ROWS BETWEEN {L - 1} PRECEDING AND CURRENT ROW)),
-cand AS (SELECT * FROM framed WHERE n = {L} AND first_idx = idx - {L - 1}),
-z AS (
-  SELECT key, bucket, win,
-         list_aggregate(win, 'sum') / {L} AS mu,
-         sqrt(list_aggregate(list_transform(win, x -> (x - mu) * (x - mu)), 'sum') / {L}) AS sd,
-         CASE WHEN sd > 0 THEN list_transform(win, x -> (x - mu) / sd)
-              ELSE list_transform(win, x -> CAST(0.0 AS DOUBLE)) END AS zw
-  FROM cand),
-scored AS (
-  SELECT key,
-         bucket - INTERVAL {L - 1} HOURS AS window_start,
-         bucket AS window_end,
-         sqrt(list_aggregate(
-             list_transform(generate_series(1, {L}), i -> (zw[i] - ({zp_sql})[i]) * (zw[i] - ({zp_sql})[i])),
-             'sum')) AS dist,
-         len(list_filter(win, x -> x != win[1])) AS n_nonflat
-  FROM z)
-SELECT key, window_start, window_end, {quantize_sql('dist')} AS dist
-FROM scored
-WHERE n_nonflat > 0
-ORDER BY scored.dist ASC, key, window_start
-LIMIT {self.K}
-"""
-        want = con.execute(oracle).df()
-        assert len(got) == len(want) == self.K
-        import pandas as pd
+class TestRegistration:
+    """The draft this file carried in r7 was promoted verbatim into
+    ``plans/registry`` (query ``pattern_match_topk``) in r8 — the full
+    windowed-list DuckDB oracle now runs under ``test_oracle_parity``
+    and ``tools/check_oracle.py`` (PASS at promotion time, sf0.01).
+    This pin keeps the registration itself red/green."""
 
-        got = got.reset_index(drop=True)
-        want = want.reset_index(drop=True)
-        for c in ("key", "window_start", "window_end", "dist"):
-            pd.testing.assert_series_equal(
-                got[c], want[c], check_dtype=False, check_exact=True
-            )
+    def test_registered_with_oracle(self):
+        from homelogging_spark.plans.registry import ORACLES, QUERIES
+
+        assert "pattern_match_topk" in QUERIES
+        assert "pattern_match_topk" in ORACLES

@@ -473,6 +473,161 @@ def sketch_tier(spark, factor: int) -> None:
         release_caches()
 
 
+def kmv_candidates_tier(spark, factor: int, n_groups: int = 5000) -> None:
+    """Measure the ``kmv_overlap(candidates_only=True)`` dial at its
+    DESIGN POINT (r7 verdict task: the 500-group measurement was
+    overhead-dominated; the dial's claim is |G| in the thousands over
+    disjoint-ish contents). Groups are ``doc_id % n_groups`` over the
+    blown-up corpus's content digests — mostly-disjoint digest sets,
+    the per-shard-digest/URL-partition shape the dial exists for. At
+    5 000 groups the all-pairs form emits |G|·(|G|−1)/2 ≈ 12.5 M sketch
+    pairs; the candidate form touches only pairs sharing a sketch hash
+    (true exact-dup structure). Reports wall time AND emitted rows for
+    both forms."""
+    from homelogging_spark.operators import sketches as sk
+    from homelogging_spark.tables import spread
+
+    big_dir = blow_up_events(spark, factor)
+    docs = spread(
+        spark.read.parquet(os.path.join(big_dir, "documents.parquet"))
+    )
+    keyed = docs.select(
+        (F.col("doc_id") % n_groups).cast("string").alias("grp"),
+        F.md5(F.col("text")).alias("key"),
+    )
+    K = 64
+    # materialized sketch rows — the production shape (stored rollup
+    # artifact); the dial measurement is about the PAIR stage only
+    sketch_rows = sk.kmv_sketch(keyed, "key", ["grp"], k=K).collect()
+    sk_df = spark.createDataFrame(sketch_rows)
+    print(json.dumps({"n_groups": len(sketch_rows), "k": K, "docs": docs.count()}))
+    for name, kwargs in (
+        ("kmv_overlap_all_pairs", {}),
+        ("kmv_overlap_candidates", {"candidates_only": True}),
+    ):
+        fn = lambda kw=kwargs: sk.kmv_overlap(sk_df, "grp", k=K, **kw)
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 2)
+        n_out = fn().count()
+        print(
+            json.dumps(
+                {"query": name, "n_groups": len(sketch_rows), "pairs_out": n_out, "sec": sec}
+            )
+        )
+
+
+def _clustered_embeddings(spark, n_vecs: int, salt: str, n_clusters: int = 400,
+                          dim: int = 64, noise: float = 0.15,
+                          cluster_of=lambda v, k: v % k):
+    """Low-intrinsic-dimension fixture: a deterministic mixture of
+    ``n_clusters`` tight gaussian-ish blobs (center + per-dim md5
+    jitter) — the regime real embedding corpora occupy (meaningful
+    local neighborhoods with real margins), vs the isotropic-gaussian
+    fixture that is PQ's documented adversarial case (SCALE.md 'IVF-PQ
+    honesty'). Centers come from ``seed_centroids`` (norm ~ sqrt(dim/3)
+    ≈ 4.6); jitter norm ~ noise·sqrt(dim/3) ≈ 0.7, so intra-cluster
+    distances (~1) sit far under inter-center distances (~6.5): a
+    query's true NNs are exactly its cluster-mates, with a margin
+    quantization must merely preserve, not a lottery among hundreds of
+    equidistant candidates (a 20-cluster × 100-member first draft
+    measured recall 0.067 at EVERY dial incl. probe-all-cells — tiny
+    intra-cluster margins reproduce the gaussian pathology, teaching
+    that margin structure, not clusteredness alone, is the variable)."""
+    from homelogging_spark.operators.similarity import _md5_unit, seed_centroids
+
+    centers = seed_centroids(n_clusters, dim)
+    rows = []
+    for v in range(n_vecs):
+        c = centers[cluster_of(v, n_clusters)]
+        rows.append(
+            (
+                v,
+                [
+                    c[i] + noise * _md5_unit(f"{salt}|{v}|{i}")
+                    for i in range(dim)
+                ],
+            )
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def emb_clustered_tier(spark) -> None:
+    """IVF-PQ recall on the clustered fixture across the same dial grid
+    as the gaussian table (r7 verdict task 6): recall-vs-bits in the
+    regime real corpora occupy. 2 000 corpus vectors in 400 clusters of
+    5; 5 held-out queries jittered from the centers of clusters 0–4
+    (different jitter salt), so each query's exact-L2 top-3 are its
+    5 cluster-mates. Cells/codebook built exactly like the gaussian
+    measurement (seed centroids, k-means-lite PQ codebooks) so the only
+    variable is the fixture's margin structure."""
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.cachelife import release_caches, tracked_persist
+    from homelogging_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        l2_sq,
+        pq_codebook,
+        pq_codes,
+    )
+
+    dim, n_cells = 64, 8
+    corpus = tracked_persist(_clustered_embeddings(spark, 2000, "clust"))
+    queries = tracked_persist(
+        _clustered_embeddings(
+            spark, 5, "clustq", cluster_of=lambda v, k: v
+        ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    corpus.count(), queries.count()
+    # exact L2 truth
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    l2_scored = corpus.crossJoin(F.broadcast(q_side)).select(
+        "query_id", "vec_id", l2_sq(F.col("q_emb"), F.col("embedding")).alias("d2")
+    )
+    w_l2 = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("vec_id"))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in l2_scored.withColumn("rn", F.row_number().over(w_l2))
+        .where(F.col("rn") <= 3)
+        .collect()
+    }
+    cents = _seed_centroid_frame(spark, n_cells, dim)
+    cells = tracked_persist(
+        ivf_assign(corpus, cents, 1).select("vec_id", "centroid_id")
+    )
+    cells.count()
+    for pq_m, pq_k, n_probe in ((4, 8, 2), (8, 16, 4), (16, 32, 4), (16, 32, 8)):
+        cb = pq_codebook(corpus, n_subspaces=pq_m, n_centroids=pq_k, dim=dim)
+        pcodes = pq_codes(
+            corpus, n_subspaces=pq_m, n_centroids=pq_k, dim=dim, codebook=cb
+        )
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                queries, cells, pcodes, cb, cents, k=3, nprobe=n_probe,
+                n_subspaces=pq_m, dim=dim,
+            ).collect()
+        }
+        import math
+
+        print(
+            json.dumps(
+                {
+                    "fixture": "clustered-20",
+                    "bits": pq_m * int(math.log2(pq_k)),
+                    "dial": f"{pq_m}x{pq_k}",
+                    "nprobe": n_probe,
+                    "recall_at_3": round(len(exact & got) / max(len(exact), 1), 3),
+                }
+            )
+        )
+    release_caches()
+
+
 def tsmatch_tier(spark, factor: int) -> None:
     """Scale run for subsequence pattern matching: events -> per-series
     hourly grid (user_id-bucketed series so the key count is realistic)
@@ -523,6 +678,15 @@ def main() -> None:
 
     if tier == "tsmatch":
         tsmatch_tier(spark, factor)
+        return
+
+    if tier == "kmvcand":
+        n_groups = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+        kmv_candidates_tier(spark, factor, n_groups)
+        return
+
+    if tier == "embclust":
+        emb_clustered_tier(spark)
         return
 
     if tier == "emb":
