@@ -305,11 +305,21 @@ def fingerprint_panel(
     toks = tokens(F.col(text_col))
     sh = word_shingles(toks, n=shingle_n)
     anchors = F.slice(F.array_sort(F.transform(sh, F.md5)), 1, n_anchors)
-    base = df.select(
+    # Two-stage projection, per token_md5's contract: simhash16 references
+    # its input 16 times (one vote() per bit), and higher-order functions
+    # get no codegen subexpression elimination — inlining would recompute
+    # the per-token md5 pass (and the split) ~16× per row.
+    hashed = df.select(
         F.col(id_col),
         F.concat_ws(",", anchors).alias("anchors"),
         F.md5(F.concat_ws(",", anchors)).alias("fingerprint"),
-        simhash16(token_md5(toks)).alias("simhash"),
+        token_md5(toks).alias("__hmd5"),
+    )
+    base = hashed.select(
+        F.col(id_col),
+        "anchors",
+        "fingerprint",
+        simhash16(F.col("__hmd5")).alias("simhash"),
     )
     w = Window.partitionBy("simhash")
     return base.withColumn("bucket_size", F.count(F.lit(1)).over(w))

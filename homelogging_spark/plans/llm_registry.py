@@ -1331,7 +1331,7 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homelogging_spark.functions.texthash import tokens as _tokens
     from homelogging_spark.operators import sketches as sk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
     sketches = sk.kmv_sketch(toks, "tok", ["source"], k=_KMV_K)
     return sk.kmv_overlap(sketches, "source", k=_KMV_K).select(
@@ -1392,7 +1392,7 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homelogging_spark.functions.texthash import tokens as _tokens
     from homelogging_spark.operators import sketches as sk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     return sk.heavy_hitters_report(
         toks, "tok", k=_CM_TOPK, depth=_CM_DEPTH, width=_CM_WIDTH
@@ -1461,6 +1461,11 @@ def q_bloom_seen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the digest scan + bit-OR aggregation would re-execute per
     # alias (the r7 ADVICE finding on streaming_bloom_dedup)
     filt = tracked_persist(sk.bloom_build(old_dig, "digest", _BLOOM_M, _BLOOM_J))
+    # force materialization NOW (r8 ADVICE): persist alone is lazy, and the
+    # j broadcast exchanges can otherwise race to compute the cache,
+    # duplicating the digest scan the persist exists to avoid — same fix
+    # as streaming_bloom_dedup's pre-stream count()
+    filt.count()
     hashed = docs.where(F.col("doc_id") % 4 == 0).select(
         "doc_id", F.md5(F.col("text")).alias("digest")
     )

@@ -38,6 +38,12 @@ SF = "/root/testdata/sf0.001"
 # funnel_stages: the 1-row first-stage-total broadcast against the
 # 3-row funnel — a constant lookup.
 BROADCAST_NESTED_LOOP_OK = {
+    # kmv_source_overlap: pairwise union/∩ over the per-source KMV sketch
+    # table — dim-sized (|sources| rows, ≤k hashes each), broadcast on
+    # purpose; the BNLJ-not-Cartesian shape is pinned in
+    # test_sketches.test_overlap_plans_bnlj_not_cartesian and measured 13×
+    # faster than the shuffle form in SCALE.md.
+    "kmv_source_overlap",
     "funnel_stages",
     "embedding_topk",
     "ann_ivf_topk",

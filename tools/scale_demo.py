@@ -617,7 +617,7 @@ def emb_clustered_tier(spark) -> None:
         print(
             json.dumps(
                 {
-                    "fixture": "clustered-20",
+                    "fixture": "clustered-400x5",
                     "bits": pq_m * int(math.log2(pq_k)),
                     "dial": f"{pq_m}x{pq_k}",
                     "nprobe": n_probe,
