@@ -882,12 +882,18 @@ def ivf_pq_topk(
     )
 
 
+# Salt for the hot-cell hash-split — module-level so the DuckDB oracle
+# twin (plans/llm_registry.py) derives the identical sub-cell ids.
+SEMDEDUP_SPLIT_SALT = "semdedup_cell_split"
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): vectors are assigned to coarse k-means cells and
@@ -898,28 +904,65 @@ def semantic_dedup(
     transitive closure, so the verdict is a pure function of the pair
     set and oracle-replicable).
 
+    ``cell_cap`` is the hot-cell guard: without it the pair stage is
+    sum(cell_size^2) — ~N^2/K for balanced cells but quadratic in a
+    density peak (a near-identical boilerplate cluster, a real shape in
+    web corpora, can drag one cell toward all-pairs). With a cap, any
+    cell of size S > cap is hash-split into ceil(S/cap) sub-cells by a
+    salted md5 of the id (deterministic, oracle-replicable) and pairs
+    form only within a sub-cell, so the expected pair count per cell is
+    <= S*cap and the whole stage is bounded by N*cap regardless of how
+    skewed the cell histogram gets. The trade is the standard SemDeDup
+    one, sharpened: a duplicate pair hashed into different sub-cells of
+    a hot cell is missed — acceptable for dedup (a density peak that
+    overflows the cap keeps at most ~1/ceil(S/cap) of its mass either
+    way), fatal never (cells at or under the cap are untouched, and the
+    survivor rule is unchanged). Cells <= cap produce byte-identical
+    output to the uncapped form.
+
     Scale: one broadcast-assign pass over the corpus (centroids are
-    K rows), shuffle on centroid_id, and a pair stage bounded by
-    sum(cell_size^2) — ~N^2/K for balanced cells, never all-pairs. The
+    K rows), a K-row cell-size frame broadcast back for the split, a
+    shuffle on (centroid_id, sub), and the bounded pair stage. The
     per-vector verdict is a groupBy over candidate pairs. Returns one
     row per input vector: ``(id, cell, n_dups, kept)``."""
     cells = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
         F.col(id_col), F.col(emb_col), "centroid_id"
     )
+    if cell_cap is not None:
+        from homelogging_spark.operators.sampling import uniform_from_key
+
+        # K-row frame: how many hash-splits each cell needs. Broadcast
+        # back so the split is a map-side column, not a shuffle.
+        splits = cells.groupBy("centroid_id").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(cell_cap)))
+            .cast("bigint")
+            .alias("_n_splits")
+        )
+        cells = cells.join(F.broadcast(splits), "centroid_id").withColumn(
+            "_sub",
+            F.floor(
+                uniform_from_key(F.col(id_col), SEMDEDUP_SPLIT_SALT)
+                * F.col("_n_splits")
+            ).cast("bigint"),
+        )
+    else:
+        cells = cells.withColumn("_sub", F.lit(0).cast("bigint"))
     a = cells.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         norm(F.col(emb_col)).alias("nrm_a"),
         "centroid_id",
+        "_sub",
     )
     b = cells.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
         norm(F.col(emb_col)).alias("nrm_b"),
         "centroid_id",
+        "_sub",
     )
     pairs = (
-        a.join(b, "centroid_id")
+        a.join(b, ["centroid_id", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

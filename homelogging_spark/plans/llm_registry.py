@@ -1002,6 +1002,12 @@ FROM ann LEFT JOIN hits h USING (query_id)
 ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
 
 
+# Hot-cell guard dial for the registered semantic_dedup query: below the
+# sf0.01 mean cell size (~544 rows / 8 cells) so the split path is
+# actually exercised by the driver's oracle compare.
+SEMDEDUP_CELL_CAP = 48
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup gate (``similarity.semantic_dedup``).
     The synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -1010,7 +1016,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id + 100000, embedding * 1.5 — scaling preserves cosine exactly, so
     each copy lands in its original's cell at cosine ~1.0). The gate
     then checks the copy is dropped, the original kept, and every
-    un-copied vector untouched. Reuses the memoized IVF quantizer."""
+    un-copied vector untouched. Reuses the memoized IVF quantizer.
+
+    r10: runs WITH the hot-cell guard active (``cell_cap=48`` — under
+    the sf0.01 mean cell size of ~68, so several cells actually split
+    and the driver certifies the capped pair semantics, not just the
+    easy path); the oracle replicates the salted md5 hash-split
+    exactly."""
     _, corpus = _emb_split(spark, sf_dir)
     corpus = corpus.select("vec_id", "embedding")
     dups = corpus.where(F.col("vec_id") % 10 == 0).select(
@@ -1028,7 +1040,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
         ),
     )
-    out = similarity.semantic_dedup(full, centroids, threshold=0.9)
+    out = similarity.semantic_dedup(
+        full, centroids, threshold=0.9, cell_cap=SEMDEDUP_CELL_CAP
+    )
     return out.select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
@@ -1038,8 +1052,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(threshold: float = 0.9) -> str:
+    from homelogging_spark.operators.sampling import uniform_sql
+
     cos_assign = similarity.cosine_sql("t.embedding", "c.c_emb", EMB_DIM)
     cos_pair = similarity.cosine_sql("x.embedding", "y.embedding", EMB_DIM)
+    # Twin of the cell_cap hash-split: identical salted-md5 uniform, so
+    # sub-cell membership matches Spark's bit-for-bit (dyadic 52-bit math).
+    _split_u = uniform_sql("cells.vec_id", similarity.SEMDEDUP_SPLIT_SALT)
     corpus_sql = (
         f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
     )
@@ -1062,10 +1081,17 @@ assign AS (
   FROM allv t, c
 ),
 cells AS (SELECT vec_id, embedding, centroid_id FROM assign WHERE r = 1),
+splits AS (
+  SELECT centroid_id,
+         CAST(ceil(count(*) / {float(SEMDEDUP_CELL_CAP)}) AS BIGINT) AS n_splits
+  FROM cells GROUP BY 1),
+cellsx AS (
+  SELECT cells.*, CAST(floor(({_split_u}) * s.n_splits) AS BIGINT) AS sub
+  FROM cells JOIN splits s USING (centroid_id)),
 v AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos_pair} AS cos
-  FROM cells x JOIN cells y
-    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  FROM cellsx x JOIN cellsx y
+    ON x.centroid_id = y.centroid_id AND x.sub = y.sub AND x.vec_id < y.vec_id
   WHERE {cos_pair} >= {threshold}
 ),
 partners AS (

@@ -2439,16 +2439,13 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # (In practice the artifact lands at round end, after the final
     # commit — but same-round re-changes must check.)
     #
-    # r8: tfidf_top_terms absorbed topk_ngrams (scope column),
-    # minhash_near_dup absorbed ngram_jaccard (dual verify),
-    # doc_fingerprint absorbed simhash_buckets (one-scan panel),
-    # seasonal_residuals absorbed zscore_anomaly (both flag rules) —
-    # the four window-slot consolidations freeing slots for the r8
-    # registrations.
-    "tfidf_top_terms": 8,
-    "minhash_near_dup": 8,
-    "doc_fingerprint": 8,
-    "seasonal_residuals": 8,
+    # (r8's four consolidation tags expired when CORRECTNESS_r08 landed
+    # green and were pruned in r10.)
+    #
+    # r10: semantic_dedup now runs with the hot-cell cell_cap guard
+    # active (hash-split pair scoping — emitted rows change wherever a
+    # cell exceeds the cap, which sf0.01 cells do by design).
+    "semantic_dedup": 10,
 }
 
 

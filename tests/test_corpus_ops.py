@@ -175,6 +175,74 @@ class TestSemanticDedup:
         assert rows[1].cell == rows[2].cell == rows[4].cell
         assert rows[3].cell != rows[1].cell
 
+    def test_cell_cap_inert_below_cap(self, spark):
+        """Cells at or under the cap must be byte-identical to the
+        uncapped form — the guard only engages on a density peak."""
+        from homelogging_spark.operators import similarity
+
+        base = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [1.5, 0.0, 0.0, 0.0]),
+        ]
+        vecs = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        uncapped = sorted(
+            map(tuple, similarity.semantic_dedup(vecs, cents, 0.9).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup(vecs, cents, 0.9, cell_cap=10).collect(),
+            )
+        )
+        assert capped == uncapped
+
+    def test_cell_cap_scopes_pairs_to_sub_cells(self, spark):
+        """Hot-cell guard semantics: one cell of 12 mutually-duplicate
+        vectors with cap 4 splits into ceil(12/4)=3 md5 sub-cells; each
+        vector's n_dups must equal (its sub-cell size - 1) and kept must
+        be (is min id of its sub-cell) — pairs never cross a split."""
+        import hashlib
+        import math
+
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.similarity import SEMDEDUP_SPLIT_SALT
+
+        n, cap = 12, 4
+        vecs = spark.createDataFrame(
+            [(i, [1.0 + 0.001 * i, 0.0]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        n_splits = math.ceil(n / cap)
+
+        def sub(i: int) -> int:
+            hx = hashlib.md5(f"{SEMDEDUP_SPLIT_SALT}|{i}".encode()).hexdigest()
+            return int((int(hx[:13], 16) / float(1 << 52)) * n_splits)
+
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            groups.setdefault(sub(i), []).append(i)
+        # the md5 split must actually spread this fixture (sanity)
+        assert len(groups) > 1
+        rows = {
+            r.vec_id: r
+            for r in similarity.semantic_dedup(
+                vecs, cents, threshold=0.9, cell_cap=cap
+            ).collect()
+        }
+        for s, members in groups.items():
+            for i in members:
+                assert rows[i].n_dups == len(members) - 1
+                assert rows[i].kept is (i == min(members))
+
 
 class TestRepetitionFoldProperty:
     def test_fold_matches_counter_on_random_docs(self, spark):

@@ -628,6 +628,115 @@ def emb_clustered_tier(spark) -> None:
     release_caches()
 
 
+def semdedup_cap_tier(spark, n_vecs: int = 20000, cap: int = 256) -> None:
+    """A/B the semantic_dedup hot-cell guard on a deliberately PEAKED
+    fixture (r9 verdict task 1): ~90% of vectors jitter around ONE
+    center (the near-identical-boilerplate shape real web corpora
+    produce), the rest spread over 7 other cells. Uncapped, the hot
+    cell alone contributes ~(0.9N)^2/2 candidate pairs; capped, every
+    cell hash-splits to <= ceil(S/cap) sub-cells so the pair stage is
+    bounded by ~N*cap/2. Prints the EXACT pair counts (computed from
+    the cell/sub-cell histograms — the same arithmetic the pair join
+    performs) plus measured wall time both ways."""
+    import math
+
+    from homelogging_spark.functions.cachelife import release_caches, tracked_persist
+    from homelogging_spark.operators.sampling import uniform_from_key
+    from homelogging_spark.operators.similarity import (
+        SEMDEDUP_SPLIT_SALT,
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    dim, n_cells = 64, 8
+    # 90% of ids hash into cluster 0 -> one hot cell, rest uniform 1..7
+    corpus = tracked_persist(
+        _clustered_embeddings(
+            spark,
+            n_vecs,
+            "peak",
+            n_clusters=n_cells,
+            noise=0.05,
+            cluster_of=lambda v, k: 0 if v % 10 else 1 + (v // 10) % (k - 1),
+        )
+    )
+    corpus.count()
+    cents = _seed_centroid_frame(spark, n_cells, dim)
+
+    cells = ivf_assign(corpus, cents, 1).select("vec_id", "centroid_id")
+    hist = {r.centroid_id: r.n for r in
+            cells.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    pairs_uncapped = sum(s * (s - 1) // 2 for s in hist.values())
+    sub_hist = (
+        cells.join(
+            F.broadcast(
+                cells.groupBy("centroid_id").agg(
+                    F.ceil(F.count(F.lit(1)) / F.lit(float(cap)))
+                    .cast("bigint")
+                    .alias("ns")
+                )
+            ),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id",
+            F.floor(
+                uniform_from_key(F.col("vec_id"), SEMDEDUP_SPLIT_SALT) * F.col("ns")
+            ).alias("sub"),
+        )
+        .groupBy("centroid_id", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    pairs_capped = sum(r.n * (r.n - 1) // 2 for r in sub_hist)
+    bound = n_vecs * cap  # the documented sum(cell^2) <= N*cap guarantee
+
+    for label, kw in (("uncapped", {}), (f"cap={cap}", {"cell_cap": cap})):
+        t0 = time.time()
+        # .count() alone is NOT a valid timer here: the output's final
+        # LEFT JOIN is against a groupBy frame (unique on the key), so
+        # Catalyst prunes the whole verdict branch — pair join included
+        # — for a pure row count. Summing n_dups/kept forces the pair
+        # stage to actually run.
+        row = (
+            semantic_dedup(corpus, cents, threshold=0.9, **kw)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_dups").alias("nd"),
+                F.sum(F.col("kept").cast("long")).alias("nk"),
+            )
+            .collect()[0]
+        )
+        n_out = row.n
+        print(
+            json.dumps(
+                {
+                    "tier": "semdedup_cap",
+                    "variant": label,
+                    "n_vecs": n_vecs,
+                    "hot_cell": max(hist.values()),
+                    "pairs": pairs_uncapped if not kw else pairs_capped,
+                    "n_cap_bound": bound if kw else None,
+                    "rows_out": n_out,
+                    "n_kept": row.nk,
+                    "sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+    assert pairs_capped <= bound, (pairs_capped, bound)
+    print(
+        json.dumps(
+            {
+                "tier": "semdedup_cap",
+                "pair_reduction": f"{pairs_uncapped / max(pairs_capped, 1):.1f}x",
+                "bound_holds": pairs_capped <= bound,
+                "bound_slack": round(pairs_capped / bound, 3),
+            }
+        )
+    )
+    release_caches()
+
+
 def tsmatch_tier(spark, factor: int) -> None:
     """Scale run for subsequence pattern matching: events -> per-series
     hourly grid (user_id-bucketed series so the key count is realistic)
@@ -687,6 +796,11 @@ def main() -> None:
 
     if tier == "embclust":
         emb_clustered_tier(spark)
+        return
+
+    if tier == "semdedupcap":
+        n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+        semdedup_cap_tier(spark, n_vecs)
         return
 
     if tier == "emb":
