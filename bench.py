@@ -208,9 +208,31 @@ def main() -> None:
                         prev = {"queries": recovered}
                         basis = "prev_tail_recovered_partial"
             prev_q = prev.get("queries", {})
-            shared = {k: v for k, v in timings.items() if k in prev_q}
+            # Consolidation-aware prev times (r9 verdict task 5): a
+            # merged query does the work of its absorbed names, so its
+            # previous-round time is its own old time PLUS the absorbed
+            # names' (registry.MERGED_FROM records the merge history) —
+            # comparing a union panel against one member alone mis-flags
+            # the merge round as a regression. Only absorbed names ABSENT
+            # from this run fold in, so the adjustment self-expires once
+            # prev rounds carry the merged name.
+            try:
+                from homelogging_spark.plans.registry import MERGED_FROM
+            except Exception:
+                MERGED_FROM = {}
+            eff_prev: dict[str, float] = {}
+            for k in timings:
+                t, found = 0.0, False
+                if k in prev_q:
+                    t, found = float(prev_q[k]), True
+                for a in MERGED_FROM.get(k, []):
+                    if a in prev_q and a not in timings:
+                        t, found = t + float(prev_q[a]), True
+                if found:
+                    eff_prev[k] = round(t, 3)
+            shared = {k: v for k, v in timings.items() if k in eff_prev}
             if shared:
-                prev_total = sum(prev_q[k] for k in shared)
+                prev_total = sum(eff_prev[k] for k in shared)
                 cur_total = sum(shared.values())
                 out["vs_prev"] = {
                     "basis": basis,
@@ -218,9 +240,9 @@ def main() -> None:
                     "this_round_total_shared": round(cur_total, 3),
                     "ratio": round(cur_total / prev_total, 3) if prev_total else None,
                     "regressed": {
-                        k: {"prev": prev_q[k], "now": v}
+                        k: {"prev": eff_prev[k], "now": v}
                         for k, v in shared.items()
-                        if prev_q[k] > 0.2 and v > prev_q[k] * 1.25
+                        if eff_prev[k] > 0.2 and v > eff_prev[k] * 1.25
                     },
                 }
         except (OSError, ValueError, KeyError):
@@ -241,12 +263,34 @@ def main() -> None:
     # only a default-SF run is the round's committed record: an ad-hoc
     # SPARK_GRAFT_SF_DIR contract check (e.g. sf0.001) must not clobber
     # the sf0.1 BENCH_LOCAL file (it did once in r7)
+    wrote_local = False
     if "SPARK_GRAFT_SF_DIR" not in os.environ:
         try:
             with open(local_path, "w") as f:
                 json.dump(out, f, indent=1, sort_keys=False)
+            wrote_local = True
         except OSError:
             pass
+
+    # Pointer discipline (r9 verdict: BENCH_r08/r09's `local` keys both
+    # dangled): surface any PAST round whose committed BENCH_r{N}.json
+    # references a BENCH_LOCAL file that never got committed, so the
+    # dangling pointer is visible at the next bench run instead of at
+    # judge time. (The current round's file can't be commit-checked here
+    # — bench runs before the commit — so the guard below also drops the
+    # `local` key entirely when this run didn't produce the file.)
+    for rf in rounds:
+        try:
+            with open(os.path.join(here, rf)) as f:
+                ref = (json.load(f).get("parsed") or {}).get("local")
+        except (OSError, ValueError):
+            continue
+        if ref and not os.path.exists(os.path.join(here, ref)):
+            print(
+                f"WARNING: {rf} references {ref} which is not in the repo "
+                "— dangling local-bench pointer (commit the artifact)",
+                file=sys.stderr,
+            )
 
     vs_prev = out.get("vs_prev")
     if vs_prev:
@@ -261,8 +305,12 @@ def main() -> None:
         "sf": sf_val,
         "iters": n_iters,
         "cal": calibration,
-        "local": os.path.basename(local_path),
     }
+    if wrote_local:
+        # only point at the local record when this run actually produced
+        # it — an SF-override run must not re-emit a pointer it didn't
+        # write (the r8/r9 dangling-pointer failure mode)
+        compact["local"] = os.path.basename(local_path)
     if vs_prev:
         compact["vs_prev"] = {
             "ratio": vs_prev["ratio"],

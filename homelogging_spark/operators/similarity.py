@@ -655,17 +655,18 @@ def pq_codes(
     )
 
 
-def pq_codes_sql(
+def _pq_codebook_ctes(
     corpus_sql: str,
-    n_subspaces: int = 4,
-    n_centroids: int = 8,
-    n_iters: int = 2,
-    dim: int = 64,
-    sample_mod: int | None = 16,
-) -> str:
-    """DuckDB twin of :func:`pq_codes`: per-subspace prefixed k-means
-    chains, a unioned codebook, L2 argmin per (vector, subspace), and
-    the code pivot. ``corpus_sql`` must yield (vec_id, embedding)."""
+    n_subspaces: int,
+    n_centroids: int,
+    n_iters: int,
+    dim: int,
+    sample_mod: int | None,
+) -> tuple[list[str], list[str]]:
+    """Shared CTE scaffolding for the PQ oracle twins: per-subspace
+    prefixed k-means chains plus the SELECTs that union them into the
+    (subspace, cid, cemb) codebook. Factored out so :func:`pq_codes_sql`
+    and :func:`pq_adc_topk_sql` derive the identical codebook."""
     sub_dim = dim // n_subspaces
     chains, cb_selects = [], []
     for m in range(n_subspaces):
@@ -682,6 +683,24 @@ def pq_codes_sql(
             f"SELECT {m} AS subspace, CAST(centroid_id AS BIGINT) AS cid, "
             f"c_emb AS cemb FROM s{m}_c{n_iters}"
         )
+    return chains, cb_selects
+
+
+def pq_codes_sql(
+    corpus_sql: str,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    sample_mod: int | None = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_codes`: per-subspace prefixed k-means
+    chains, a unioned codebook, L2 argmin per (vector, subspace), and
+    the code pivot. ``corpus_sql`` must yield (vec_id, embedding)."""
+    sub_dim = dim // n_subspaces
+    chains, cb_selects = _pq_codebook_ctes(
+        corpus_sql, n_subspaces, n_centroids, n_iters, dim, sample_mod
+    )
     d2 = l2_sq_sql(
         f"array_slice(v.embedding, cb.subspace * {sub_dim} + 1, "
         f"(cb.subspace + 1) * {sub_dim})",
@@ -710,6 +729,86 @@ FROM best GROUP BY 1
 """
 
 
+def pq_adc_topk_sql(
+    train_sql: str,
+    encode_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    sample_mod: int | None = 16,
+    rank_decimals: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk` end-to-end: codebooks trained
+    on ``train_sql``, codes for ``encode_sql``, per-query K·M distance
+    tables for ``queries_sql``, the M-lookup sum, and the per-query
+    top-k. Ranking uses the ``rank_decimals``-quantized distance (id
+    tiebreak) on BOTH sides — the raw 4-term float sum is evaluated in
+    engine-specific addition order, so two codes-equal candidates can
+    differ by ULPs between engines; quantizing the sort key makes the
+    tie (and therefore the id tiebreak) deterministic. Returns
+    (query_id, rank, vec_id, adc_d2 raw)."""
+    from homelogging_spark.functions.numeric import quantize_sql
+
+    sub_dim = dim // n_subspaces
+    chains, cb_selects = _pq_codebook_ctes(
+        train_sql, n_subspaces, n_centroids, n_iters, dim, sample_mod
+    )
+    enc_d2 = l2_sq_sql(
+        f"array_slice(v.embedding, cb.subspace * {sub_dim} + 1, "
+        f"(cb.subspace + 1) * {sub_dim})",
+        "cb.cemb",
+        sub_dim,
+    )
+    q_d2 = l2_sq_sql(
+        f"array_slice(q.q_emb, cb.subspace * {sub_dim} + 1, "
+        f"(cb.subspace + 1) * {sub_dim})",
+        "cb.cemb",
+        sub_dim,
+    )
+    unpiv = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS subspace, code_{m} AS cid FROM codes"
+        for m in range(n_subspaces)
+    )
+    code_cols = ", ".join(
+        f"CAST(max(CASE WHEN subspace = {m} THEN cid END) AS BIGINT) AS code_{m}"
+        for m in range(n_subspaces)
+    )
+    return f"""
+WITH {",".join(chains)},
+cb AS ({" UNION ALL ".join(cb_selects)}),
+scored AS (
+  SELECT v.vec_id, cb.subspace, cb.cid, {enc_d2} AS d2
+  FROM ({encode_sql}) v, cb
+),
+best AS (
+  SELECT vec_id, subspace, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+codes AS (SELECT vec_id, {code_cols} FROM best GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM ({queries_sql})),
+dtab AS (SELECT query_id, cb.subspace, cb.cid, {q_d2} AS d2 FROM q, cb),
+unpiv AS ({unpiv}),
+summed AS (
+  SELECT d.query_id, u.vec_id, sum(d.d2) AS adc_d2
+  FROM unpiv u JOIN dtab d USING (subspace, cid)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, adc_d2, row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {quantize_sql('adc_d2', rank_decimals)}, vec_id) AS rank
+  FROM summed
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+FROM r WHERE rank <= {k}
+"""
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -719,6 +818,7 @@ def pq_adc_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    rank_decimals: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (Jégou et al. 2011 §IV): rank the
     ENCODED corpus against raw query vectors without ever decoding —
@@ -740,7 +840,11 @@ def pq_adc_topk(
     embeddings and no stage exceeds O(N·M·Q) rows.
 
     Returns (query_id, rank, vec_id, adc_d2) — ascending approximate
-    distance, id tiebreak."""
+    distance, id tiebreak. ``rank_decimals`` (None = raw) quantizes the
+    SORT KEY: the M-term float sum is evaluated in engine-specific
+    addition order, so codes-equal candidates can differ by ULPs and
+    flip the id tiebreak vs an external oracle — quantizing the key
+    makes ties deterministic (adc_d2 itself is returned raw)."""
     sub_dim = dim // n_subspaces
     q_sub = F.slice(
         F.col("q_emb"), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
@@ -771,7 +875,13 @@ def pq_adc_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum("d2").alias("adc_d2"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col(id_col))
+    if rank_decimals is not None:
+        from homelogging_spark.functions.numeric import quantize
+
+        rank_key = quantize(F.col("adc_d2"), rank_decimals)
+    else:
+        rank_key = F.col("adc_d2")
+    w = Window.partitionBy("query_id").orderBy(rank_key, F.col(id_col))
     return (
         summed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

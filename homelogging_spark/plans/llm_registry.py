@@ -1145,6 +1145,55 @@ FROM base
 """
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 §IV,
+    ``similarity.pq_adc_topk``): the codes-only ANN ranking — queries
+    build a K·M distance table against the broadcast codebook and the
+    corpus is ranked by M table lookups per vector, never touching raw
+    embeddings. Codebook is the memoized 'pq' quantizer (trained once on
+    the full table, exactly as ``q_pq_codes``); the corpus split
+    (vec_id >= {N_QUERY_VECS}) is encoded and the {N_QUERY_VECS} query
+    vectors rank it. Sort key quantized to 6 decimals (id tiebreak) so
+    codes-equal candidates rank engine-independently."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_quantizer(
+        spark,
+        sf_dir,
+        "pq",
+        lambda: similarity.pq_codebook(emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM),
+    )
+    codes = similarity.pq_codes(
+        corpus.select("vec_id", "embedding"),
+        n_subspaces=4,
+        n_centroids=8,
+        dim=EMB_DIM,
+        codebook=codebook,
+    )
+    out = similarity.pq_adc_topk(
+        queries.select("vec_id", "embedding"),
+        codes,
+        codebook,
+        k=5,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+ORACLE_PQ_ADC_TOPK = f"""
+WITH base AS ({similarity.pq_adc_topk_sql(
+    "SELECT vec_id, embedding FROM embeddings",
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}",
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+    k=5, n_subspaces=4, n_centroids=8, dim=EMB_DIM)})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
@@ -1591,6 +1640,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_chunks": q_doc_chunks,
     "passage_dedup": q_passage_dedup,
@@ -1623,6 +1673,7 @@ LLM_ORACLES: dict[str, str] = {
     "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
     "pq_codes": ORACLE_PQ_CODES,
+    "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,

@@ -99,16 +99,54 @@ FROM packed
 
 # --- deterministic sampling --------------------------------------------------
 
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language Bernoulli sample at configured rates (en 50%,
-    de 25%, zh 10%, default 5%), selected by md5-hash uniform of doc_id —
-    a pure map-side predicate, reproducible under any repartitioning
-    (``operators/sampling.stratified_hash_sample``)."""
+def q_hash_sample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 window-slot consolidation (absorbs the former
+    ``stratified_sample`` + ``weighted_sample`` rows): both hash-sampling
+    designs share the keep rule ``u < p`` with ``u`` the salted md5
+    uniform of doc_id, so one union panel certifies both —
+    (method, doc_id, lang, n_tokens, u, p):
+
+    - ``stratified``: per-language Bernoulli at configured rates (en 50%,
+      de 25%, zh 10%, default 5%); p = the stratum rate, n_tokens NULL
+      (``operators/sampling.stratified_hash_sample``).
+    - ``weighted``: size-biased, p = min(1, rate * n_tokens) — budgets
+      the kept TOKEN mass; u/p feed Horvitz-Thompson correction
+      downstream (``operators/sampling.weighted_hash_sample``).
+
+    Both legs stay pure map-side predicates (no shuffle, reproducible
+    under any repartitioning); the union is two scans of the same
+    parquet — each leg prunes to its own columns."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    out = sampling.stratified_hash_sample(
+    strat = sampling.stratified_hash_sample(
         docs, "doc_id", "lang", STRAT_RATES, default_rate=STRAT_DEFAULT
     )
-    return out.select("doc_id", "lang", quantize("u").alias("u"))
+    # the stratum rate IS the inclusion probability of the stratified
+    # leg — rebuilt here (same CASE the operator applies internally) so
+    # the panel exposes p uniformly across both designs
+    rate = F.lit(float(STRAT_DEFAULT))
+    for stratum, r in sorted(STRAT_RATES.items()):
+        rate = F.when(F.col("lang") == stratum, F.lit(float(r))).otherwise(rate)
+    strat_leg = strat.select(
+        F.lit("stratified").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        quantize("u").alias("u"),
+        quantize(rate).alias("p"),
+    )
+    toks = F.size(tokens(F.col("text"))).cast("bigint")
+    wtd = sampling.weighted_hash_sample(
+        docs.withColumn("n_tokens", toks), "doc_id", F.col("n_tokens"), WSAMP_RATE
+    )
+    wtd_leg = wtd.select(
+        F.lit("weighted").alias("method"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        quantize("u").alias("u"),
+        quantize("p").alias("p"),
+    )
+    return strat_leg.unionByName(wtd_leg)
 
 
 _STRAT_RATE_SQL = (
@@ -118,15 +156,6 @@ _STRAT_RATE_SQL = (
     )
     + f" ELSE {STRAT_DEFAULT} END"
 )
-
-ORACLE_STRATIFIED_SAMPLE = f"""
-WITH u AS (
-  SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'strat')} AS u
-  FROM documents
-)
-SELECT doc_id, lang, {quantize_sql('u')} AS u
-FROM u WHERE u < {_STRAT_RATE_SQL}
-"""
 
 
 def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,33 +184,23 @@ FROM r WHERE rank <= {TOPK_PER_LANG}
 WSAMP_RATE = 0.004  # per-token keep rate; ~100-token docs keep at ~0.4
 
 
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size-biased deterministic sample: keep probability proportional
-    to the doc's token count (capped at 1) — budgets the kept TOKEN
-    mass; u/p exposed for Horvitz-Thompson correction downstream."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.size(tokens(F.col("text"))).cast("bigint")
-    out = sampling.weighted_hash_sample(
-        docs.withColumn("n_tokens", toks), "doc_id", F.col("n_tokens"), WSAMP_RATE
-    )
-    return out.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        quantize("u").alias("u"),
-        quantize("p").alias("p"),
-    )
-
-
-ORACLE_WEIGHTED_SAMPLE = f"""
-WITH t AS (
+ORACLE_HASH_SAMPLE_PANEL = f"""
+WITH su AS (
+  SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'strat')} AS u,
+         {_STRAT_RATE_SQL} AS p
+  FROM documents
+), wt AS (
   SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens,
          {sampling.weighted_sql('doc_id', _N_TOKENS_SQL, WSAMP_RATE)}
   FROM documents
 )
-SELECT doc_id, lang, n_tokens,
+SELECT 'stratified' AS method, doc_id, lang, CAST(NULL AS BIGINT) AS n_tokens,
        {quantize_sql('u')} AS u, {quantize_sql('p')} AS p
-FROM t WHERE u < p
+FROM su WHERE u < p
+UNION ALL
+SELECT 'weighted', doc_id, lang, n_tokens,
+       {quantize_sql('u')} AS u, {quantize_sql('p')} AS p
+FROM wt WHERE u < p
 """
 
 
@@ -230,16 +249,14 @@ FROM t
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs": q_pack_docs,
-    "stratified_sample": q_stratified_sample,
+    "hash_sample_panel": q_hash_sample_panel,
     "group_topk_sample": q_group_topk_sample,
-    "weighted_sample": q_weighted_sample,
     "mixture_weights": q_mixture_weights,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
     "pack_docs": ORACLE_PACK_DOCS,
-    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "hash_sample_panel": ORACLE_HASH_SAMPLE_PANEL,
     "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
-    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
 }

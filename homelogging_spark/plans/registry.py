@@ -2448,6 +2448,29 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "semantic_dedup": 10,
 }
 
+# Window-slot consolidation history: merged query -> the retired names
+# whose semantics its output now certifies. bench.py uses this to make
+# vs_prev consolidation-aware (a merged query's previous-round time is
+# its own old time PLUS the absorbed names' — comparing the panel
+# against one absorbed member alone mis-flags the union as a
+# regression). Append-only; names here never reappear in the registry.
+MERGED_FROM: dict[str, list[str]] = {
+    # r6
+    "counter_rollover": ["counter_rollover_values"],
+    "pack_docs": ["pack_stats"],
+    "text_stats": ["token_counts"],
+    "dedup_clusters": ["dedup_keep_best"],
+    # r7
+    "quality_score": ["repetition_scores"],
+    # r8
+    "tfidf_top_terms": ["topk_ngrams"],
+    "minhash_near_dup": ["ngram_jaccard"],
+    "doc_fingerprint": ["simhash_buckets"],
+    "seasonal_residuals": ["zscore_anomaly"],
+    # r10
+    "hash_sample_panel": ["stratified_sample", "weighted_sample"],
+}
+
 
 def _active_changed(greens: dict[str, int]) -> set[str]:
     """The not-yet-recertified subset of ``_CHANGED_IN_ROUND``: entries
