@@ -111,6 +111,36 @@ def refresh_rollup(
         writer.parquet(rollup_path)
 
 
+def snapshot_cdc_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    old_val: str = "old_bal",
+    new_val: str = "new_bal",
+) -> DataFrame:
+    """Change-data-capture between two snapshots of a keyed dimension —
+    the merge audit for the reference's mutable-document upserts (K2,
+    ``Kasa/KasaLogger.cs:44,73``) seen from the outside: full outer join
+    on the key, each row classified added / removed / changed /
+    unchanged by null-ness and value comparison of ``old_val``/
+    ``new_val``.
+
+    Scale: ONE co-keyed shuffle join — and when both snapshots are
+    bucketed on ``key_col`` at write time (the recurring-CDC layout; a
+    dim snapshot re-lands every round, so the write-side bucketing
+    amortizes), the full outer SortMergeJoin runs with ZERO Exchange:
+    plan-pinned by ``TestBucketedSnapshotDiff`` on this exact function.
+    """
+    j = old.join(new, key_col, "full_outer")
+    change = (
+        F.when(F.col(old_val).isNull(), F.lit("added"))
+        .when(F.col(new_val).isNull(), F.lit("removed"))
+        .when(F.col(old_val) != F.col(new_val), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(key_col, old_val, new_val, change.alias("change_type"))
+
+
 class _dynamic_partition_overwrite:
     """Scoped ``spark.sql.sources.partitionOverwriteMode=dynamic`` —
     overwrite replaces only the partitions present in the written frame."""

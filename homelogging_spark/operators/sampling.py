@@ -202,7 +202,12 @@ def budget_select(
     )
     totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("_part_total"))
     # prefix over the partition totals: N_ranges rows on one task —
-    # metadata, not data
+    # metadata, not data. This unpartitioned Window is INTENTIONAL and
+    # trips Spark's "No Partition Defined for Window operation" WARN at
+    # runtime (WindowExec can't see that its input is <= n_ranges rows);
+    # the frame is the per-partition-offset table, never the data, so
+    # the warning is expected and harmless here — don't "fix" it by
+    # partitioning, that would break the global prefix.
     w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_part_total").over(w_pid), F.lit(0.0))

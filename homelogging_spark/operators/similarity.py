@@ -809,6 +809,110 @@ FROM r WHERE rank <= {k}
 """
 
 
+def ivf_pq_topk_sql(
+    train_sql: str,
+    encode_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    dim: int = 64,
+    sample_mod: int | None = 16,
+    rank_decimals: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk` end-to-end: the coarse
+    quantizer (``kmeans_lite_sql`` chain on the corpus, ``g_`` prefix —
+    the per-subspace PQ chains use ``s{m}_``, so both k-means families
+    coexist in one WITH clause), cosine cell assignment for the corpus,
+    ``nprobe`` probes per query, and the :func:`pq_adc_topk_sql` ADC
+    lookup restricted to the probed candidate pairs. Ranking quantized
+    as in the ADC twin. Returns (query_id, rank, vec_id, adc_d2 raw)."""
+    from homelogging_spark.functions.numeric import quantize_sql
+
+    sub_dim = dim // n_subspaces
+    chains, cb_selects = _pq_codebook_ctes(
+        train_sql, n_subspaces, n_centroids, n_iters, dim, sample_mod
+    )
+    coarse = kmeans_lite_sql(
+        encode_sql, coarse_k, coarse_iters, dim, sample_mod, prefix="g_"
+    )
+    cos_assign = cosine_sql("t.embedding", "c.c_emb", dim)
+    enc_d2 = l2_sq_sql(
+        f"array_slice(v.embedding, cb.subspace * {sub_dim} + 1, "
+        f"(cb.subspace + 1) * {sub_dim})",
+        "cb.cemb",
+        sub_dim,
+    )
+    q_d2 = l2_sq_sql(
+        f"array_slice(q.q_emb, cb.subspace * {sub_dim} + 1, "
+        f"(cb.subspace + 1) * {sub_dim})",
+        "cb.cemb",
+        sub_dim,
+    )
+    unpiv = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS subspace, code_{m} AS cid FROM codes"
+        for m in range(n_subspaces)
+    )
+    code_cols = ", ".join(
+        f"CAST(max(CASE WHEN subspace = {m} THEN cid END) AS BIGINT) AS code_{m}"
+        for m in range(n_subspaces)
+    )
+    return f"""
+WITH {",".join(chains)},
+cb AS ({" UNION ALL ".join(cb_selects)}),
+{coarse},
+cc AS (SELECT centroid_id, c_emb FROM g_c{coarse_iters}),
+assign_c AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos_assign} DESC, centroid_id) AS r
+  FROM ({encode_sql}) t, cc c
+),
+cells AS (SELECT vec_id, centroid_id FROM assign_c WHERE r = 1),
+assign_q AS (
+  SELECT vec_id AS query_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos_assign} DESC, centroid_id) AS r
+  FROM ({queries_sql}) t, cc c
+),
+probes AS (SELECT query_id, centroid_id FROM assign_q WHERE r <= {nprobe}),
+cand AS (SELECT DISTINCT p.query_id, cl.vec_id
+         FROM probes p JOIN cells cl USING (centroid_id)),
+scored AS (
+  SELECT v.vec_id, cb.subspace, cb.cid, {enc_d2} AS d2
+  FROM ({encode_sql}) v, cb
+),
+best AS (
+  SELECT vec_id, subspace, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY d2, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+codes AS (SELECT vec_id, {code_cols} FROM best GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM ({queries_sql})),
+dtab AS (SELECT query_id, cb.subspace, cb.cid, {q_d2} AS d2 FROM q, cb),
+unpiv AS ({unpiv}),
+summed AS (
+  SELECT c.query_id, c.vec_id, sum(d.d2) AS adc_d2
+  FROM cand c
+  JOIN unpiv u ON u.vec_id = c.vec_id
+  JOIN dtab d ON d.query_id = c.query_id
+            AND d.subspace = u.subspace AND d.cid = u.cid
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, vec_id, adc_d2, row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {quantize_sql('adc_d2', rank_decimals)}, vec_id) AS rank
+  FROM summed
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+FROM r WHERE rank <= {k}
+"""
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -906,6 +1010,7 @@ def ivf_pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    rank_decimals: int | None = None,
 ) -> DataFrame:
     """The FAISS IVF-PQ architecture (Jégou et al. 2011 §V) as a
     DataFrame composition: a coarse quantizer prunes the search to the
@@ -979,7 +1084,14 @@ def ivf_pq_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum("d2").alias("adc_d2"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2"), F.col(id_col))
+    if rank_decimals is not None:
+        # same cross-engine tie rationale as pq_adc_topk
+        from homelogging_spark.functions.numeric import quantize
+
+        rank_key = quantize(F.col("adc_d2"), rank_decimals)
+    else:
+        rank_key = F.col("adc_d2")
+    w = Window.partitionBy("query_id").orderBy(rank_key, F.col(id_col))
     return (
         summed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

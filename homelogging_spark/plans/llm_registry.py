@@ -1002,6 +1002,29 @@ FROM ann LEFT JOIN hits h USING (query_id)
 ORACLE_ANN_IVF_TOPK = _ann_ivf_topk_oracle()
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 window-slot consolidation (absorbs the former ``ann_lsh_topk``
+    + ``ann_ivf_topk`` rows): the two exact-verify ANN index families
+    emit the identical (query_id, rank, cand_id, cosine, recall_at_k)
+    schema, so one ``method``-tagged union panel certifies both — LSH
+    bucket candidates and IVF coarse-quantizer probes, each with the
+    per-query recall@3 honesty column against the exact brute-force
+    truth. Both legs' plan shapes are unchanged (the broadcast-Q BNLJ
+    scoring and cell-pruned probe join documented in SCALE.md)."""
+    lsh = q_ann_lsh_topk(spark, sf_dir)
+    ivf = q_ann_ivf_topk(spark, sf_dir)
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+SELECT 'lsh' AS method, * FROM ({ORACLE_ANN_LSH_TOPK})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF_TOPK})
+"""
+
+
 # Hot-cell guard dial for the registered semantic_dedup query: below the
 # sf0.01 mean cell size (~544 rows / 8 cells) so the split path is
 # actually exercised by the driver's oracle compare.
@@ -1190,6 +1213,66 @@ WITH base AS ({similarity.pq_adc_topk_sql(
     f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}",
     f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
     k=5, n_subspaces=4, n_centroids=8, dim=EMB_DIM)})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IVF-PQ composition (Jégou et al. 2011 §V,
+    ``similarity.ivf_pq_topk``): the memoized 'ivf' coarse quantizer
+    prunes each query to its {IVF_NPROBE} nearest cells, then PQ
+    asymmetric distance ranks the surviving CODES — raw corpus
+    embeddings appear in neither stage, the billion-vector index shape
+    (cell ids + M-byte codes, both built at ingest; both index
+    artifacts reuse the same memoized quantizers as `ann_topk` and
+    `pq_adc_topk`). Sort key quantized as in `pq_adc_topk`."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    corpus = corpus.select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _cached_quantizer(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda: similarity.kmeans_lite_centroids(
+            corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
+        ),
+    )
+    cells = similarity.ivf_assign(corpus, centroids, 1).select(
+        "vec_id", "centroid_id"
+    )
+    codebook = _cached_quantizer(
+        spark,
+        sf_dir,
+        "pq",
+        lambda: similarity.pq_codebook(emb, n_subspaces=4, n_centroids=8, dim=EMB_DIM),
+    )
+    codes = similarity.pq_codes(
+        corpus, n_subspaces=4, n_centroids=8, dim=EMB_DIM, codebook=codebook
+    )
+    out = similarity.ivf_pq_topk(
+        queries.select("vec_id", "embedding"),
+        cells,
+        codes,
+        codebook,
+        centroids,
+        k=5,
+        nprobe=IVF_NPROBE,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+ORACLE_IVF_PQ_TOPK = f"""
+WITH base AS ({similarity.ivf_pq_topk_sql(
+    "SELECT vec_id, embedding FROM embeddings",
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}",
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+    k=5, nprobe=IVF_NPROBE, n_subspaces=4, n_centroids=8,
+    coarse_k=IVF_N_CENTROIDS, coarse_iters=IVF_KMEANS_ITERS, dim=EMB_DIM)})
 SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 """
 
@@ -1637,8 +1720,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "corpus_build_pipeline": q_corpus_build_pipeline,
     "embedding_topk": q_embedding_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_topk": q_ann_topk,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1670,8 +1753,8 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
-    "ann_lsh_topk": ORACLE_ANN_LSH_TOPK,
-    "ann_ivf_topk": ORACLE_ANN_IVF_TOPK,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "pq_codes": ORACLE_PQ_CODES,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,

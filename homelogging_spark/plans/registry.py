@@ -2106,8 +2106,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added / removed / changed / unchanged per row.
 
     Scale: one co-keyed shuffle join of two snapshots; at 100 TB the
-    snapshots are bucketed on the key so the diff is exchange-free
-    (the `TestBucketedJoin` plan shape)."""
+    snapshots are bucketed on the key so the diff is exchange-free —
+    plan-pinned on this exact operator by `TestBucketedSnapshotDiff`
+    (``operators/ingest.snapshot_cdc_diff``)."""
+    from homelogging_spark.operators.ingest import snapshot_cdc_diff
+
     cust = load_table(spark, sf_dir, "customer")
     old = cust.where(F.col("c_custkey") % 10 != 0).select(
         "c_custkey", F.col("c_acctbal").alias("old_bal")
@@ -2120,18 +2123,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("new_bal"),
     )
-    j = old.join(new, "c_custkey", "full_outer")
-    change = (
-        F.when(F.col("old_bal").isNull(), F.lit("added"))
-        .when(F.col("new_bal").isNull(), F.lit("removed"))
-        .when(F.col("old_bal") != F.col("new_bal"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
-    return j.select(
+    out = snapshot_cdc_diff(old, new, "c_custkey")
+    return out.select(
         "c_custkey",
         quantize("old_bal").alias("old_bal"),
         quantize("new_bal").alias("new_bal"),
-        change.alias("change_type"),
+        "change_type",
     )
 
 
@@ -2469,6 +2466,7 @@ MERGED_FROM: dict[str, list[str]] = {
     "seasonal_residuals": ["zscore_anomaly"],
     # r10
     "hash_sample_panel": ["stratified_sample", "weighted_sample"],
+    "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
 }
 
 

@@ -46,16 +46,23 @@ BROADCAST_NESTED_LOOP_OK = {
     "kmv_source_overlap",
     "funnel_stages",
     "embedding_topk",
-    "ann_ivf_topk",
-    # r6: recall@k honesty column joins the exact_topk reference, whose
-    # 5-row broadcast query panel is the same benign BNLJ as embedding_topk
-    "ann_lsh_topk",
+    # r6 (ann_lsh/ann_ivf, merged into ann_topk in r10): recall@k honesty
+    # column joins the exact_topk reference, whose 5-row broadcast query
+    # panel is the same benign BNLJ as embedding_topk
+    "ann_topk",
+    # r10: probe/ADC stages are the same broadcast-codebook and
+    # broadcast-centroid constant-width lookups as pq_adc_topk/ann_topk
+    "ivf_pq_topk",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
     "values_projection",
     "tfidf_top_terms",
     "pq_codes",
+    # r10: the per-query K·M distance table is the queries × codebook
+    # broadcast cross — the same constant-width lookup as pq_codes
+    # (ADC scoring never touches raw corpus embeddings at all)
+    "pq_adc_topk",
     "length_drift_psi",
 }
 
@@ -230,6 +237,60 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan  # co-located: zero shuffle
+
+
+class TestBucketedSnapshotDiff:
+    def test_cdc_diff_on_bucketed_snapshots_has_no_exchange(
+        self, spark, tmp_path
+    ):
+        """The CDC-specific form of the bucketed-join promise in
+        q_snapshot_diff's docstring: two dim snapshots written bucketed
+        on the key, diffed by the SAME operator the registry query uses
+        (``ingest.snapshot_cdc_diff``) — the full outer SortMergeJoin
+        must run with zero Exchange. This is the recurring-CDC layout
+        at 100 TB: a snapshot re-lands every round, so write-side
+        bucketing amortizes and every diff afterwards is shuffle-free."""
+        from pyspark.sql import functions as F
+
+        from homelogging_spark.operators.ingest import snapshot_cdc_diff
+        from homelogging_spark.tables import load_table
+
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS cdcdemo LOCATION '{tmp_path}/wh'"
+        )
+        cust = load_table(spark, SF, "customer")
+        old = cust.where(F.col("c_custkey") % 10 != 0).select(
+            "c_custkey", F.col("c_acctbal").alias("old_bal")
+        )
+        new = cust.select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("new_bal"),
+        )
+        for name, df in (("snap_old", old), ("snap_new", new)):
+            df.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+                "overwrite"
+            ).format("parquet").saveAsTable(f"cdcdemo.{name}")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            diff = snapshot_cdc_diff(
+                spark.table("cdcdemo.snap_old"),
+                spark.table("cdcdemo.snap_new"),
+                "c_custkey",
+            )
+            plan = plan_of(diff)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        # and the diff itself is right on the bucketed inputs
+        kinds = {
+            r.change_type: r.n
+            for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert set(kinds) == {"added", "changed", "unchanged"}
 
 
 class TestFoldPartitioning:
