@@ -1147,10 +1147,20 @@ def semantic_dedup(
     shuffle on (centroid_id, sub), and the bounded pair stage. The
     per-vector verdict is a groupBy over candidate pairs. Returns one
     row per input vector: ``(id, cell, n_dups, kept)``."""
-    cells = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
-        F.col(id_col), F.col(emb_col), "centroid_id"
+    from homelogging_spark.functions.cachelife import tracked_persist
+
+    # Persisted: the assign frame feeds BOTH pair-join sides, the final
+    # verdict join, and (capped) the cell-size census — unpersisted,
+    # Spark recomputes the N·K assignment for each consumer (measured
+    # 1.9x wall on a 20k balanced fixture for the capped form alone).
+    cells = tracked_persist(
+        ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
+            F.col(id_col), F.col(emb_col), "centroid_id"
+        )
     )
     if cell_cap is not None:
+        if cell_cap < 1:
+            raise ValueError(f"cell_cap must be >= 1, got {cell_cap}")
         from homelogging_spark.operators.sampling import uniform_from_key
 
         # K-row frame: how many hash-splits each cell needs. Broadcast

@@ -202,6 +202,20 @@ class TestSemanticDedup:
         )
         assert capped == uncapped
 
+    def test_cell_cap_rejects_nonpositive(self, spark):
+        import pytest as _pytest
+
+        from homelogging_spark.operators import similarity
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="cell_cap"):
+            similarity.semantic_dedup(vecs, cents, cell_cap=0)
+
     def test_cell_cap_scopes_pairs_to_sub_cells(self, spark):
         """Hot-cell guard semantics: one cell of 12 mutually-duplicate
         vectors with cap 4 splits into ceil(12/4)=3 md5 sub-cells; each
