@@ -1010,7 +1010,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket candidates and IVF coarse-quantizer probes, each with the
     per-query recall@3 honesty column against the exact brute-force
     truth. Both legs' plan shapes are unchanged (the broadcast-Q BNLJ
-    scoring and cell-pruned probe join documented in SCALE.md)."""
+    scoring and cell-pruned probe join documented in SCALE.md). The
+    exact truth subtree appears once per leg ON PURPOSE: an A/B against
+    a tracked_persist-shared truth frame measured the shared form ~18%
+    SLOWER (4.6 s vs 3.9 s median solo at sf0.1) — the persisted frame
+    serializes the two legs behind its materialization barrier, while
+    the duplicated subtrees run concurrently on otherwise-idle cores
+    (and the honesty column is dropped entirely in the production path,
+    so the duplication never reaches the 100 TB plan)."""
     lsh = q_ann_lsh_topk(spark, sf_dir)
     ivf = q_ann_ivf_topk(spark, sf_dir)
     return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
