@@ -562,6 +562,58 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- K2: document upsert -----------------------------------------------------
+def q_doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 driver certification (r10 — previously unit-only): the mutable-
+    document upsert (``Kasa/KasaLogger.cs:44,73`` — RavenDB ``Store`` of
+    an existing-or-new device document) applied to the meters dim through
+    the REAL ``ingest.upsert_meters`` operator. The batch exercises both
+    K2 branches against every key: updates that must WIN over existing
+    rows (the ``user_id % 3 == 0`` cohort gets a new vendor tag + MAC),
+    inserts of brand-new keys (the ``g``-prefixed gateway documents), and
+    untouched rows that must pass through byte-identical. The oracle is
+    the declarative last-write-wins form — updates verbatim, plus
+    existing rows whose key the batch does not carry."""
+    from homelogging_spark.operators.ingest import upsert_meters
+    from homelogging_spark.tables import meters_table
+
+    existing = meters_table(spark, sf_dir)
+    upd = existing.where(F.col("user_id") % 3 == 0).select(
+        "meter_id",
+        "user_id",
+        F.lit("KasaV2").alias("vendor_info"),
+        "medium",
+        F.concat(F.lit("cc-dd-"), F.col("user_id").cast("string")).alias("mac"),
+    )
+    ins = existing.where(F.col("user_id") % 5 == 1).select(
+        F.concat(F.lit("meters/g"), F.col("user_id").cast("string")).alias("meter_id"),
+        (F.col("user_id") + 1000000).alias("user_id"),
+        F.lit("Gateway").alias("vendor_info"),
+        F.lit("Gas").alias("medium"),
+        F.concat(F.lit("ee-ff-"), F.col("user_id").cast("string")).alias("mac"),
+    )
+    merged = upsert_meters(existing, upd.unionByName(ins), key="meter_id")
+    return merged.select("meter_id", "user_id", "vendor_info", "medium", "mac")
+
+
+ORACLE_DOC_UPSERT = f"""
+WITH m AS ({METERS_DIM_SQL}),
+u AS (
+  SELECT meter_id, user_id, 'KasaV2' AS vendor_info, medium,
+         'cc-dd-' || CAST(user_id AS VARCHAR) AS mac
+  FROM m WHERE user_id % 3 = 0
+  UNION ALL
+  SELECT 'meters/g' || CAST(user_id AS VARCHAR), user_id + 1000000,
+         'Gateway', 'Gas', 'ee-ff-' || CAST(user_id AS VARCHAR)
+  FROM m WHERE user_id % 5 = 1
+)
+SELECT meter_id, user_id, vendor_info, medium, mac FROM u
+UNION ALL
+SELECT meter_id, user_id, vendor_info, medium, mac FROM m
+WHERE meter_id NOT IN (SELECT meter_id FROM u)
+"""
+
+
 # --- F8: first-match limit 1 -------------------------------------------------
 def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``Where(...).FirstOrDefault()`` (``Tapo/TapoLogger.cs:52``) — made
@@ -2467,6 +2519,7 @@ MERGED_FROM: dict[str, list[str]] = {
     # r10
     "hash_sample_panel": ["stratified_sample", "weighted_sample"],
     "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
+    "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
 }
 
 
@@ -2572,6 +2625,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "energy_interpolate": q_energy_interpolate,
     "key_normalized_join": q_key_normalized_join,
     "device_class_scan": q_device_class_scan,
+    "doc_upsert": q_doc_upsert,
     "first_match": q_first_match,
     "pulse_step_emit": q_pulse_step_emit,
     "thermostat_mode": q_thermostat_mode,
@@ -2629,6 +2683,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,
+    "doc_upsert": ORACLE_DOC_UPSERT,
     "first_match": ORACLE_FIRST_MATCH,
     "pulse_step_emit": ORACLE_PULSE_STEP_EMIT,
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,

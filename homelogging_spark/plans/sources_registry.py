@@ -484,6 +484,79 @@ FROM events
 """
 
 
+# --- ST5 + ST7: controller decision panel (r10 window consolidation) ---------
+
+def q_controller_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-row controller decision tables on ONE normalized panel —
+    the r10 window consolidation funding the ``doc_upsert`` (K2)
+    registration. Every output column of the former ``flow_temp_decision``
+    and ``pv_mode_decision`` driver queries appears verbatim in the
+    (controller, event_id, c1..c4, decision) layout, so this one row set
+    certifies BOTH decision tables (ST5 ``HeatingLogging/Program.cs``
+    flow-temp hysteresis incl. the deadband/validity gates; ST7 Kasa PV
+    bang-bang) at full per-row fidelity; the retired single-controller
+    queries remain as the helper functions above."""
+    null_d = F.lit(None).cast("double")
+    ft = q_flow_temp_decision(spark, sf_dir).select(
+        F.lit("flow_temp").alias("controller"),
+        "event_id",
+        F.col("current_min").alias("c1"),
+        F.col("actual_flow").alias("c2"),
+        F.col("desired_flow").alias("c3"),
+        F.col("speed").alias("c4"),
+        F.col("new_min").alias("decision"),
+    )
+    pv = q_pv_mode_decision(spark, sf_dir).select(
+        F.lit("pv_mode").alias("controller"),
+        "event_id",
+        F.col("median_power").alias("c1"),
+        null_d.alias("c2"),
+        null_d.alias("c3"),
+        null_d.alias("c4"),
+        F.col("pv_mode").alias("decision"),
+    )
+    return ft.unionByName(pv)
+
+
+ORACLE_CONTROLLER_PANEL = f"""
+WITH e AS ({_INTS_SQL}),
+s AS (
+  SELECT event_id,
+         24.0 + CAST(user_id % 4 AS DOUBLE) AS current_min,
+         20.0 + CAST(iv % 15 AS DOUBLE) AS actual_flow,
+         CAST(mv % 32 AS DOUBLE) AS desired_flow,
+         CAST(user_id % 25 AS DOUBLE) AS speed
+  FROM e
+), d AS (
+  SELECT *,
+         CASE WHEN current_min < 24.0 THEN 24.0
+              WHEN desired_flow < 1 AND current_min > 24.0 THEN 24.0
+              WHEN speed < 10.0 AND actual_flow < 30.0
+                   AND actual_flow >= desired_flow AND desired_flow >= 1
+                THEN desired_flow + 0.5
+              WHEN speed > 15.0 AND actual_flow > 24.0
+                   AND actual_flow <= desired_flow AND desired_flow <= current_min
+                THEN current_min - 0.5
+         END AS proposal
+  FROM s
+)
+SELECT 'flow_temp' AS controller, event_id,
+       current_min AS c1, actual_flow AS c2, desired_flow AS c3, speed AS c4,
+       CASE WHEN proposal >= 24.0 AND proposal <= 30.0
+                 AND abs(proposal - current_min) >= 0.4
+            THEN {quantize_sql('proposal')} END AS decision
+FROM d
+UNION ALL
+SELECT 'pv_mode', event_id,
+       {quantize_sql('(value * 20.0 - 1000.0)')},
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CASE WHEN (value * 20.0 - 1000.0) < -300.0 THEN 1.0
+            WHEN (value * 20.0 - 1000.0) > 30.0 THEN 0.0
+            ELSE CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END END
+FROM events
+"""
+
+
 # --- binary-frame sources (S4/S5/S7/S9/S11) ----------------------------------
 #
 # Same construct-then-parse pattern as the text sources: the query builds
@@ -773,8 +846,7 @@ SOURCES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "goodwe_parse": q_goodwe_parse,
     "vents_parse": q_vents_parse,
     "zyco2_parse": q_zyco2_parse,
-    "flow_temp_decision": q_flow_temp_decision,
-    "pv_mode_decision": q_pv_mode_decision,
+    "controller_panel": q_controller_panel,
 }
 
 SOURCES_ORACLES: dict[str, str] = {
@@ -789,6 +861,5 @@ SOURCES_ORACLES: dict[str, str] = {
     "goodwe_parse": ORACLE_GOODWE_PARSE,
     "vents_parse": ORACLE_VENTS_PARSE,
     "zyco2_parse": ORACLE_ZYCO2_PARSE,
-    "flow_temp_decision": ORACLE_FLOW_TEMP_DECISION,
-    "pv_mode_decision": ORACLE_PV_MODE_DECISION,
+    "controller_panel": ORACLE_CONTROLLER_PANEL,
 }
