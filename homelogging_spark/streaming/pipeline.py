@@ -136,6 +136,125 @@ def streaming_snapshot_dedup(stream: DataFrame, old_digests: DataFrame) -> DataF
     )
 
 
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_probe_cap: int | None = None,
+) -> DataFrame:
+    """Stream-static SEMANTIC dedup — the embedding-tier twin of
+    ``streaming_snapshot_dedup``'s exact gate: incoming vectors (a
+    crawl's embedding stream) are checked against the STATIC retained
+    corpus, cell-scoped exactly like batch ``similarity.semantic_dedup``
+    (Abbas et al. 2023). Precedence is the natural streaming one: the
+    retained corpus always wins — an incoming vector with ANY retained
+    neighbor at cosine >= ``threshold`` in its cell is flagged
+    ``semantic_dup``; new-vs-new pairs within a micro-batch are NOT
+    checked (mirror of the exact gate; run batch semantic_dedup over the
+    accepted set at compaction time for that).
+
+    Streaming legality is the design constraint — append mode allows no
+    stream-side aggregation or window, so:
+
+    - **cell assignment is a pure map-side expression**: the K-row
+      centroid dim is collected to the driver (the config-table
+      precedent — ``plans/sources_registry`` config-driven series) and
+      unrolled into an ``array_max`` over per-centroid cosine structs,
+      bit-identical to batch ``ivf_assign``'s (cos DESC, centroid_id
+      ASC) argmax because dot/norm literals fold in the same index
+      order. The expression is K·dim literals — fine for the coarse
+      quantizers a stream gate wants (tens to a few hundred cells);
+      for K beyond that, gate inside ``foreachBatch`` with the batch
+      ``ivf_assign`` instead.
+    - **the dup verdict is a stream-static LEFT SEMI / LEFT ANTI join
+      pair** on the cell key (plus the cosine predicate), unioned —
+      "exists a qualifying neighbor" without a stream-side groupBy.
+      The static side is re-planned every micro-batch, so corpus
+      appends/compaction are picked up, as with the exact gate.
+
+    ``corpus_cells`` is the cell-assigned retained corpus
+    ``(id, embedding, centroid_id)`` — the artifact batch ``ivf_assign``
+    maintains at ingest; at scale it is bucketed on ``centroid_id`` so
+    the per-batch join prunes to touched cells. ``cell_probe_cap`` is
+    the hot-cell guard for the STATIC side (the stream twin of batch
+    ``cell_cap``): keep only a deterministic ``uniform_from_key``-
+    ordered sample of each cell as probe targets, bounding per-row join
+    work at the documented miss trade; production materializes the
+    capped probe table once at ingest rather than re-deriving it per
+    batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.sampling import uniform_from_key
+    from homelogging_spark.operators.similarity import dot_product, norm
+
+    cents = centroids.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("c_nrm")
+    ).collect()
+    if not cents:
+        raise ValueError("centroids frame is empty")
+
+    v_nrm = F.col("_v_nrm")
+    scored = [
+        F.struct(
+            (
+                dot_product(
+                    F.col(emb_col),
+                    F.array(*[F.lit(float(x)) for x in r[emb_col]]),
+                )
+                / (v_nrm * F.lit(float(r["c_nrm"])))
+            ).alias("cos"),
+            F.lit(-int(r[id_col])).cast("long").alias("neg_id"),
+        )
+        for r in cents
+    ]
+    assigned = (
+        stream.withColumn("_v_nrm", norm(F.col(emb_col)))
+        .withColumn("_best", F.array_max(F.array(*scored)))
+        .withColumn("centroid_id", (-F.col("_best.neg_id")).cast("long"))
+        .drop("_best")
+    )
+
+    probe = corpus_cells.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(emb_col).alias("_b_emb"),
+        norm(F.col(emb_col)).alias("_b_nrm"),
+        F.col("centroid_id").alias("_b_cell"),
+    )
+    if cell_probe_cap is not None:
+        if cell_probe_cap < 1:
+            raise ValueError(f"cell_probe_cap must be >= 1, got {cell_probe_cap}")
+        w = Window.partitionBy("_b_cell").orderBy(
+            uniform_from_key(F.col("_b_id"), "semdedup-probe-v1"), F.col("_b_id")
+        )
+        probe = (
+            probe.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cell_probe_cap)
+            .drop("_rn")
+        )
+
+    cond = (F.col("centroid_id") == F.col("_b_cell")) & (
+        dot_product(F.col(emb_col), F.col("_b_emb"))
+        / (F.col("_v_nrm") * F.col("_b_nrm"))
+        >= F.lit(float(threshold))
+    )
+    out_cols = [id_col, emb_col, "centroid_id"]
+    dups = (
+        assigned.join(probe, cond, "left_semi")
+        .select(*out_cols)
+        .withColumn("semantic_dup", F.lit(True))
+    )
+    keeps = (
+        assigned.join(probe, cond, "left_anti")
+        .select(*out_cols)
+        .withColumn("semantic_dup", F.lit(False))
+    )
+    return dups.unionByName(keeps).withColumn("keep", ~F.col("semantic_dup"))
+
+
 def start_kmv_rollup_stream(
     stream: DataFrame,
     key_col: str,

@@ -350,6 +350,131 @@ class TestStreamingSnapshotDedup:
         assert batch == {k: v.exact_dup for k, v in got.items()}
 
 
+class TestStreamingSemanticDedup:
+    CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])]
+    CORPUS = [(1, [0.9, 0.1, 0.0, 0.0]), (2, [1.0, 0.05, 0.0, 0.0]),
+              (3, [0.1, 1.0, 0.0, 0.0])]
+    NEW = [
+        {"vec_id": 10, "embedding": [1.8, 0.2, 0.0, 0.0]},   # 2x corpus 1 -> dup
+        {"vec_id": 11, "embedding": [0.0, 0.0, 1.0, 0.05]},  # empty cell -> keep
+        {"vec_id": 12, "embedding": [0.05, 0.9, 0.1, 0.0]},  # near corpus 3
+        {"vec_id": 13, "embedding": [0.7, 0.7, 0.1, 0.0]},   # boundary case
+    ]
+    DDL = "vec_id long, embedding array<double>"
+
+    def _frames(self, spark):
+        cents = spark.createDataFrame(self.CENTS, self.DDL)
+        corpus = spark.createDataFrame(self.CORPUS, self.DDL)
+        from homelogging_spark.operators.similarity import ivf_assign
+
+        corpus_cells = ivf_assign(corpus, cents, 1).select(
+            "vec_id", "embedding", "centroid_id"
+        )
+        return cents, corpus, corpus_cells
+
+    def _batch_reference(self, spark, probe, thr=0.9):
+        """Exists-a-qualifying-retained-neighbor verdict via the BATCH
+        operators — what each streamed row's flag must equal."""
+        from homelogging_spark.operators.similarity import cosine, ivf_assign
+
+        cents, _, _ = self._frames(spark)
+        new_df = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in self.NEW], self.DDL
+        )
+        new_cells = ivf_assign(new_df, cents, 1).select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("centroid_id").alias("cell"),
+        )
+        hits = new_cells.join(
+            probe.select(
+                F.col("embedding").alias("b_emb"),
+                F.col("centroid_id").alias("cell"),
+            ),
+            "cell",
+        ).where(cosine(F.col("n_emb"), F.col("b_emb")) >= thr)
+        dup_ids = {r.n_id for r in hits.select("n_id").distinct().collect()}
+        cells = {r.n_id: r.cell for r in new_cells.collect()}
+        return dup_ids, cells
+
+    def _drain(self, spark, tmp_path, cap=None):
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import streaming_semantic_dedup
+
+        cents, _, corpus_cells = self._frames(spark)
+        sub = f"cap{cap or 0}"
+        src = tmp_path / f"landing_{sub}"
+        src.mkdir()
+        for i, r in enumerate(self.NEW):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(self.DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        out_dir = tmp_path / f"out_{sub}"
+        q = (
+            streaming_semantic_dedup(
+                stream, corpus_cells, cents, threshold=0.9, cell_probe_cap=cap
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sub}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.vec_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+
+    def test_drain_equals_batch_reference(self, spark, tmp_path):
+        """Draining the stream-static gate must flag exactly the rows
+        with a qualifying retained neighbor per the batch operators, and
+        the map-side literal-unrolled cell assignment must equal batch
+        ``ivf_assign``'s argmax row for row."""
+        _, _, corpus_cells = self._frames(spark)
+        got = self._drain(spark, tmp_path)
+        dup_ids, cells = self._batch_reference(spark, corpus_cells)
+        assert set(got) == {10, 11, 12, 13}
+        for vid, row in got.items():
+            assert row.semantic_dup is (vid in dup_ids), vid
+            assert row.keep is (vid not in dup_ids), vid
+            assert row.centroid_id == cells[vid], vid
+        # the hard-pinned anchors: a scaled copy IS a dup (cosine exact
+        # under scaling), an empty-cell vector IS a keep
+        assert got[10].semantic_dup is True
+        assert got[11].keep is True
+
+    def test_cell_probe_cap_matches_capped_reference(self, spark, tmp_path):
+        """With ``cell_probe_cap=1`` the verdicts must equal the batch
+        reference computed on the SAME deterministically-capped probe
+        set — and the cap must actually drop probe rows (cell 0 holds
+        two corpus vectors)."""
+        from pyspark.sql import Window
+
+        from homelogging_spark.operators.sampling import uniform_from_key
+
+        _, _, corpus_cells = self._frames(spark)
+        w = Window.partitionBy("centroid_id").orderBy(
+            uniform_from_key(F.col("vec_id"), "semdedup-probe-v1"),
+            F.col("vec_id"),
+        )
+        capped = (
+            corpus_cells.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 1)
+            .drop("_rn")
+        )
+        assert capped.count() < corpus_cells.count()
+        got = self._drain(spark, tmp_path, cap=1)
+        dup_ids, _ = self._batch_reference(spark, capped)
+        assert {v for v, r in got.items() if r.semantic_dup} == dup_ids
+
+
 class TestStreamingBloomDedup:
     def test_bloom_gate_output_identical_and_gate_effective(self, spark, tmp_path):
         """streaming_bloom_dedup must emit bit-identical exact_dup/keep
