@@ -347,6 +347,104 @@ def start_kmv_rollup_stream(
     return writer.start()
 
 
+def incremental_dedup_batch_writer(
+    old_df: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body of ``start_incremental_dedup_stream``,
+    exposed so replay idempotency is directly testable: calling it twice
+    with the same ``batch_id`` must leave the sink unchanged."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.functions.cachelife import release_caches
+    from homelogging_spark.operators.dedup import incremental_dedup
+    from homelogging_spark.operators.ingest import _dynamic_partition_overwrite
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = incremental_dedup(
+            batch,
+            old_df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            threshold=threshold,
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        with _dynamic_partition_overwrite(batch.sparkSession):
+            out.write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
+        release_caches()  # the per-batch shingle-base persists
+
+    return write_batch
+
+
+def start_incremental_dedup_stream(
+    stream: DataFrame,
+    old_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.7,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup gate against the retained corpus — the MinHash
+    complement of ``streaming_snapshot_dedup``'s exact hash check,
+    completing the hygiene gate set (exact / Bloom-pre-gated exact /
+    semantic / banded-LSH near).
+
+    Why ``foreachBatch`` and not a transformation: the banded verdict is
+    existential PER DOC over its band-bucket matches (a doc is a
+    near-dup when ANY of its bands collides with an old doc's band AND
+    the hashed-shingle Jaccard verifies) — after the mandatory band
+    explode that is a stream-side groupBy, which append mode forbids;
+    and a semi-join formulation would need an array-contains join
+    condition that degrades the banded equi-join to a nested-loop scan
+    of the corpus band table. ``foreachBatch`` gives each micro-batch
+    full batch semantics, so the certified ``dedup.incremental_dedup``
+    runs unchanged (old-vs-old pairs never form), and the drained sink
+    equals the batch operator over all streamed docs exactly — the
+    verdict for a doc depends only on (doc, retained corpus), never on
+    batch boundaries.
+
+    Exactly-once: the sink is partitioned by ``batch_id`` and written
+    with dynamic partition overwrite, so an at-least-once foreachBatch
+    replay after a crash rewrites its own partition with identical rows
+    instead of appending duplicates (pinned by calling the writer twice
+    in ``TestStreamingIncrementalDedup``).
+
+    Scale note (same contract as the batch operator): ``old_df`` is
+    re-planned every micro-batch, so pass the retained corpus's
+    maintained tables — at production scale the digest + signature
+    frames ingest materializes — rather than re-deriving text-side
+    shingles per batch; appends/compaction of the retained corpus are
+    then picked up automatically between batches."""
+    writer = stream.writeStream.foreachBatch(
+        incremental_dedup_batch_writer(
+            old_df,
+            out_path,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            threshold=threshold,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_bloom_dedup(
     stream: DataFrame,
     old_digests: DataFrame,

@@ -475,6 +475,97 @@ class TestStreamingSemanticDedup:
         assert {v for v, r in got.items() if r.semantic_dup} == dup_ids
 
 
+class TestStreamingIncrementalDedup:
+    OLD = [(1, "the quick brown fox jumps over the lazy dog"),
+           (2, "pack my box with five dozen liquor jugs")]
+    NEW = [
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 12, "text": "completely different content about spark streaming pipelines"},
+        {"doc_id": 13, "text": "pack my box with five dozen liquor jugs today"},
+    ]
+
+    def _row_key(self, r):
+        return (r.exact_dup, r.near_dup, r.dup_of, r.best_jaccard, r.keep)
+
+    def test_drain_equals_batch_near_gate(self, spark, tmp_path):
+        """Draining the foreachBatch near-dup gate must write exactly the
+        batch incremental_dedup verdicts for every streamed doc — batch
+        boundaries can never change a verdict (it depends only on the
+        doc and the retained corpus)."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            start_incremental_dedup_stream,
+        )
+
+        old = spark.createDataFrame(self.OLD, "doc_id long, text string")
+        src = tmp_path / "landing"
+        src.mkdir()
+        for i, r in enumerate(self.NEW):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = start_incremental_dedup_stream(
+            stream, old, str(out_dir), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        got = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+        assert set(got) == {10, 11, 12, 13}
+        # multiple batches actually ran (2 files per trigger, 4 files)
+        assert len({r.batch_id for r in got.values()}) == 2
+
+        from homelogging_spark.operators import dedup
+
+        new_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in self.NEW], "doc_id long, text string"
+        )
+        batch = {r.doc_id: r for r in dedup.incremental_dedup(new_df, old).collect()}
+        assert {k: self._row_key(v) for k, v in got.items()} == {
+            k: self._row_key(v) for k, v in batch.items()
+        }
+        # anchors: verbatim copy -> exact dup; one-word change -> near
+        # dup of old 1; novel doc -> keep
+        assert got[10].exact_dup is True and got[10].keep is False
+        assert got[11].near_dup is True and got[11].dup_of == 1
+        assert got[12].keep is True
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        """At-least-once foreachBatch delivery: re-running a batch with
+        the same batch_id must rewrite its partition identically, never
+        append duplicates."""
+        from homelogging_spark.streaming.pipeline import (
+            incremental_dedup_batch_writer,
+        )
+
+        old = spark.createDataFrame(self.OLD, "doc_id long, text string")
+        new_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in self.NEW], "doc_id long, text string"
+        )
+        out_dir = str(tmp_path / "out")
+        writer = incremental_dedup_batch_writer(old, out_dir)
+        writer(new_df, 7)
+        once = sorted(
+            (r.doc_id, self._row_key(r), r.batch_id)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        writer(new_df, 7)
+        twice = sorted(
+            (r.doc_id, self._row_key(r), r.batch_id)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        assert once == twice and len(once) == len(self.NEW)
+
+
 class TestStreamingBloomDedup:
     def test_bloom_gate_output_identical_and_gate_effective(self, spark, tmp_path):
         """streaming_bloom_dedup must emit bit-identical exact_dup/keep
