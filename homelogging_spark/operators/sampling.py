@@ -60,6 +60,47 @@ def stratified_hash_sample(
     return df.withColumn("u", u).where(F.col("u") < rate)
 
 
+def split_assign(key: Column, fractions: dict[str, float], salt: str = "split") -> Column:
+    """Deterministic train/val/test(/...) split assignment: the key's
+    hash-uniform lands in cumulative fraction bands, in the dict's
+    insertion order. A pure column expression — no shuffle, no RNG
+    state, stable under re-runs, repartitioning, and corpus growth
+    (a key's split never changes when other rows arrive, the property
+    ``random_split`` cannot give).
+
+    The LEAKAGE-SAFE usage is to key by the near-dup CLUSTER id
+    (``clustering.assign_dedup_clusters``), not the doc id: every
+    member of a duplicate cluster shares the cluster key, so a
+    near-duplicate of a training doc can never land in the eval split —
+    the train/test contamination path ``textops.contamination_scan``
+    audits, closed off at split time."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least 2 splits")
+    u = uniform_from_key(key, salt)
+    names = list(fractions)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(names[-1])
+
+
+def split_assign_sql(key: str, fractions: dict[str, float], salt: str = "split") -> str:
+    """The same cumulative-band CASE as ANSI SQL (mirrors uniform_sql)."""
+    u = uniform_sql(key, salt)
+    names = list(fractions)
+    parts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
 def group_topk_sample(
     df: DataFrame,
     group_col: str,

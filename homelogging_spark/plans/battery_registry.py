@@ -149,12 +149,68 @@ FROM daily
 """
 
 
+def q_battery_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 full simulation trace + W4 day-boundary report on ONE
+    normalized panel — the r10 window consolidation funding the
+    ``leakage_split`` registration. Every output column of the former
+    ``battery_sim`` and ``battery_daily_cycles`` driver queries appears
+    verbatim (trace leg: per-minute power/soc/charged/discharged/cycles;
+    daily leg: cycles_delta keyed by day), so this one row set certifies
+    both the nonlinear SoC fold (``ZeroExport.cs:35-48``) and its
+    day-boundary emission at full per-row fidelity. The memoized
+    ``_shared_sim`` frame means the applyInPandas fold still runs
+    once for both legs."""
+    nd = F.lit(None).cast("double")
+    trace = q_battery_sim(spark, sf_dir).select(
+        F.lit("trace").alias("panel"),
+        "user_id",
+        F.col("bucket").alias("ts"),
+        F.lit(None).cast("date").alias("day"),
+        F.col("power").alias("v1"),
+        F.col("soc").alias("v2"),
+        F.col("total_charged").alias("v3"),
+        F.col("total_discharged").alias("v4"),
+        F.col("cycles").alias("v5"),
+    )
+    daily = q_battery_daily_cycles(spark, sf_dir).select(
+        F.lit("daily").alias("panel"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        "day",
+        F.col("cycles_delta").alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+        nd.alias("v5"),
+    )
+    return trace.unionByName(daily)
+
+
+ORACLE_BATTERY_PANEL = f"""
+WITH RECURSIVE {_sim_cte()},
+daily AS (
+  SELECT user_id, CAST(bucket AS DATE) AS day, max({_CYCLES}) AS eod_cycles
+  FROM sim GROUP BY 1, 2
+)
+SELECT 'trace' AS panel, user_id, bucket AS ts, CAST(NULL AS DATE) AS day,
+       power AS v1,
+       {quantize_sql('soc')} AS v2,
+       {quantize_sql('total_charged')} AS v3,
+       {quantize_sql('total_discharged')} AS v4,
+       {quantize_sql(_CYCLES)} AS v5
+FROM sim
+UNION ALL
+SELECT 'daily', user_id, CAST(NULL AS TIMESTAMP), day,
+       {quantize_sql('eod_cycles - COALESCE(lag(eod_cycles) OVER (PARTITION BY user_id ORDER BY day), 0.0)')},
+       NULL, NULL, NULL, NULL
+FROM daily
+"""
+
+
 BATTERY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "battery_sim": q_battery_sim,
-    "battery_daily_cycles": q_battery_daily_cycles,
+    "battery_panel": q_battery_panel,
 }
 
 BATTERY_ORACLES: dict[str, str] = {
-    "battery_sim": ORACLE_BATTERY_SIM,
-    "battery_daily_cycles": ORACLE_BATTERY_DAILY_CYCLES,
+    "battery_panel": ORACLE_BATTERY_PANEL,
 }

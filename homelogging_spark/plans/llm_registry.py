@@ -693,6 +693,51 @@ FROM r
 """
 
 
+# Leakage-safe split fractions: dict ORDER is the cumulative band order
+# on both engines (split_assign / split_assign_sql share the accumulated
+# float literals bit-for-bit).
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (r10): every doc is split
+    by the hash-uniform of its near-dup CLUSTER id — not its own id — so
+    a near-duplicate of a training document can never land in an eval
+    split (the contamination path ``contamination_scan`` audits, closed
+    off at split time; cf. the dedup-before-split practice of Lee et al.
+    2022 §6). Reuses the memoized ``_shared_clusters`` assignment; the
+    split itself is a pure map-side expression over the cluster key
+    (``sampling.split_assign``), so the only distributed work is the
+    cluster assignment the dedup pipeline already maintains. Singleton
+    docs split by their own id (cluster_id == doc_id)."""
+    from homelogging_spark.operators import sampling
+
+    clusters = _shared_clusters(spark, sf_dir)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        sampling.split_assign(
+            F.col("cluster_id"), _SPLIT_FRACTIONS, salt="split-v1"
+        ).alias("split"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from homelogging_spark.operators.sampling import split_assign_sql
+
+    return f"""
+WITH RECURSIVE {_dedup_cluster_ctes()}
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       {split_assign_sql('cluster_id', _SPLIT_FRACTIONS, 'split-v1')} AS split
+FROM asg
+"""
+
+
+ORACLE_LEAKAGE_SPLIT = _leakage_split_oracle()
+
+
 _BUILD_QUALITY_MIN = 0.3
 _BUILD_BUDGET = 6000.0
 
@@ -1725,6 +1770,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_clusters": q_dedup_clusters,
+    "leakage_split": q_leakage_split,
     "corpus_build_pipeline": q_corpus_build_pipeline,
     "embedding_topk": q_embedding_topk,
     "ann_topk": q_ann_topk,
@@ -1758,6 +1804,7 @@ LLM_ORACLES: dict[str, str] = {
     "minhash_near_dup": ORACLE_MINHASH_NEAR_DUP,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "leakage_split": ORACLE_LEAKAGE_SPLIT,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_topk": ORACLE_ANN_TOPK,

@@ -2520,6 +2520,7 @@ MERGED_FROM: dict[str, list[str]] = {
     "hash_sample_panel": ["stratified_sample", "weighted_sample"],
     "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
     "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
+    "battery_panel": ["battery_sim", "battery_daily_cycles"],
 }
 
 

@@ -191,6 +191,90 @@ class TestWeightedSampling:
         assert sorted(r.doc_id for r in again.collect()) == list(range(50))
 
 
+class TestSplitAssign:
+    FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_cluster_coherent_and_deterministic(self, spark):
+        """Keying by cluster_id must give every cluster member the same
+        split (the leakage-safety property), independent of partitioning
+        and of which other rows exist."""
+        from homelogging_spark.operators.sampling import split_assign
+
+        rows = [(i, i % 40) for i in range(400)]  # 40 clusters of 10
+        df = spark.createDataFrame(rows, "doc_id bigint, cluster_id bigint")
+        out = df.withColumn(
+            "split", split_assign(F.col("cluster_id"), self.FRACS)
+        )
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("n"))
+            .collect()
+        )
+        assert all(r.n == 1 for r in per_cluster)
+        # subset + repartition invariance: each key's split is a pure
+        # function of (key, salt)
+        sub = df.where(F.col("doc_id") % 3 == 0).repartition(7)
+        again = {
+            r.cluster_id: r.split
+            for r in sub.withColumn(
+                "split", split_assign(F.col("cluster_id"), self.FRACS)
+            ).select("cluster_id", "split").distinct().collect()
+        }
+        full = {r.cluster_id: r.split for r in out.select("cluster_id", "split").distinct().collect()}
+        assert all(full[k] == v for k, v in again.items())
+
+    def test_fractions_approximate_and_all_present(self, spark):
+        from homelogging_spark.operators.sampling import split_assign
+
+        df = spark.range(5000).select(F.col("id").alias("k"))
+        got = {
+            r.split: r.n
+            for r in df.withColumn("split", split_assign(F.col("k"), self.FRACS))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(got) == {"train", "val", "test"}
+        assert abs(got["train"] / 5000 - 0.8) < 0.03
+        assert abs(got["val"] / 5000 - 0.1) < 0.02
+        assert abs(got["test"] / 5000 - 0.1) < 0.02
+
+    def test_validation(self, spark):
+        from homelogging_spark.operators.sampling import split_assign
+
+        with pytest.raises(ValueError, match="sum to 1.0"):
+            split_assign(F.col("k"), {"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="at least 2"):
+            split_assign(F.col("k"), {"a": 1.0})
+
+    def test_sql_twin_matches(self, spark):
+        """split_assign_sql must agree with the Column form row for row.
+        The SQL twin is DuckDB dialect (uniform_sql's hex cast), so the
+        cross-check runs on DuckDB against Spark-computed rows — the
+        same comparison the driver oracle performs, pinned here at unit
+        granularity with raw integer keys."""
+        import duckdb
+
+        from homelogging_spark.operators.sampling import (
+            split_assign,
+            split_assign_sql,
+        )
+
+        df = spark.range(500).select(F.col("id").alias("k"))
+        via_col = {
+            r.k: r.split
+            for r in df.withColumn(
+                "split", split_assign(F.col("k"), self.FRACS)
+            ).collect()
+        }
+        sql = (
+            f"SELECT k, {split_assign_sql('k', self.FRACS)} AS split "
+            "FROM range(500) t(k)"
+        )
+        via_sql = {int(k): s for k, s in duckdb.sql(sql).fetchall()}
+        assert via_col == via_sql
+
+
 class TestContamination:
     def test_known_overlap_flagged(self, spark):
         from homelogging_spark.operators.textops import benchmark_contamination
