@@ -79,6 +79,9 @@ def split_assign(key: Column, fractions: dict[str, float], salt: str = "split") 
         raise ValueError(f"fractions must sum to 1.0, got {total}")
     if len(fractions) < 2:
         raise ValueError("need at least 2 splits")
+    bad = {n: f for n, f in fractions.items() if not f > 0.0}
+    if bad:  # a zero/negative band silently empties a split — reject
+        raise ValueError(f"fractions must be > 0, got {bad}")
     u = uniform_from_key(key, salt)
     names = list(fractions)
     expr = None
@@ -92,6 +95,14 @@ def split_assign(key: Column, fractions: dict[str, float], salt: str = "split") 
 
 def split_assign_sql(key: str, fractions: dict[str, float], salt: str = "split") -> str:
     """The same cumulative-band CASE as ANSI SQL (mirrors uniform_sql)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least 2 splits")
+    bad = {n: f for n, f in fractions.items() if not f > 0.0}
+    if bad:
+        raise ValueError(f"fractions must be > 0, got {bad}")
     u = uniform_sql(key, salt)
     names = list(fractions)
     parts, acc = [], 0.0

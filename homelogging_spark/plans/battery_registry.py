@@ -127,26 +127,8 @@ sim AS (
 
 _CYCLES = f"((total_charged + total_discharged) / 2.0 / {CAPACITY!r})"
 
-ORACLE_BATTERY_SIM = f"""
-WITH RECURSIVE {_sim_cte()}
-SELECT user_id, bucket, power,
-       {quantize_sql('soc')} AS soc,
-       {quantize_sql('total_charged')} AS total_charged,
-       {quantize_sql('total_discharged')} AS total_discharged,
-       {quantize_sql(_CYCLES)} AS cycles
-FROM sim
-"""
-
-ORACLE_BATTERY_DAILY_CYCLES = f"""
-WITH RECURSIVE {_sim_cte()},
-daily AS (
-  SELECT user_id, CAST(bucket AS DATE) AS day, max({_CYCLES}) AS eod_cycles
-  FROM sim GROUP BY 1, 2
-)
-SELECT user_id, day,
-       {quantize_sql('eod_cycles - COALESCE(lag(eod_cycles) OVER (PARTITION BY user_id ORDER BY day), 0.0)')} AS cycles_delta
-FROM daily
-"""
+# (The retired per-query oracles were folded verbatim into
+# ORACLE_BATTERY_PANEL below — one live copy, no drift surface.)
 
 
 def q_battery_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

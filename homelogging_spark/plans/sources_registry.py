@@ -426,34 +426,8 @@ def q_flow_temp_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_FLOW_TEMP_DECISION = f"""
-WITH e AS ({_INTS_SQL}),
-s AS (
-  SELECT event_id,
-         24.0 + CAST(user_id % 4 AS DOUBLE) AS current_min,
-         20.0 + CAST(iv % 15 AS DOUBLE) AS actual_flow,
-         CAST(mv % 32 AS DOUBLE) AS desired_flow,
-         CAST(user_id % 25 AS DOUBLE) AS speed
-  FROM e
-), d AS (
-  SELECT *,
-         CASE WHEN current_min < 24.0 THEN 24.0
-              WHEN desired_flow < 1 AND current_min > 24.0 THEN 24.0
-              WHEN speed < 10.0 AND actual_flow < 30.0
-                   AND actual_flow >= desired_flow AND desired_flow >= 1
-                THEN desired_flow + 0.5
-              WHEN speed > 15.0 AND actual_flow > 24.0
-                   AND actual_flow <= desired_flow AND desired_flow <= current_min
-                THEN current_min - 0.5
-         END AS proposal
-  FROM s
-)
-SELECT event_id, current_min, actual_flow, desired_flow, speed,
-       CASE WHEN proposal >= 24.0 AND proposal <= 30.0
-                 AND abs(proposal - current_min) >= 0.4
-            THEN {quantize_sql('proposal')} END AS new_min
-FROM d
-"""
+# (The retired single-controller oracles were folded verbatim into
+# ORACLE_CONTROLLER_PANEL below — one live copy, no drift surface.)
 
 
 # --- ST7: PV bang-bang with hysteresis ---------------------------------------
@@ -472,16 +446,6 @@ def q_pv_mode_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize("median_power").alias("median_power"),
         pv_mode_decision(F.col("median_power"), F.col("prev_mode")).alias("pv_mode"),
     )
-
-
-ORACLE_PV_MODE_DECISION = f"""
-SELECT event_id,
-       {quantize_sql('(value * 20.0 - 1000.0)')} AS median_power,
-       CASE WHEN (value * 20.0 - 1000.0) < -300.0 THEN 1.0
-            WHEN (value * 20.0 - 1000.0) > 30.0 THEN 0.0
-            ELSE CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END END AS pv_mode
-FROM events
-"""
 
 
 # --- ST5 + ST7: controller decision panel (r10 window consolidation) ---------

@@ -182,13 +182,15 @@ def streaming_semantic_dedup(
     the hot-cell guard for the STATIC side (the stream twin of batch
     ``cell_cap``): keep only a deterministic ``uniform_from_key``-
     ordered sample of each cell as probe targets, bounding per-row join
-    work at the documented miss trade; production materializes the
-    capped probe table once at ingest rather than re-deriving it per
-    batch."""
-    from pyspark.sql import Window
+    work at the documented miss trade. NOTE the static side is planned
+    TWICE per trigger (once under the semi join, once under the anti) on
+    top of the per-batch re-plan — with the cap that doubles a window
+    over the whole corpus table, so production materializes the capped
+    probe table once at ingest and passes it here rather than paying the
+    re-derivation 2x per batch."""
     from pyspark.sql import functions as F
 
-    from homelogging_spark.operators.sampling import uniform_from_key
+    from homelogging_spark.operators.sampling import group_topk_sample
     from homelogging_spark.operators.similarity import dot_product, norm
 
     cents = centroids.select(
@@ -227,14 +229,11 @@ def streaming_semantic_dedup(
     if cell_probe_cap is not None:
         if cell_probe_cap < 1:
             raise ValueError(f"cell_probe_cap must be >= 1, got {cell_probe_cap}")
-        w = Window.partitionBy("_b_cell").orderBy(
-            uniform_from_key(F.col("_b_id"), "semdedup-probe-v1"), F.col("_b_id")
-        )
-        probe = (
-            probe.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= cell_probe_cap)
-            .drop("_rn")
-        )
+        # the deterministic per-cell top-k IS sampling.group_topk_sample
+        # — same uniform_from_key order, same id tiebreak
+        probe = group_topk_sample(
+            probe, "_b_cell", "_b_id", cell_probe_cap, salt="semdedup-probe-v1"
+        ).drop("u", "rank")
 
     cond = (F.col("centroid_id") == F.col("_b_cell")) & (
         dot_product(F.col(emb_col), F.col("_b_emb"))
@@ -362,24 +361,34 @@ def incremental_dedup_batch_writer(
     with the same ``batch_id`` must leave the sink unchanged."""
     from pyspark.sql import functions as F
 
-    from homelogging_spark.functions.cachelife import release_caches
+    from homelogging_spark.functions.cachelife import cache_scope
     from homelogging_spark.operators.dedup import incremental_dedup
-    from homelogging_spark.operators.ingest import _dynamic_partition_overwrite
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        out = incremental_dedup(
-            batch,
-            old_df,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            n_hashes=n_hashes,
-            n_bands=n_bands,
-            threshold=threshold,
-        ).withColumn("batch_id", F.lit(int(batch_id)))
-        with _dynamic_partition_overwrite(batch.sparkSession):
-            out.write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
-        release_caches()  # the per-batch shingle-base persists
+        # cache_scope (not release_caches): foreachBatch runs on a
+        # stream execution thread, and the global release would
+        # unpersist a CONCURRENT job's tracked frames mid-computation.
+        with cache_scope():
+            out = incremental_dedup(
+                batch,
+                old_df,
+                id_col=id_col,
+                text_col=text_col,
+                shingle_n=shingle_n,
+                n_hashes=n_hashes,
+                n_bands=n_bands,
+                threshold=threshold,
+            ).withColumn("batch_id", F.lit(int(batch_id)))
+            # per-WRITE dynamic overwrite (not the session conf — a
+            # scoped session-conf toggle can race a concurrent writer
+            # in the same session back to static mode, turning the
+            # partition rewrite into a full-sink wipe)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
 
     return write_batch
 

@@ -455,20 +455,12 @@ class TestStreamingSemanticDedup:
         reference computed on the SAME deterministically-capped probe
         set — and the cap must actually drop probe rows (cell 0 holds
         two corpus vectors)."""
-        from pyspark.sql import Window
-
-        from homelogging_spark.operators.sampling import uniform_from_key
+        from homelogging_spark.operators.sampling import group_topk_sample
 
         _, _, corpus_cells = self._frames(spark)
-        w = Window.partitionBy("centroid_id").orderBy(
-            uniform_from_key(F.col("vec_id"), "semdedup-probe-v1"),
-            F.col("vec_id"),
-        )
-        capped = (
-            corpus_cells.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= 1)
-            .drop("_rn")
-        )
+        capped = group_topk_sample(
+            corpus_cells, "centroid_id", "vec_id", 1, salt="semdedup-probe-v1"
+        ).drop("u", "rank")
         assert capped.count() < corpus_cells.count()
         got = self._drain(spark, tmp_path, cap=1)
         dup_ids, _ = self._batch_reference(spark, capped)

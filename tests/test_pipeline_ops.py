@@ -246,6 +246,10 @@ class TestSplitAssign:
             split_assign(F.col("k"), {"a": 0.5, "b": 0.4})
         with pytest.raises(ValueError, match="at least 2"):
             split_assign(F.col("k"), {"a": 1.0})
+        with pytest.raises(ValueError, match="must be > 0"):
+            split_assign(F.col("k"), {"a": 0.8, "b": -0.1, "c": 0.3})
+        with pytest.raises(ValueError, match="must be > 0"):
+            split_assign(F.col("k"), {"a": 0.9, "b": 0.0, "c": 0.1})
 
     def test_sql_twin_matches(self, spark):
         """split_assign_sql must agree with the Column form row for row.
