@@ -122,8 +122,12 @@ def snapshot_cdc_diff(
     the merge audit for the reference's mutable-document upserts (K2,
     ``Kasa/KasaLogger.cs:44,73``) seen from the outside: full outer join
     on the key, each row classified added / removed / changed /
-    unchanged by null-ness and value comparison of ``old_val``/
-    ``new_val``.
+    unchanged. Presence is decided by literal marker columns stamped on
+    each side BEFORE the join — never by value-column null-ness — so a
+    key present in both snapshots with a legitimately NULL value is
+    still 'unchanged' (NULL→NULL) or 'changed' (NULL→x), not
+    misreported as added/removed. The value comparison itself is
+    null-safe (``eqNullSafe``).
 
     Scale: ONE co-keyed shuffle join — and when both snapshots are
     bucketed on ``key_col`` at write time (the recurring-CDC layout; a
@@ -131,11 +135,13 @@ def snapshot_cdc_diff(
     amortizes), the full outer SortMergeJoin runs with ZERO Exchange:
     plan-pinned by ``TestBucketedSnapshotDiff`` on this exact function.
     """
-    j = old.join(new, key_col, "full_outer")
+    j = old.withColumn("__in_old", F.lit(1)).join(
+        new.withColumn("__in_new", F.lit(1)), key_col, "full_outer"
+    )
     change = (
-        F.when(F.col(old_val).isNull(), F.lit("added"))
-        .when(F.col(new_val).isNull(), F.lit("removed"))
-        .when(F.col(old_val) != F.col(new_val), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col(old_val).eqNullSafe(F.col(new_val)), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(key_col, old_val, new_val, change.alias("change_type"))

@@ -73,7 +73,28 @@ def split_assign(key: Column, fractions: dict[str, float], salt: str = "split") 
     member of a duplicate cluster shares the cluster key, so a
     near-duplicate of a training doc can never land in the eval split —
     the train/test contamination path ``textops.contamination_scan``
-    audits, closed off at split time."""
+    audits, closed off at split time.
+
+    A NULL key yields NULL (not a silent bucket): without the explicit
+    leading branch, a NULL uniform makes every band predicate NULL, so
+    all NULL-key rows would fall through ``otherwise`` into the LAST
+    split — concentrating exactly the rows with missing cluster ids in
+    the eval split, the skew/leakage hazard this operator exists to
+    prevent. Callers must either guarantee a non-null key or filter /
+    quarantine the NULL-split rows explicitly."""
+    _validate_fractions(fractions)
+    u = uniform_from_key(key, salt)
+    names = list(fractions)
+    expr = F.when(key.isNull(), F.lit(None).cast("string"))
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        expr = expr.when(u < F.lit(acc), name)
+    return expr.otherwise(names[-1])
+
+
+def _validate_fractions(fractions: dict[str, float]) -> None:
+    """Shared validation for :func:`split_assign` / :func:`split_assign_sql`."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
@@ -82,34 +103,27 @@ def split_assign(key: Column, fractions: dict[str, float], salt: str = "split") 
     bad = {n: f for n, f in fractions.items() if not f > 0.0}
     if bad:  # a zero/negative band silently empties a split — reject
         raise ValueError(f"fractions must be > 0, got {bad}")
-    u = uniform_from_key(key, salt)
-    names = list(fractions)
-    expr = None
-    acc = 0.0
-    for name in names[:-1]:
-        acc += fractions[name]
-        cond = u < F.lit(acc)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return expr.otherwise(names[-1])
+
+
+def _sql_str_literal(name: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    a split name like ``test's`` must not break (or inject into) the
+    generated CASE expression."""
+    return "'" + name.replace("'", "''") + "'"
 
 
 def split_assign_sql(key: str, fractions: dict[str, float], salt: str = "split") -> str:
-    """The same cumulative-band CASE as ANSI SQL (mirrors uniform_sql)."""
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1.0, got {total}")
-    if len(fractions) < 2:
-        raise ValueError("need at least 2 splits")
-    bad = {n: f for n, f in fractions.items() if not f > 0.0}
-    if bad:
-        raise ValueError(f"fractions must be > 0, got {bad}")
+    """The same cumulative-band CASE as ANSI SQL (mirrors uniform_sql,
+    including the NULL-key → NULL branch and quote-escaped names)."""
+    _validate_fractions(fractions)
     u = uniform_sql(key, salt)
     names = list(fractions)
-    parts, acc = [], 0.0
+    parts = [f"WHEN ({key}) IS NULL THEN CAST(NULL AS VARCHAR)"]
+    acc = 0.0
     for name in names[:-1]:
         acc += fractions[name]
-        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        parts.append(f"WHEN {u} < {acc!r} THEN {_sql_str_literal(name)}")
+    return "CASE " + " ".join(parts) + f" ELSE {_sql_str_literal(names[-1])} END"
 
 
 def group_topk_sample(

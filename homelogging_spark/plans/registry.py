@@ -2195,9 +2195,9 @@ WITH old AS (
 SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
        {quantize_sql('old_bal')} AS old_bal,
        {quantize_sql('new_bal')} AS new_bal,
-       CASE WHEN old_bal IS NULL THEN 'added'
-            WHEN new_bal IS NULL THEN 'removed'
-            WHEN old_bal != new_bal THEN 'changed'
+       CASE WHEN old.c_custkey IS NULL THEN 'added'
+            WHEN new.c_custkey IS NULL THEN 'removed'
+            WHEN old_bal IS DISTINCT FROM new_bal THEN 'changed'
             ELSE 'unchanged' END AS change_type
 FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
 """

@@ -435,8 +435,12 @@ def start_incremental_dedup_stream(
     re-planned every micro-batch, so pass the retained corpus's
     maintained tables — at production scale the digest + signature
     frames ingest materializes — rather than re-deriving text-side
-    shingles per batch; appends/compaction of the retained corpus are
-    then picked up automatically between batches."""
+    shingles per batch. Caveat on "re-planned": per-batch re-planning
+    re-resolves CATALOG tables (``spark.table``/Delta), so appends to
+    the retained corpus are picked up between batches only in that
+    form; a path-loaded frame (``spark.read.parquet``) caches its file
+    listing in the plan's InMemoryFileIndex, so files appended after
+    the stream starts are NOT seen until the frame is re-resolved."""
     writer = stream.writeStream.foreachBatch(
         incremental_dedup_batch_writer(
             old_df,

@@ -118,6 +118,30 @@ class TestDimUpserts:
         assert out["m2"].energy_offset == 0.0
         assert out["m3"].vendor_info == "Goodwe"
 
+    def test_snapshot_cdc_diff_null_values_classified_by_presence(self, spark):
+        """Presence comes from per-side marker columns, never from
+        value-column nullness: a key in BOTH snapshots with a NULL value
+        must classify as unchanged (NULL→NULL) or changed (NULL→x /
+        x→NULL), not as added/removed."""
+        from homelogging_spark.operators.ingest import snapshot_cdc_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, 5.0), (4, 7.0)],
+            "k bigint, old_bal double",
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, 9.0), (3, None), (5, 1.0)],
+            "k bigint, new_bal double",
+        )
+        got = {r.k: r.change_type for r in snapshot_cdc_diff(old, new, "k").collect()}
+        assert got == {
+            1: "unchanged",  # NULL → NULL, present both sides
+            2: "changed",    # NULL → 9.0
+            3: "changed",    # 5.0 → NULL
+            4: "removed",
+            5: "added",
+        }
+
     def test_register_series(self, spark):
         from homelogging_spark.functions.values import series_schema_dim
 

@@ -251,6 +251,47 @@ class TestSplitAssign:
         with pytest.raises(ValueError, match="must be > 0"):
             split_assign(F.col("k"), {"a": 0.9, "b": 0.0, "c": 0.1})
 
+    def test_null_key_yields_null_split_both_forms(self, spark):
+        """A NULL key must yield a NULL split, not silently land in the
+        LAST split (NULL uniform → every band predicate NULL → otherwise
+        fires): null cluster_ids concentrating in 'test' is the exact
+        leakage/skew hazard the operator exists to prevent."""
+        import duckdb
+
+        from homelogging_spark.operators.sampling import (
+            split_assign,
+            split_assign_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 7), (2, None), (3, 9)], "doc_id bigint, k bigint"
+        )
+        got = {
+            r.doc_id: r.split
+            for r in df.withColumn(
+                "split", split_assign(F.col("k"), self.FRACS)
+            ).collect()
+        }
+        assert got[2] is None and got[1] is not None and got[3] is not None
+        sql = (
+            f"SELECT k, {split_assign_sql('k', self.FRACS)} AS split "
+            "FROM (VALUES (7), (NULL), (9)) t(k)"
+        )
+        via_sql = dict(duckdb.sql(sql).fetchall())
+        assert via_sql[None] is None and via_sql[7] == got[1] and via_sql[9] == got[3]
+
+    def test_sql_name_escaping(self, spark):
+        """A split name containing a single quote must produce valid SQL
+        (quotes doubled), not broken/injectable text."""
+        import duckdb
+
+        from homelogging_spark.operators.sampling import split_assign_sql
+
+        fr = {"train's": 0.8, "b": 0.1, "it's": 0.1}
+        sql = f"SELECT {split_assign_sql('k', fr)} AS split FROM (VALUES (7)) t(k)"
+        (val,) = duckdb.sql(sql).fetchone()
+        assert val in {"train's", "b", "it's"}
+
     def test_sql_twin_matches(self, spark):
         """split_assign_sql must agree with the Column form row for row.
         The SQL twin is DuckDB dialect (uniform_sql's hex cast), so the
