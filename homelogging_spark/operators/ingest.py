@@ -189,3 +189,59 @@ def register_series(existing: DataFrame, series: str, value_names: Sequence[str]
         [(series, list(value_names))], "series string, value_names array<string>"
     )
     return upsert_meters(existing, update, key="series")
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an observation /
+    change log — the third member of the mutable-dimension family:
+    :func:`upsert_meters` (K2) applies the latest state,
+    :func:`snapshot_cdc_diff` audits one transition, this reconstructs
+    the FULL version history. Consecutive observations of a key whose
+    ``attr_cols`` are all unchanged collapse into one version row with
+    ``[valid_from, valid_to)`` validity; ``valid_to`` is NULL on the
+    open (current) version. Re-observing an old value after a change
+    opens a NEW version (A,A,B,A → 3 versions) — SCD2 semantics, not
+    distinct-values. Attribute comparison is null-safe, so NULL→NULL is
+    "unchanged" and NULL→x is a version boundary.
+
+    Plan shape (pinned by ``TestScd2Plan``): ONE shuffle. The boundary
+    lag, the running version sum, the per-version aggregate, and the
+    ``lead(valid_from)`` close-off all cluster by ``key_cols`` (or a
+    superset), so after the first Exchange on the key every stage is
+    sort-only — HashPartitioning(keys) satisfies the clustered
+    distribution of (keys, version) windows and aggregates. At 100 TB
+    the cost is the one key shuffle plus per-partition sorts; no
+    driver-side state, no global window.
+
+    Pass ``order_tiebreak`` (e.g. a log sequence id) to make ordering
+    deterministic when timestamps can tie.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreak]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.lag(F.col(a)).over(w).eqNullSafe(F.col(a))
+    is_new = F.when(prev_ts.isNull() | changed, 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = df.withColumn("version", F.sum(is_new).over(running).cast("bigint"))
+    grouped = versioned.groupBy(*key_cols, "version").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+        *[F.min(a).alias(a) for a in attr_cols],
+    )
+    w_close = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return grouped.select(
+        *key_cols,
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(w_close).alias("valid_to"),
+        *attr_cols,
+        "n_obs",
+    )

@@ -2203,6 +2203,64 @@ FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
 """
 
 
+# --- SCD2 dimension history ---------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history reconstruction — the
+    third mutable-dimension operator (upsert applies latest state, CDC
+    audits one transition, SCD2 rebuilds the full version timeline).
+    The events stream is read as an observation log of each user's
+    ``event_type`` "state": consecutive identical observations collapse
+    into one version row with [valid_from, valid_to) validity and an
+    open (NULL valid_to) current version.
+
+    Scale: ONE shuffle on the key — the boundary lag, running version
+    sum, per-version aggregate, and lead() close-off all cluster by
+    user_id (or a superset), so every stage after the first Exchange is
+    sort-only; plan-pinned by ``TestScd2Plan``."""
+    from homelogging_spark.operators.ingest import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        order_tiebreak=["event_id"],
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_attr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versioned AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                       OR prev_attr IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS version
+  FROM ordered
+), grouped AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         min(ts) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         min(event_type) AS event_type
+  FROM versioned GROUP BY user_id, version
+)
+SELECT user_id, version, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       event_type, n_obs
+FROM grouped
+"""
+
+
 # --- event funnel -------------------------------------------------------------
 
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,12 +2547,11 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # commit — but same-round re-changes must check.)
     #
     # (r8's four consolidation tags expired when CORRECTNESS_r08 landed
-    # green and were pruned in r10.)
-    #
-    # r10: semantic_dedup now runs with the hot-cell cell_cap guard
-    # active (hash-split pair scoping — emitted rows change wherever a
-    # cell exceeds the cap, which sf0.01 cells do by design).
-    "semantic_dedup": 10,
+    # green and were pruned in r10; r10's semantic_dedup cell_cap tag
+    # expired when CORRECTNESS_r10 landed green and was pruned in r11.
+    # r11's split_assign NULL-routing and snapshot_cdc_diff
+    # presence-marker changes emit IDENTICAL rows on the fixtures —
+    # zero NULL split keys, non-null balances — so no tag is needed.)
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2648,6 +2705,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_profile": q_cube_profile,
     "spec_driven_agg": q_spec_driven_agg,
     "snapshot_diff": q_snapshot_diff,
+    "scd2_history": q_scd2_history,
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
     "grid_resample_locf": q_grid_resample_locf,
@@ -2706,6 +2764,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "cube_profile": ORACLE_CUBE_PROFILE,
     "spec_driven_agg": ORACLE_SPEC_DRIVEN_AGG,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "scd2_history": ORACLE_SCD2_HISTORY,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,
     "grid_resample_locf": ORACLE_GRID_RESAMPLE_LOCF,

@@ -142,6 +142,42 @@ class TestDimUpserts:
             5: "added",
         }
 
+    def test_scd2_history_versions_and_validity(self, spark):
+        """SCD2 semantics: consecutive equal observations collapse,
+        re-observing an old value opens a NEW version (A,A,B,A -> 3
+        versions), valid_to chains to the next version's valid_from and
+        is NULL on the open version; NULL attrs compare null-safely."""
+        from datetime import datetime
+
+        from homelogging_spark.operators.ingest import scd2_history
+
+        t = lambda s: datetime(2024, 1, 1, 0, s)
+        rows = [
+            ("m1", t(0), 1, "A"),
+            ("m1", t(1), 2, "A"),   # unchanged — collapses
+            ("m1", t(2), 3, "B"),   # change
+            ("m1", t(3), 4, "A"),   # back to A — NEW version, not merged
+            ("m2", t(0), 5, None),  # NULL attr
+            ("m2", t(1), 6, None),  # NULL -> NULL: unchanged
+            ("m2", t(2), 7, "X"),   # NULL -> X: boundary
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, seq bigint, attr string"
+        )
+        out = scd2_history(
+            df, ["k"], ["attr"], ts_col="ts", order_tiebreak=["seq"]
+        )
+        got = {
+            (r.k, r.version): (r.valid_from, r.valid_to, r.attr, r.n_obs)
+            for r in out.collect()
+        }
+        assert got[("m1", 1)] == (t(0), t(2), "A", 2)
+        assert got[("m1", 2)] == (t(2), t(3), "B", 1)
+        assert got[("m1", 3)] == (t(3), None, "A", 1)  # open version
+        assert got[("m2", 1)] == (t(0), t(2), None, 2)  # null-safe collapse
+        assert got[("m2", 2)] == (t(2), None, "X", 1)
+        assert len(got) == 5
+
     def test_register_series(self, spark):
         from homelogging_spark.functions.values import series_schema_dim
 

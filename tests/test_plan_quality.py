@@ -293,6 +293,21 @@ class TestBucketedSnapshotDiff:
         assert set(kinds) == {"added", "changed", "unchanged"}
 
 
+class TestScd2Plan:
+    def test_scd2_history_single_exchange(self, spark):
+        """scd2_history pins ONE shuffle: the boundary lag, running
+        version sum, per-version aggregate, and lead() close-off all
+        cluster by the key (or a superset), so HashPartitioning(keys)
+        satisfies every later stage's clustered distribution — each is
+        sort-only. A second Exchange would mean the (key, version)
+        aggregate or the close-off window re-shuffled."""
+        from homelogging_spark.plans.registry import q_scd2_history
+
+        plan = plan_of(q_scd2_history(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BroadcastExchange" not in plan
+
+
 class TestFoldPartitioning:
     def test_every_pandas_fold_sits_on_explicit_exchange(self, spark):
         """Every applyInPandas fold in the registry must be fed by a
