@@ -36,10 +36,12 @@ Delta/Iceberg OPTIMIZE — unchanged planning/policy code.)"""
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 from dataclasses import dataclass
 from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -239,3 +241,65 @@ def compact_readings(
         fs.delete(P(trash), True)
         compacted.append(s)
     return compacted
+
+
+def cluster_rewrite(
+    df,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 8,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """Data-skipping layout rewrite: range-cluster ``df`` on
+    ``cluster_cols`` and sort within each output file, so every parquet
+    file (and row group inside it) covers a NARROW min/max band of the
+    cluster key. Parquet writes per-row-group min/max statistics in the
+    footer; a point or range predicate on the cluster key then skips
+    every file/row group whose band cannot match — at 100 TB that is
+    the difference between scanning a full partition and touching a few
+    row groups, before a single data page is read (the same lever
+    Delta/Iceberg expose as OPTIMIZE ZORDER / sort-order rewrite, in
+    its exact single-key form).
+
+    ``repartitionByRange`` samples the key distribution (non-uniform
+    keys still give balanced files), ``sortWithinPartitions`` orders
+    rows inside each file so row-group bands nest inside file bands.
+    One range shuffle; the write is otherwise a plain parquet write and
+    composes with hive-style ``partition_cols``.
+
+    Measured effect is asserted by ``TestClusterRewrite`` via footer
+    statistics: after clustering, the fraction of row groups whose
+    [min, max] band admits a point predicate drops from ~100% to
+    ~1/n_files.
+    """
+    out = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+    out = out.sortWithinPartitions(*[F.col(c) for c in cluster_cols])
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def rowgroups_admitting(path: str, col: str, value) -> tuple[int, int]:
+    """Footer-statistics audit: (admitting, total) parquet row groups
+    under ``path`` whose [min, max] band for ``col`` admits ``value`` —
+    the row groups a stats-pruning reader must actually read for the
+    point predicate ``col = value``. Driver-side metadata work only
+    (footers, never data pages); used by tests and the SCALE harness to
+    measure what :func:`cluster_rewrite` buys."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    admitting = total = 0
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                admitting += 1  # no stats -> reader must read it
+            elif st.min <= value <= st.max:
+                admitting += 1
+    return admitting, total
