@@ -351,3 +351,83 @@ def streaming_poll_schedule(stream: DataFrame, cap_s: float = 3600.0) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_OUTPUT_DDL = (
+    "k string, version bigint, valid_from timestamp, valid_to timestamp, "
+    "attr string, n_obs bigint"
+)
+SCD2_STATE_DDL = "version bigint, valid_from_us bigint, attr string, n_obs bigint"
+
+
+def make_scd2_apply():
+    """Per-key SCD2 state update — the streaming form of
+    ``operators/ingest.scd2_history``. State is the OPEN version
+    (version, valid_from, attr, n_obs); each micro-batch folds its
+    observations in ts order: a null-safe-equal attr extends the open
+    version, a change CLOSES it (emitted with valid_to = the changing
+    observation's ts) and opens the next.
+
+    Emission contract: the stream emits CLOSED versions only — the open
+    version lives in the state store until its closing observation
+    arrives (emitting it early would need a retraction when it closes,
+    which append mode cannot express). Draining a fixture therefore
+    equals the batch operator's rows WHERE valid_to IS NOT NULL,
+    exactly — pinned in test_streaming_stateful.py. Consumers that need
+    the live open version read it from the latest state (or union the
+    batch form over the retained table).
+
+    Timestamps fold as integer microseconds (state schema keeps the
+    epoch-us bigint), so stream/batch agree to parquet's native
+    precision with no float rounding."""
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        version, vf_us, attr, n_obs = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        pdf = _collect_sorted(batches)
+        closed: list[tuple] = []
+        if pdf is not None:
+            for row in pdf.itertuples():
+                ts_us = int(row.ts.value // 1_000)  # ns -> us
+                a = None if pd.isna(row.attr) else row.attr
+                if version == 0:  # first observation ever for this key
+                    version, vf_us, attr, n_obs = 1, ts_us, a, 1
+                elif a == attr or (a is None and attr is None):
+                    n_obs += 1  # null-safe unchanged: extend open version
+                else:
+                    closed.append((key[0], version, vf_us, ts_us, attr, n_obs))
+                    version, vf_us, attr, n_obs = version + 1, ts_us, a, 1
+        state.update((version, vf_us, attr, n_obs))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "k": [c[0] for c in closed],
+                    "version": [c[1] for c in closed],
+                    "valid_from": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "valid_to": [pd.Timestamp(c[3], unit="us") for c in closed],
+                    "attr": [c[4] for c in closed],
+                    "n_obs": [c[5] for c in closed],
+                }
+            )
+
+    return _apply
+
+
+def streaming_scd2(stream: DataFrame) -> DataFrame:
+    """SCD2 history over a streaming observation log with columns
+    (k, ts, attr); emits each version row the moment the observation
+    that closes it arrives. State is four scalars per key — constant
+    size regardless of history length, since closed versions leave the
+    store the moment they are emitted."""
+    return stream.groupBy("k").applyInPandasWithState(
+        make_scd2_apply(),
+        outputStructType=SCD2_OUTPUT_DDL,
+        stateStructType=SCD2_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from homelogging_spark.streaming.stateful import streaming_counter_rollover
 
@@ -777,3 +778,74 @@ class TestStreamingSketches:
         assert recovered == want
         for g, kmv in committed.items():
             assert set(kmv) <= set(recovered[g]) | set(want[g])
+
+
+class TestStreamingScd2:
+    def test_versions_close_across_micro_batches_and_equal_batch(
+        self, spark, tmp_path
+    ):
+        """State must carry the OPEN version across the batch boundary
+        (A..A | A,B -> version 1 spans both batches, n_obs counts all
+        three A's), and the drained closed versions must equal the batch
+        operator's valid_to IS NOT NULL rows exactly."""
+        from homelogging_spark.operators.ingest import scd2_history
+        from homelogging_spark.streaming.stateful import streaming_scd2
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        b1 = [
+            {"k": "m1", "ts": "2024-04-01T00:00:00Z", "attr": "A"},
+            {"k": "m1", "ts": "2024-04-01T00:01:00Z", "attr": "A"},
+            {"k": "m2", "ts": "2024-04-01T00:00:00Z", "attr": None},
+        ]
+        b2 = [
+            {"k": "m1", "ts": "2024-04-01T00:02:00Z", "attr": "A"},
+            {"k": "m1", "ts": "2024-04-01T00:03:00Z", "attr": "B"},
+            {"k": "m1", "ts": "2024-04-01T00:04:00Z", "attr": "A"},
+            {"k": "m2", "ts": "2024-04-01T00:01:00Z", "attr": None},
+            {"k": "m2", "ts": "2024-04-01T00:02:00Z", "attr": "X"},
+        ]
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in b1))
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string, ts timestamp, attr string")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_scd2(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        drained = {
+            (r.k, r.version): (r.valid_from, r.valid_to, r.attr, r.n_obs)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        # m1: A-version spans the batch boundary with n_obs=3, closes at
+        # the B observation; B closes at the re-observed A; the final A
+        # is OPEN -> not emitted. m2: NULL-attr version (null-safe
+        # extension) closes at X; X open -> not emitted.
+        assert set(drained) == {("m1", 1), ("m1", 2), ("m2", 1)}
+        assert drained[("m1", 1)][2] == "A" and drained[("m1", 1)][3] == 3
+        assert drained[("m1", 2)][2] == "B" and drained[("m1", 2)][3] == 1
+        assert drained[("m2", 1)][2] is None and drained[("m2", 1)][3] == 2
+
+        # exact drain == batch equality on the closed subset
+        batch_rows = spark.createDataFrame(
+            [(r["k"], r["ts"].replace("Z", ""), r["attr"]) for r in b1 + b2],
+            "k string, ts string, attr string",
+        ).select("k", F.col("ts").cast("timestamp").alias("ts"), "attr")
+        expected = {
+            (r.k, r.version): (r.valid_from, r.valid_to, r.attr, r.n_obs)
+            for r in scd2_history(batch_rows, ["k"], ["attr"]).collect()
+            if r.valid_to is not None
+        }
+        assert drained == expected
