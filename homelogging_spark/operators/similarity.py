@@ -468,6 +468,9 @@ def ivf_topk(
     )
 
 
+LSH_SPLIT_SALT = "lsh_bucket_split"
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -476,12 +479,32 @@ def lsh_near_dup_pairs(
     n_tables: int = 4,
     planes_per_table: int = 4,
     dim: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed candidates (self-join
     on (table, bucket), id_a < id_b), exact-cosine verified against
     ``threshold``. More tables of fewer planes than top-k search — pair
     mining wants recall at moderate similarity, so the S-curve is shifted
-    left ((1 - θ/π)^4 per table, 4 chances)."""
+    left ((1 - θ/π)^4 per table, 4 chances).
+
+    ``bucket_cap`` is the hot-bucket guard (the LSH twin of
+    ``semantic_dedup``'s ``cell_cap``): the candidate stage is
+    sum(bucket_size^2) over (table, bucket), and the bucket COUNT is
+    fixed by ``planes_per_table`` — it does not grow with N — so
+    without a cap the stage trends quadratic as the corpus scales past
+    buckets' worth of vectors. With a cap, any bucket of size S > cap
+    is hash-split into ceil(S/cap) sub-buckets by a salted md5 of the
+    id (deterministic, oracle-replicable) and candidates form only
+    within a sub-bucket, bounding the stage by N*cap per table. The
+    trade: a qualifying pair hashed into different sub-buckets of ONE
+    hot table-bucket loses that table's chance, but keeps its chance in
+    every other table — the multi-table OR already built for S-curve
+    recall also softens the cap's recall cost. Buckets at or under the
+    cap are byte-identical to the uncapped form. (The no-cap scale
+    alternative is raising ``planes_per_table`` with log2(N), which
+    shifts the S-curve right — a recall trade this operator's moderate
+    thresholds usually can't afford; capping degrades only the
+    overflowing density peaks.)"""
     # persist: the bucket frame feeds both sides of the self-join; without
     # it the 16 projection folds run twice over the corpus. Tracked so a
     # long-lived driver reclaims it via cachelife.release_caches().
@@ -490,10 +513,31 @@ def lsh_near_dup_pairs(
     b = tracked_persist(
         lsh_table_buckets(df, id_col, emb_col, n_tables, planes_per_table, dim)
     )
-    left = b.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+        from homelogging_spark.operators.sampling import uniform_from_key
+
+        # <= n_tables * 2^planes rows: how many hash-splits each bucket
+        # needs. Broadcast back so the split is a map-side column.
+        splits = b.groupBy("table_idx", "bucket").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(bucket_cap)))
+            .cast("bigint")
+            .alias("_n_splits")
+        )
+        b = b.join(F.broadcast(splits), ["table_idx", "bucket"]).withColumn(
+            "_sub",
+            F.floor(
+                uniform_from_key(F.col(id_col), LSH_SPLIT_SALT)
+                * F.col("_n_splits")
+            ).cast("bigint"),
+        )
+    else:
+        b = b.withColumn("_sub", F.lit(0).cast("bigint"))
+    left = b.select(F.col(id_col).alias("id_a"), "table_idx", "bucket", "_sub")
+    right = b.select(F.col(id_col).alias("id_b"), "table_idx", "bucket", "_sub")
     cand = (
-        left.join(right, ["table_idx", "bucket"])
+        left.join(right, ["table_idx", "bucket", "_sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -195,6 +195,64 @@ class TestSimilarity:
         pairs = similarity.lsh_near_dup_pairs(df, threshold=0.99).collect()
         assert (0, 20) in [(p.id_a, p.id_b) for p in pairs]
 
+    def test_bucket_cap_inert_when_buckets_fit(self, spark):
+        """Buckets at or under the cap must yield byte-identical pairs
+        to the uncapped form — the guard engages only on overflow."""
+        import random
+
+        rng = random.Random(11)
+        vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+        vecs.append(list(vecs[3]))
+        df = self.vectors_df(spark, vecs)
+        unc = sorted(
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_near_dup_pairs(df, threshold=0.9).collect()
+        )
+        cap = sorted(
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_near_dup_pairs(
+                df, threshold=0.9, bucket_cap=1000
+            ).collect()
+        )
+        assert cap == unc
+
+    def test_bucket_cap_bounds_candidates_on_density_peak(self, spark):
+        """A density peak (60 near-identical vectors, all landing in the
+        same bucket of every table) must split under the cap: emitted
+        pairs are a SUBSET of the uncapped pairs and per-sub-bucket pair
+        work is bounded — the uncapped peak yields the full quadratic
+        pair set, the capped form strictly fewer."""
+        import random
+
+        rng = random.Random(13)
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        vecs = [
+            [v + rng.gauss(0, 1e-4) for v in base] for _ in range(60)
+        ]  # one hot bucket everywhere
+        df = self.vectors_df(spark, vecs)
+        unc = set(
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_near_dup_pairs(df, threshold=0.99).collect()
+        )
+        assert len(unc) == 60 * 59 // 2  # the quadratic peak, all dups
+        capped = set(
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_near_dup_pairs(
+                df, threshold=0.99, bucket_cap=15
+            ).collect()
+        )
+        assert capped and capped < unc
+        # bound: each table splits 60 into ceil(60/15)=4 sub-buckets;
+        # worst case (identical split in all 4 tables, md5 is shared) is
+        # sum over sub-buckets of s*(s-1)/2 <= C(60,2); expected scale is
+        # ~1/4 of the peak. Assert the work actually shrank by >= 2x.
+        assert len(capped) * 2 <= len(unc)
+
+    def test_bucket_cap_rejects_nonpositive(self, spark):
+        df = self.vectors_df(spark, [[1.0] * 64])
+        with pytest.raises(ValueError, match="bucket_cap"):
+            similarity.lsh_near_dup_pairs(df, threshold=0.5, bucket_cap=0)
+
     def test_hyperplanes_deterministic(self):
         a = similarity.hyperplanes(2, 8)
         b = similarity.hyperplanes(2, 8)
