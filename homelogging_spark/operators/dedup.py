@@ -105,24 +105,65 @@ def hashed_shingle_base(
     )
 
 
+BAND_SPLIT_SALT = "band_bucket_split"
+
+
 def band_candidate_pairs(
     base: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     n_bands: int = 4,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation shared by every near-dup verifier:
     MinHash signature over a materialized base-hash column ``bh``,
     banding, shuffle on (band_idx, band_hash), in-bucket pairs with
     ``id_a < id_b``. Never all-pairs — cost is O(docs * bands +
-    candidates)."""
+    candidates).
+
+    ``band_cap`` is the hot-bucket guard (the MinHash twin of
+    ``similarity.lsh_near_dup_pairs``' ``bucket_cap``): a NEAR-identical
+    boilerplate cluster of S docs shares every band hash, so one bucket
+    yields S^2 candidates — the exact density-peak shape web corpora
+    have even after exact dedup removed the byte-identical copies. With
+    a cap, buckets of size S > cap hash-split into ceil(S/cap) md5
+    sub-buckets (deterministic salt, oracle-replicable) and pairs form
+    only within a sub-bucket, bounding the stage by docs*cap per band;
+    a pair split apart in one band keeps its chance in the other
+    n_bands-1 (the same multi-table OR softening as the hyperplane
+    form). Buckets at or under the cap are byte-identical to the
+    uncapped output. The census join is deliberately NOT broadcast:
+    unlike hyperplane buckets (fixed 2^planes rows) the band-hash
+    census is ~one row per distinct signature, unbounded at corpus
+    scale — but it shuffles on the same (band_idx, band_hash) key the
+    candidate self-join needs, so the Exchange is shared, not added."""
     bands = band_frame(base, id_col, n_hashes, n_bands)
+    if band_cap is not None:
+        if band_cap < 1:
+            raise ValueError(f"band_cap must be >= 1, got {band_cap}")
+        from homelogging_spark.operators.sampling import uniform_from_key
+
+        splits = bands.groupBy("band_idx", "band_hash").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(band_cap)))
+            .cast("bigint")
+            .alias("_n_splits")
+        )
+        bands = bands.join(splits, ["band_idx", "band_hash"]).withColumn(
+            "_sub",
+            F.floor(
+                uniform_from_key(F.col(id_col), BAND_SPLIT_SALT)
+                * F.col("_n_splits")
+            ).cast("bigint"),
+        )
+    else:
+        bands = bands.withColumn("_sub", F.lit(0).cast("bigint"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._sub") == F.col("b._sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -140,6 +181,7 @@ def minhash_near_dup_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.7,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact-Jaccard verify.
 
@@ -159,7 +201,7 @@ def minhash_near_dup_pairs(
     # persist each branch would re-scan and re-hash the corpus. At real
     # scale this frame is a materialized signatures table.
     base = tracked_persist(hashed_shingle_base(df, id_col, text_col, shingle_n))
-    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands, band_cap=band_cap)
     # verify on the hashed sets (8-byte elements, not shingle strings);
     # Jaccard over 60-bit hashes == shingle Jaccard up to negligible
     # collision mass, and the oracle replicates the same hashed form.

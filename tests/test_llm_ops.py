@@ -58,6 +58,51 @@ class TestMinHashLSH:
         pairs = dedup.minhash_near_dup_pairs(df, threshold=0.9).collect()
         assert len(pairs) == 1 and pairs[0].jaccard == 1.0
 
+    def test_band_cap_inert_when_buckets_fit(self, spark):
+        """Buckets at or under the cap must yield byte-identical pairs
+        to the uncapped form."""
+        near = BASE.replace("lazy", "sleepy")
+        df = docs_df(spark, [BASE, near, "unrelated text about joins"])
+        unc = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.minhash_near_dup_pairs(
+                df, threshold=0.5, n_bands=8
+            ).collect()
+        )
+        cap = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.minhash_near_dup_pairs(
+                df, threshold=0.5, n_bands=8, band_cap=100
+            ).collect()
+        )
+        assert cap == unc
+
+    def test_band_cap_bounds_boilerplate_cluster(self, spark):
+        """A 40-doc near-identical boilerplate cluster shares every band
+        hash; with band_cap=10 each band splits into 4 md5 sub-buckets,
+        so emitted pairs are a strict subset of the uncapped quadratic
+        set and at least halved."""
+        docs = [BASE + f" trailer{i % 2}" for i in range(40)]
+        df = docs_df(spark, docs)
+        unc = set(
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_near_dup_pairs(df, threshold=0.5).collect()
+        )
+        assert len(unc) == 40 * 39 // 2  # the full quadratic cluster
+        capped = set(
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_near_dup_pairs(
+                df, threshold=0.5, band_cap=10
+            ).collect()
+        )
+        assert capped and capped < unc
+        assert len(capped) * 2 <= len(unc)
+
+    def test_band_cap_rejects_nonpositive(self, spark):
+        df = docs_df(spark, [BASE])
+        with pytest.raises(ValueError, match="band_cap"):
+            dedup.minhash_near_dup_pairs(df, band_cap=0).collect()
+
     def test_jaccard_exact_value(self, spark):
         df = spark.range(1).select(
             dedup.jaccard(
