@@ -304,6 +304,7 @@ def benchmark_contamination(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Decontamination scan: flag corpus docs sharing >= ``min_shared``
     distinct word-``shingle_n``-gram hashes with any benchmark doc —
@@ -312,11 +313,21 @@ def benchmark_contamination(
     Scale shape — never all-pairs: both sides explode to (gram_hash,
     doc) rows; candidates form ONLY via the equi-join on the 60-bit
     gram hash (8-byte keys, not gram strings); the per-(corpus, bench)
-    overlap count is a partial-aggregated shuffle on the pair key. A
-    gram shared by many docs fans out — mitigated upstream by hashing
-    distinct grams per doc, and at 100 TB by dropping stop-grams (grams
-    with document frequency above a cutoff carry no contamination
-    signal; documented dial, not applied at test scale)."""
+    overlap count is a partial-aggregated shuffle on the pair key.
+
+    ``max_gram_df`` is the stop-gram guard: a gram shared by D corpus
+    docs and B benchmark docs fans the join out to D*B rows, and
+    boilerplate grams ("in this paper we", license headers) have D in
+    the millions while carrying zero contamination signal. With the
+    cutoff set, grams whose corpus document frequency exceeds it are
+    anti-joined out BEFORE the pair join (corpus side only — an inner
+    join needs just one side cut), bounding each gram's fan-out by
+    max_gram_df * B. The census groupBy and the anti join both key on
+    ``gh``, the same key the pair join shuffles on, so the Exchange is
+    shared. Semantics trade: a doc contaminated ONLY via stop-grams is
+    no longer flagged — the standard decontamination position (Brown
+    et al. 2020 filter n-grams by document frequency for exactly this
+    reason); grams under the cutoff are unaffected."""
     from homelogging_spark.functions.texthash import (
         shingle_base_hash,
         tokens,
@@ -329,9 +340,19 @@ def benchmark_contamination(
         )
         return df.select(F.col(id_col).alias(out_id), F.explode(g).alias("gh"))
 
+    cg = grams(corpus, "corpus_id")
+    if max_gram_df is not None:
+        if max_gram_df < 1:
+            raise ValueError(f"max_gram_df must be >= 1, got {max_gram_df}")
+        hot = (
+            cg.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_gram_df)
+            .select("gh")
+        )
+        cg = cg.join(hot, "gh", "left_anti")
     shared = (
-        grams(corpus, "corpus_id")
-        .join(grams(benchmark, "bench_id"), "gh")
+        cg.join(grams(benchmark, "bench_id"), "gh")
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)

@@ -346,6 +346,49 @@ class TestContamination:
         assert out[1].max_shared == 4
         assert out[1].first_bench_id == 100
 
+    def test_max_gram_df_drops_stop_grams(self, spark):
+        """Stop-gram guard: a gram every corpus doc shares fans the join
+        out D*B and carries no signal. With the cutoff, docs whose only
+        overlap is the stop-gram are no longer flagged; genuinely
+        contaminated docs (rare grams) still are. Cutoff off -> output
+        identical to the unguarded form."""
+        from homelogging_spark.operators.textops import benchmark_contamination
+
+        boiler = "the quick brown fox jumps over"  # in EVERY corpus doc
+        secret = "zanzibar quorum hexadecimal lattice preamble osmosis"
+        bench = spark.createDataFrame(
+            [(100, boiler + " " + secret)], "doc_id bigint, text string"
+        )
+        corpus = spark.createDataFrame(
+            [(i, boiler + f" filler{i} padding") for i in range(1, 9)]
+            + [(9, boiler + " " + secret)],  # the truly contaminated doc
+            "doc_id bigint, text string",
+        )
+        unguarded = {
+            r.corpus_id
+            for r in benchmark_contamination(corpus, bench, min_shared=3).collect()
+        }
+        assert unguarded == {1, 2, 3, 4, 5, 6, 7, 8, 9}  # boilerplate flags all
+        guarded = {
+            r.corpus_id
+            for r in benchmark_contamination(
+                corpus, bench, min_shared=3, max_gram_df=3
+            ).collect()
+        }
+        assert guarded == {9}  # only the rare-gram contamination survives
+        # cutoff high enough to catch nothing -> identical to unguarded
+        same = {
+            r.corpus_id
+            for r in benchmark_contamination(
+                corpus, bench, min_shared=3, max_gram_df=1000
+            ).collect()
+        }
+        assert same == unguarded
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_gram_df"):
+            benchmark_contamination(corpus, bench, max_gram_df=0)
+
     def test_multiple_bench_hits_counted(self, spark):
         from homelogging_spark.operators.textops import benchmark_contamination
 
