@@ -536,6 +536,39 @@ _PII_ORDER = (
 )
 
 
+def pii_columns(text: Column) -> dict[str, Column]:
+    """Column-level PII pieces (counts per class + redacted text) so a
+    panel can fold them into ONE map-side projection alongside other
+    text signals — the ``quality_columns`` pattern."""
+    redacted = text
+    for pat, tag in _PII_ORDER:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return {
+        "n_emails": F.size(
+            F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))
+        ).cast("bigint"),
+        "n_phones": F.size(
+            F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))
+        ).cast("bigint"),
+        "n_ips": F.size(
+            F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))
+        ).cast("bigint"),
+        "redacted": redacted,
+    }
+
+
+def pii_columns_sql(expr: str) -> dict[str, str]:
+    redacted = expr
+    for pat, tag in _PII_ORDER:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    return {
+        "n_emails": f"CAST(len(regexp_extract_all({expr}, '{PII_EMAIL}')) AS BIGINT)",
+        "n_phones": f"CAST(len(regexp_extract_all({expr}, '{PII_PHONE}')) AS BIGINT)",
+        "n_ips": f"CAST(len(regexp_extract_all({expr}, '{PII_IPV4}')) AS BIGINT)",
+        "redacted": redacted,
+    }
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """PII detection + redaction over a text column: counts per class
     (email, phone, IPv4) and the redacted text with class placeholders,
@@ -548,34 +581,61 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Scale: pure map-side column expressions (regexp_extract_all /
     regexp_replace inside codegen) — zero shuffle, no UDF.
     Mirrors ``pii_scrub_sql``."""
-    c = F.col(text_col)
-    redacted = c
-    for pat, tag in _PII_ORDER:
-        redacted = F.regexp_replace(redacted, pat, tag)
+    cols = pii_columns(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_phones"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0)))
-        .cast("bigint")
-        .alias("n_ips"),
-        redacted.alias("redacted"),
+        F.col(id_col), *(c.alias(name) for name, c in cols.items())
     )
 
 
 def pii_scrub_sql(source: str, id_col: str = "doc_id", text_col: str = "text") -> str:
-    redacted = text_col
-    for pat, tag in _PII_ORDER:
-        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    cols = pii_columns_sql(text_col)
+    sel = ",\n       ".join(f"{sql} AS {name}" for name, sql in cols.items())
     return f"""
 SELECT {id_col},
-       CAST(len(regexp_extract_all({text_col}, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all({text_col}, '{PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all({text_col}, '{PII_IPV4}')) AS BIGINT) AS n_ips,
-       {redacted} AS redacted
+       {sel}
+FROM {source}
+"""
+
+
+def dedup_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/CCNet-style intra-document line deduplication: split on
+    newline, keep the FIRST occurrence of each distinct line in
+    original order, re-join. Web-scraped docs repeat navigation chrome,
+    cookie banners, and share buttons many times per page; dropping
+    repeated lines inside the doc is the standard cleanup pass (C4,
+    Raffel et al. 2020 §2.2 dropped non-sentence/boilerplate lines;
+    CCNet dedups at paragraph granularity) that runs BEFORE corpus-wide
+    dedup — it shrinks the text the shingle/MinHash tiers must hash.
+
+    Scale: pure map-side column expressions (``split`` →
+    ``array_distinct`` → ``array_join``) — zero shuffle, no UDF, and
+    ``array_distinct`` is documented first-occurrence-order-preserving
+    (the SQL twin replicates that with an index-aware list
+    comprehension). Returns per doc: line counts, the deduped text, and
+    the kept-fraction; callers selecting only the counts let Catalyst
+    prune the rebuilt text away."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(uniq).cast("bigint").alias("n_unique_lines"),
+        F.array_join(uniq, "\n").alias("line_deduped"),
+    )
+
+
+def dedup_lines_sql(source: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`dedup_lines` — first-occurrence order via
+    ``list_filter`` with the element's index against ``list_position``
+    (the first index at which the element appears)."""
+    lines = f"str_split({text_col}, chr(10))"
+    uniq = f"list_filter({lines}, (x, i) -> list_position({lines}, x) = i)"
+    return f"""
+SELECT {id_col},
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({uniq}) AS BIGINT) AS n_unique_lines,
+       array_to_string({uniq}, chr(10)) AS line_deduped
 FROM {source}
 """

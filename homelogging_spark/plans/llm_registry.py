@@ -79,13 +79,20 @@ FROM documents GROUP BY 1
 """
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub gate (``textops.pii_scrub``): PII is SYNTHESIZED into
-    each doc deterministically (the sources-registry pattern — both
-    engines build the identical payload), then detected and redacted;
-    the oracle hash-checks the exact redacted text via md5. Zero
-    shuffle: synthesis, scan, and scrub are all map-side."""
+def q_text_clean_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning panel — PII scrub (``textops.pii_scrub``, the
+    absorbed r11 `pii_scrub` row) + C4/CCNet intra-document line dedup
+    (``textops.dedup_lines``) certified in ONE zero-shuffle projection.
+    Both inputs are SYNTHESIZED deterministically (the sources-registry
+    pattern — both engines build the identical payload): PII tokens
+    concatenated for the scrub leg; duplicated boilerplate lines
+    (repeated newsletter/share chrome around the doc body, the
+    web-scrape shape) for the line-dedup leg. Each leg's exact output
+    text is hash-checked via md5. Scale: synthesis, scan, scrub, and
+    line dedup are all map-side column expressions — zero shuffle, no
+    UDF; at 100 TB the scan dominates, which is the right bottleneck."""
     docs = _docs(spark, sf_dir)
+    nl = F.lit("\n")
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -99,16 +106,30 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("."),
             ((F.col("doc_id") * 7) % 256).cast("string"),
             F.lit(" now."),
-        ).alias("text"),
+        ).alias("pii_text"),
+        F.concat(
+            F.lit("Subscribe to our newsletter"), nl,
+            F.col("text"), nl,
+            F.lit("Share this article"), nl,
+            F.lit("Subscribe to our newsletter"), nl,
+            F.col("text"), nl,
+            F.lit("Copyright Example Corp"),
+        ).alias("line_text"),
     )
-    out = textops.pii_scrub(aug)
-    return out.select(
+    pii = textops.pii_columns(F.col("pii_text"))
+    lines = F.split(F.col("line_text"), "\n")
+    uniq = F.array_distinct(lines)
+    deduped = F.array_join(uniq, "\n")
+    return aug.select(
         "doc_id",
-        "n_emails",
-        "n_phones",
-        "n_ips",
-        F.length("redacted").cast("bigint").alias("n_chars_redacted"),
-        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("redacted_md5"),
+        pii["n_emails"].alias("n_emails"),
+        pii["n_phones"].alias("n_phones"),
+        pii["n_ips"].alias("n_ips"),
+        F.length(pii["redacted"]).cast("bigint").alias("n_chars_redacted"),
+        F.md5(F.encode(pii["redacted"], "UTF-8")).alias("redacted_md5"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(uniq).cast("bigint").alias("n_unique_lines"),
+        F.md5(F.encode(deduped, "UTF-8")).alias("line_deduped_md5"),
     )
 
 
@@ -120,13 +141,37 @@ _PII_AUG_SQL = (
     " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' now.'"
 )
 
-ORACLE_PII_SCRUB = f"""
-WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
-SELECT doc_id, n_emails, n_phones, n_ips,
-       CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
-       md5(redacted) AS redacted_md5
-FROM ({textops.pii_scrub_sql('aug')})
+_LINE_AUG_SQL = (
+    "'Subscribe to our newsletter' || chr(10) || text || chr(10)"
+    " || 'Share this article' || chr(10)"
+    " || 'Subscribe to our newsletter' || chr(10) || text || chr(10)"
+    " || 'Copyright Example Corp'"
+)
+
+
+def _text_clean_panel_oracle() -> str:
+    pii = textops.pii_columns_sql("pii_text")
+    lines = "str_split(line_text, chr(10))"
+    uniq = f"list_filter({lines}, (x, i) -> list_position({lines}, x) = i)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS pii_text, {_LINE_AUG_SQL} AS line_text
+  FROM documents
+)
+SELECT doc_id,
+       {pii['n_emails']} AS n_emails,
+       {pii['n_phones']} AS n_phones,
+       {pii['n_ips']} AS n_ips,
+       CAST(length({pii['redacted']}) AS BIGINT) AS n_chars_redacted,
+       md5({pii['redacted']}) AS redacted_md5,
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({uniq}) AS BIGINT) AS n_unique_lines,
+       md5(array_to_string({uniq}, chr(10))) AS line_deduped_md5
+FROM aug
 """
+
+
+ORACLE_TEXT_CLEAN_PANEL = _text_clean_panel_oracle()
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,7 +1804,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
-    "pii_scrub": q_pii_scrub,
+    "text_clean_panel": q_text_clean_panel,
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
     "semantic_dedup": q_semantic_dedup,
@@ -1793,7 +1838,7 @@ LLM_ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
-    "pii_scrub": ORACLE_PII_SCRUB,
+    "text_clean_panel": ORACLE_TEXT_CLEAN_PANEL,
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,

@@ -2578,6 +2578,9 @@ MERGED_FROM: dict[str, list[str]] = {
     "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
     "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
     "battery_panel": ["battery_sim", "battery_daily_cycles"],
+    # r11: the PII row widened into the text-cleaning panel (PII scrub +
+    # C4/CCNet line dedup in one zero-shuffle projection) — net 0 slots
+    "text_clean_panel": ["pii_scrub"],
 }
 
 

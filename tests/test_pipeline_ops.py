@@ -403,3 +403,43 @@ class TestContamination:
         out = benchmark_contamination(corpus, bench).collect()
         assert len(out) == 1 and out[0].n_bench_hits == 2
         assert out[0].first_bench_id == 100
+
+
+class TestDedupLines:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from homelogging_spark.operators.textops import dedup_lines
+
+        text = "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        r = dedup_lines(df).first()
+        assert r.n_lines == 7 and r.n_unique_lines == 4
+        assert r.line_deduped == "nav\nbody one\nbody two\nfooter"
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from homelogging_spark.operators.textops import dedup_lines, dedup_lines_sql
+
+        rows = [
+            (1, "a\nb\na\nb\nc"),
+            (2, "single line"),
+            (3, "\n\nx\n\n"),  # empty lines dedup too
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_lines, r.n_unique_lines, r.line_deduped)
+            for r in dedup_lines(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{t}')".replace("\n", "' || chr(10) || '") for i, t in rows
+            )
+            + ") t(doc_id, text)"
+        )
+        via_sql = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(dedup_lines_sql("d")).fetchall()
+        }
+        assert got == via_sql
