@@ -224,6 +224,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     n_hashes: int = 16,
     n_bands: int = 4,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs verified by exact *character* n-gram Jaccard
     — robust to tokenization differences (punctuation, casing artifacts)
@@ -250,7 +251,7 @@ def ngram_jaccard_pairs(
             ).alias("grams"),
         )
     )
-    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands, band_cap=band_cap)
     ga = base.select(F.col(id_col).alias("doc_a"), F.col("grams").alias("g_a"))
     gb = base.select(F.col(id_col).alias("doc_b"), F.col("grams").alias("g_b"))
     return (
@@ -272,6 +273,7 @@ def near_dup_pairs_dual(
     char_threshold: float = 0.5,
     n_hashes: int = 16,
     n_bands: int = 4,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Both near-dup verify metrics over ONE shared LSH candidate pass —
     the r8 window-slot consolidation of ``minhash_near_dup_pairs`` and
@@ -299,7 +301,7 @@ def near_dup_pairs_dual(
             ).alias("grams"),
         )
     )
-    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands)
+    pairs = band_candidate_pairs(base, id_col, n_hashes, n_bands, band_cap=band_cap)
     a = base.select(
         F.col(id_col).alias("doc_a"),
         F.col("bh").alias("sh_a"),
