@@ -737,6 +737,75 @@ def semdedup_cap_tier(spark, n_vecs: int = 20000, cap: int = 256) -> None:
     release_caches()
 
 
+def lsh_cap_tier(spark, n_vecs: int = 5000, cap: int = 50) -> None:
+    """A/B the r11 hot-bucket guards on deliberately PEAKED fixtures.
+
+    Leg 1 (`bucket_cap`, hyperplane LSH pair mining): 20% background
+    gaussian vectors + an 80% near-identical peak — every peak member
+    lands in the same bucket of all 4 tables, so the uncapped candidate
+    stage carries the full C(peak, 2) quadratic. Capped, each hot
+    (table, bucket) hash-splits to ceil(S/cap) sub-buckets.
+
+    Leg 2 (`band_cap`, MinHash banding): a near-identical boilerplate
+    doc cluster (the post-exact-dedup residue shape) sharing every band
+    hash, same arithmetic one hash family over.
+
+    Prints emitted-pair counts and wall both ways per leg; asserts the
+    capped pair count shrank. Emitted pairs (post cosine/Jaccard
+    verify) understate the candidate reduction — the peak is all true
+    dups, so survivors track candidates ~1:1, which is exactly why the
+    uncapped form is the scale hazard."""
+    import random
+
+    from homelogging_spark.functions.cachelife import release_caches
+    from homelogging_spark.operators.dedup import minhash_near_dup_pairs
+    from homelogging_spark.operators.similarity import lsh_near_dup_pairs
+
+    rng = random.Random(17)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    n_bg = n_vecs // 5
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(n_bg)]
+    rows += [
+        (n_bg + i, [v + rng.gauss(0, 1e-4) for v in base])
+        for i in range(n_vecs - n_bg)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(16).cache()
+    vecs.count()
+    for label, kw in (("uncapped", {}), (f"cap={cap}", {"bucket_cap": cap})):
+        t0 = time.time()
+        n = lsh_near_dup_pairs(vecs, threshold=0.99, **kw).count()
+        print(json.dumps({
+            "tier": "lsh_cap", "leg": "bucket_cap", "variant": label,
+            "n_vecs": n_vecs, "peak": n_vecs - n_bg,
+            "emitted_pairs": n, "sec": round(time.time() - t0, 2),
+        }))
+        if kw:
+            assert n * 2 <= (n_vecs - n_bg) * (n_vecs - n_bg - 1) // 2
+    vecs.unpersist()
+
+    n_docs = max(200, n_vecs // 10)
+    boiler = "the quick brown fox jumps over the lazy dog near the riverbank"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" trailer{i % 2}") for i in range(n_docs)],
+        "doc_id long, text string",
+    ).repartition(16).cache()
+    docs.count()
+    doc_cap = max(10, cap // 2)
+    for label, kw in (("uncapped", {}), (f"cap={doc_cap}", {"band_cap": doc_cap})):
+        t0 = time.time()
+        n = minhash_near_dup_pairs(docs, threshold=0.5, **kw).count()
+        print(json.dumps({
+            "tier": "lsh_cap", "leg": "band_cap", "variant": label,
+            "n_docs": n_docs, "emitted_pairs": n,
+            "sec": round(time.time() - t0, 2),
+        }))
+        if kw:
+            assert n * 2 <= n_docs * (n_docs - 1) // 2
+    release_caches()
+
+
 def tsmatch_tier(spark, factor: int) -> None:
     """Scale run for subsequence pattern matching: events -> per-series
     hourly grid (user_id-bucketed series so the key count is realistic)
@@ -801,6 +870,11 @@ def main() -> None:
     if tier == "semdedupcap":
         n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
         semdedup_cap_tier(spark, n_vecs)
+        return
+
+    if tier == "lshcap":
+        n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+        lsh_cap_tier(spark, n_vecs)
         return
 
     if tier == "emb":
