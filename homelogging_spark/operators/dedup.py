@@ -420,6 +420,7 @@ def incremental_dedup(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.7,
+    old_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Snapshot-incremental dedup: check a NEW snapshot against the
     EXISTING corpus without ever forming old-vs-old pairs — how a
@@ -434,6 +435,23 @@ def incremental_dedup(
       side's buckets (a cross-frame join, not a self-join — candidate
       cost is O(new·bands + cross-candidates)), then exact-Jaccard
       verify on hashed shingle sets.
+
+    ``old_bucket_cap`` is this join's hot-bucket guard — a DIFFERENT
+    shape from the self-join ``band_cap``: old-vs-old pairs never form,
+    so there is no corpus-quadratic term; the hazard is a hot OLD
+    bucket (a retained boilerplate cluster of S docs) fanning every
+    colliding new doc into S verify candidates. Hash-splitting would be
+    lossless but pointless here (a new doc must still meet every
+    sub-bucket — that is AQE skew-join's job, and the join key is
+    AQE-splittable as is); instead the cap keeps the ``cap``
+    smallest-uniform (salted-md5, deterministic) OLD representatives
+    per (band_idx, band_hash), bounding verify work at new·cap per
+    bucket. For a truly near-identical retained cluster any
+    representative verifies, so the keep/drop verdict is unchanged in
+    the shape that matters; ``dup_of`` may name a different (still
+    matching) old id when the bucket's minimum id was pruned — the
+    documented trade. The rank window runs on the same
+    (band_idx, band_hash) key the join shuffles on: no extra Exchange.
 
     At production scale the old side's digests and band frame are the
     materialized signatures tables maintained at ingest; only the new
@@ -456,7 +474,21 @@ def incremental_dedup(
         hashed_shingle_base(old_df, id_col, text_col, shingle_n)
     )
     nb = band_frame(base_new, id_col, n_hashes, n_bands).alias("n")
-    ob = band_frame(base_old, id_col, n_hashes, n_bands).alias("o")
+    ob_frame = band_frame(base_old, id_col, n_hashes, n_bands)
+    if old_bucket_cap is not None:
+        if old_bucket_cap < 1:
+            raise ValueError(f"old_bucket_cap must be >= 1, got {old_bucket_cap}")
+        from homelogging_spark.operators.sampling import uniform_from_key
+
+        w_rep = Window.partitionBy("band_idx", "band_hash").orderBy(
+            uniform_from_key(F.col(id_col), BAND_SPLIT_SALT), F.col(id_col)
+        )
+        ob_frame = (
+            ob_frame.withColumn("_rep", F.row_number().over(w_rep))
+            .where(F.col("_rep") <= old_bucket_cap)
+            .drop("_rep")
+        )
+    ob = ob_frame.alias("o")
     cand = (
         nb.join(
             ob,

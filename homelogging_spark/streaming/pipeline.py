@@ -355,6 +355,7 @@ def incremental_dedup_batch_writer(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.7,
+    old_bucket_cap: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body of ``start_incremental_dedup_stream``,
     exposed so replay idempotency is directly testable: calling it twice
@@ -378,6 +379,7 @@ def incremental_dedup_batch_writer(
                 n_hashes=n_hashes,
                 n_bands=n_bands,
                 threshold=threshold,
+                old_bucket_cap=old_bucket_cap,
             ).withColumn("batch_id", F.lit(int(batch_id)))
             # per-WRITE dynamic overwrite (not the session conf — a
             # scoped session-conf toggle can race a concurrent writer

@@ -146,6 +146,48 @@ class TestIncrementalDedup:
         rows = dedup.incremental_dedup(new, old).collect()
         assert len(rows) == 1 and rows[0].keep is True
 
+    def test_old_bucket_cap_verdict_stable_on_boilerplate_cluster(self, spark):
+        """A retained boilerplate cluster of 30 near-identical old docs
+        fans every colliding new doc into 30 verify candidates; with
+        old_bucket_cap=5 only 5 deterministic representatives per band
+        bucket are joined, and the keep/drop verdict must not change —
+        any representative of a truly near-identical cluster verifies.
+        dup_of may legitimately move to another matching old id."""
+        boiler = (
+            "terms of service apply to all users of this site without "
+            "exception please read carefully before continuing to browse"
+        )
+        old = spark.createDataFrame(
+            [(i, boiler + f" rev{i % 3}") for i in range(1, 31)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, boiler + " rev0"), (101, "entirely unrelated fresh content here")],
+            "doc_id long, text string",
+        )
+        unc = {r.doc_id: r for r in dedup.incremental_dedup(new, old).collect()}
+        cap = {
+            r.doc_id: r
+            for r in dedup.incremental_dedup(new, old, old_bucket_cap=5).collect()
+        }
+        for d in (100, 101):
+            assert cap[d].keep == unc[d].keep
+            assert cap[d].near_dup == unc[d].near_dup
+        assert cap[100].keep is False and cap[100].dup_of is not None
+        assert cap[101].keep is True
+        # inert when buckets fit under the cap
+        same = {
+            r.doc_id: (r.keep, r.dup_of, r.best_jaccard)
+            for r in dedup.incremental_dedup(new, old, old_bucket_cap=1000).collect()
+        }
+        assert same == {
+            k: (v.keep, v.dup_of, v.best_jaccard) for k, v in unc.items()
+        }
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="old_bucket_cap"):
+            dedup.incremental_dedup(new, old, old_bucket_cap=0)
+
 
 class TestSemanticDedup:
     def test_copy_dropped_original_kept(self, spark):
