@@ -293,6 +293,20 @@ class TestBucketedSnapshotDiff:
         assert set(kinds) == {"added", "changed", "unchanged"}
 
 
+class TestTextCleanPanelPlan:
+    def test_panel_is_shuffle_free(self, spark):
+        """The text-cleaning panel (PII scrub + line dedup) must stay a
+        pure map-side projection: the only allowed Exchange is the
+        deliberate `_docs()` round-robin spread (REPARTITION_BY_NUM on
+        low-partition inputs) — any hashpartitioning Exchange would mean
+        a leg accidentally grew an aggregate or join."""
+        from homelogging_spark.plans.llm_registry import q_text_clean_panel
+
+        plan = plan_of(q_text_clean_panel(spark, SF))
+        assert "Exchange hashpartitioning" not in plan
+        assert "Join" not in plan and "Aggregate" not in plan
+
+
 class TestScd2Plan:
     def test_scd2_history_single_exchange(self, spark):
         """scd2_history pins ONE shuffle: the boundary lag, running
