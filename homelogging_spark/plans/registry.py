@@ -1415,37 +1415,21 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan: all per-column aggregates land in ONE ``agg`` (the exact
     multi-column distincts plan as a single Expand — a deliberate
-    exact-mode cost; at 100 TB swap ``count_distinct`` for
-    ``approx_count_distinct`` and the Expand disappears), then the one
+    exact-mode cost; ``operators/profiling.table_profile(approx=True)``
+    is the 100 TB dial: HLL++ distincts, no Expand — unit-pinned, not
+    oracle-pinned, because HLL++ is engine-internal), then the one
     result row is unpivoted driver-free via ``inline``. Output is
     6 rows — metadata-sized regardless of input scale."""
+    from homelogging_spark.operators.profiling import table_profile
+
     events = load_table(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in _PROFILE_COLS:
-        num = (
-            F.col(c).cast("double")
-            if (c in _PROFILE_NUMERIC or c == "ts")
-            else F.lit(None).cast("double")
-        )
-        aggs += [
-            F.count(c).cast("bigint").alias(f"_c_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"_d_{c}"),
-            quantize(F.min(num)).alias(f"_min_{c}"),
-            quantize(F.max(num)).alias(f"_max_{c}"),
-        ]
-    row = events.agg(*aggs)
-    structs = [
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col("n_rows").alias("n_rows"),
-            (F.col("n_rows") - F.col(f"_c_{c}")).cast("bigint").alias("n_null"),
-            F.col(f"_d_{c}").alias("n_distinct"),
-            F.col(f"_min_{c}").alias("min_num"),
-            F.col(f"_max_{c}").alias("max_num"),
-        )
-        for c in _PROFILE_COLS
-    ]
-    return row.select(F.inline(F.array(*structs)))
+    return table_profile(
+        events,
+        _PROFILE_COLS,
+        numeric_cols=_PROFILE_NUMERIC,
+        ts_cols=("ts",),
+        approx=False,
+    )
 
 
 def _table_profile_oracle() -> str:

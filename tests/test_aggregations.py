@@ -284,6 +284,36 @@ class TestProfileAndRollingCorr:
         assert rows["event_id"].n_distinct == rows["event_id"].n_rows  # pk
         assert rows["ts"].min_num <= rows["ts"].max_num
 
+    def test_table_profile_approx_dial(self, spark):
+        """The 100 TB dial: approx=True must keep the exact schema,
+        report distincts within the HLL++ rsd tolerance, and drop the
+        Expand from the plan (the exact multi-distinct's row-multiplier
+        — the whole point of the dial)."""
+        from homelogging_spark.operators.profiling import table_profile
+        from homelogging_spark.tables import load_table
+
+        events = load_table(spark, self.SF, "events")
+        kw = dict(
+            cols=("event_id", "user_id", "event_type"),
+            numeric_cols=("event_id", "user_id"),
+        )
+        exact = table_profile(events, **kw)
+        approx = table_profile(events, approx=True, rsd=0.05, **kw)
+        assert exact.schema == approx.schema
+        e = {r.col_name: r for r in exact.collect()}
+        a = {r.col_name: r for r in approx.collect()}
+        for c in kw["cols"]:
+            assert a[c].n_rows == e[c].n_rows and a[c].n_null == e[c].n_null
+            assert a[c].min_num == e[c].min_num and a[c].max_num == e[c].max_num
+            # HLL++ rsd=0.05 → generous 5-sigma-ish band
+            assert abs(a[c].n_distinct - e[c].n_distinct) <= max(
+                5, 0.25 * e[c].n_distinct
+            )
+        exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+        approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in exact_plan  # the deliberate exact-mode cost
+        assert "Expand" not in approx_plan  # the dial removes it
+
     def test_rolling_corr_bounded_and_full_windows_only(self, spark):
         from homelogging_spark.plans.registry import q_rolling_corr
 
