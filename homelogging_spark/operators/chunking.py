@@ -29,8 +29,9 @@ Scale: the shingle frame is ``tokens × 1`` rows per stride-1 position —
 One shuffle on the shingle hash with partial aggregation; the join back
 to positions is a shuffle join on the same key (co-partitioned, AQE
 handles the skew of mega-frequent boilerplate grams). Production dials
-the position stride up (every 4th token) to cut volume 4× — the
-parameter exists; the oracle pins it to 1 so the check is exhaustive.
+the position stride up (every 4th token) to cut volume 4× —
+``duplicated_passages(pos_stride=...)``; the oracle pins it to 1 so the
+check is exhaustive.
 
 MD5 is used for the gram hash because Spark and DuckDB compute it
 identically (see ``functions/texthash.py``), which is what makes the
@@ -120,8 +121,11 @@ FROM e
 """
 
 
-def _span_grams(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, pos, gram_md5) for every stride-1 k-token span.
+def _span_grams(
+    docs: DataFrame, k: int, text_col: str, id_col: str, pos_stride: int = 1
+) -> DataFrame:
+    """(doc_id, pos, gram_md5) for every ``pos_stride``-spaced k-token
+    span (stride 1 = exhaustive).
 
     Documents shorter than ``k`` tokens emit no spans (they are whole-doc
     dedup territory, handled by ``exact_dedup``)."""
@@ -129,7 +133,9 @@ def _span_grams(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFram
     d = docs.select(id_col, toks.alias("_toks"), F.size(toks).alias("_n")).where(
         F.col("_n") >= k
     )
-    starts = F.sequence(F.lit(1), (F.col("_n") - (k - 1)).cast("int"))
+    starts = F.sequence(
+        F.lit(1), (F.col("_n") - (k - 1)).cast("int"), F.lit(int(pos_stride))
+    )
     return d.select(
         id_col, F.explode(starts).alias("pos"), "_toks"
     ).select(
@@ -146,8 +152,18 @@ def duplicated_passages(
     k: int = PASSAGE_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pos_stride: int = 1,
 ) -> DataFrame:
     """Per-document exact duplicated-span statistics.
+
+    ``pos_stride`` is the production volume dial the module docstring
+    promises: sample every s-th start position, cutting the shingle
+    frame s× (the oracle-pinned registered query keeps stride 1 so the
+    check stays exhaustive). The trade at s > 1: two docs sharing a
+    passage are only flagged when both sample a start inside it at the
+    SAME token offset from the passage start modulo alignment — shared
+    regions shorter than ~k + s - 1 tokens can escape, and per-doc span
+    counts/fractions are over the sampled grid, not all positions.
 
     A span (positional k-token shingle) is *duplicated* when its hash
     occurs in ≥2 distinct documents. Output per document: total spans,
@@ -169,7 +185,7 @@ def duplicated_passages(
     # re-runs the scan + explode for each (4 scans observed). Tracked
     # persist: one scan + explode, released by the caller's
     # release_caches() after the action.
-    g = tracked_persist(_span_grams(docs, k, text_col, id_col))
+    g = tracked_persist(_span_grams(docs, k, text_col, id_col, pos_stride))
     dup = (
         g.groupBy("gram_md5")
         .agg(F.count_distinct(id_col).alias("_nd"))

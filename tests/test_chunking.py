@@ -97,3 +97,32 @@ class TestDuplicatedPassages:
         )
         rows = {r.doc_id: r for r in chunking.duplicated_passages(docs, k=8).collect()}
         assert rows[1].n_dup_spans == 0
+
+
+class TestPassageStride:
+    def test_stride_one_default_unchanged_and_stride_cuts_grid(self, spark):
+        """pos_stride=1 must equal the old exhaustive behavior;
+        pos_stride=4 samples every 4th start, cutting n_spans ~4x while
+        aligned shared passages are still flagged."""
+        from homelogging_spark.operators import chunking
+
+        shared = " ".join(f"w{i}" for i in range(16))  # 16-token shared run
+        docs = spark.createDataFrame(
+            [(1, shared + " taila tailb"), (2, shared + " tailc taild")],
+            "doc_id long, text string",
+        )
+        exhaustive = {
+            r.doc_id: r
+            for r in chunking.duplicated_passages(docs, k=8, pos_stride=1).collect()
+        }
+        strided = {
+            r.doc_id: r
+            for r in chunking.duplicated_passages(docs, k=8, pos_stride=4).collect()
+        }
+        # 18 tokens, k=8 -> 11 exhaustive starts; stride 4 -> starts 1,5,9
+        assert exhaustive[1].n_spans == 11
+        assert strided[1].n_spans == 3
+        # both docs sample identical offsets into the shared run -> the
+        # aligned duplicated spans are still found
+        assert strided[1].n_dup_spans >= 2 and strided[2].n_dup_spans >= 2
+        assert strided[1].dup_tokens <= exhaustive[1].dup_tokens
