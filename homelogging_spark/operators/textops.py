@@ -144,10 +144,16 @@ def corpus_stats(
     text_col: str = "text",
     group_col: str = "lang",
     include_bpe: bool = False,
+    approx_median: bool = False,
 ) -> DataFrame:
     """Per-group corpus statistics: doc counts, char/token length profile,
     median length. Classic partial-aggregation shape; the exact median is
-    the only full-sort piece (swap for approx at very large groups).
+    the only piece holding per-group value state. ``approx_median`` is
+    the very-large-group dial: ``percentile_approx`` (Greenwald-Khanna
+    sketch, mergeable constant-size state, default accuracy 10000) in
+    the SAME single-scan aggregation — engine-internal sketch, so the
+    registered query pins the exact form and the approx form is
+    unit-pinned for schema equality + tolerance instead.
     With ``include_bpe`` the BPE-ish token measure is folded into the SAME
     single-scan aggregation (no second pass over the corpus)."""
     toks = tokens(F.col(text_col))
@@ -156,12 +162,17 @@ def corpus_stats(
         F.length(text_col).alias("len"),
         F.size(toks).alias("ntok"),
     ]
+    median = (
+        F.percentile_approx("len", F.lit(0.5), F.lit(10000)).cast("double")
+        if approx_median
+        else F.percentile("len", F.lit(0.5))
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("len").cast("bigint").alias("total_chars"),
         F.avg("len").alias("avg_chars"),
         F.avg("ntok").alias("avg_tokens"),
-        F.percentile("len", F.lit(0.5)).alias("median_chars"),
+        median.alias("median_chars"),
     ]
     if include_bpe:
         cols.append(bpe_ish_token_count(F.col(text_col)).alias("nbpe"))

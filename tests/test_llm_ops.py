@@ -200,6 +200,22 @@ class TestQualityAndTokens:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
 
+    def test_corpus_stats_approx_median_dial(self, spark):
+        """The very-large-group dial: approx_median=True keeps the schema
+        and lands within GK-sketch tolerance of the exact median (exact
+        equality at this tiny n — the sketch is lossless until its
+        accuracy bound), still in one scan."""
+        texts = ["x " * n for n in range(1, 40)]
+        df = docs_df(spark, texts).withColumn("lang", F.lit("en"))
+        exact = textops.corpus_stats(df, "text", "lang")
+        approx = textops.corpus_stats(df, "text", "lang", approx_median=True)
+        assert exact.schema == approx.schema
+        e, a = exact.first(), approx.first()
+        assert abs(a.median_chars - e.median_chars) <= 2
+        assert a.n_docs == e.n_docs and a.total_chars == e.total_chars
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
 
 class TestSimilarity:
     def vectors_df(self, spark, vecs):
