@@ -303,3 +303,75 @@ def rowgroups_admitting(path: str, col: str, value) -> tuple[int, int]:
             elif st.min <= value <= st.max:
                 admitting += 1
     return admitting, total
+
+
+def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Bucket id in [0, len(boundaries)] by counting boundaries <= value
+    — a pure map-side fold over a literal array (no shuffle, no UDF).
+    NULLs land in bucket 0 (they sort first, clustering together)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    d = col.cast("double")
+    n = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(d >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.when(d.isNull(), F.lit(0)).otherwise(n)
+
+
+def zorder_rewrite(
+    df,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 4,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """Multi-key data-skipping layout: the Z-ORDER upgrade of
+    :func:`cluster_rewrite`. A single-key sort makes predicates on THAT
+    key prunable but leaves every other column scattered; Z-ordering
+    interleaves the bits of each column's quantile-bucket rank into one
+    curve value, so a range/point predicate on ANY of the ordered
+    columns maps to a bounded set of curve segments — every file/row
+    group covers a narrow band of EVERY ordered column (Morton curve,
+    the construction behind Delta/Iceberg OPTIMIZE ZORDER).
+
+    Mechanics: per column, ``2^bits`` quantile boundaries come from one
+    driver-side ``approxQuantile`` probe (metadata-sized — the
+    config-table precedent; quantile buckets, not min/max width
+    buckets, so skewed columns still spread evenly across the curve);
+    bucketing and bit interleaving are pure map-side folds; then ONE
+    range shuffle on the curve value + sort-within-file, identical
+    write shape to ``cluster_rewrite``. Cost is the same one shuffle —
+    the multi-key benefit is free at write time.
+
+    The trade vs single-key: each column's band per file widens from
+    ~1/n_files to ~(1/n_files)^(1/k) of its range for k ordered
+    columns — Z-order helps every column somewhat rather than one
+    column maximally (measured in SCALE.md r11)."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder on 1-4 columns, got {len(cols)}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    buckets = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, 0.01)
+        buckets.append(_quantile_bucket(F.col(c), bounds))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(buckets) + j).cast("bigint")
+            )
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -310,3 +310,49 @@ class TestClusterRewrite:
         ) == ["shard=0", "shard=1"]
         adm, tot = rowgroups_admitting(out, "user_id", 7)
         assert adm < tot  # stats still prune inside each hive partition
+
+
+class TestZorderRewrite:
+    def test_zorder_prunes_on_both_keys(self, spark, tmp_path):
+        """Single-key clustering prunes only its own key; Z-order must
+        make point predicates on BOTH ordered columns prunable, and
+        preserve rows exactly."""
+        from homelogging_spark.operators.maintenance import (
+            cluster_rewrite,
+            rowgroups_admitting,
+            zorder_rewrite,
+        )
+
+        df = spark.range(20_000).select(
+            (F.col("id") % 200).alias("a"),
+            ((F.col("id") * 7919) % 331).alias("b"),  # independent of a
+            F.col("id").alias("rowid"),
+        )
+        single = str(tmp_path / "single")
+        zord = str(tmp_path / "zord")
+        cluster_rewrite(df, single, ["a"], n_files=16)
+        zorder_rewrite(df, zord, ["a", "b"], n_files=16, bits=4)
+
+        sa, st = rowgroups_admitting(single, "a", 42)
+        sb, _ = rowgroups_admitting(single, "b", 100)
+        za, zt = rowgroups_admitting(zord, "a", 42)
+        zb, _ = rowgroups_admitting(zord, "b", 100)
+        assert sa <= 2          # single-key: its own key prunes hard
+        assert sb == st         # ...but the other key not at all
+        assert za * 2 <= zt     # z-order: BOTH keys prune
+        assert zb * 2 <= zt
+        # rows preserved exactly
+        back = spark.read.parquet(zord)
+        assert back.count() == 20_000
+        assert df.exceptAll(back).count() == 0 and back.exceptAll(df).count() == 0
+
+    def test_zorder_validation(self, spark, tmp_path):
+        import pytest
+
+        from homelogging_spark.operators.maintenance import zorder_rewrite
+
+        df = spark.range(10).select(F.col("id").alias("a"))
+        with pytest.raises(ValueError, match="1-4 columns"):
+            zorder_rewrite(df, str(tmp_path / "x"), [], n_files=2)
+        with pytest.raises(ValueError, match="bits"):
+            zorder_rewrite(df, str(tmp_path / "x"), ["a"], bits=0)
