@@ -470,3 +470,88 @@ class TestPatternMatchProperties:
         other = list(reversed(w))
         L = len(w)
         assert _zdist(w, other) <= 2.0 * math.sqrt(L) + 1e-9
+
+
+# --- SCD2: stream == batch under ANY micro-batch split ------------------------
+
+
+def scd2_closed_reference(obs):
+    """Pure reference: closed versions of one key's observation log
+    [(ts_us, attr)] (ts-sorted) — the rows batch scd2_history emits with
+    valid_to IS NOT NULL, and exactly what draining the stream yields."""
+    closed = []
+    version, vf, attr, n = 0, None, None, 0
+    for ts, a in obs:
+        if version == 0:
+            version, vf, attr, n = 1, ts, a, 1
+        elif a == attr:  # None == None is True in Python — null-safe
+            n += 1
+        else:
+            closed.append((version, vf, ts, attr, n))
+            version, vf, attr, n = version + 1, ts, a, 1
+    return closed
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@given(
+    attrs=st.lists(
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=40,
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=39), max_size=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_scd2_stream_equals_reference_under_any_batch_split(attrs, splits):
+    """Closed-version output of the streaming SCD2 apply must be a pure
+    function of the observation log — identical for EVERY way the log is
+    cut into micro-batches (the state carries the open version across
+    any boundary), and equal to the batch-semantics reference."""
+    import pandas as pd
+
+    from homelogging_spark.streaming.stateful import make_scd2_apply
+
+    obs = [(1_000_000 * (i + 1), a) for i, a in enumerate(attrs)]
+    expected = scd2_closed_reference(obs)
+
+    cuts = sorted({s for s in splits if s < len(obs)})
+    bounds = [0] + cuts + [len(obs)]
+    batches = [obs[lo:hi] for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+
+    apply = make_scd2_apply()
+    state = _FakeGroupState()
+    closed = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(ts, unit="us") for ts, _ in batch],
+                "attr": [a for _, a in batch],
+            }
+        )
+        for out in apply(("k",), iter([pdf]), state):
+            for r in out.itertuples():
+                closed.append(
+                    (
+                        r.version,
+                        int(r.valid_from.value // 1_000),
+                        int(r.valid_to.value // 1_000),
+                        None if pd.isna(r.attr) else r.attr,
+                        r.n_obs,
+                    )
+                )
+    assert closed == expected
