@@ -174,39 +174,24 @@ FROM aug
 ORACLE_TEXT_CLEAN_PANEL = _text_clean_panel_oracle()
 
 
-def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-quality panel — the r11 merge of `language_id` and
+    `quality_score` (which itself absorbed `repetition_scores` in r7;
+    window-slot consolidation per the COVERAGE.md registry-growth
+    policy): language-ID prediction + agreement, the length/stopword/
+    punct quality columns, AND the Gopher repetition gate
+    (``textops.repetition_columns``) — all in ONE zero-shuffle
+    projection over the corpus scan (the same shape each leg had
+    separately; Catalyst subexpression-shares the token array)."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
+    cols = textops.quality_columns(F.col("text"))
+    rep = textops.repetition_columns(F.col("text"))
     return docs.select(
         "doc_id",
         textops.language_id(toks).alias("pred_lang"),
         F.col("lang").alias("label_lang"),
         (textops.language_id(toks) == F.col("lang")).alias("agree"),
-    )
-
-
-ORACLE_LANGUAGE_ID = f"""
-WITH t AS (SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents)
-SELECT doc_id,
-       {textops.language_id_sql('toks')} AS pred_lang,
-       lang AS label_lang,
-       ({textops.language_id_sql('toks')} = lang) AS agree
-FROM t
-"""
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality signal panel — the r7 merge of the former
-    separate ``repetition_scores`` query (window-slot consolidation per
-    the COVERAGE.md registry-growth policy): the length/stopword/punct
-    quality columns AND the Gopher repetition gate
-    (``textops.repetition_columns``) in ONE zero-shuffle projection
-    over the corpus scan."""
-    docs = _docs(spark, sf_dir)
-    cols = textops.quality_columns(F.col("text"))
-    rep = textops.repetition_columns(F.col("text"))
-    return docs.select(
-        "doc_id",
         cols["n_tokens"].alias("n_tokens"),
         quantize(cols["mean_token_len"]).alias("mean_token_len"),
         quantize(cols["stopword_ratio"]).alias("stopword_ratio"),
@@ -219,13 +204,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QC = textops.quality_columns_sql("text")
-ORACLE_QUALITY_SCORE = f"""
+ORACLE_TEXT_QUALITY_PANEL = f"""
 WITH rep AS (
   SELECT doc_id,
          top_bigram_cover, dup_trigram_frac, keep AS rep_keep
   FROM ({textops.repetition_scores_sql()})
+), t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
 )
 SELECT doc_id,
+       {textops.language_id_sql('toks')} AS pred_lang,
+       lang AS label_lang,
+       ({textops.language_id_sql('toks')} = lang) AS agree,
        {_QC['n_tokens']} AS n_tokens,
        {quantize_sql(_QC['mean_token_len'])} AS mean_token_len,
        {quantize_sql(_QC['stopword_ratio'])} AS stopword_ratio,
@@ -234,7 +224,7 @@ SELECT doc_id,
        {quantize_sql('top_bigram_cover')} AS top_bigram_cover,
        {quantize_sql('dup_trigram_frac')} AS dup_trigram_frac,
        rep_keep
-FROM documents JOIN rep USING (doc_id)
+FROM documents JOIN rep USING (doc_id) JOIN t USING (doc_id)
 """
 
 
@@ -1802,8 +1792,7 @@ ORACLE_SHARD_MANIFEST = _shard_manifest_oracle()
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
-    "language_id": q_language_id,
-    "quality_score": q_quality_score,
+    "text_quality_panel": q_text_quality_panel,
     "text_clean_panel": q_text_clean_panel,
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
@@ -1836,8 +1825,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 LLM_ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
-    "language_id": ORACLE_LANGUAGE_ID,
-    "quality_score": ORACLE_QUALITY_SCORE,
+    "text_quality_panel": ORACLE_TEXT_QUALITY_PANEL,
     "text_clean_panel": ORACLE_TEXT_CLEAN_PANEL,
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,

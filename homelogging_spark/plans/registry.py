@@ -816,33 +816,48 @@ FROM n GROUP BY 1, 2
 
 
 # --- K1 maintenance: small-file compaction report ----------------------------
-def q_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate for the K1 maintenance cycle (``operators/maintenance.py``):
-    a fragmented (series, date)-partitioned readings table is rewritten
-    by ``compact_readings`` at fixture-build time (once per sf_dir —
-    ``tables.compacted_readings_table``), and this query reads the
-    compacted result and reports per-partition row counts / distinct
-    meters / value sums. The oracle recomputes the same report from the
-    source ``events`` table directly, so a compaction that drops,
-    duplicates, or corrupts any row (the partition-name-escaping failure
-    mode) hash-mismatches here. File-count invariants (the part DuckDB
-    cannot see) are asserted in ``tests/test_maintenance.py``.
+def q_maintenance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the K1 maintenance cycle (``operators/maintenance.py``)
+    — widened in r11 from the absorbed `compaction_report` row to
+    certify BOTH maintenance rewrites: a fragmented (series, date)-
+    partitioned readings table is compacted by ``compact_readings`` at
+    fixture-build time, then Z-ordered on (meter_id, value) by
+    ``zorder_rewrite`` (``tables.compacted_readings_table`` /
+    ``zordered_readings_table``). The query reports per-partition row
+    counts / distinct meters / value sums over each stage's table; the
+    oracle recomputes the identical report from the source ``events``
+    directly for both stage labels, so a rewrite that drops, duplicates,
+    or corrupts any row (the partition-name-escaping failure mode; a
+    lossy curve write) hash-mismatches here. File-count and footer
+    skipping invariants (the parts DuckDB cannot see) are asserted in
+    ``tests/test_maintenance.py``.
 
-    Scale: the report is one partition-pruned scan + one partial agg on
-    the partition keys; compaction itself is incremental metadata-driven
-    maintenance (see module docstring)."""
-    from homelogging_spark.tables import compacted_readings_table
-
-    t = compacted_readings_table(spark, sf_dir)
-    return t.groupBy("series", "date").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.countDistinct("meter_id").alias("n_meters"),
-        quantize(F.sum("value")).alias("sum_value"),
-        quantize(F.avg("value")).alias("avg_value"),
+    Scale: the report legs are one partition-pruned scan + one partial
+    agg each; the maintenance ops themselves are incremental
+    metadata-driven rewrites (module docstring)."""
+    from homelogging_spark.tables import (
+        compacted_readings_table,
+        zordered_readings_table,
     )
 
+    def report(t: DataFrame, stage: str) -> DataFrame:
+        return (
+            t.groupBy("series", "date")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("meter_id").alias("n_meters"),
+                quantize(F.sum("value")).alias("sum_value"),
+                quantize(F.avg("value")).alias("avg_value"),
+            )
+            .withColumn("stage", F.lit(stage))
+        )
 
-ORACLE_COMPACTION_REPORT = f"""
+    comp = report(compacted_readings_table(spark, sf_dir), "compacted")
+    zord = report(zordered_readings_table(spark, sf_dir), "zordered")
+    return comp.unionByName(zord)
+
+
+_MAINT_REPORT_SQL = f"""
 SELECT event_type AS series,
        CAST(ts AS DATE) AS date,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -853,6 +868,12 @@ FROM events
 WHERE event_type IN ('signup', 'click')
   AND ts < TIMESTAMP '2024-01-11 00:00:00'
 GROUP BY 1, 2
+"""
+
+ORACLE_MAINTENANCE_PANEL = f"""
+SELECT *, 'compacted' AS stage FROM ({_MAINT_REPORT_SQL})
+UNION ALL
+SELECT *, 'zordered' AS stage FROM ({_MAINT_REPORT_SQL})
 """
 
 
@@ -2565,6 +2586,14 @@ MERGED_FROM: dict[str, list[str]] = {
     # r11: the PII row widened into the text-cleaning panel (PII scrub +
     # C4/CCNet line dedup in one zero-shuffle projection) — net 0 slots
     "text_clean_panel": ["pii_scrub"],
+    # r11: the compaction row widened to certify BOTH maintenance
+    # rewrites (compact + Z-order) through the same row-conservation
+    # oracle — net 0 slots
+    "maintenance_panel": ["compaction_report"],
+    # r11: language_id + quality_score (itself the r7 repetition merge)
+    # consolidated into one zero-shuffle text-quality projection,
+    # freeing the window slot the three r11 panel renames consumed
+    "text_quality_panel": ["language_id", "quality_score"],
 }
 
 
@@ -2666,7 +2695,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_totals": q_customer_order_totals,
     "values_projection": q_values_projection,
     "series_flow_report": q_series_flow_report,
-    "compaction_report": q_compaction_report,
+    "maintenance_panel": q_maintenance_panel,
     "energy_interpolate": q_energy_interpolate,
     "key_normalized_join": q_key_normalized_join,
     "device_class_scan": q_device_class_scan,
@@ -2725,7 +2754,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "customer_order_totals": ORACLE_CUSTOMER_ORDER_TOTALS,
     "values_projection": ORACLE_VALUES_PROJECTION,
     "series_flow_report": ORACLE_SERIES_FLOW_REPORT,
-    "compaction_report": ORACLE_COMPACTION_REPORT,
+    "maintenance_panel": ORACLE_MAINTENANCE_PANEL,
     "energy_interpolate": ORACLE_ENERGY_INTERPOLATE,
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,

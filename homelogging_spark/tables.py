@@ -293,6 +293,29 @@ def _build_compacted_readings(spark: SparkSession, sf_dir: str, path: str) -> No
     compact_readings(spark, path, target_file_bytes=64 * 1024 * 1024, min_files=2)
 
 
+def zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted readings table rewritten through
+    ``maintenance.zorder_rewrite`` on (meter_id, value) — built once per
+    sf_dir on top of the compacted fixture. Registered queries read the
+    result, so row conservation through the fragment → compact → Z-order
+    cycle is oracle-checked end-to-end; the footer-level skipping
+    invariants (which SQL cannot see) live in
+    ``tests/test_maintenance.TestZorderRewrite``."""
+    path = _fixture_path(sf_dir, "zordered")
+    src = os.path.join(sf_dir, "events.parquet")
+    if _fixture_stale(path, src):
+        with _fixture_build_lock(path):
+            if _fixture_stale(path, src):
+                import shutil
+
+                from homelogging_spark.operators.maintenance import zorder_rewrite
+
+                t = compacted_readings_table(spark, sf_dir)
+                shutil.rmtree(path, ignore_errors=True)
+                zorder_rewrite(t, path, ["meter_id", "value"], n_files=8, bits=4)
+    return spark.read.parquet(path)
+
+
 METERS_DIM_SQL = """
   SELECT 'meters/' || CAST(user_id AS VARCHAR) AS meter_id,
          user_id,
