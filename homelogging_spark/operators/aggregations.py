@@ -304,3 +304,56 @@ def ewma_smooth(
         return pdf.assign(ewma=smoothed, resid=resids)
 
     return fold_partitioned(df, keys).groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    k: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-key robust outlier detection via median/MAD — the
+    heavy-tail-safe complement to the mean/std z-score path
+    (``seasonal_residuals``): a handful of extreme readings inflate the
+    std enough to mask themselves, while the median and the median
+    absolute deviation are 50%-breakdown estimators (Iglewicz & Hoaglin
+    1993: modified z = 0.6745 (x − med) / MAD, flag |z| > 3.5).
+
+    Two shuffles by construction (median needs a full pass before
+    deviations exist): per-key median, co-keyed join back, per-key MAD,
+    join back, then the per-row score is map-side. ``approx=True`` is
+    the 100 TB dial — both percentile passes switch to Spark's
+    mergeable Greenwald-Khanna sketch (``percentile_approx``, no
+    full-sort state; engine-internal, so the registered query pins the
+    exact form and the approx form is unit-pinned for tolerance).
+
+    A key whose MAD is 0 (at least half its values identical) emits
+    NULL ``robust_z`` and ``is_outlier`` = (deviation > 0): the
+    standard degenerate-scale fallback — any departure from a
+    majority-constant signal is anomalous, but its magnitude is
+    unquantifiable."""
+    v = F.col(value_col).cast("double")
+
+    def med_expr(col: str):
+        return (
+            F.percentile_approx(col, F.lit(0.5), F.lit(10000)).cast("double")
+            if approx
+            else F.percentile(col, F.lit(0.5))
+        )
+
+    med = df.groupBy(*keys).agg(med_expr(value_col).alias("_med"))
+    dev = df.join(med, list(keys)).withColumn("_dev", F.abs(v - F.col("_med")))
+    mad = dev.groupBy(*keys).agg(med_expr("_dev").alias("_mad"))
+    scored = dev.join(mad, list(keys))
+    z = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
+    return scored.select(
+        *keys,
+        *[c for c in df.columns if c not in keys],
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        F.when(F.col("_mad") > 0, z).alias("robust_z"),
+        F.when(F.col("_mad") > 0, F.abs(z) > F.lit(k))
+        .otherwise(F.col("_dev") > 0)
+        .alias("is_outlier"),
+    )

@@ -44,9 +44,16 @@ PCT_CUTOFF = "2024-01-25 00:00:00"
 
 
 # --- A1: tumbling hourly average, per series --------------------------------
-def q_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bucket_downsample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A2 in one panel — the r11 merge of `hourly_avg` and
+    `minute_downsample` (window-slot consolidation per the COVERAGE.md
+    registry-growth policy): both legs are ``time_bucket_agg`` bucket
+    averages, so one union panel with a ``grain`` label certifies both
+    (the hourly all-series leg keyed by event_type, and the A2
+    single-series minute leg — ZeroExport.cs:86-104). Each leg keeps
+    its original one-shuffle partial-agg plan; the union is free."""
     events = load_table(spark, sf_dir, "events")
-    return time_bucket_agg(
+    hourly = time_bucket_agg(
         events,
         "ts",
         "hour",
@@ -56,30 +63,37 @@ def q_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         ],
         bucket_alias="bucket",
+    ).withColumn("grain", F.lit("hour"))
+    minute = (
+        time_bucket_agg(
+            events.where(F.col("event_type") == "click"),
+            "ts",
+            "minute",
+            aggs=[quantize(F.avg("value")).alias("avg_value")],
+            bucket_alias="bucket",
+        )
+        .select(
+            "bucket",
+            F.lit(None).cast("string").alias("event_type"),
+            "avg_value",
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit("minute").alias("grain"),
+        )
     )
+    return hourly.select(
+        "bucket", "event_type", "avg_value", "n", "grain"
+    ).unionByName(minute)
 
 
-ORACLE_HOURLY_AVG = """
+ORACLE_BUCKET_DOWNSAMPLE_PANEL = """
 SELECT date_trunc('hour', ts) AS bucket, event_type,
-       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value, count(*) AS n
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value,
+       count(*) AS n, 'hour' AS grain
 FROM events GROUP BY 1, 2
-"""
-
-
-# --- A2: minute downsample of one series (ZeroExport.cs:86-104) -------------
-def q_minute_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return time_bucket_agg(
-        events.where(F.col("event_type") == "click"),
-        "ts",
-        "minute",
-        aggs=[quantize(F.avg("value")).alias("avg_value")],
-        bucket_alias="bucket",
-    )
-
-
-ORACLE_MINUTE_DOWNSAMPLE = """
-SELECT date_trunc('minute', ts) AS bucket, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value
+UNION ALL
+SELECT date_trunc('minute', ts) AS bucket, CAST(NULL AS VARCHAR) AS event_type,
+       floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value,
+       CAST(NULL AS BIGINT) AS n, 'minute' AS grain
 FROM events WHERE event_type = 'click' GROUP BY 1
 """
 
@@ -2266,6 +2280,60 @@ FROM grouped
 """
 
 
+# --- robust (MAD) outliers -----------------------------------------------------
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier report over the event stream
+    (``aggregations.robust_outliers``): modified z-score via
+    median/MAD — the heavy-tail-safe anomaly detector next to the
+    mean/std ``seasonal_residuals`` path. Emits only flagged rows plus
+    the per-key medians, so the output is anomaly-sized.
+
+    Scale: two shuffles by construction (median before deviations),
+    both partial-aggregated; ``approx=True`` on the operator is the
+    100 TB sketch dial (unit-pinned — GK internals aren't
+    oracle-replicable)."""
+    from homelogging_spark.operators.aggregations import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = robust_outliers(ev, ["user_id"], "value", k=3.5)
+    return out.where(F.col("is_outlier")).select(
+        "user_id",
+        "event_id",
+        quantize("value").alias("value"),
+        quantize("med").alias("med"),
+        quantize("mad").alias("mad"),
+        quantize("robust_z").alias("robust_z"),
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.user_id, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (user_id)
+), mad AS (
+  SELECT user_id, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+), scored AS (
+  SELECT dev.user_id, dev.event_id, dev.value, dev.med, mad.mad,
+         CASE WHEN mad.mad > 0
+              THEN 0.6745 * (dev.value - dev.med) / mad.mad END AS robust_z,
+         CASE WHEN mad.mad > 0
+              THEN abs(0.6745 * (dev.value - dev.med) / mad.mad) > 3.5
+              ELSE dev.d > 0 END AS is_outlier
+  FROM dev JOIN mad USING (user_id)
+)
+SELECT user_id, event_id,
+       {quantize_sql('value')} AS value,
+       {quantize_sql('med')} AS med,
+       {quantize_sql('mad')} AS mad,
+       {quantize_sql('robust_z')} AS robust_z
+FROM scored WHERE is_outlier
+"""
+
+
 # --- event funnel -------------------------------------------------------------
 
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,6 +2662,9 @@ MERGED_FROM: dict[str, list[str]] = {
     # consolidated into one zero-shuffle text-quality projection,
     # freeing the window slot the three r11 panel renames consumed
     "text_quality_panel": ["language_id", "quality_score"],
+    # r11: A1 + A2 are both time_bucket_agg bucket averages — one
+    # grain-labeled union panel certifies both, funding mad_outliers
+    "bucket_downsample_panel": ["hourly_avg", "minute_downsample"],
 }
 
 
@@ -2678,8 +2749,7 @@ def _driver_window_order(merged: dict) -> dict:
 _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_hourly_cost": flagship.hourly_cost_analysis,
     "cost_totals": flagship.cost_totals,
-    "hourly_avg": q_hourly_avg,
-    "minute_downsample": q_minute_downsample,
+    "bucket_downsample_panel": q_bucket_downsample_panel,
     "latest_per_key": q_latest_per_key,
     "count_by_series": q_count_by_series,
     "trailing_percentile": q_trailing_percentile,
@@ -2721,6 +2791,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_profile": q_cube_profile,
     "spec_driven_agg": q_spec_driven_agg,
     "snapshot_diff": q_snapshot_diff,
+    "mad_outliers": q_mad_outliers,
     "scd2_history": q_scd2_history,
     "funnel_stages": q_funnel_stages,
     "seasonal_residuals": q_seasonal_residuals,
@@ -2737,8 +2808,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _UNORDERED_ORACLES: dict[str, str] = {
     "flagship_hourly_cost": flagship.FLAGSHIP_ORACLE,
     "cost_totals": flagship.COST_TOTALS_ORACLE,
-    "hourly_avg": ORACLE_HOURLY_AVG,
-    "minute_downsample": ORACLE_MINUTE_DOWNSAMPLE,
+    "bucket_downsample_panel": ORACLE_BUCKET_DOWNSAMPLE_PANEL,
     "latest_per_key": ORACLE_LATEST_PER_KEY,
     "count_by_series": ORACLE_COUNT_BY_SERIES,
     "trailing_percentile": ORACLE_TRAILING_PERCENTILE,
@@ -2780,6 +2850,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "cube_profile": ORACLE_CUBE_PROFILE,
     "spec_driven_agg": ORACLE_SPEC_DRIVEN_AGG,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
     "scd2_history": ORACLE_SCD2_HISTORY,
     "funnel_stages": ORACLE_FUNNEL_STAGES,
     "seasonal_residuals": ORACLE_SEASONAL_RESIDUALS,

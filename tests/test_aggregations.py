@@ -439,3 +439,42 @@ class TestRollingCorrGuard:
         rows = q_rolling_corr(spark, str(tmp_path)).collect()
         assert len(rows) == 7
         assert all(r.corr_24h is None for r in rows)
+
+
+class TestRobustOutliers:
+    def test_mad_semantics_and_degenerate_key(self, spark):
+        """Modified z = 0.6745(x-med)/MAD; a key with MAD=0 (majority
+        constant) emits NULL robust_z and flags any departure."""
+        from homelogging_spark.operators.aggregations import robust_outliers
+
+        rows = (
+            # key a: values 1..9 plus a wild 1000 -> med 5.5, MAD 2.5
+            [("a", i, float(v)) for i, v in enumerate([1,2,3,4,5,6,7,8,9,1000])]
+            # key b: constant 7 except one 8 -> MAD 0
+            + [("b", 100 + i, 7.0) for i in range(5)] + [("b", 199, 8.0)]
+        )
+        df = spark.createDataFrame(rows, "k string, rid bigint, value double")
+        out = {r.rid: r for r in robust_outliers(df, ["k"], "value").collect()}
+        assert out[9].is_outlier is True
+        assert out[9].robust_z == pytest.approx(0.6745 * (1000 - 5.5) / 2.5)
+        assert all(out[i].is_outlier is False for i in range(9))
+        # degenerate key: NULL z, departure flagged
+        assert out[199].is_outlier is True and out[199].robust_z is None
+        assert out[100].is_outlier is False
+
+    def test_approx_dial_tolerance_and_schema(self, spark):
+        from homelogging_spark.operators.aggregations import robust_outliers
+        from pyspark.sql import functions as F
+
+        df = spark.range(5000).select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            F.col("id").alias("rid"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        exact = robust_outliers(df, ["k"], "value")
+        approx = robust_outliers(df, ["k"], "value", approx=True)
+        assert exact.schema == approx.schema
+        e = exact.select("k", "med", "mad").distinct().collect()
+        a = {(r.k): (r.med, r.mad) for r in approx.select("k", "med", "mad").distinct().collect()}
+        for r in e:
+            assert abs(a[r.k][0] - r.med) <= 2 and abs(a[r.k][1] - r.mad) <= 2

@@ -121,7 +121,7 @@ class TestPlanQuality:
     def test_aggregation_is_partial_before_exchange(self, spark):
         from homelogging_spark.plans.registry import QUERIES
 
-        plan = plan_of(QUERIES["hourly_avg"](spark, SF))
+        plan = plan_of(QUERIES["bucket_downsample_panel"](spark, SF))
         # partial + final HashAggregate around the exchange = map-side combine
         assert plan.count("HashAggregate") >= 2
 
