@@ -431,3 +431,86 @@ def streaming_scd2(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GRID_LOCF_OUTPUT_DDL = (
+    "k string, grid_h timestamp, obs_value double, locf_value double, "
+    "filled boolean"
+)
+GRID_LOCF_STATE_DDL = "cur_h_us bigint, cur_val double"
+
+
+def make_grid_locf_apply(grid_seconds: int = 3600):
+    """Per-key LOCF grid resampling state update — the streaming form of
+    the registered ``grid_resample_locf`` plan: the dashboard's
+    "value between readings" emitted live as grid slots CLOSE. A slot
+    closes when an observation lands in a LATER slot: the closing emits
+    the finished slot (its last observation, ``filled`` false) plus one
+    carried-forward row per empty slot in the gap (``filled`` true,
+    ``obs_value`` NULL). The OPEN slot lives in state (two scalars per
+    key — constant regardless of gap length) until a later observation
+    closes it, the same emission contract as ``make_scd2_apply``:
+    append mode never needs a retraction because nothing provisional is
+    emitted.
+
+    Drain == batch equality (pinned in test_streaming_stateful.py): the
+    drained rows equal the batch plan's rows restricted to each key's
+    own observed span minus its open tail — the batch form also pads
+    every key to the GLOBAL grid bounds, which an unbounded stream
+    cannot know. Out-of-order rows older than the open slot are dropped
+    (the in-order-per-key contract every twin here documents; bound
+    lateness with a watermark upstream)."""
+    step_us = grid_seconds * 1_000_000
+
+    def _apply(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur_h_us, cur_val = state.get if state.exists else (None, None)
+        pdf = _collect_sorted(batches)
+        out: list[tuple] = []
+        if pdf is not None:
+            for row in pdf.itertuples():
+                ts_us = int(row.ts.value // 1_000)
+                h_us = ts_us - ts_us % step_us
+                v = float(row.value)
+                if cur_h_us is None:
+                    cur_h_us, cur_val = h_us, v
+                elif h_us == cur_h_us:
+                    cur_val = v  # later ts in the open slot wins
+                elif h_us > cur_h_us:
+                    out.append((key[0], cur_h_us, cur_val, cur_val, False))
+                    gap = cur_h_us + step_us
+                    while gap < h_us:
+                        out.append((key[0], gap, None, cur_val, True))
+                        gap += step_us
+                    cur_h_us, cur_val = h_us, v
+                # h_us < cur_h_us: late row older than the open slot — drop
+        state.update((cur_h_us, cur_val))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "k": [o[0] for o in out],
+                    "grid_h": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "obs_value": [o[2] for o in out],
+                    "locf_value": [o[3] for o in out],
+                    "filled": [o[4] for o in out],
+                }
+            )
+
+    return _apply
+
+
+def streaming_grid_locf(stream: DataFrame, grid_seconds: int = 3600) -> DataFrame:
+    """LOCF grid resampling over a streaming observation log with
+    columns (k, ts, value); emits each grid slot the moment a later
+    observation closes it, gap slots carried forward. State is two
+    scalars per key."""
+    return stream.groupBy("k").applyInPandasWithState(
+        make_grid_locf_apply(grid_seconds),
+        outputStructType=GRID_LOCF_OUTPUT_DDL,
+        stateStructType=GRID_LOCF_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

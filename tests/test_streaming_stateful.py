@@ -849,3 +849,117 @@ class TestStreamingScd2:
             if r.valid_to is not None
         }
         assert drained == expected
+
+
+class TestStreamingGridLocf:
+    def test_gap_fill_across_micro_batches(self, spark, tmp_path):
+        """A 3-hour silence spanning a micro-batch boundary must emit the
+        closed slot plus carried-forward gap rows when the next
+        observation lands; the open slot is withheld; within-slot later
+        observations win."""
+        from homelogging_spark.streaming.stateful import streaming_grid_locf
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        b1 = [
+            {"k": "m1", "ts": "2024-04-01T00:10:00Z", "value": 5.0},
+            {"k": "m1", "ts": "2024-04-01T00:40:00Z", "value": 7.0},  # same slot, later
+        ]
+        b2 = [
+            {"k": "m1", "ts": "2024-04-01T03:05:00Z", "value": 9.0},  # closes h0, fills h1-h2
+            {"k": "m2", "ts": "2024-04-01T00:30:00Z", "value": 1.0},  # open -> nothing
+        ]
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in b1))
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in b2))
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_grid_locf(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {
+            (r.k, r.grid_h.hour): (r.obs_value, r.locf_value, r.filled)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        assert rows == {
+            ("m1", 0): (7.0, 7.0, False),   # last obs in slot wins
+            ("m1", 1): (None, 7.0, True),   # carried forward
+            ("m1", 2): (None, 7.0, True),
+        }  # m1 h3 open, m2 h0 open -> withheld
+
+    def test_drain_equals_batch_plan_on_observed_span(self, spark, tmp_path):
+        """Drained rows == the registered grid_resample_locf plan's rows
+        restricted to each key's own observed span minus the open tail
+        (the batch form pads every key to the GLOBAL bounds, which an
+        unbounded stream cannot know)."""
+        from homelogging_spark.plans.registry import q_grid_resample_locf
+        from homelogging_spark.streaming.stateful import streaming_grid_locf
+
+        sf = "/root/testdata/sf0.001"
+        from homelogging_spark.tables import load_table
+
+        ev = (
+            load_table(spark, sf, "events")
+            .where((F.col("event_type") == "click") & (F.col("user_id") < 10))
+            .select(
+                F.col("user_id").cast("string").alias("k"), "ts", "value"
+            )
+        )
+        landing = tmp_path / "landing"
+        # two micro-batches split mid-timeline, in event-time order per key
+        ev.where(F.dayofmonth("ts") <= 15).coalesce(1).write.json(
+            str(landing / "a")
+        )
+        ev.where(F.dayofmonth("ts") > 15).coalesce(1).write.json(
+            str(landing / "b")
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(landing / "*"))
+        )
+        out_dir = tmp_path / "out"
+        q = (
+            streaming_grid_locf(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        drained = {
+            (r.k, r.grid_h): (r.obs_value, r.locf_value, r.filled)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        # batch plan, restricted to each key's observed span minus the
+        # open (max-hour) slot
+        span = ev.groupBy("k").agg(
+            F.date_trunc("hour", F.min("ts")).alias("first_h"),
+            F.date_trunc("hour", F.max("ts")).alias("last_h"),
+        )
+        batch = (
+            q_grid_resample_locf(spark, sf)
+            .withColumn("k", F.col("user_id").cast("string"))
+            .join(span, "k")
+            .where(
+                (F.col("grid_h") >= F.col("first_h"))
+                & (F.col("grid_h") < F.col("last_h"))
+            )
+        )
+        expected = {
+            (r.k, r.grid_h): (r.obs_value, r.locf_value, r.filled)
+            for r in batch.collect()
+        }
+        assert drained == expected and len(drained) > 50
