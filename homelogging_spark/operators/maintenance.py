@@ -280,17 +280,22 @@ def cluster_rewrite(
     writer.parquet(path)
 
 
-def rowgroups_admitting(path: str, col: str, value) -> tuple[int, int]:
+def rowgroups_admitting(path: str, col: str, value, hi=None) -> tuple[int, int]:
     """Footer-statistics audit: (admitting, total) parquet row groups
-    under ``path`` whose [min, max] band for ``col`` admits ``value`` —
-    the row groups a stats-pruning reader must actually read for the
-    point predicate ``col = value``. Driver-side metadata work only
-    (footers, never data pages); used by tests and the SCALE harness to
-    measure what :func:`cluster_rewrite` buys."""
+    under ``path`` whose [min, max] band for ``col`` admits the point
+    predicate ``col = value`` — or, with ``hi``, overlaps the range
+    predicate ``value <= col <= hi`` (the dashboard time-slice shape).
+    These are exactly the row groups a stats-pruning reader must read.
+    Driver-side metadata work only (footers, never data pages); used by
+    tests and the SCALE harness to measure what :func:`cluster_rewrite`
+    / :func:`zorder_rewrite` buy."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    lo, hi = value, value if hi is None else hi
+    if hi < lo:
+        raise ValueError(f"empty range: [{lo}, {hi}]")
     admitting = total = 0
     for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         md = pq.ParquetFile(f).metadata
@@ -300,7 +305,7 @@ def rowgroups_admitting(path: str, col: str, value) -> tuple[int, int]:
             total += 1
             if st is None or st.min is None:
                 admitting += 1  # no stats -> reader must read it
-            elif st.min <= value <= st.max:
+            elif st.min <= hi and lo <= st.max:  # band overlaps [lo, hi]
                 admitting += 1
     return admitting, total
 

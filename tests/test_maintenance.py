@@ -356,3 +356,26 @@ class TestZorderRewrite:
             zorder_rewrite(df, str(tmp_path / "x"), [], n_files=2)
         with pytest.raises(ValueError, match="bits"):
             zorder_rewrite(df, str(tmp_path / "x"), ["a"], bits=0)
+
+
+class TestRowgroupsAdmittingRange:
+    def test_range_predicate_overlap(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            cluster_rewrite,
+            rowgroups_admitting,
+        )
+
+        df = spark.range(8_000).select((F.col("id") % 80).alias("a"))
+        out = str(tmp_path / "c")
+        cluster_rewrite(df, out, ["a"], n_files=8)
+        # each file covers ~10 values of a; a 20-value range admits ~2-3
+        adm, tot = rowgroups_admitting(out, "a", 30, 49)
+        assert 1 <= adm <= 4 and tot == 8
+        # degenerate range == point form
+        p1 = rowgroups_admitting(out, "a", 42)
+        p2 = rowgroups_admitting(out, "a", 42, 42)
+        assert p1 == p2
+        import pytest
+
+        with pytest.raises(ValueError, match="empty range"):
+            rowgroups_admitting(out, "a", 10, 5)
