@@ -555,3 +555,78 @@ def test_scd2_stream_equals_reference_under_any_batch_split(attrs, splits):
                     )
                 )
     assert closed == expected
+
+
+# --- LOCF grid: stream == reference under ANY micro-batch split ---------------
+
+
+def grid_locf_closed_reference(obs, step_us=3_600_000_000):
+    """Pure reference: closed grid slots for one key's (ts_us, value)
+    log (ts-sorted) — what draining streaming_grid_locf yields."""
+    out = []
+    cur_h, cur_val = None, None
+    for ts, v in obs:
+        h = ts - ts % step_us
+        if cur_h is None:
+            cur_h, cur_val = h, v
+        elif h == cur_h:
+            cur_val = v
+        elif h > cur_h:
+            out.append((cur_h, cur_val, cur_val, False))
+            g = cur_h + step_us
+            while g < h:
+                out.append((g, None, cur_val, True))
+                g += step_us
+            cur_h, cur_val = h, v
+    return out
+
+
+@given(
+    deltas=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=1, max_size=30
+    ),
+    splits=st.lists(st.integers(min_value=1, max_value=29), max_size=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_grid_locf_stream_equals_reference_under_any_batch_split(deltas, splits):
+    """Closed-slot output of the streaming LOCF apply must be identical
+    for EVERY way the observation log is cut into micro-batches (the
+    open slot carries in state across any boundary) and equal the pure
+    batch-semantics reference. Random inter-arrival gaps in seconds up
+    to ~2.7 h exercise same-slot updates, adjacent slots, and multi-slot
+    gap fills."""
+    import pandas as pd
+
+    from homelogging_spark.streaming.stateful import make_grid_locf_apply
+
+    ts, obs = 0, []
+    for i, d in enumerate(deltas):
+        ts += d * 1_000_000
+        obs.append((ts, float(i)))
+    expected = grid_locf_closed_reference(obs)
+
+    cuts = sorted({s for s in splits if s < len(obs)})
+    bounds = [0] + cuts + [len(obs)]
+    batches = [obs[lo:hi] for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+
+    apply = make_grid_locf_apply()
+    state = _FakeGroupState()
+    closed = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(t, unit="us") for t, _ in batch],
+                "value": [v for _, v in batch],
+            }
+        )
+        for out in apply(("k",), iter([pdf]), state):
+            for r in out.itertuples():
+                closed.append(
+                    (
+                        int(r.grid_h.value // 1_000),
+                        None if pd.isna(r.obs_value) else r.obs_value,
+                        r.locf_value,
+                        r.filled,
+                    )
+                )
+    assert closed == expected
