@@ -197,6 +197,24 @@ def compact_readings(
     todo = plan_compaction(
         partition_file_stats(spark, path), target_file_bytes, min_files
     )
+
+    def stage(sub, s: PartitionStat):
+        n_out = max(1, -(-s.total_bytes // target_file_bytes))  # ceil
+        return sub.coalesce(n_out)
+
+    return _commit_partition_rewrites(spark, path, todo, stage)
+
+
+def _commit_partition_rewrites(
+    spark: SparkSession, path: str, todo: list[PartitionStat], stage
+) -> list[PartitionStat]:
+    """Shared journaled per-partition rewrite commit (module docstring
+    protocol) used by :func:`compact_readings` and
+    :func:`incremental_layout_rewrite`. ``stage(sub_df, stat)`` returns
+    the transformed frame to write for one partition; everything else —
+    staging dir, journal marker, the two atomic renames, cleanup — is
+    identical across rewrite kinds, so crash recovery
+    (:func:`recover_compaction`) repairs any of them the same way."""
     if not todo:
         return []
     hadoop, fs = _fs(spark, path)
@@ -204,11 +222,11 @@ def compact_readings(
     # rename() needs existing destination parents (HDFS semantics)
     fs.mkdirs(P(os.path.join(path, JOURNAL_DIR)))
     fs.mkdirs(P(os.path.join(path, TRASH_DIR)))
-    # One read+write per fragmented partition: the loop is over METADATA
+    # One read+write per picked partition: the loop is over METADATA
     # (a handful of partitions per maintenance cycle), each iteration a
     # fully distributed pruned scan→write. Batching all partitions into
-    # one job would forfeit per-partition coalesce factors.
-    compacted: list[PartitionStat] = []
+    # one job would forfeit per-partition layout factors.
+    done: list[PartitionStat] = []
     for s in todo:
         kv = [seg.split("=", 1) for seg in s.partition.split("/")]
         # Null partitions carry the __HIVE_DEFAULT_PARTITION__ sentinel in
@@ -223,13 +241,12 @@ def compact_readings(
         tmp = os.path.join(path, TMP_DIR, flat)
         trash = os.path.join(path, TRASH_DIR, flat)
         marker = os.path.join(path, JOURNAL_DIR, flat)
-        # 1. stage: partition-pruned scan -> compacted files in the
+        # 1. stage: partition-pruned scan -> rewritten files in the
         #    hidden staging dir (data columns only, same layout as the
         #    live partition dir; readers never list hidden dirs)
         sub = spark.read.parquet(live)
-        n_out = max(1, -(-s.total_bytes // target_file_bytes))  # ceil
         fs.delete(P(tmp), True)
-        sub.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        stage(sub, s).write.mode("overwrite").parquet(tmp)
         # 2. journal the intent — created only after staging is complete
         fs.createNewFile(P(marker))
         # 3+4. the swap: two atomic renames
@@ -239,8 +256,8 @@ def compact_readings(
         # 5. clear the journal, then the old files
         fs.delete(P(marker), False)
         fs.delete(P(trash), True)
-        compacted.append(s)
-    return compacted
+        done.append(s)
+    return done
 
 
 def cluster_rewrite(
@@ -354,24 +371,9 @@ def zorder_rewrite(
     ~1/n_files to ~(1/n_files)^(1/k) of its range for k ordered
     columns — Z-order helps every column somewhat rather than one
     column maximally (measured in SCALE.md r11)."""
-    if not 1 <= len(cols) <= 4:
-        raise ValueError(f"zorder on 1-4 columns, got {len(cols)}")
-    if not 1 <= bits <= 16:
-        raise ValueError(f"bits must be in [1, 16], got {bits}")
-    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    buckets = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, 0.01)
-        buckets.append(_quantile_bucket(F.col(c), bounds))
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        for j, b in enumerate(buckets):
-            bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(
-                F.shiftleft(bit, i * len(buckets) + j).cast("bigint")
-            )
+    _validate_zorder(cols, bits)
     out = (
-        df.withColumn("_z", z)
+        df.withColumn("_z", _zorder_column(df, cols, bits))
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
@@ -380,3 +382,194 @@ def zorder_rewrite(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def partition_band_overlap(path: str, col: str) -> tuple[int, int]:
+    """Footer-statistics LAYOUT audit for one partition directory:
+    ``(overlapping, separable)`` pairs of row-group [min, max] bands for
+    ``col`` across every parquet file under ``path``.
+
+    A fragmented layout (micro-batch appends: every file spans the whole
+    key range) has overlap fraction ~1.0; a clustered layout has only
+    adjacent-boundary overlaps, ~2/n_rowgroups. Pairs where both bands
+    are the SAME single point (duplicate-heavy keys: [v,v] vs [v,v])
+    are excluded from both counts — no ordering can separate them, so
+    counting them would make a perfectly-sorted skewed partition look
+    forever-rewritable (the convergence hazard a plain admitting-
+    fraction probe has). Row groups without stats are skipped for the
+    same reason. Driver-side metadata only (footers, never data pages);
+    O(rowgroups^2) per partition over in-memory tuples — row groups per
+    partition are bounded by the compaction policy."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    bands: list[tuple] = []
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.min is not None:
+                bands.append((st.min, st.max))
+    overlapping = separable = 0
+    for i in range(len(bands)):
+        lo_i, hi_i = bands[i]
+        for j in range(i + 1, len(bands)):
+            lo_j, hi_j = bands[j]
+            if lo_i == hi_i == lo_j == hi_j:
+                continue  # identical point bands: unseparable
+            separable += 1
+            if lo_i <= hi_j and lo_j <= hi_i:
+                overlapping += 1
+    return overlapping, separable
+
+
+def plan_layout_rewrite(
+    spark: SparkSession,
+    path: str,
+    audit_col: str,
+    max_overlap_frac: float = 0.75,
+) -> list[PartitionStat]:
+    """Pick the partitions whose row-group bands for ``audit_col``
+    overlap more than ``max_overlap_frac`` of their separable pairs —
+    the partitions where footer pruning on the layout key is broken
+    (fresh micro-batch appends) and a layout rewrite will fix it.
+    Driver-side metadata only.
+
+    The default threshold separates the two regimes with margin on both
+    sides: append-fragmented partitions sit at ~1.0 (every file spans
+    the key range), post-rewrite layouts sit at ~2/n_files for the
+    single-key sort and (measured) ~0.1-0.45 for the Z-order curve's
+    primary column."""
+    if not 0 < max_overlap_frac < 1:
+        raise ValueError(f"max_overlap_frac in (0, 1), got {max_overlap_frac}")
+    picked: list[PartitionStat] = []
+    for s in partition_file_stats(spark, path):
+        if "__HIVE_DEFAULT_PARTITION__" in s.partition:
+            continue
+        ov, sep = partition_band_overlap(
+            os.path.join(path, s.partition), audit_col
+        )
+        if sep and ov > sep * max_overlap_frac:
+            picked.append(s)
+    return picked
+
+
+def incremental_layout_rewrite(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 4,
+    max_overlap_frac: float = 0.75,
+) -> list[str]:
+    """Partition-scoped incremental form of :func:`cluster_rewrite` /
+    :func:`zorder_rewrite` for a hive-partitioned table: audit every
+    leaf partition's parquet footers (:func:`plan_layout_rewrite`),
+    rewrite ONLY the partitions whose layout fails the overlap
+    threshold, and commit each through the same journaled
+    write-temp-then-swap protocol as :func:`compact_readings` — so a
+    crash at any step is repaired by the shared
+    :func:`recover_compaction` and untouched partitions stay
+    byte-identical. Single column → range-cluster; multiple columns →
+    Z-order with per-partition quantile boundaries (a pruned scan of
+    just that partition — local boundaries give a tighter curve than
+    global ones).
+
+    Why this exists: at 100 TB a maintenance cycle cannot re-shuffle
+    the whole table the way ``zorder_rewrite`` does — a day of appends
+    fragments only that day's partitions, and the audit finds exactly
+    those from metadata (footers), never data. Convergence is by
+    construction: a rewritten partition's bands overlap ~2/n_files
+    (adjacent boundaries only), so with ``n_files > 2/max_overlap_frac``
+    the next run's audit skips it; duplicate-skewed and single-row-group
+    partitions can't oscillate because unseparable pairs are excluded
+    from the audit (``partition_band_overlap``). The audit column is
+    the rewrite's primary sort direction: ``cols[0]`` for the
+    single-key sort, ``cols[-1]`` for the Morton curve (top interleaved
+    bit — see :func:`_zorder_column`).
+
+    Returns the rewritten partition names. Reference parity: the
+    nightly-maintenance analogue of ``Deploy/`` cron scripts, which is
+    incremental by nature (re-derives only what changed)."""
+    if len(cols) > 1:
+        _validate_zorder(cols, bits)
+    elif not cols:
+        raise ValueError("need at least one layout column")
+    if n_files * max_overlap_frac < 2:
+        raise ValueError(
+            f"n_files={n_files} cannot converge below "
+            f"max_overlap_frac={max_overlap_frac}: a clustered partition "
+            f"keeps ~2/n_files adjacent overlaps; need n_files >= "
+            f"{2 / max_overlap_frac:.0f}"
+        )
+    recover_compaction(spark, path)
+    audit_col = cols[-1] if len(cols) > 1 else cols[0]
+    todo = plan_layout_rewrite(spark, path, audit_col, max_overlap_frac)
+
+    def stage(sub, s: PartitionStat):
+        if len(cols) > 1:
+            # Snap file boundaries to curve buckets: range-partition on
+            # the top log2(n_files) curve bits FIRST (few distinct
+            # values, so sampled boundaries land on bucket edges), full
+            # curve value second (balance within a bucket). Raw-z
+            # sampling leaves every file straddling two octants, which
+            # widens each column's band enough to hover near the audit
+            # threshold — measured in SCALE.md r13 (quantile buckets
+            # make curve values ~uniform, so top-bit buckets are
+            # near-equal sized and files stay balanced).
+            shift = max(0, bits * len(cols) - max(1, (n_files - 1).bit_length()))
+            return (
+                sub.withColumn("_z", _zorder_column(sub, cols, bits))
+                .withColumn("_zb", F.shiftright(F.col("_z"), shift))
+                .repartitionByRange(n_files, F.col("_zb"), F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z", "_zb")
+            )
+        key = [F.col(c) for c in cols]
+        return sub.repartitionByRange(n_files, *key).sortWithinPartitions(*key)
+
+    return [
+        s.partition for s in _commit_partition_rewrites(spark, path, todo, stage)
+    ]
+
+
+def _validate_zorder(cols: Sequence[str], bits: int) -> None:
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder on 1-4 columns, got {len(cols)}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    if bits * len(cols) > 63:
+        # the top interleaved bit must stay below the bigint sign bit:
+        # at shift 63 the highest-quantile curve values go negative and
+        # repartitionByRange orders them FIRST — a silent layout inversion
+        raise ValueError(
+            f"bits*len(cols) must be <= 63 to fit a signed bigint curve, "
+            f"got {bits}*{len(cols)} = {bits * len(cols)}"
+        )
+
+
+def _zorder_column(df, cols: Sequence[str], bits: int) -> Column:
+    """The Morton curve value for ``df`` over ``cols`` (docstring of
+    :func:`zorder_rewrite`). Runs ONE driver ``approxQuantile`` action
+    for ALL columns (one input scan, not k) to get the per-column bucket
+    boundaries; the returned expression is then a pure map-side fold.
+    Bit layout: column j's bit i lands at shift ``i*len(cols) + j`` —
+    the HIGHEST interleaved bit belongs to ``cols[-1]``, making it the
+    curve's primary sort direction (relied on by
+    :func:`incremental_layout_rewrite`'s audit column choice)."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    all_bounds = df.approxQuantile(list(cols), probs, 0.01)
+    buckets = [
+        _quantile_bucket(F.col(c), bounds)
+        for c, bounds in zip(cols, all_bounds)
+    ]
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(buckets) + j).cast("bigint")
+            )
+    return z

@@ -832,12 +832,16 @@ FROM n GROUP BY 1, 2
 # --- K1 maintenance: small-file compaction report ----------------------------
 def q_maintenance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate for the K1 maintenance cycle (``operators/maintenance.py``)
-    — widened in r11 from the absorbed `compaction_report` row to
-    certify BOTH maintenance rewrites: a fragmented (series, date)-
-    partitioned readings table is compacted by ``compact_readings`` at
-    fixture-build time, then Z-ordered on (meter_id, value) by
-    ``zorder_rewrite`` (``tables.compacted_readings_table`` /
-    ``zordered_readings_table``). The query reports per-partition row
+    — widened in r11 from the absorbed `compaction_report` row, and in
+    r13 with the partition-scoped incremental leg — to certify ALL
+    THREE maintenance rewrites: a fragmented (series, date)-partitioned
+    readings table is compacted by ``compact_readings`` at
+    fixture-build time, then Z-ordered on (meter_id, value) two ways —
+    the full-table ``zorder_rewrite`` and the footer-audited
+    per-partition ``incremental_layout_rewrite`` through the journaled
+    swap protocol (``tables.compacted_readings_table`` /
+    ``zordered_readings_table`` / ``inc_zordered_readings_table``).
+    The query reports per-partition row
     counts / distinct meters / value sums over each stage's table; the
     oracle recomputes the identical report from the source ``events``
     directly for both stage labels, so a rewrite that drops, duplicates,
@@ -851,6 +855,7 @@ def q_maintenance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-driven rewrites (module docstring)."""
     from homelogging_spark.tables import (
         compacted_readings_table,
+        inc_zordered_readings_table,
         zordered_readings_table,
     )
 
@@ -868,7 +873,8 @@ def q_maintenance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp = report(compacted_readings_table(spark, sf_dir), "compacted")
     zord = report(zordered_readings_table(spark, sf_dir), "zordered")
-    return comp.unionByName(zord)
+    inc = report(inc_zordered_readings_table(spark, sf_dir), "inc_zordered")
+    return comp.unionByName(zord).unionByName(inc)
 
 
 _MAINT_REPORT_SQL = f"""
@@ -888,6 +894,8 @@ ORACLE_MAINTENANCE_PANEL = f"""
 SELECT *, 'compacted' AS stage FROM ({_MAINT_REPORT_SQL})
 UNION ALL
 SELECT *, 'zordered' AS stage FROM ({_MAINT_REPORT_SQL})
+UNION ALL
+SELECT *, 'inc_zordered' AS stage FROM ({_MAINT_REPORT_SQL})
 """
 
 
@@ -2625,6 +2633,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # r11's split_assign NULL-routing and snapshot_cdc_diff
     # presence-marker changes emit IDENTICAL rows on the fixtures —
     # zero NULL split keys, non-null balances — so no tag is needed.)
+    #
+    # r13: maintenance_panel gained the partition-scoped incremental
+    # Z-order leg (a third stage's rows) — re-certify on r13+ code.
+    "maintenance_panel": 13,
 }
 
 # Window-slot consolidation history: merged query -> the retired names

@@ -302,10 +302,16 @@ def zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants (which SQL cannot see) live in
     ``tests/test_maintenance.TestZorderRewrite``."""
     path = _fixture_path(sf_dir, "zordered")
-    src = os.path.join(sf_dir, "events.parquet")
-    if _fixture_stale(path, src):
+    # stale against BOTH the raw source and the compacted fixture this is
+    # derived from — a manually rebuilt compacted fixture (newer _SUCCESS,
+    # unchanged events.parquet) must invalidate the Z-order cache too
+    srcs = (
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(_fixture_path(sf_dir, "compacted"), "_SUCCESS"),
+    )
+    if _fixture_stale(path, *srcs):
         with _fixture_build_lock(path):
-            if _fixture_stale(path, src):
+            if _fixture_stale(path, *srcs):
                 import shutil
 
                 from homelogging_spark.operators.maintenance import zorder_rewrite
@@ -313,6 +319,44 @@ def zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = compacted_readings_table(spark, sf_dir)
                 shutil.rmtree(path, ignore_errors=True)
                 zorder_rewrite(t, path, ["meter_id", "value"], n_files=8, bits=4)
+    return spark.read.parquet(path)
+
+
+def inc_zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted readings table rewritten IN PLACE through the
+    partition-scoped ``maintenance.incremental_layout_rewrite`` on
+    (meter_id, value) — the 100 TB maintenance path: a copy of the
+    compacted fixture is audited per (series, date) partition from
+    parquet footers and only failing partitions are rewritten through
+    the journaled swap protocol. Registered queries read the result, so
+    row conservation through the fragment → compact → per-partition
+    Z-order cycle is oracle-checked end-to-end; the pruning, isolation
+    (untouched partitions byte-identical), and convergence invariants
+    live in ``tests/test_maintenance.TestIncrementalLayoutRewrite``."""
+    path = _fixture_path(sf_dir, "inc_zordered")
+    srcs = (
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(_fixture_path(sf_dir, "compacted"), "_SUCCESS"),
+    )
+    if _fixture_stale(path, *srcs):
+        with _fixture_build_lock(path):
+            if _fixture_stale(path, *srcs):
+                import shutil
+
+                from homelogging_spark.operators.maintenance import (
+                    incremental_layout_rewrite,
+                )
+
+                compacted_readings_table(spark, sf_dir)  # ensure built
+                src_path = _fixture_path(sf_dir, "compacted")
+                shutil.rmtree(path, ignore_errors=True)
+                # copy2 preserves mtimes: the copied _SUCCESS keeps the
+                # compacted fixture's timestamp, so staleness stays keyed
+                # on the SOURCE build time
+                shutil.copytree(src_path, path)
+                incremental_layout_rewrite(
+                    spark, path, ["meter_id", "value"], n_files=8, bits=4
+                )
     return spark.read.parquet(path)
 
 

@@ -357,6 +357,196 @@ class TestZorderRewrite:
         with pytest.raises(ValueError, match="bits"):
             zorder_rewrite(df, str(tmp_path / "x"), ["a"], bits=0)
 
+    def test_zorder_sign_bit_guard(self, spark, tmp_path):
+        """bits=16 with 4 columns would put the top interleaved bit at
+        shift 63 — the bigint sign bit — silently inverting the curve
+        order for the highest quantiles. Must be rejected; the largest
+        combos that fit 63 bits must still work."""
+        import pytest
+
+        from homelogging_spark.operators.maintenance import zorder_rewrite
+
+        df = spark.range(64).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 3 % 64).alias("b"),
+            (F.col("id") * 5 % 64).alias("c"),
+            (F.col("id") * 7 % 64).alias("d"),
+        )
+        with pytest.raises(ValueError, match="signed bigint"):
+            zorder_rewrite(df, str(tmp_path / "x"), ["a", "b", "c", "d"], bits=16)
+        # boundary combos inside the 63-bit budget are accepted
+        zorder_rewrite(
+            df, str(tmp_path / "ok3x16"), ["a", "b", "c"], n_files=2, bits=16
+        )
+        zorder_rewrite(
+            df,
+            str(tmp_path / "ok4x15"),
+            ["a", "b", "c", "d"],
+            n_files=2,
+            bits=15,
+        )
+        assert spark.read.parquet(str(tmp_path / "ok4x15")).count() == 64
+
+    def test_zorder_quantile_stats_single_pass(self, spark, tmp_path, monkeypatch):
+        """Quantile boundary collection must be ONE approxQuantile action
+        over all ordered columns (one input scan), not one per column —
+        k full scans before a 100 TB rewrite is real cost."""
+        from homelogging_spark.operators.maintenance import zorder_rewrite
+
+        df = spark.range(1_000).select(
+            (F.col("id") % 50).alias("a"), (F.col("id") % 7).alias("b")
+        )
+        # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+        # the base method, so patching pyspark.sql.DataFrame misses)
+        cls = type(df)
+        calls: list = []
+        orig = cls.approxQuantile
+
+        def spy(self, col, probabilities, relativeError):
+            calls.append(col)
+            return orig(self, col, probabilities, relativeError)
+
+        monkeypatch.setattr(cls, "approxQuantile", spy)
+        zorder_rewrite(df, str(tmp_path / "z"), ["a", "b"], n_files=4, bits=2)
+        assert len(calls) == 1
+        assert list(calls[0]) == ["a", "b"]
+
+
+class TestIncrementalLayoutRewrite:
+    """Partition-scoped maintenance: only fragmented partitions are
+    rewritten, untouched partitions stay byte-identical, rows are
+    conserved, the rewritten layout prunes like the full rewrite, and a
+    second run is a no-op (footer-audit convergence)."""
+
+    def _table(self, spark, tmp_path, n_batches=6):
+        path = str(tmp_path / "readings")
+        # fragmented partition: every append file spans the full value
+        # range (the layout a day of micro-batch appends produces)
+        for b in range(n_batches):
+            append_readings(_mk_batch(spark, "P", 1, b * 1000, 200), path)
+        # healthy single-file partition: no separable band pairs → skipped
+        append_readings(_mk_batch(spark, "Q", 2, 0, 200), path)
+        return path
+
+    def test_targets_only_fragmented_and_converges(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            incremental_layout_rewrite,
+            rowgroups_admitting,
+        )
+
+        path = self._table(spark, tmp_path)
+        before = _table_fingerprint(spark, path)
+        healthy = [f for f in _data_files(path) if "series=Q" in f]
+        done = incremental_layout_rewrite(spark, path, ["value"], n_files=4)
+        assert done == ["series=P/date=2024-01-01"]
+        # rows conserved; the healthy partition's files untouched
+        assert _table_fingerprint(spark, path) == before
+        assert [f for f in _data_files(path) if "series=Q" in f] == healthy
+        # the rewritten partition prunes like the full cluster_rewrite
+        part = os.path.join(path, "series=P/date=2024-01-01")
+        adm, tot = rowgroups_admitting(part, "value", 42.0)
+        assert tot >= 4 and adm * 2 <= tot
+        # convergence: the audit now sees disjoint bands → second run no-op
+        assert incremental_layout_rewrite(spark, path, ["value"], n_files=4) == []
+
+    def test_multicol_zorder_per_partition(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            incremental_layout_rewrite,
+            rowgroups_admitting,
+        )
+
+        path = str(tmp_path / "zt")
+        base = spark.range(40_000).select(
+            (F.col("id") % 2).cast("string").alias("shard"),
+            (F.col("id") % 100).cast("double").alias("a"),
+            ((F.col("id") * 7919) % 331).cast("double").alias("b"),
+        )
+        for _ in range(5):  # five fragmented appends per shard
+            base.repartition(2).write.mode("append").partitionBy(
+                "shard"
+            ).parquet(path)
+        before = _table_fingerprint_cols(spark, path, ["a", "b"])
+        # 16 files per partition: curve segments approximate 4-bit octant
+        # prefixes, giving both columns real bands (8 files leaves the
+        # sampled range boundaries too coarse for the secondary column)
+        done = incremental_layout_rewrite(
+            spark, path, ["a", "b"], n_files=16, bits=4
+        )
+        assert sorted(done) == ["shard=0", "shard=1"]
+        assert _table_fingerprint_cols(spark, path, ["a", "b"]) == before
+        # BOTH ordered columns prune inside a rewritten partition
+        part = os.path.join(path, "shard=0")
+        aa, at = rowgroups_admitting(part, "a", 42.0)
+        ba, bt = rowgroups_admitting(part, "b", 100.0)
+        assert aa * 2 <= at
+        assert ba * 2 <= bt
+        # converges under the same parameters
+        assert (
+            incremental_layout_rewrite(spark, path, ["a", "b"], n_files=16, bits=4)
+            == []
+        )
+
+    def test_repairs_interrupted_commit_first(self, spark, tmp_path):
+        """An interrupted journaled commit (crash after the journal
+        marker) is repaired by the shared recovery before the audit —
+        incremental rewrite uses the same protocol as compaction."""
+        import os as _os
+        import shutil
+
+        from homelogging_spark.operators.maintenance import (
+            JOURNAL_DIR,
+            TMP_DIR,
+            _flat_name,
+            incremental_layout_rewrite,
+        )
+
+        path = self._table(spark, tmp_path)
+        before = _table_fingerprint(spark, path)
+        # simulate: staged copy complete + journal marker written, crash
+        # before the swap (the 'journal' kill point)
+        part = "series=P/date=2024-01-01"
+        flat = _flat_name(part)
+        tmp = _os.path.join(path, TMP_DIR, flat)
+        # staged copy is itself fragmented (hash-scattered), so after the
+        # roll-forward the audit still picks the partition for rewrite
+        spark.read.parquet(_os.path.join(path, part)).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _os.makedirs(_os.path.join(path, JOURNAL_DIR), exist_ok=True)
+        open(_os.path.join(path, JOURNAL_DIR, flat), "w").close()
+        done = incremental_layout_rewrite(spark, path, ["value"], n_files=4)
+        assert done == [part]  # rolled forward, then audited + rewritten
+        assert _table_fingerprint(spark, path) == before
+        for d in (".compact_tmp", ".compact_trash", ".compact_journal"):
+            p = _os.path.join(path, d)
+            assert not _os.path.exists(p) or not _os.listdir(p)
+
+    def test_validation(self, spark, tmp_path):
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            incremental_layout_rewrite,
+        )
+
+        with pytest.raises(ValueError, match="at least one"):
+            incremental_layout_rewrite(spark, str(tmp_path), [])
+        with pytest.raises(ValueError, match="cannot converge"):
+            incremental_layout_rewrite(
+                spark, str(tmp_path), ["a"], n_files=2, max_overlap_frac=0.5
+            )
+        with pytest.raises(ValueError, match="signed bigint"):
+            incremental_layout_rewrite(
+                spark, str(tmp_path), ["a", "b", "c", "d"], bits=16
+            )
+
+
+def _table_fingerprint_cols(spark, path, cols):
+    df = spark.read.parquet(path)
+    return (
+        df.count(),
+        df.agg(F.sum(F.hash(*cols)).alias("h")).collect()[0].h,
+    )
+
 
 class TestRowgroupsAdmittingRange:
     def test_range_predicate_overlap(self, spark, tmp_path):
