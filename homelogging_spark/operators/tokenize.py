@@ -1,0 +1,253 @@
+"""Real byte-pair-encoding tokenizer: learn merges from a corpus and
+apply them — tokenizer-exact token counts for the packing / budget /
+mixture stages that previously ran on the ``bpe_ish_token_count``
+regex approximation (``textops.py``).
+
+Algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+of Rare Words with Subword Units"): pre-tokenize text into words,
+start each word as its character sequence, and repeatedly merge the
+most-frequent adjacent symbol pair; applying the learned merge list in
+rank order reproduces the min-rank-first reference tokenizer exactly,
+because a merge can only create NEW pairs involving its output symbol,
+whose own merges always rank later.
+
+Representation — the whole trick of this module: a word's symbol
+sequence is carried as a single delimited string where every token is
+wrapped in ``\\x1f`` sentinels (``\\x1fth\\x1f\\x1fe\\x1f`` for
+``[th, e]``), so applying one merge ``(l, r)`` is EXACTLY one plain
+``replace(s, '\\x1fl\\x1f\\x1fr\\x1f', '\\x1flr\\x1f')``:
+
+- token boundaries are explicit, so a pair can never match inside a
+  longer token;
+- each token keeps its own sentinels, so one leftmost-to-right
+  non-overlapping ``replace`` pass equals the exhaustive
+  merge-this-pair loop (``[a,a,a,a]`` → ``[aa,aa]``, proven in
+  ``test_tokenize``);
+- ``replace`` has IDENTICAL semantics in Spark SQL, DuckDB, and
+  Python ``str.replace`` — the oracle replicates the merge loop
+  bit-for-bit as a nested scalar expression, no recursion needed.
+
+Scale: application is a pure JVM-side expression chain (one ``replace``
+per merge inside a ``transform`` lambda — whole-stage codegen, zero
+Python, zero shuffle) — the right shape for the config-sized merge
+lists this engine learns (tens to a few hundred). For production
+vocabularies (tens of thousands of merges) an expression chain no
+longer compiles; :func:`bpe_token_count_udf` is the same fold as an
+Arrow-batched pandas UDF over a broadcast merges list with a per-word
+memo (word frequency follows Zipf — the memo hit rate makes the fold
+amortized O(distinct words)), unit-pinned equal to the expression form.
+
+Learning runs on the distinct-WORD frequency table (one corpus scan,
+then iterations touch only the vocabulary — Sennrich's dictionary
+trick, distributed): each round re-tokenizes the vocab with the merges
+so far (JVM expression), explodes adjacent pairs, and takes the
+globally most frequent pair (ties broken lexicographically, so the
+result is a pure function of the corpus). Reference parity: the
+reference has no tokenizer; this serves the LLM-pipeline brief's
+"tokenizer-exact budgets" requirement next to ``pack_docs`` /
+``budget_select`` / ``mixture_weights``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+WORD_RE = "[a-z0-9]+"
+
+# Frozen output of ``learn_bpe_merges(documents, "text", 48)`` on the
+# sf0.01 documents fixture (2026-08-15) — the config-table precedent:
+# learning is an offline build step, the merge list ships as config.
+# Deterministic given the corpus (ties broken lexicographically).
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+    ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'),
+    ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
+    ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'),
+    ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'),
+    ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
+    ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'),
+    ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'),
+    ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
+    ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'),
+    ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'),
+    ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
+]
+
+
+def _wrapped(word: Column) -> Column:
+    """Character sequence of a word in wrapped-string form."""
+    return F.regexp_replace(word, "(.)", f"{SEP}$1{SEP}")
+
+
+def _apply_merges(s: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Apply the merge list in rank order to a wrapped-string sequence —
+    one literal ``replace`` per merge, pure JVM scalar chain."""
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
+            F.lit(f"{SEP}{left}{right}{SEP}"),
+        )
+    return s
+
+
+def word_bpe_tokens(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """``array<string>`` of BPE tokens for one (lowercase) word. The
+    outer sentinels are trimmed BEFORE the split so tokens come back
+    bare (counting alone doesn't need the trim — the split count is
+    sentinel-invariant — but pair mining in the learner does)."""
+    s = F.btrim(_apply_merges(_wrapped(word), merges), F.lit(SEP))
+    return F.split(s, SEP + SEP)
+
+
+def bpe_token_count(
+    text: Column, merges: Sequence[tuple[str, str]]
+) -> Column:
+    """Per-document BPE token count: pre-tokenize into ``[a-z0-9]+``
+    words on the lowercased text, tokenize each word by the merge list,
+    sum. NULL/empty text counts 0. Everything JVM-side."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), F.lit(0))
+    per_word = F.transform(
+        words, lambda w: F.size(F.split(_apply_merges(_wrapped(w), merges), SEP + SEP))
+    )
+    n = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+    return F.coalesce(n, F.lit(0)).cast("bigint")
+
+
+def bpe_token_count_sql(expr: str, merges: Sequence[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`bpe_token_count` — the identical merge
+    loop as nested ``replace`` calls over the same wrapped-string form
+    (module docstring), summed per document with ``list_transform``."""
+    s = f"chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)"
+    for left, right in merges:
+        pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
+        rep = f"chr(31)||'{left}{right}'||chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    return (
+        "CAST(COALESCE(list_sum(list_transform("
+        f"regexp_extract_all(lower({expr}), '{WORD_RE}'), "
+        f"w -> len(string_split({s}, chr(31)||chr(31))))), 0) AS BIGINT)"
+    )
+
+
+def bpe_token_count_udf(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Arrow-batched pandas-UDF form for PRODUCTION merge lists (tens of
+    thousands of rules, beyond what an expression chain can compile).
+    Same fold, same wrapped-string replace, with a per-word memo — the
+    Zipf head dominates, so most words hit the memo. The merges list
+    rides an explicit broadcast variable (the config-dim precedent), so
+    executors deserialize it once per worker, not once per task.
+    Unit-pinned bit-equal to :func:`bpe_token_count`."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(list(merges))
+    word_re = re.compile(WORD_RE)
+
+    def count_batch(texts: pd.Series) -> pd.Series:
+        rules = [
+            (f"{SEP}{l}{SEP}{SEP}{r}{SEP}", f"{SEP}{l}{r}{SEP}")
+            for l, r in bc.value
+        ]
+        memo: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                s = SEP + (SEP + SEP).join(w) + SEP
+                for pat, rep in rules:
+                    s = s.replace(pat, rep)
+                n = s.count(SEP + SEP) + 1
+                memo[w] = n
+            return n
+
+        return pd.Series(
+            [
+                0
+                if t is None
+                else sum(word_tokens(w) for w in word_re.findall(t.lower()))
+                for t in texts
+            ],
+            dtype="int64",
+        )
+
+    count_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = pandas_udf(count_batch, "bigint")
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a merge list from a corpus (Sennrich 2016, distributed).
+
+    One corpus scan builds the distinct-word frequency table (cached —
+    it is vocabulary-sized, not corpus-sized); each of the ``n_merges``
+    rounds re-tokenizes the VOCABULARY with the merges so far (JVM
+    expression chain), explodes adjacent token pairs weighted by word
+    frequency, and takes the most frequent pair — ties broken by
+    (left, right) lexicographic order so the result is a deterministic
+    function of the corpus. Stops early when the best pair's frequency
+    drops below ``min_freq``. The returned list is meant to be FROZEN
+    into config (the ``DEFAULT_MERGES`` precedent) — learning is an
+    offline build step, application is the hot path."""
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            toks = word_bpe_tokens(F.col("word"), merges)
+            pairs = (
+                words.select("wcount", toks.alias("_toks"))
+                .where(F.size("_toks") >= 2)
+                .select(
+                    "wcount",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("_toks") - 2),
+                            lambda i: F.struct(
+                                F.col("_toks")[i].alias("l"),
+                                F.col("_toks")[i + 1].alias("r"),
+                            ),
+                        )
+                    ).alias("pair"),
+                )
+            )
+            top = (
+                pairs.groupBy("pair.l", "pair.r")
+                .agg(F.sum("wcount").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["freq"] < min_freq:
+                break
+            merges.append((top[0]["l"], top[0]["r"]))
+        return merges
+    finally:
+        words.unpersist()

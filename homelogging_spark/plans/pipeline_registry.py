@@ -247,7 +247,55 @@ FROM t
 """
 
 
+# --- real-BPE tokenization + packing -----------------------------------------
+
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-EXACT packing (r13): per-doc token counts from the real
+    BPE tokenizer (``operators/tokenize`` — frozen ``DEFAULT_MERGES``
+    learned from this corpus, Sennrich 2016) fed through the same greedy
+    first-fit fold as ``pack_docs``. One driver row certifies both the
+    merge loop bit-for-bit (the oracle replays every merge as the
+    identical wrapped-string ``replace`` chain) and the packing
+    recurrence on those counts — "a training pipeline ships
+    tokenizer-exact budgets", closing the gap where packing/budget/
+    mixture ran only on the ``bpe_ish`` regex approximation.
+
+    Scale: tokenization is a pure JVM scalar chain (zero Python, zero
+    shuffle, whole-stage codegen); packing adds its one hash-shard
+    exchange. For production merge lists beyond expression-chain size,
+    ``tokenize.bpe_token_count_udf`` is the pinned-equal Arrow fold."""
+    from homelogging_spark.operators.tokenize import DEFAULT_MERGES, bpe_token_count
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), DEFAULT_MERGES).alias("n_tokens"),
+    )
+    return packing.pack_greedy(
+        toks, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+def _oracle_bpe_pack() -> str:
+    from homelogging_spark.operators.tokenize import (
+        DEFAULT_MERGES,
+        bpe_token_count_sql,
+    )
+
+    return packing.pack_greedy_oracle_sql(
+        "SELECT doc_id, "
+        f"{bpe_token_count_sql('text', DEFAULT_MERGES)} AS n_tokens "
+        "FROM documents",
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
+ORACLE_BPE_PACK = _oracle_bpe_pack()
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_pack": q_bpe_pack,
     "pack_docs": q_pack_docs,
     "hash_sample_panel": q_hash_sample_panel,
     "group_topk_sample": q_group_topk_sample,
@@ -255,6 +303,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "bpe_pack": ORACLE_BPE_PACK,
     "pack_docs": ORACLE_PACK_DOCS,
     "hash_sample_panel": ORACLE_HASH_SAMPLE_PANEL,
     "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
