@@ -114,6 +114,7 @@ def band_candidate_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     band_cap: int | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """LSH candidate generation shared by every near-dup verifier:
     MinHash signature over a materialized base-hash column ``bh``,
@@ -148,6 +149,11 @@ def band_candidate_pairs(
             .cast("bigint")
             .alias("_n_splits")
         )
+        if observe_caps:
+            # "no silent caps": metrics ride the consumer's own action
+            from homelogging_spark.functions.capstats import observe_cap_splits
+
+            splits = observe_cap_splits(splits, "band_cap")
         bands = bands.join(splits, ["band_idx", "band_hash"]).withColumn(
             "_sub",
             F.floor(

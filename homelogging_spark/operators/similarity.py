@@ -388,6 +388,52 @@ def kmeans_lite_centroids(
     return cents
 
 
+def refresh_centroids(
+    corpus: DataFrame,
+    target_cell_rows: int = 256,
+    k_min: int = 8,
+    k_max: int = 1 << 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    sample_mod: int | None = 16,
+) -> DataFrame:
+    """IVF coarse-quantizer MAINTENANCE: re-train the centroid dim
+    sized to the CURRENT corpus — ``K = clamp(ceil(N /
+    target_cell_rows), k_min, k_max)`` — so mean cell occupancy stays
+    ~constant as the corpus grows. This is the maintenance-cycle twin of
+    the layout rewrites: every cell-scoped consumer's cost is a function
+    of occupancy, not corpus size — ``semantic_dedup``'s pair stage is
+    Σ cell² (fixed K at 10x data measured 101.9 s vs 37.0 s retrained,
+    SCALE.md r6), and ``ivf_pq_topk``'s ADC stage scans nprobe/K of the
+    corpus per query (fixed K=8 at 10x measured in SCALE.md r13) — so a
+    growing corpus needs K to grow with it, which a one-time trained
+    quantizer silently doesn't.
+
+    Run it when the corpus has grown past ~2x the occupancy target
+    (cheap to check: one count), then re-materialize ``ivf_assign`` /
+    ``pq_codes`` index artifacts against the new centroids — old and
+    new index generations are separate artifacts, so the swap follows
+    the same stage-then-switch discipline as ``operators/maintenance``.
+    Deterministic: same corpus → same K → same md5-seeded
+    ``kmeans_lite_centroids`` training (on the ``id % sample_mod``
+    sample). Returns the new (vec_id, embedding) centroid dim."""
+    if target_cell_rows < 1:
+        raise ValueError(f"target_cell_rows must be >= 1, got {target_cell_rows}")
+    n = corpus.count()
+    k = min(k_max, max(k_min, -(-n // target_cell_rows)))
+    return kmeans_lite_centroids(
+        corpus,
+        n_centroids=int(k),
+        n_iters=n_iters,
+        id_col=id_col,
+        emb_col=emb_col,
+        dim=dim,
+        sample_mod=sample_mod,
+    )
+
+
 def kmeans_lite_sql(
     corpus_sql: str,
     n_centroids: int = 8,
@@ -480,6 +526,7 @@ def lsh_near_dup_pairs(
     planes_per_table: int = 4,
     dim: int = 64,
     bucket_cap: int | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed candidates (self-join
     on (table, bucket), id_a < id_b), exact-cosine verified against
@@ -525,12 +572,21 @@ def lsh_near_dup_pairs(
             .cast("bigint")
             .alias("_n_splits")
         )
-        b = b.join(F.broadcast(splits), ["table_idx", "bucket"]).withColumn(
-            "_sub",
-            F.floor(
-                uniform_from_key(F.col(id_col), LSH_SPLIT_SALT)
-                * F.col("_n_splits")
-            ).cast("bigint"),
+        if observe_caps:
+            from homelogging_spark.functions.capstats import observe_cap_splits
+
+            splits = observe_cap_splits(splits, "bucket_cap")
+        # persist the CAPPED frame too: it feeds both sides of the
+        # candidate self-join, and without it the splits aggregation +
+        # broadcast join re-run once per side
+        b = tracked_persist(
+            b.join(F.broadcast(splits), ["table_idx", "bucket"]).withColumn(
+                "_sub",
+                F.floor(
+                    uniform_from_key(F.col(id_col), LSH_SPLIT_SALT)
+                    * F.col("_n_splits")
+                ).cast("bigint"),
+            )
         )
     else:
         b = b.withColumn("_sub", F.lit(0).cast("bigint"))
@@ -1160,6 +1216,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_cap: int | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): vectors are assigned to coarse k-means cells and
@@ -1214,6 +1271,10 @@ def semantic_dedup(
             .cast("bigint")
             .alias("_n_splits")
         )
+        if observe_caps:
+            from homelogging_spark.functions.capstats import observe_cap_splits
+
+            splits = observe_cap_splits(splits, "cell_cap")
         cells = cells.join(F.broadcast(splits), "centroid_id").withColumn(
             "_sub",
             F.floor(

@@ -136,14 +136,59 @@ def streaming_snapshot_dedup(stream: DataFrame, old_digests: DataFrame) -> DataF
     )
 
 
+def build_probe_table(
+    corpus_cells: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_probe_cap: int | None = None,
+) -> DataFrame:
+    """Materializable probe side for :func:`streaming_semantic_dedup`:
+    the cell-assigned retained corpus projected to
+    ``(_b_id, _b_emb, _b_nrm, _b_cell)`` with norms precomputed and the
+    optional ``cell_probe_cap`` hot-cell guard applied (deterministic
+    per-cell ``group_topk_sample``, salt ``semdedup-probe-v1`` — the
+    same rows the inline cap keeps, so verdicts are identical).
+
+    Production shape: run this ONCE when the retained corpus changes
+    (ingest / compaction), ``.write.parquet(...)`` the result bucketed
+    on ``_b_cell``, and pass ``spark.read.parquet(...)`` to
+    ``streaming_semantic_dedup(..., probe_table=...)``. The stream-
+    static semi/anti pair plans its static side twice per micro-batch;
+    with the inline cap that is two windows over the whole corpus table
+    per trigger — materializing collapses both to a pruned scan of this
+    precomputed table."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.similarity import norm
+
+    probe = corpus_cells.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(emb_col).alias("_b_emb"),
+        norm(F.col(emb_col)).alias("_b_nrm"),
+        F.col("centroid_id").alias("_b_cell"),
+    )
+    if cell_probe_cap is not None:
+        if cell_probe_cap < 1:
+            raise ValueError(f"cell_probe_cap must be >= 1, got {cell_probe_cap}")
+        from homelogging_spark.operators.sampling import group_topk_sample
+
+        # the deterministic per-cell top-k IS sampling.group_topk_sample
+        # — same uniform_from_key order, same id tiebreak
+        probe = group_topk_sample(
+            probe, "_b_cell", "_b_id", cell_probe_cap, salt="semdedup-probe-v1"
+        ).drop("u", "rank")
+    return probe
+
+
 def streaming_semantic_dedup(
     stream: DataFrame,
-    corpus_cells: DataFrame,
+    corpus_cells: DataFrame | None,
     centroids: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_probe_cap: int | None = None,
+    probe_table: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-static SEMANTIC dedup — the embedding-tier twin of
     ``streaming_snapshot_dedup``'s exact gate: incoming vectors (a
@@ -182,16 +227,30 @@ def streaming_semantic_dedup(
     the hot-cell guard for the STATIC side (the stream twin of batch
     ``cell_cap``): keep only a deterministic ``uniform_from_key``-
     ordered sample of each cell as probe targets, bounding per-row join
-    work at the documented miss trade. NOTE the static side is planned
+    work at the documented miss trade. The static side is planned
     TWICE per trigger (once under the semi join, once under the anti) on
-    top of the per-batch re-plan — with the cap that doubles a window
-    over the whole corpus table, so production materializes the capped
-    probe table once at ingest and passes it here rather than paying the
-    re-derivation 2x per batch."""
+    top of the per-batch re-plan — with the inline cap that doubles a
+    window over the whole corpus table, so production builds the capped
+    probe side ONCE at ingest via :func:`build_probe_table`, persists
+    it (bucketed on ``_b_cell``), and passes it as ``probe_table=`` —
+    each trigger's semi/anti pair then scans the precomputed table
+    instead of re-deriving the cap. ``probe_table`` and
+    ``corpus_cells`` (+``cell_probe_cap``) are mutually exclusive ways
+    to provide the static side; verdicts are identical (pinned in
+    ``test_corpus_ops``)."""
     from pyspark.sql import functions as F
 
-    from homelogging_spark.operators.sampling import group_topk_sample
     from homelogging_spark.operators.similarity import dot_product, norm
+
+    if (probe_table is None) == (corpus_cells is None):
+        raise ValueError(
+            "provide exactly one of corpus_cells or probe_table"
+        )
+    if probe_table is not None and cell_probe_cap is not None:
+        raise ValueError(
+            "cell_probe_cap applies when building from corpus_cells; a "
+            "probe_table was already capped by build_probe_table"
+        )
 
     cents = centroids.select(
         F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("c_nrm")
@@ -220,20 +279,11 @@ def streaming_semantic_dedup(
         .drop("_best")
     )
 
-    probe = corpus_cells.select(
-        F.col(id_col).alias("_b_id"),
-        F.col(emb_col).alias("_b_emb"),
-        norm(F.col(emb_col)).alias("_b_nrm"),
-        F.col("centroid_id").alias("_b_cell"),
+    probe = (
+        probe_table
+        if probe_table is not None
+        else build_probe_table(corpus_cells, id_col, emb_col, cell_probe_cap)
     )
-    if cell_probe_cap is not None:
-        if cell_probe_cap < 1:
-            raise ValueError(f"cell_probe_cap must be >= 1, got {cell_probe_cap}")
-        # the deterministic per-cell top-k IS sampling.group_topk_sample
-        # — same uniform_from_key order, same id tiebreak
-        probe = group_topk_sample(
-            probe, "_b_cell", "_b_id", cell_probe_cap, salt="semdedup-probe-v1"
-        ).drop("u", "rank")
 
     cond = (F.col("centroid_id") == F.col("_b_cell")) & (
         dot_product(F.col(emb_col), F.col("_b_emb"))

@@ -440,16 +440,19 @@ class TestStreamingSemanticDedup:
         cells = {r.n_id: r.cell for r in new_cells.collect()}
         return dup_ids, cells
 
-    def _drain(self, spark, tmp_path, cap=None):
+    def _drain(self, spark, tmp_path, cap=None, materialize=False):
         import json as _json
         import os as _os
 
-        from homelogging_spark.streaming.pipeline import streaming_semantic_dedup
+        from homelogging_spark.streaming.pipeline import (
+            build_probe_table,
+            streaming_semantic_dedup,
+        )
 
         cents, _, corpus_cells = self._frames(spark)
-        sub = f"cap{cap or 0}"
+        sub = f"cap{cap or 0}" + ("_mat" if materialize else "")
         src = tmp_path / f"landing_{sub}"
-        src.mkdir()
+        src.mkdir(parents=True)
         for i, r in enumerate(self.NEW):
             p = src / f"{i}.json"
             p.write_text(_json.dumps(r))
@@ -460,12 +463,27 @@ class TestStreamingSemanticDedup:
             .option("maxFilesPerTrigger", 2)
             .load(str(src))
         )
-        out_dir = tmp_path / f"out_{sub}"
-        q = (
-            streaming_semantic_dedup(
+        if materialize:
+            # the production path: build the capped probe ONCE, persist,
+            # pass the materialized table instead of corpus_cells
+            probe_path = tmp_path / f"probe_{sub}"
+            build_probe_table(
+                corpus_cells, cell_probe_cap=cap
+            ).write.parquet(str(probe_path))
+            gated = streaming_semantic_dedup(
+                stream,
+                None,
+                cents,
+                threshold=0.9,
+                probe_table=spark.read.parquet(str(probe_path)),
+            )
+        else:
+            gated = streaming_semantic_dedup(
                 stream, corpus_cells, cents, threshold=0.9, cell_probe_cap=cap
             )
-            .writeStream.format("parquet")
+        out_dir = tmp_path / f"out_{sub}"
+        q = (
+            gated.writeStream.format("parquet")
             .option("path", str(out_dir))
             .option("checkpointLocation", str(tmp_path / f"ckpt_{sub}"))
             .trigger(availableNow=True)
@@ -507,6 +525,40 @@ class TestStreamingSemanticDedup:
         got = self._drain(spark, tmp_path, cap=1)
         dup_ids, _ = self._batch_reference(spark, capped)
         assert {v for v, r in got.items() if r.semantic_dup} == dup_ids
+
+    def test_materialized_probe_table_matches_inline(self, spark, tmp_path):
+        """The production path — build_probe_table once, persist to
+        parquet, pass as ``probe_table=`` — must drain to verdicts
+        identical to the inline corpus_cells path, capped and uncapped."""
+        import pytest
+
+        from homelogging_spark.streaming.pipeline import streaming_semantic_dedup
+
+        for cap in (None, 1):
+            inline = self._drain(spark, tmp_path / f"i{cap or 0}", cap=cap)
+            mat = self._drain(
+                spark, tmp_path / f"m{cap or 0}", cap=cap, materialize=True
+            )
+            assert set(inline) == set(mat) == {10, 11, 12, 13}
+            for vid in inline:
+                assert inline[vid].semantic_dup == mat[vid].semantic_dup, (cap, vid)
+                assert inline[vid].keep == mat[vid].keep, (cap, vid)
+                assert inline[vid].centroid_id == mat[vid].centroid_id, (cap, vid)
+
+        # misuse guards: exactly one static side; cap only with corpus_cells
+        cents, _, corpus_cells = self._frames(spark)
+        stream = spark.readStream.format("rate").load()  # placeholder stream
+        with pytest.raises(ValueError, match="exactly one"):
+            streaming_semantic_dedup(stream, None, cents)
+        from homelogging_spark.streaming.pipeline import build_probe_table
+
+        probe = build_probe_table(corpus_cells)
+        with pytest.raises(ValueError, match="exactly one"):
+            streaming_semantic_dedup(stream, corpus_cells, cents, probe_table=probe)
+        with pytest.raises(ValueError, match="already capped"):
+            streaming_semantic_dedup(
+                stream, None, cents, cell_probe_cap=1, probe_table=probe
+            )
 
 
 class TestStreamingIncrementalDedup:

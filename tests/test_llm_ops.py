@@ -574,6 +574,100 @@ class TestKmeansLite:
         assert set(range(20)) in by_cluster.values()
 
 
+class TestRefreshCentroids:
+    def _corpus(self, spark, n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda i: (F.col("id") % 7 + i).cast("double"),
+            ).alias("embedding"),
+        )
+
+    def test_k_tracks_corpus_size(self, spark):
+        """The maintenance op's whole point: K = clamp(ceil(N / target),
+        k_min, k_max), so a 10x corpus gets a 10x quantizer — constant
+        mean cell occupancy instead of the fixed-K penalty."""
+        from homelogging_spark.operators.similarity import refresh_centroids
+
+        small = refresh_centroids(
+            self._corpus(spark, 100),
+            target_cell_rows=25,
+            k_min=2,
+            dim=4,
+            sample_mod=None,
+        )
+        big = refresh_centroids(
+            self._corpus(spark, 1_000),
+            target_cell_rows=25,
+            k_min=2,
+            dim=4,
+            sample_mod=None,
+        )
+        assert small.count() == 4  # ceil(100/25)
+        assert big.count() == 40  # ceil(1000/25): K grew 10x with N
+        # clamps
+        from homelogging_spark.operators.similarity import kmeans_lite_centroids
+
+        floor = refresh_centroids(
+            self._corpus(spark, 10), target_cell_rows=25, k_min=8, dim=4,
+            sample_mod=None,
+        )
+        assert floor.count() == 8
+        cap = refresh_centroids(
+            self._corpus(spark, 100), target_cell_rows=1, k_min=2, k_max=16,
+            dim=4, sample_mod=None,
+        )
+        assert cap.count() == 16
+        # equivalence: refresh at the derived K IS the deterministic
+        # trainer at that K (same seeds, same folds)
+        direct = kmeans_lite_centroids(
+            self._corpus(spark, 100), n_centroids=4, n_iters=2, dim=4,
+            sample_mod=None,
+        )
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+
+class TestCapObservability:
+    def test_split_metrics_ride_the_consumer_action(self, spark):
+        """'No silent caps' (r13): with observe_caps=True the guarded
+        operator attaches an Observation to its splits census — metrics
+        (buckets, buckets_split, max split factor) ride the consumer's
+        own action, zero extra jobs, rows unchanged."""
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.operators.similarity import (
+            kmeans_lite_centroids,
+            semantic_dedup,
+        )
+
+        # one dense cell (30 near-identical vectors) + one tiny cell:
+        # cell_cap=8 must split the dense cell into ceil(30/8)=4 subcells
+        rows = [(i, [1.0, 1.0, 0.5 + 1e-4 * i, 1.0]) for i in range(30)] + [
+            (100 + i, [-1.0, -1.0, -0.5, -1.0]) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = kmeans_lite_centroids(
+            df, n_centroids=2, n_iters=2, dim=4, sample_mod=None
+        )
+        out = semantic_dedup(
+            df, cents, threshold=0.999, cell_cap=8, observe_caps=True
+        )
+        plain = semantic_dedup(df, cents, threshold=0.999, cell_cap=8)
+        assert capstats.pending_cap_observations() == 1
+        got = out.collect()  # the consumer action
+        stats = capstats.drain_cap_stats()
+        assert [s["guard"] for s in stats] == ["cell_cap"]
+        s = stats[0]
+        assert s["buckets"] == 2
+        assert s["buckets_split"] == 1
+        assert s["max_splits"] == 4  # ceil(30/8)
+        assert capstats.pending_cap_observations() == 0
+        # rows unchanged by observation
+        assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
+
+
 class TestFrameSample:
     def test_frames_and_sampling_rate(self, spark):
         import hashlib
