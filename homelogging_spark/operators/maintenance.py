@@ -444,16 +444,25 @@ def plan_layout_rewrite(
     primary column."""
     if not 0 < max_overlap_frac < 1:
         raise ValueError(f"max_overlap_frac in (0, 1), got {max_overlap_frac}")
-    picked: list[PartitionStat] = []
-    for s in partition_file_stats(spark, path):
-        if "__HIVE_DEFAULT_PARTITION__" in s.partition:
-            continue
+    stats = [
+        s
+        for s in partition_file_stats(spark, path)
+        if "__HIVE_DEFAULT_PARTITION__" not in s.partition
+    ]
+    # footer reads are independent IO — audit partitions concurrently
+    # (bounded pool; at 100 TB partition counts the serial loop is the
+    # planner's dominant cost, and pyarrow releases the GIL on reads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit(s: PartitionStat) -> tuple[PartitionStat, int, int]:
         ov, sep = partition_band_overlap(
             os.path.join(path, s.partition), audit_col
         )
-        if sep and ov > sep * max_overlap_frac:
-            picked.append(s)
-    return picked
+        return s, ov, sep
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        audited = list(pool.map(audit, stats))
+    return [s for s, ov, sep in audited if sep and ov > sep * max_overlap_frac]
 
 
 def incremental_layout_rewrite(
