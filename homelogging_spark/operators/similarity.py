@@ -310,6 +310,7 @@ def kmeans_lite_centroids(
     emb_col: str = "embedding",
     dim: int = 64,
     sample_mod: int | None = 16,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """Deterministic k-means-lite: a FIXED number of Lloyd iterations from
     md5-seeded initial centroids — the self-contained centroid builder for
@@ -330,9 +331,15 @@ def kmeans_lite_centroids(
     drops by the sample factor; the *index* still assigns every vector).
     Each iteration is one broadcast of K tiny centroids over the sample
     plus a K-group shuffle; the collect_list-per-cell exists to pin
-    summation order for the oracle gate — at 100 TB you'd trade that
-    determinism for a tree-aggregated partial mean (same API, the index
-    is an accelerator and correctness comes from the exact verify).
+    summation order for the oracle gate. ``exact_fold=False`` is the
+    100 TB dial: a tree-aggregated PARTIAL per-dimension mean (plain
+    ``avg`` columns — map-side combine, no per-cell member list ever
+    materializes, cell size bounded only by the combiner). It gives up
+    bit-for-bit oracle replay (float addition order varies with
+    partitioning) but not quality — the index is an accelerator and
+    correctness comes from the exact verify; on well-separated data the
+    resulting ASSIGNMENTS match the exact fold (pinned in
+    ``TestKmeansLite``).
     """
     spark = corpus.sparkSession
     seeds = seed_centroids(n_centroids, dim)
@@ -345,6 +352,29 @@ def kmeans_lite_centroids(
         vecs = vecs.where(F.col(id_col) % sample_mod == 0)
     for _ in range(n_iters):
         assigned = ivf_assign(vecs, cents, 1, id_col, emb_col)
+        if not exact_fold:
+            # production path: partial-aggregated per-dim means; the
+            # K x dim result is the only thing that crosses the exchange
+            means = assigned.groupBy("centroid_id").agg(
+                F.array(
+                    *[
+                        F.avg(F.col(emb_col)[i].cast("double"))
+                        for i in range(dim)
+                    ]
+                ).alias("new_emb")
+            )
+            cents = (
+                cents.alias("c")
+                .join(means, F.col(f"c.{id_col}") == means["centroid_id"], "left")
+                .select(
+                    F.col(f"c.{id_col}").alias(id_col),
+                    F.coalesce(F.col("new_emb"), F.col(f"c.{emb_col}")).alias(
+                        emb_col
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            continue
         grouped = assigned.groupBy("centroid_id").agg(
             F.sort_array(
                 F.collect_list(
@@ -398,6 +428,7 @@ def refresh_centroids(
     emb_col: str = "embedding",
     dim: int = 64,
     sample_mod: int | None = 16,
+    exact_fold: bool = True,
 ) -> DataFrame:
     """IVF coarse-quantizer MAINTENANCE: re-train the centroid dim
     sized to the CURRENT corpus — ``K = clamp(ceil(N /
@@ -431,6 +462,7 @@ def refresh_centroids(
         emb_col=emb_col,
         dim=dim,
         sample_mod=sample_mod,
+        exact_fold=exact_fold,
     )
 
 

@@ -573,6 +573,36 @@ class TestKmeansLite:
         assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
         assert set(range(20)) in by_cluster.values()
 
+    def test_partial_mean_fold_matches_assignments(self, spark):
+        """exact_fold=False (the 100 TB dial: tree-aggregated per-dim
+        avg, no per-cell member list) gives up bit-for-bit oracle replay
+        but must produce the SAME cluster structure on separated data —
+        identical assignments, centroids equal to ~1e-12."""
+        from homelogging_spark.operators.similarity import (
+            ivf_assign,
+            kmeans_lite_centroids,
+        )
+
+        rows = [(i, [1.0, 1.0, 0.9 + 0.001 * i, 1.1]) for i in range(20)] + [
+            (i, [-1.0, -1.0, -0.9 - 0.001 * i, -1.1]) for i in range(20, 40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = kmeans_lite_centroids(
+            df, n_centroids=2, n_iters=2, dim=4, sample_mod=None
+        )
+        approx = kmeans_lite_centroids(
+            df, n_centroids=2, n_iters=2, dim=4, sample_mod=None, exact_fold=False
+        )
+        ce = {r.vec_id: r.embedding for r in exact.collect()}
+        ca = {r.vec_id: r.embedding for r in approx.collect()}
+        assert set(ce) == set(ca)
+        for cid in ce:
+            for a, b in zip(ce[cid], ca[cid]):
+                assert abs(a - b) < 1e-9, (cid, ce[cid], ca[cid])
+        ae = sorted((r.vec_id, r.centroid_id) for r in ivf_assign(df, exact, 1).collect())
+        aa = sorted((r.vec_id, r.centroid_id) for r in ivf_assign(df, approx, 1).collect())
+        assert ae == aa
+
 
 class TestRefreshCentroids:
     def _corpus(self, spark, n):

@@ -307,6 +307,25 @@ class TestTextCleanPanelPlan:
         assert "Join" not in plan and "Aggregate" not in plan
 
 
+class TestBpePackPlan:
+    def test_tokenization_is_jvm_side_one_exchange(self, spark):
+        """bpe_pack's claim: BPE tokenization is a pure JVM expression
+        chain — the ONLY Python in the plan is the packing fold itself
+        (FlatMapGroupsInPandas), the only Exchange its shard
+        repartition. A BatchEvalPython / ArrowEvalPython node would mean
+        token counting fell off the codegen path."""
+        from homelogging_spark.plans.pipeline_registry import q_bpe_pack
+
+        plan = plan_of(q_bpe_pack(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        # exactly one hash exchange (the shard key feeding the fold);
+        # the round-robin spread on low-partition inputs is deliberate
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("Exchange") <= 2
+
+
 class TestScd2Plan:
     def test_scd2_history_single_exchange(self, spark):
         """scd2_history pins ONE shuffle: the boundary lag, running
