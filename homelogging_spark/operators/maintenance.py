@@ -544,6 +544,54 @@ def incremental_layout_rewrite(
     ]
 
 
+def maintenance_cycle(
+    spark: SparkSession,
+    path: str,
+    layout_cols: Sequence[str] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+    n_files: int = 8,
+    bits: int = 4,
+    max_overlap_frac: float = 0.75,
+) -> dict:
+    """One nightly-maintenance call for a K1 readings table — the
+    engine's analogue of the reference's cron cycle (``Deploy/*.sh``):
+    crash recovery, small-file compaction, then the partition-scoped
+    layout rewrite (when ``layout_cols`` is given). All three steps are
+    idempotent and metadata-driven, so the cycle is safe to run on any
+    schedule and converges to a stable layout.
+
+    Ordering: compaction FIRST. It merges the day's append files, which
+    is safe for the layout audit because :func:`plan_layout_rewrite`
+    works at ROW-GROUP granularity — a large compacted file still
+    exposes its per-row-group bands, while a partition small enough to
+    compact into a single row group has nothing footer-pruning could
+    skip anyway (the audit's unseparable-skip leaves it alone, so the
+    cycle never ping-pongs between coalescing and re-sorting it).
+
+    Returns ``{"recovered": [...], "compacted": [...],
+    "rewritten": [...]}`` partition lists — emit them to the
+    maintenance log ("no silent maintenance", the cap-guard
+    observability rule applied here)."""
+    recovered = recover_compaction(spark, path)
+    compacted = compact_readings(spark, path, target_file_bytes, min_files)
+    rewritten: list[str] = []
+    if layout_cols:
+        rewritten = incremental_layout_rewrite(
+            spark,
+            path,
+            layout_cols,
+            n_files=n_files,
+            bits=bits,
+            max_overlap_frac=max_overlap_frac,
+        )
+    return {
+        "recovered": recovered,
+        "compacted": [s.partition for s in compacted],
+        "rewritten": rewritten,
+    }
+
+
 def _validate_zorder(cols: Sequence[str], bits: int) -> None:
     if not 1 <= len(cols) <= 4:
         raise ValueError(f"zorder on 1-4 columns, got {len(cols)}")

@@ -540,6 +540,56 @@ class TestIncrementalLayoutRewrite:
             )
 
 
+class TestMaintenanceCycle:
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "readings")
+        for b in range(6):
+            append_readings(_mk_batch(spark, "P", 1, b * 1000, 200), path)
+        append_readings(_mk_batch(spark, "Q", 2, 0, 200), path)
+        return path
+
+    def test_compact_then_layout_and_converge(self, spark, tmp_path):
+        """The composed nightly cycle: with compaction effectively off
+        (high min_files) the layout leg fixes the fragmented partition;
+        rows conserved; a second cycle is a complete no-op."""
+        from homelogging_spark.operators.maintenance import maintenance_cycle
+
+        path = self._table(spark, tmp_path)
+        before = _table_fingerprint(spark, path)
+        rep = maintenance_cycle(
+            spark, path, layout_cols=["value"], min_files=10, n_files=4
+        )
+        assert rep["compacted"] == []
+        assert rep["rewritten"] == ["series=P/date=2024-01-01"]
+        assert _table_fingerprint(spark, path) == before
+        rep2 = maintenance_cycle(
+            spark, path, layout_cols=["value"], min_files=10, n_files=4
+        )
+        assert rep2 == {"recovered": [], "compacted": [], "rewritten": []}
+
+    def test_small_partition_compacts_without_ping_pong(self, spark, tmp_path):
+        """When compaction merges the fragmented partition into one tiny
+        file (single row group), the layout audit must leave it alone —
+        nothing footer pruning could skip — so the cycle stabilizes
+        instead of alternating coalesce/sort forever."""
+        from homelogging_spark.operators.maintenance import maintenance_cycle
+
+        path = self._table(spark, tmp_path)
+        before = _table_fingerprint(spark, path)
+        rep = maintenance_cycle(
+            spark, path, layout_cols=["value"], target_file_bytes=1 << 30,
+            min_files=2, n_files=4,
+        )
+        assert rep["compacted"] == ["series=P/date=2024-01-01"]
+        assert rep["rewritten"] == []  # one row group: unseparable, skipped
+        assert _table_fingerprint(spark, path) == before
+        rep2 = maintenance_cycle(
+            spark, path, layout_cols=["value"], target_file_bytes=1 << 30,
+            min_files=2, n_files=4,
+        )
+        assert rep2 == {"recovered": [], "compacted": [], "rewritten": []}
+
+
 def _table_fingerprint_cols(spark, path, cols):
     df = spark.read.parquet(path)
     return (
