@@ -29,13 +29,15 @@ wrapped in ``\\x1f`` sentinels (``\\x1fth\\x1f\\x1fe\\x1f`` for
 
 Scale: application is a pure JVM-side expression chain (one ``replace``
 per merge inside a ``transform`` lambda — whole-stage codegen, zero
-Python, zero shuffle) — the right shape for the config-sized merge
-lists this engine learns (tens to a few hundred). For production
-vocabularies (tens of thousands of merges) an expression chain no
-longer compiles; :func:`bpe_token_count_udf` is the same fold as an
-Arrow-batched pandas UDF over a broadcast merges list with a per-word
-memo (word frequency follows Zipf — the memo hit rate makes the fold
-amortized O(distinct words)), unit-pinned equal to the expression form.
+Python, zero shuffle) — the right shape for config-sized merge lists.
+The chain's MEASURED compile ceiling is between 200 and 500 merges
+(Catalyst's nested-Column conversion overflows the stack — SCALE.md
+r13); beyond it, and for production vocabularies generally,
+:func:`bpe_token_count_udf` is the same fold as an Arrow-batched pandas
+UDF over a broadcast merges list with a per-word memo (word frequency
+follows Zipf — the fold runs once per DISTINCT word, which also makes
+the UDF the faster form on heavy-tailed text), unit-pinned bit-equal to
+the expression form.
 
 Learning runs on the distinct-WORD frequency table (one corpus scan,
 then iterations touch only the vocabulary — Sennrich's dictionary
