@@ -630,3 +630,103 @@ def test_grid_locf_stream_equals_reference_under_any_batch_split(deltas, splits)
                     )
                 )
     assert closed == expected
+
+
+# --- BPE merge-fold equivalence ----------------------------------------------
+
+BPE_SEP = "\x1f"
+
+
+def bpe_fold(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The operator's fold (tokenize.py): wrapped-string replace per
+    merge in rank order — identical str.replace semantics to the Spark
+    and DuckDB forms (3-way parity pinned in test_tokenize)."""
+    s = BPE_SEP + (BPE_SEP + BPE_SEP).join(word) + BPE_SEP
+    for l, r in merges:
+        s = s.replace(
+            f"{BPE_SEP}{l}{BPE_SEP}{BPE_SEP}{r}{BPE_SEP}",
+            f"{BPE_SEP}{l}{r}{BPE_SEP}",
+        )
+    return s.strip(BPE_SEP).split(BPE_SEP + BPE_SEP)
+
+
+def bpe_min_rank_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The canonical BPE apply loop (Sennrich 2016 / HF tokenizers):
+    repeatedly find the LOWEST-RANK pair present anywhere in the
+    sequence and merge all its occurrences left-to-right, until no
+    listed pair remains."""
+    ranks = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
+    seq = list(word)
+    while True:
+        best = None
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            return seq
+        l, r = merges[best]
+        out, i = [], 0
+        while i < len(seq):
+            if i < len(seq) - 1 and seq[i] == l and seq[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+
+
+@st.composite
+def learner_shaped_merges(draw):
+    """Merge lists shaped like learn_bpe_merges output: every rule's
+    operands exist in the symbol vocabulary BUILT BY EARLIER rules (or
+    the alphabet), and no pair repeats — the two invariants a learned
+    list always satisfies (a merged-away pair cannot re-appear, and a
+    new pair must involve the newest symbol, whose merges rank later).
+    Sequential rank-order application is equivalent to min-rank-first
+    ONLY on such lists; the generator models exactly that family."""
+    symbols = ["a", "b", "c"]
+    n = draw(st.integers(min_value=0, max_value=8))
+    merges: list[tuple[str, str]] = []
+    seen = set()
+    for _ in range(n):
+        l = draw(st.sampled_from(symbols))
+        r = draw(st.sampled_from(symbols))
+        if (l, r) in seen:
+            continue
+        seen.add((l, r))
+        merges.append((l, r))
+        if l + r not in symbols:
+            symbols.append(l + r)
+    return merges
+
+
+class TestBpeFoldProperties:
+    @given(
+        word=st.text(alphabet="abc", min_size=1, max_size=12),
+        merges=learner_shaped_merges(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_rank_order_fold_equals_min_rank_reference(self, word, merges):
+        """The module docstring's equivalence claim, property-tested:
+        applying learner-shaped merges sequentially in rank order (one
+        replace pass each) produces exactly the canonical
+        min-rank-first BPE tokenization."""
+        got = bpe_fold(word, merges)
+        want = bpe_min_rank_reference(word, merges)
+        assert got == want, (word, merges, got, want)
+        assert "".join(got) == word  # merging never alters the text
+
+    @given(word=st.text(alphabet="ab", min_size=2, max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_single_pair_pass_is_exhaustive(self, word):
+        """One replace pass == merge-until-none for a single rule (the
+        [a,a,a,a] -> [aa,aa] shape, generalized)."""
+        got = bpe_fold(word, [("a", "a")])
+        assert all(t in ("aa", "a", "b") for t in got)
+        # no two adjacent 'a' singletons may remain
+        for x, y in zip(got, got[1:]):
+            assert not (x == "a" and y == "a"), (word, got)
