@@ -1876,6 +1876,65 @@ FROM j
 """
 
 
+# --- mergeable-sketch rollup panel (r13 consolidation) ------------------------
+def q_sketch_rollup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 window-slot consolidation (absorbs `hll_distinct_rollup` +
+    `histogram_quantile_rollup`): both rollups share the mergeable-
+    sketch contract — per-series sketches re-aggregated into a grand
+    total WITHOUT rescanning raw data, exact values riding along as
+    honesty columns — so one long-format panel
+    (sketch, metric, event_type, n, n_buckets, est, exact, err)
+    certifies both. Legs: the md5-derived HLL register merge
+    (metric='distinct'; n_buckets = occupied registers, err relative)
+    and the fixed-domain histogram quantile merge (metric='p50'/'p95';
+    n_buckets NULL, err absolute). Plans are the absorbed queries'
+    verbatim (each a small-keyspace partial-agg rollup); the reshape is
+    projection-only."""
+    hll = q_hll_distinct_rollup(spark, sf_dir)
+    hist = q_histogram_quantile_rollup(spark, sf_dir)
+    h = hll.select(
+        F.lit("hll").alias("sketch"),
+        F.lit("distinct").alias("metric"),
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n"),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("hll_est").alias("est"),
+        F.col("n_exact").cast("double").alias("exact"),
+        F.col("rel_err").alias("err"),
+    )
+
+    def quant_leg(metric: str) -> DataFrame:
+        return hist.select(
+            F.lit("histogram").alias("sketch"),
+            F.lit(metric).alias("metric"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("n_buckets"),
+            F.col(f"{metric}_est").alias("est"),
+            F.col(f"{metric}_exact").alias("exact"),
+            F.col(f"abs_err_{metric}").alias("err"),
+        )
+
+    return h.unionByName(quant_leg("p50")).unionByName(quant_leg("p95"))
+
+
+ORACLE_SKETCH_ROLLUP_PANEL = f"""
+SELECT 'hll' AS sketch, 'distinct' AS metric, event_type,
+       CAST(n_exact AS BIGINT) AS n, CAST(n_buckets AS BIGINT) AS n_buckets,
+       hll_est AS est, CAST(n_exact AS DOUBLE) AS exact, rel_err AS err
+FROM ({ORACLE_HLL_DISTINCT_ROLLUP}) hll_t
+UNION ALL
+SELECT 'histogram', 'p50', event_type, CAST(n AS BIGINT), CAST(NULL AS BIGINT),
+       p50_est, p50_exact, abs_err_p50
+FROM ({ORACLE_HISTOGRAM_QUANTILE_ROLLUP}) h50_t
+UNION ALL
+SELECT 'histogram', 'p95', event_type, CAST(n AS BIGINT), CAST(NULL AS BIGINT),
+       p95_est, p95_exact, abs_err_p95
+FROM ({ORACLE_HISTOGRAM_QUANTILE_ROLLUP}) h95_t
+"""
+
+
+
 # --- native session_window vs manual sessionization --------------------------
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE ``F.session_window`` (the streaming-capable session
@@ -2646,6 +2705,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 # against one absorbed member alone mis-flags the union as a
 # regression). Append-only; names here never reappear in the registry.
 MERGED_FROM: dict[str, list[str]] = {
+    # r13
+    "sketch_rollup_panel": ["hll_distinct_rollup", "histogram_quantile_rollup"],
     # r6
     "counter_rollover": ["counter_rollover_values"],
     "pack_docs": ["pack_stats"],
@@ -2792,8 +2853,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_window_avg": q_trailing_window_avg,
     "range_session_join": q_range_session_join,
     "kasa_offset_exact": q_kasa_offset_exact,
-    "hll_distinct_rollup": q_hll_distinct_rollup,
-    "histogram_quantile_rollup": q_histogram_quantile_rollup,
+    "sketch_rollup_panel": q_sketch_rollup_panel,
     "load_profile": q_load_profile,
     "cusum_alarms": q_cusum_alarms,
     "ewma_smooth": q_ewma_smooth,
@@ -2851,8 +2911,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "trailing_window_avg": ORACLE_TRAILING_WINDOW_AVG,
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
-    "hll_distinct_rollup": ORACLE_HLL_DISTINCT_ROLLUP,
-    "histogram_quantile_rollup": ORACLE_HISTOGRAM_QUANTILE_ROLLUP,
+    "sketch_rollup_panel": ORACLE_SKETCH_ROLLUP_PANEL,
     "load_profile": ORACLE_LOAD_PROFILE,
     "cusum_alarms": ORACLE_CUSUM_ALARMS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
