@@ -60,6 +60,16 @@ from pyspark.sql import functions as F
 SEP = "\x1f"
 WORD_RE = "[a-z0-9]+"
 
+# Measured-safe ceiling for the JVM expression-chain form (SCALE.md r13:
+# 200 merges compile and run; somewhere between 200 and 500 Catalyst's
+# nested-Column conversion overflows the stack — a HARD compile-time
+# crash, not a slowdown). `word_bpe_tokens` / `bpe_token_count`
+# auto-dispatch to the bit-equal Arrow-UDF fold above this bound, so a
+# production vocabulary (tens of thousands of merges) Just Works;
+# `_apply_merges` itself raises, because a caller composing the raw
+# chain has no UDF to fall back to.
+MAX_EXPR_MERGES = 200
+
 # Frozen output of ``learn_bpe_merges(documents, "text", 48)`` on the
 # sf0.01 documents fixture (2026-08-15) — the config-table precedent:
 # learning is an offline build step, the merge list ships as config.
@@ -87,7 +97,19 @@ def _wrapped(word: Column) -> Column:
 
 def _apply_merges(s: Column, merges: Sequence[tuple[str, str]]) -> Column:
     """Apply the merge list in rank order to a wrapped-string sequence —
-    one literal ``replace`` per merge, pure JVM scalar chain."""
+    one literal ``replace`` per merge, pure JVM scalar chain. Refuses
+    lists beyond :data:`MAX_EXPR_MERGES`: the chain would crash Catalyst
+    at compile (measured, SCALE.md r13) — use the Arrow fold
+    (:func:`bpe_token_count_udf`, or the auto-dispatching
+    :func:`bpe_token_count` / :func:`word_bpe_tokens`) instead."""
+    if len(merges) > MAX_EXPR_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges exceed the expression chain's measured "
+            f"compile ceiling ({MAX_EXPR_MERGES}; Catalyst stack-overflows "
+            f"between 200 and 500 nested replaces) — use the bit-equal "
+            f"Arrow-UDF fold (bpe_token_count_udf / the auto-dispatching "
+            f"bpe_token_count)"
+        )
     for left, right in merges:
         s = F.replace(
             s,
@@ -97,11 +119,55 @@ def _apply_merges(s: Column, merges: Sequence[tuple[str, str]]) -> Column:
     return s
 
 
+def _rules(merges: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
+    """(pattern, replacement) pairs of the wrapped-string fold — the
+    Python-side twin of :func:`_apply_merges`' literals."""
+    return [
+        (f"{SEP}{l}{SEP}{SEP}{r}{SEP}", f"{SEP}{l}{r}{SEP}") for l, r in merges
+    ]
+
+
+def _fold_word(w: str, rules: Sequence[tuple[str, str]]) -> str:
+    """Python twin of the JVM fold: wrap, then one ``str.replace`` per
+    merge (identical leftmost-non-overlapping semantics — module
+    docstring). Returns the folded WRAPPED string."""
+    s = SEP + (SEP + SEP).join(w) + SEP if w else ""
+    for pat, rep in rules:
+        s = s.replace(pat, rep)
+    return s
+
+
 def word_bpe_tokens(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
     """``array<string>`` of BPE tokens for one (lowercase) word. The
     outer sentinels are trimmed BEFORE the split so tokens come back
     bare (counting alone doesn't need the trim — the split count is
-    sentinel-invariant — but pair mining in the learner does)."""
+    sentinel-invariant — but pair mining in the learner does).
+
+    Merge lists beyond :data:`MAX_EXPR_MERGES` auto-dispatch to the
+    bit-equal Arrow-UDF fold (the expression chain would crash Catalyst
+    at compile) — so ``learn_bpe_merges`` keeps working past round 200
+    and a production vocabulary tokenizes without caller dispatch."""
+    if len(merges) > MAX_EXPR_MERGES:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rules = _rules(merges)
+
+        def tokens_batch(words: pd.Series) -> pd.Series:
+            memo: dict[str, list[str]] = {}
+
+            def toks(w: str) -> list[str]:
+                t = memo.get(w)
+                if t is None:
+                    t = memo[w] = _fold_word(w, rules).strip(SEP).split(SEP + SEP)
+                return t
+
+            return pd.Series(
+                [None if w is None else toks(w) for w in words], dtype="object"
+            )
+
+        tokens_batch.__annotations__ = {"words": pd.Series, "return": pd.Series}
+        return pandas_udf(tokens_batch, "array<string>")(word)
     s = F.btrim(_apply_merges(_wrapped(word), merges), F.lit(SEP))
     return F.split(s, SEP + SEP)
 
@@ -111,7 +177,47 @@ def bpe_token_count(
 ) -> Column:
     """Per-document BPE token count: pre-tokenize into ``[a-z0-9]+``
     words on the lowercased text, tokenize each word by the merge list,
-    sum. NULL/empty text counts 0. Everything JVM-side."""
+    sum. NULL/empty text counts 0. Everything JVM-side.
+
+    Merge lists beyond :data:`MAX_EXPR_MERGES` auto-dispatch to the
+    bit-equal Arrow-UDF fold with a per-word memo (the expression chain
+    would crash Catalyst at compile — SCALE.md r13; dispatch boundary
+    and cross-boundary bit-equality pinned in ``test_tokenize``). The
+    DataFrame-level :func:`bpe_token_count_udf` stays the preferred
+    production entry — it ships the merges as an explicit broadcast
+    variable; this dispatch serializes them in the UDF closure (fine to
+    a few MB of rules)."""
+    if len(merges) > MAX_EXPR_MERGES:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rules = _rules(merges)
+        word_pat = WORD_RE
+
+        def count_batch(texts: pd.Series) -> pd.Series:
+            import re
+
+            word_re = re.compile(word_pat)
+            memo: dict[str, int] = {}
+
+            def n_tokens(w: str) -> int:
+                n = memo.get(w)
+                if n is None:
+                    n = memo[w] = _fold_word(w, rules).count(SEP + SEP) + 1
+                return n
+
+            return pd.Series(
+                [
+                    0
+                    if t is None
+                    else sum(n_tokens(w) for w in word_re.findall(t.lower()))
+                    for t in texts
+                ],
+                dtype="int64",
+            )
+
+        count_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        return pandas_udf(count_batch, "bigint")(text)
     words = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), F.lit(0))
     per_word = F.transform(
         words, lambda w: F.size(F.split(_apply_merges(_wrapped(w), merges), SEP + SEP))
@@ -126,8 +232,13 @@ def bpe_token_count_sql(expr: str, merges: Sequence[tuple[str, str]]) -> str:
     (module docstring), summed per document with ``list_transform``."""
     s = f"chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31)) || chr(31)"
     for left, right in merges:
-        pat = f"chr(31)||'{left}'||chr(31)||chr(31)||'{right}'||chr(31)"
-        rep = f"chr(31)||'{left}{right}'||chr(31)"
+        # SQL-literal-escape the symbols (double the quotes): learned
+        # merges are [a-z0-9]+ by construction, but an arbitrary
+        # caller-supplied merge containing a quote must not break (or
+        # inject into) the emitted oracle SQL
+        l, r = left.replace("'", "''"), right.replace("'", "''")
+        pat = f"chr(31)||'{l}'||chr(31)||chr(31)||'{r}'||chr(31)"
+        rep = f"chr(31)||'{l}{r}'||chr(31)"
         s = f"replace({s}, {pat}, {rep})"
     return (
         "CAST(COALESCE(list_sum(list_transform("
@@ -159,20 +270,13 @@ def bpe_token_count_udf(
     word_re = re.compile(WORD_RE)
 
     def count_batch(texts: pd.Series) -> pd.Series:
-        rules = [
-            (f"{SEP}{l}{SEP}{SEP}{r}{SEP}", f"{SEP}{l}{r}{SEP}")
-            for l, r in bc.value
-        ]
+        rules = _rules(bc.value)
         memo: dict[str, int] = {}
 
         def word_tokens(w: str) -> int:
             n = memo.get(w)
             if n is None:
-                s = SEP + (SEP + SEP).join(w) + SEP
-                for pat, rep in rules:
-                    s = s.replace(pat, rep)
-                n = s.count(SEP + SEP) + 1
-                memo[w] = n
+                n = memo[w] = _fold_word(w, rules).count(SEP + SEP) + 1
             return n
 
         return pd.Series(

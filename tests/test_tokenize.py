@@ -136,3 +136,104 @@ class TestTokenCount:
         # sanity anchors under the frozen merges: whole-vocab words are
         # single tokens
         assert expr[0] == 6
+
+
+class TestExprChainCeiling:
+    """The expression chain's measured compile ceiling (SCALE.md r13:
+    hard Catalyst stack overflow between 200 and 500 merges) is guarded:
+    the raw chain refuses, the public entries auto-dispatch to the
+    bit-equal Arrow fold."""
+
+    # no-op filler merges (multi-char symbols never appear as single
+    # tokens, so the fold's output is unchanged) — pads a merge list
+    # past the ceiling without changing its semantics
+    FILLER = [(f"x{i}", f"y{i}") for i in range(200)]
+
+    def test_apply_merges_raises_beyond_ceiling(self, spark):
+        import pytest
+
+        from homelogging_spark.operators.tokenize import (
+            MAX_EXPR_MERGES,
+            _apply_merges,
+        )
+
+        too_many = DEFAULT_MERGES + self.FILLER[: MAX_EXPR_MERGES + 1 - len(DEFAULT_MERGES)]
+        assert len(too_many) == MAX_EXPR_MERGES + 1
+        with pytest.raises(ValueError, match="compile ceiling"):
+            _apply_merges(F.lit("a"), too_many)
+
+    def test_dispatch_boundary_plan_shapes(self, spark):
+        """AT the ceiling: pure JVM plan (no Python eval node). ONE
+        past it: the same call silently takes the Arrow path instead of
+        crashing Catalyst."""
+        from homelogging_spark.operators.tokenize import MAX_EXPR_MERGES
+
+        df = spark.createDataFrame([(0, "order vector")], "doc_id long, text string")
+        at = DEFAULT_MERGES + self.FILLER[: MAX_EXPR_MERGES - len(DEFAULT_MERGES)]
+        over = at + self.FILLER[len(at) - len(DEFAULT_MERGES) :][:1]
+        assert len(at) == MAX_EXPR_MERGES and len(over) == MAX_EXPR_MERGES + 1
+        plan_at = df.select(
+            bpe_token_count(F.col("text"), at).alias("n")
+        )._jdf.queryExecution().executedPlan().toString()
+        plan_over = df.select(
+            bpe_token_count(F.col("text"), over).alias("n")
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan_at
+        assert "ArrowEvalPython" in plan_over
+
+    def test_bit_equality_across_the_boundary(self, spark):
+        """Padding with no-op merges past the ceiling flips the
+        implementation, never the answer — expression(48) ==
+        auto-dispatched-UDF(248) == explicit bpe_token_count_udf(248),
+        for counts and for word tokenization."""
+        rows = [
+            (0, "customer order vector batch join hash"),
+            (1, "aaaa bbbb abab"),
+            (2, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        big = DEFAULT_MERGES + self.FILLER
+        expr = df.select(
+            "doc_id", bpe_token_count(F.col("text"), DEFAULT_MERGES).alias("n")
+        ).collect()
+        auto = df.select(
+            "doc_id", bpe_token_count(F.col("text"), big).alias("n")
+        ).collect()
+        explicit = bpe_token_count_udf(df, "text", big).select(
+            "doc_id", F.col("n_tokens").alias("n")
+        ).collect()
+        assert sorted(map(tuple, expr)) == sorted(map(tuple, auto))
+        assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+        toks_small = _tokens(spark, "vectororder", DEFAULT_MERGES)
+        toks_big = _tokens(spark, "vectororder", big)
+        assert toks_small == toks_big
+
+
+class TestOracleSqlEscaping:
+    def test_quote_bearing_merge_symbols_are_escaped(self, spark):
+        """A caller-supplied merge containing a single quote must emit
+        valid (non-injectable) DuckDB SQL that still matches the Spark
+        fold — learned merges are [a-z0-9]+ so this is pure misuse
+        hardening."""
+        import duckdb
+
+        weird = [("a", "b"), ("o'", "x"), ("'", "'")]
+        rows = [(0, "ab cd a b"), (1, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.n
+            for r in df.select(
+                "doc_id", bpe_token_count(F.col("text"), weird).alias("n")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        oracle = dict(
+            con.execute(
+                f"SELECT doc_id, {bpe_token_count_sql('text', weird)} FROM t"
+            ).fetchall()
+        )
+        # "ab" merges to one token; "cd" stays two chars; "a" and "b"
+        # are single chars — 1+2+1+1
+        assert got == oracle == {0: 5, 1: 0}
