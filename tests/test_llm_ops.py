@@ -697,6 +697,63 @@ class TestCapObservability:
         # rows unchanged by observation
         assert sorted(map(tuple, got)) == sorted(map(tuple, plain.collect()))
 
+    def test_pending_queue_is_thread_scoped(self, spark):
+        """foreachBatch bodies run on stream-execution threads: two
+        concurrent contexts must each drain only their OWN observations
+        (r13 ADVICE — the process-global queue cross-drained them)."""
+        import threading
+
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.functions.capstats import observe_cap_splits
+
+        def attach_and_drain(tag: str, results: dict) -> None:
+            splits = spark.createDataFrame(
+                [(tag, 2)], "bucket string, _n_splits int"
+            )
+            observed = observe_cap_splits(splits, f"guard_{tag}")
+            results[f"{tag}_pending"] = capstats.pending_cap_observations()
+            observed.count()
+            results[tag] = capstats.drain_cap_stats(timeout_s=30)
+
+        results: dict = {}
+        t = threading.Thread(target=attach_and_drain, args=("worker", results))
+        # main thread attaches FIRST, drains AFTER the worker finished —
+        # with a shared queue the worker would have stolen main's entry
+        splits = spark.createDataFrame([("m", 3)], "bucket string, _n_splits int")
+        observed = observe_cap_splits(splits, "guard_main")
+        t.start()
+        t.join()
+        observed.count()
+        main_stats = capstats.drain_cap_stats(timeout_s=30)
+        assert results["worker_pending"] == 1  # never saw main's entry
+        assert [s["guard"] for s in results["worker"]] == ["guard_worker"]
+        assert [s["guard"] for s in main_stats] == ["guard_main"]
+        assert main_stats[0]["max_splits"] == 3
+        assert capstats.pending_cap_observations() == 0
+
+    def test_unexecuted_observation_times_out_instead_of_hanging(self, spark):
+        """A caller that errors between attach and action must not hang
+        the drain: with timeout_s the dead observation is dropped and
+        reported, and later observations still drain."""
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.functions.capstats import observe_cap_splits
+
+        never_run = observe_cap_splits(
+            spark.createDataFrame([("a", 1)], "bucket string, _n_splits int"),
+            "dead_guard",
+        )
+        ran = observe_cap_splits(
+            spark.createDataFrame([("b", 5)], "bucket string, _n_splits int"),
+            "live_guard",
+        )
+        ran.count()
+        del never_run  # plan never executed
+        stats = capstats.drain_cap_stats(timeout_s=0.5)
+        assert [s["guard"] for s in stats] == ["dead_guard", "live_guard"]
+        assert stats[0] == {"guard": "dead_guard", "timed_out": True}
+        assert stats[1]["max_splits"] == 5
+        assert capstats.pending_cap_observations() == 0
+
 
 class TestFrameSample:
     def test_frames_and_sampling_rate(self, spark):
