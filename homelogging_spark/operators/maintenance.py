@@ -297,6 +297,70 @@ def cluster_rewrite(
     writer.parquet(path)
 
 
+def _audit_filesystem(path: str):
+    """Resolve ``(pyarrow filesystem, root path)`` for the footer
+    audits, honoring the table URI's scheme — the rewrite/commit path
+    goes through the Hadoop FS API (:func:`_fs`), and the audits must
+    address the SAME store, or a remote table's audit silently matches
+    nothing and the maintenance cycle becomes a no-op (r13 ADVICE).
+    Local paths and ``file://`` map to the local filesystem; ``s3a://``
+    maps to pyarrow's S3 (same store, different scheme name); any
+    scheme pyarrow cannot resolve raises instead of returning empty."""
+    from pyarrow import fs as pafs
+
+    if "://" not in path:
+        return pafs.LocalFileSystem(), path
+    uri = path.replace("s3a://", "s3://", 1) if path.startswith("s3a://") else path
+    try:
+        return pafs.FileSystem.from_uri(uri)
+    except Exception as exc:
+        raise ValueError(
+            f"footer audit cannot address filesystem scheme of {path!r} "
+            f"({exc}); the layout audit must read the same store the "
+            f"rewrite commits to — audit from a host with pyarrow "
+            f"support for this scheme, or pass a local/file/s3 path"
+        ) from exc
+
+
+def _audit_footers(path: str):
+    """Yield ``(file_path, pyarrow.parquet.FileMetaData)`` for every
+    visible parquet data file under ``path`` (recursive), through the
+    URI-resolved filesystem. Hidden segments (``.compact_tmp`` staging,
+    ``_SUCCESS`` markers) are skipped — the same visibility rule the
+    glob form applied implicitly and ``partition_file_stats`` applies
+    explicitly."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, root = _audit_filesystem(path)
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(root, recursive=True, allow_not_found=True)
+    )
+    for info in sorted(infos, key=lambda i: i.path):
+        if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
+            continue
+        rel = info.path[len(root) :]
+        if any(seg.startswith((".", "_")) for seg in rel.split("/") if seg):
+            continue
+        with filesystem.open_input_file(info.path) as f:
+            yield info.path, pq.ParquetFile(f).metadata
+
+
+def _column_index(md, col: str, file_path: str) -> int:
+    """Physical column index of ``col`` in one file's footer, with a
+    descriptive error when absent — e.g. the caller passed a hive
+    PARTITION column (never stored in data files) or the file predates
+    a schema evolution."""
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in idx:
+        raise ValueError(
+            f"audit column {col!r} is not in the schema of {file_path} "
+            f"(has: {sorted(idx)}); hive partition columns live in "
+            f"directory names, not data files — audit a data column"
+        )
+    return idx[col]
+
+
 def rowgroups_admitting(path: str, col: str, value, hi=None) -> tuple[int, int]:
     """Footer-statistics audit: (admitting, total) parquet row groups
     under ``path`` whose [min, max] band for ``col`` admits the point
@@ -306,17 +370,12 @@ def rowgroups_admitting(path: str, col: str, value, hi=None) -> tuple[int, int]:
     Driver-side metadata work only (footers, never data pages); used by
     tests and the SCALE harness to measure what :func:`cluster_rewrite`
     / :func:`zorder_rewrite` buy."""
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
     lo, hi = value, value if hi is None else hi
     if hi < lo:
         raise ValueError(f"empty range: [{lo}, {hi}]")
     admitting = total = 0
-    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-        md = pq.ParquetFile(f).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+    for f, md in _audit_footers(path):
+        idx = _column_index(md, col, f)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             total += 1
@@ -397,17 +456,14 @@ def partition_band_overlap(path: str, col: str) -> tuple[int, int]:
     counting them would make a perfectly-sorted skewed partition look
     forever-rewritable (the convergence hazard a plain admitting-
     fraction probe has). Row groups without stats are skipped for the
-    same reason. Driver-side metadata only (footers, never data pages);
-    O(rowgroups^2) per partition over in-memory tuples — row groups per
-    partition are bounded by the compaction policy."""
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
+    same reason. Driver-side metadata only (footers, never data pages),
+    read through the URI-resolved filesystem so remote tables audit the
+    same store the rewrite commits to; O(rowgroups^2) per partition
+    over in-memory tuples — row groups per partition are bounded by the
+    compaction policy."""
     bands: list[tuple] = []
-    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-        md = pq.ParquetFile(f).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+    for f, md in _audit_footers(path):
+        idx = _column_index(md, col, f)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is not None and st.min is not None:
@@ -425,11 +481,23 @@ def partition_band_overlap(path: str, col: str) -> tuple[int, int]:
     return overlapping, separable
 
 
+def _hive_partition_keys(stats: list[PartitionStat]) -> set[str]:
+    """Hive partition column names implied by the partition directory
+    names (``k=v`` segments) of a listed table."""
+    return {
+        seg.split("=", 1)[0]
+        for s in stats
+        for seg in s.partition.split("/")
+        if "=" in seg
+    }
+
+
 def plan_layout_rewrite(
     spark: SparkSession,
     path: str,
     audit_col: str,
     max_overlap_frac: float = 0.75,
+    stats: list[PartitionStat] | None = None,
 ) -> list[PartitionStat]:
     """Pick the partitions whose row-group bands for ``audit_col``
     overlap more than ``max_overlap_frac`` of their separable pairs —
@@ -444,11 +512,19 @@ def plan_layout_rewrite(
     primary column."""
     if not 0 < max_overlap_frac < 1:
         raise ValueError(f"max_overlap_frac in (0, 1), got {max_overlap_frac}")
-    stats = [
-        s
-        for s in partition_file_stats(spark, path)
-        if "__HIVE_DEFAULT_PARTITION__" not in s.partition
-    ]
+    if stats is None:
+        stats = [
+            s
+            for s in partition_file_stats(spark, path)
+            if "__HIVE_DEFAULT_PARTITION__" not in s.partition
+        ]
+    if audit_col in _hive_partition_keys(stats):
+        raise ValueError(
+            f"audit column {audit_col!r} is a hive PARTITION column of "
+            f"{path} — partition values live in directory names, not "
+            f"data-file footers, so no layout rewrite can change their "
+            f"pruning; audit (and lay out on) a data column"
+        )
     # footer reads are independent IO — audit partitions concurrently
     # (bounded pool; at 100 TB partition counts the serial loop is the
     # planner's dominant cost, and pyarrow releases the GIL on reads)
@@ -514,8 +590,21 @@ def incremental_layout_rewrite(
             f"{2 / max_overlap_frac:.0f}"
         )
     recover_compaction(spark, path)
+    stats = [
+        s
+        for s in partition_file_stats(spark, path)
+        if "__HIVE_DEFAULT_PARTITION__" not in s.partition
+    ]
+    pkeys = _hive_partition_keys(stats)
+    bad = [c for c in cols if c in pkeys]
+    if bad:
+        raise ValueError(
+            f"layout columns {bad} are hive PARTITION columns of {path} — "
+            f"they are constant within each rewritten partition and absent "
+            f"from its data files; cluster/Z-order on data columns only"
+        )
     audit_col = cols[-1] if len(cols) > 1 else cols[0]
-    todo = plan_layout_rewrite(spark, path, audit_col, max_overlap_frac)
+    todo = plan_layout_rewrite(spark, path, audit_col, max_overlap_frac, stats=stats)
 
     def stage(sub, s: PartitionStat):
         if len(cols) > 1:
@@ -630,3 +719,140 @@ def _zorder_column(df, cols: Sequence[str], bits: int) -> Column:
                 F.shiftleft(bit, i * len(buckets) + j).cast("bigint")
             )
     return z
+
+
+# --- embedding-index maintenance (nightly cycle, r14) -------------------------
+
+INDEX_ARTIFACTS = ("centroids", "cells", "codes", "codebook")
+
+
+def load_index(spark: SparkSession, index_root: str) -> dict:
+    """Read the four IVF-PQ index artifacts a :func:`index_cycle` run
+    maintains under ``index_root``: ``centroids`` (vec_id, embedding),
+    ``cells`` (vec_id, centroid_id), ``codes`` (vec_id, code_*,
+    recon_mse), ``codebook`` (subspace, cid, cemb) — exactly the inputs
+    ``similarity.ivf_pq_topk`` serves from."""
+    return {
+        a: spark.read.parquet(os.path.join(index_root, a))
+        for a in INDEX_ARTIFACTS
+    }
+
+
+def index_cycle(
+    spark: SparkSession,
+    corpus,
+    index_root: str,
+    target_cell_rows: int = 256,
+    growth_factor: float = 2.0,
+    k_min: int = 8,
+    k_max: int = 1 << 16,
+    n_iters: int = 2,
+    pq_subspaces: int = 4,
+    pq_centroids: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_mod: int | None = 16,
+    exact_fold: bool = True,
+) -> dict:
+    """One nightly INDEX-maintenance call for an embedding corpus — the
+    ANN-tier sibling of :func:`maintenance_cycle` (the reference's
+    ``Deploy/`` cron analogue, applied to the index artifacts instead of
+    the readings layout). Composes what SCALE.md r13 described in prose:
+    ``similarity.refresh_centroids``' occupancy-tracking K (every
+    cell-scoped consumer's cost is a function of cell occupancy, not
+    corpus size — the measured 2.4x `semantic_dedup` recovery at 10x
+    growth) plus stage-then-switch re-materialization of ALL dependent
+    artifacts (``ivf_assign`` cells, PQ codebook, ``pq_codes``), so a
+    refreshed quantizer can never serve against stale cell assignments.
+
+    Occupancy trigger: ``target K = clamp(ceil(N / target_cell_rows),
+    k_min, k_max)`` (one corpus count — the cheap check). The cycle
+    rebuilds when the live quantizer's K has drifted ``growth_factor``x
+    from the target in EITHER direction (growth or mass deletion), or
+    when no index exists; otherwise it is a deterministic no-op that
+    touches nothing. Rebuild cost is bounded by the trainers' id-mod
+    sampling plus one assignment/encoding scan of the corpus — SCALE.md
+    r13 measured retrain paying for itself within a single
+    `semantic_dedup` run at 10x growth.
+
+    Commit protocol: every artifact generation is written COMPLETELY
+    into ``<index_root>.__tmp`` before the live directory is touched,
+    then two atomic renames swap generations (the
+    ``start_kmv_rollup_stream`` state-swap discipline; a crash between
+    the renames is repaired on the next cycle by restoring the trash).
+    Readers therefore always see one complete, mutually-consistent
+    generation — never a new quantizer with old cells.
+
+    Returns ``{"refreshed": bool, "k": served K, "target_k": K the
+    count demands, "n_vectors": N}`` — emit it to the maintenance log
+    ("no silent maintenance")."""
+    from homelogging_spark.operators import similarity
+
+    if target_cell_rows < 1:
+        raise ValueError(f"target_cell_rows must be >= 1, got {target_cell_rows}")
+    if growth_factor <= 1:
+        raise ValueError(f"growth_factor must be > 1, got {growth_factor}")
+    hadoop, fs = _fs(spark, index_root)
+    P = hadoop.Path
+    tmp, trash = index_root + ".__tmp", index_root + ".__trash"
+    if not fs.exists(P(index_root)) and fs.exists(P(trash)):
+        # crash landed between the two swap renames: the trash IS the
+        # last committed generation — restore it before deciding
+        fs.rename(P(trash), P(index_root))
+    n = corpus.count()
+    target_k = int(min(k_max, max(k_min, -(-n // target_cell_rows))))
+    current_k = None
+    cent_path = os.path.join(index_root, "centroids")
+    if fs.exists(P(cent_path)):
+        current_k = spark.read.parquet(cent_path).count()
+    if current_k and (
+        max(target_k, current_k) < growth_factor * min(target_k, current_k)
+    ):
+        return {
+            "refreshed": False,
+            "k": int(current_k),
+            "target_k": target_k,
+            "n_vectors": int(n),
+        }
+
+    vecs = corpus.select(F.col(id_col), F.col(emb_col))
+    centroids = similarity.kmeans_lite_centroids(
+        vecs,
+        n_centroids=target_k,
+        n_iters=n_iters,
+        id_col=id_col,
+        emb_col=emb_col,
+        dim=dim,
+        sample_mod=sample_mod,
+        exact_fold=exact_fold,
+    )
+    cells = similarity.ivf_assign(vecs, centroids, 1, id_col, emb_col).select(
+        F.col(id_col), "centroid_id"
+    )
+    codebook = similarity.pq_codebook(
+        vecs, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col, sample_mod
+    )
+    codes = similarity.pq_codes(
+        vecs, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
+        sample_mod, codebook=codebook,
+    )
+    fs.delete(P(tmp), True)
+    for name, frame in (
+        ("centroids", centroids),
+        ("cells", cells),
+        ("codes", codes),
+        ("codebook", codebook),
+    ):
+        frame.write.mode("overwrite").parquet(os.path.join(tmp, name))
+    fs.delete(P(trash), True)
+    if fs.exists(P(index_root)):
+        fs.rename(P(index_root), P(trash))
+    fs.rename(P(tmp), P(index_root))
+    fs.delete(P(trash), True)
+    return {
+        "refreshed": True,
+        "k": target_k,
+        "target_k": target_k,
+        "n_vectors": int(n),
+    }

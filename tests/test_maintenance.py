@@ -539,6 +539,99 @@ class TestIncrementalLayoutRewrite:
                 spark, str(tmp_path), ["a", "b", "c", "d"], bits=16
             )
 
+    def test_rejects_hive_partition_layout_columns(self, spark, tmp_path):
+        """A hive partition column is constant within each rewritten
+        partition and absent from data files — laying out on it used to
+        die with a bare KeyError mid-cycle (r13 ADVICE)."""
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            incremental_layout_rewrite,
+            plan_layout_rewrite,
+        )
+
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="PARTITION column"):
+            incremental_layout_rewrite(spark, path, ["series"], n_files=4)
+        with pytest.raises(ValueError, match="PARTITION column"):
+            incremental_layout_rewrite(
+                spark, path, ["value", "date"], n_files=4, bits=2
+            )
+        with pytest.raises(ValueError, match="PARTITION column"):
+            plan_layout_rewrite(spark, path, "series")
+
+
+class TestAuditFilesystem:
+    """The footer audits must address the same store the rewrite
+    commits to (r13 ADVICE): URI-resolved filesystem, never a bare
+    local glob, with descriptive errors for absent columns and
+    unresolvable schemes."""
+
+    def _part(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(100).select(
+            F.col("id").cast("double").alias("value")
+        ).coalesce(2).write.parquet(path)
+        return path
+
+    def test_file_uri_equals_local_path(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            partition_band_overlap,
+            rowgroups_admitting,
+        )
+
+        path = self._part(spark, tmp_path)
+        assert partition_band_overlap(f"file://{path}", "value") == (
+            partition_band_overlap(path, "value")
+        )
+        assert rowgroups_admitting(f"file://{path}", "value", 42.0) == (
+            rowgroups_admitting(path, "value", 42.0)
+        )
+
+    def test_hidden_maintenance_dirs_invisible_to_audit(self, spark, tmp_path):
+        import shutil
+
+        from homelogging_spark.operators.maintenance import (
+            partition_band_overlap,
+        )
+
+        path = self._part(spark, tmp_path)
+        before = partition_band_overlap(path, "value")
+        # a staged copy under .compact_tmp must not double the bands
+        shutil.copytree(path, os.path.join(path, ".compact_tmp", "stage"))
+        assert partition_band_overlap(path, "value") == before
+
+    def test_absent_column_raises_descriptive(self, spark, tmp_path):
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            partition_band_overlap,
+            rowgroups_admitting,
+        )
+
+        path = self._part(spark, tmp_path)
+        with pytest.raises(ValueError, match="'nope' is not in the schema"):
+            partition_band_overlap(path, "nope")
+        with pytest.raises(ValueError, match="'nope' is not in the schema"):
+            rowgroups_admitting(path, "nope", 1)
+
+    def test_unresolvable_scheme_raises_not_silent_noop(self):
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            partition_band_overlap,
+        )
+
+        with pytest.raises(ValueError, match="cannot address"):
+            partition_band_overlap("weird://bucket/table", "value")
+
+    def test_missing_local_path_is_empty_not_error(self, tmp_path):
+        from homelogging_spark.operators.maintenance import (
+            partition_band_overlap,
+        )
+
+        assert partition_band_overlap(str(tmp_path / "nope"), "v") == (0, 0)
+
 
 class TestMaintenanceCycle:
     def _table(self, spark, tmp_path):
@@ -619,3 +712,117 @@ class TestRowgroupsAdmittingRange:
 
         with pytest.raises(ValueError, match="empty range"):
             rowgroups_admitting(out, "a", 10, 5)
+
+
+class TestIndexCycle:
+    """Nightly embedding-index maintenance (r14): occupancy-triggered
+    quantizer refresh + stage-then-switch re-materialization of every
+    dependent artifact, so readers never see a new quantizer with old
+    cells."""
+
+    DIM = 8
+
+    def _corpus(self, spark, n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (i + 3)) % 17).cast("double") + F.lit(0.1)
+                    for i in range(self.DIM)
+                ]
+            ).alias("embedding"),
+        )
+
+    def _cycle(self, spark, corpus, root, **kw):
+        from homelogging_spark.operators.maintenance import index_cycle
+
+        args = dict(
+            target_cell_rows=8, k_min=2, n_iters=1, pq_subspaces=2,
+            pq_centroids=4, dim=self.DIM, sample_mod=None,
+        )
+        args.update(kw)
+        return index_cycle(spark, corpus, root, **args)
+
+    def test_builds_consistent_generation(self, spark, tmp_path):
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.maintenance import load_index
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        out = self._cycle(spark, corpus, root)
+        assert out == {
+            "refreshed": True, "k": 8, "target_k": 8, "n_vectors": 64,
+        }
+        idx = load_index(spark, root)
+        assert idx["centroids"].count() == 8
+        # every vector assigned and encoded exactly once
+        assert idx["cells"].count() == 64
+        assert idx["codes"].count() == 64
+        assert idx["codebook"].count() == 2 * 4  # subspaces x centroids
+        # cells are CONSISTENT with the served centroids: re-deriving
+        # the assignment from the stored quantizer matches bit-for-bit
+        rederived = similarity.ivf_assign(
+            corpus, idx["centroids"], 1
+        ).select("vec_id", "centroid_id")
+        assert sorted(map(tuple, idx["cells"].collect())) == sorted(
+            map(tuple, rederived.collect())
+        )
+
+    def test_no_growth_is_noop_and_drift_retriggers(self, spark, tmp_path):
+        import glob
+
+        root = str(tmp_path / "index")
+        self._cycle(spark, self._corpus(spark, 64), root)
+        listing = sorted(glob.glob(root + "/**", recursive=True))
+        # same corpus (and anything under 2x drift): deterministic no-op
+        again = self._cycle(spark, self._corpus(spark, 64), root)
+        assert again == {
+            "refreshed": False, "k": 8, "target_k": 8, "n_vectors": 64,
+        }
+        under = self._cycle(spark, self._corpus(spark, 100), root)
+        assert under["refreshed"] is False and under["target_k"] == 13
+        assert sorted(glob.glob(root + "/**", recursive=True)) == listing
+        # 4x corpus → target K drifted 2x past the served K → rebuild
+        grown = self._cycle(spark, self._corpus(spark, 256), root)
+        assert grown == {
+            "refreshed": True, "k": 32, "target_k": 32, "n_vectors": 256,
+        }
+        from homelogging_spark.operators.maintenance import load_index
+
+        assert load_index(spark, root)["centroids"].count() == 32
+        assert load_index(spark, root)["cells"].count() == 256
+
+    def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
+        import os as _os
+        import shutil
+
+        from homelogging_spark.operators.maintenance import load_index
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root)
+        served = sorted(map(tuple, load_index(spark, root)["cells"].collect()))
+        # simulate the crash window: live moved to trash, staged copy
+        # never promoted (and lost)
+        shutil.move(root, root + ".__trash")
+        out = self._cycle(spark, corpus, root)
+        # recovery restored the committed generation, then no-op'd
+        assert out["refreshed"] is False
+        assert not _os.path.exists(root + ".__trash")
+        assert sorted(
+            map(tuple, load_index(spark, root)["cells"].collect())
+        ) == served
+
+    def test_validation(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="target_cell_rows"):
+            self._cycle(
+                spark, self._corpus(spark, 4), str(tmp_path / "i"),
+                target_cell_rows=0,
+            )
+        with pytest.raises(ValueError, match="growth_factor"):
+            self._cycle(
+                spark, self._corpus(spark, 4), str(tmp_path / "i"),
+                growth_factor=1.0,
+            )
