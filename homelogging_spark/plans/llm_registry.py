@@ -1364,6 +1364,105 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 """
 
 
+# index_cycle's clamp bounds are pinned k_min = k_max here so the
+# quantizer K is scale-invariant and the static DuckDB oracle can train
+# the identical 16-centroid chain; the occupancy-scaling dial
+# (k_min < k_max) is covered by tests/test_maintenance.TestIndexCycle.
+INDEX_CYCLE_K = 16
+
+
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized IVF-PQ index generation for the embeddings corpus —
+    built once per sf_dir by ``maintenance.index_cycle`` (staleness
+    keyed on the source parquet mtime, like the maintenance fixtures in
+    ``tables.py``), then SERVED from parquet. This is the production
+    shape the r13 verdict asked to certify end-to-end: refresh →
+    stage-then-switch materialization → load → search, with the driver
+    oracle checking the searched result."""
+    import os
+    import shutil
+
+    from homelogging_spark.operators import maintenance
+    from homelogging_spark.tables import (
+        _fixture_build_lock,
+        _fixture_path,
+        _fixture_stale,
+    )
+
+    path = _fixture_path(sf_dir, "ivf_index")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # the cycle writes standard parquet dirs per artifact; the centroids
+    # _SUCCESS marker timestamps the generation
+    probe = os.path.join(path, "centroids")
+    if _fixture_stale(probe, src):
+        with _fixture_build_lock(path):
+            if _fixture_stale(probe, src):
+                # same-count corpus changes would no-op the occupancy
+                # gate — a stale SOURCE must force a full generation
+                shutil.rmtree(path, ignore_errors=True)
+                _, corpus = _emb_split(spark, sf_dir)
+                maintenance.index_cycle(
+                    spark,
+                    corpus.select("vec_id", "embedding"),
+                    path,
+                    k_min=INDEX_CYCLE_K,
+                    k_max=INDEX_CYCLE_K,
+                    n_iters=IVF_KMEANS_ITERS,
+                    pq_subspaces=4,
+                    pq_centroids=8,
+                    dim=EMB_DIM,
+                )
+    return path
+
+
+def q_index_cycle_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search SERVED from ``maintenance.index_cycle``-maintained
+    artifacts: the nightly cycle trains the occupancy-sized coarse
+    quantizer and re-materializes cells + codebook + codes
+    stage-then-switch; the query loads that generation from parquet and
+    ranks with ``similarity.ivf_pq_topk`` — certifying the refresh →
+    index → search chain under the driver oracle (every double
+    round-trips parquet bit-exactly, so the served ranking equals the
+    in-memory one)."""
+    from homelogging_spark.operators.maintenance import load_index
+
+    idx = load_index(spark, _ivf_index_root(spark, sf_dir))
+    queries, _ = _emb_split(spark, sf_dir)
+    out = similarity.ivf_pq_topk(
+        queries.select("vec_id", "embedding"),
+        idx["cells"],
+        idx["codes"],
+        idx["codebook"],
+        idx["centroids"],
+        k=5,
+        nprobe=IVF_NPROBE,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+_IDX_CORPUS_SQL = (
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
+)
+
+# Unlike ORACLE_IVF_PQ_TOPK (codebook trained on the full table, K=8),
+# the cycle trains BOTH quantizers on the retained corpus with the
+# clamp-pinned K — the oracle replays exactly that.
+ORACLE_INDEX_CYCLE_SEARCH = f"""
+WITH base AS ({similarity.ivf_pq_topk_sql(
+    _IDX_CORPUS_SQL,
+    _IDX_CORPUS_SQL,
+    f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+    k=5, nprobe=IVF_NPROBE, n_subspaces=4, n_centroids=8,
+    coarse_k=INDEX_CYCLE_K, coarse_iters=IVF_KMEANS_ITERS, dim=EMB_DIM)})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)
@@ -1809,6 +1908,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "ann_topk": q_ann_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "index_cycle_search": q_index_cycle_search,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1842,6 +1942,7 @@ LLM_ORACLES: dict[str, str] = {
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_topk": ORACLE_ANN_TOPK,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
+    "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
     "pq_codes": ORACLE_PQ_CODES,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
