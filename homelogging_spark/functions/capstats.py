@@ -55,15 +55,48 @@ _LOCK = threading.RLock()
 _PENDING: dict[int, list[tuple[str, object]]] = {}
 
 
+def _rehome(df: DataFrame, anchor: DataFrame) -> DataFrame:
+    """Re-plan ``df`` onto ``anchor``'s SparkSession when they differ.
+
+    Observation metrics are delivered through the listener bus of the
+    session that EXECUTES the plan — inside ``foreachBatch`` that is a
+    per-stream CLONED session, so an observation attached to a frame of
+    the main session never fires there (measured r14). Re-homing the
+    census's logical plan onto the executing session (the batch frame
+    is the anchor) makes the registration land on the right bus.
+    Classic py4j sessions only; on any failure the original frame is
+    returned and the drain's timeout backstop reports the observation
+    as timed out rather than wedging."""
+    try:
+        if anchor is None or anchor.sparkSession is df.sparkSession:
+            return df
+        jvm = df.sparkSession._jvm
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            anchor._jdf.sparkSession(), df._jdf.logicalPlan()
+        )
+        return DataFrame(jdf, anchor.sparkSession)
+    except Exception:
+        return df
+
+
 def observe_cap_splits(
-    splits: DataFrame, guard: str, n_splits_col: str = "_n_splits"
+    splits: DataFrame,
+    guard: str,
+    n_splits_col: str = "_n_splits",
+    session_of: DataFrame | None = None,
 ) -> DataFrame:
     """Attach a cap-guard observation to a splits census frame:
     total buckets, buckets the cap actually split, and the worst split
     factor. Returns the frame with the observe node attached. The
-    observation is queued for THIS thread's ``drain_cap_stats``."""
+    observation is queued for THIS thread's ``drain_cap_stats``.
+
+    ``session_of``: anchor frame whose SparkSession will execute the
+    consuming action — pass the micro-batch frame from a foreachBatch
+    body so the observation registers on the executing (cloned)
+    session's listener bus (see :func:`_rehome`)."""
     from pyspark.sql import Observation
 
+    splits = _rehome(splits, session_of)
     obs = Observation()
     out = splits.observe(
         obs,

@@ -427,6 +427,7 @@ def incremental_dedup(
     n_bands: int = 4,
     threshold: float = 0.7,
     old_bucket_cap: int | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """Snapshot-incremental dedup: check a NEW snapshot against the
     EXISTING corpus without ever forming old-vs-old pairs — how a
@@ -458,6 +459,10 @@ def incremental_dedup(
     matching) old id when the bucket's minimum id was pruned — the
     documented trade. The rank window runs on the same
     (band_idx, band_hash) key the join shuffles on: no extra Exchange.
+    With ``observe_caps=True`` a bucket census (truncation factor
+    ``ceil(size/cap)`` per old bucket) rides the consumer's action
+    through ``capstats.observe_cap_splits`` — rows unchanged, and the
+    census groupBy shares the window's Exchange.
 
     At production scale the old side's digests and band frame are the
     materialized signatures tables maintained at ingest; only the new
@@ -489,6 +494,27 @@ def incremental_dedup(
         w_rep = Window.partitionBy("band_idx", "band_hash").orderBy(
             uniform_from_key(F.col(id_col), BAND_SPLIT_SALT), F.col(id_col)
         )
+        if observe_caps:
+            from homelogging_spark.functions.capstats import observe_cap_splits
+
+            census = ob_frame.groupBy("band_idx", "band_hash").agg(
+                F.ceil(F.count(F.lit(1)) / F.lit(float(old_bucket_cap)))
+                .cast("bigint")
+                .alias("_n_splits")
+            )
+            # session_of=new_df: under foreachBatch the NEW side is the
+            # micro-batch frame of the executing cloned session — the
+            # old-side census must register its observation there
+            census = observe_cap_splits(
+                census, "old_bucket_cap", session_of=new_df
+            )
+            # inner join on the bucket key is a row-preserving no-op
+            # (every bucket is in its own census) that carries the
+            # observe node into the consumer's executed plan, on the
+            # same Exchange the rank window needs anyway
+            ob_frame = ob_frame.join(
+                census.select("band_idx", "band_hash"), ["band_idx", "band_hash"]
+            )
         ob_frame = (
             ob_frame.withColumn("_rep", F.row_number().over(w_rep))
             .where(F.col("_rep") <= old_bucket_cap)

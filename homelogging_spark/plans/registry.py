@@ -2693,9 +2693,14 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # presence-marker changes emit IDENTICAL rows on the fixtures —
     # zero NULL split keys, non-null balances — so no tag is needed.)
     #
-    # r13: maintenance_panel gained the partition-scoped incremental
-    # Z-order leg (a third stage's rows) — re-certify on r13+ code.
-    "maintenance_panel": 13,
+    # (r13's maintenance_panel tag expired when CORRECTNESS_r13 landed
+    # green and was pruned in r14. r14's changes need no tags:
+    # index_cycle_search is NEW (never-rowed names front the window
+    # automatically), and the capstats/audit/BPE-guard changes emit
+    # IDENTICAL rows on the fixtures — observe_caps defaults False
+    # everywhere, the audit refactor is plan-for-plan equivalent on
+    # local paths, and bpe_pack's 48 merges stay on the expression
+    # path.)
 }
 
 # Window-slot consolidation history: merged query -> the retired names

@@ -141,6 +141,7 @@ def build_probe_table(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_probe_cap: int | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """Materializable probe side for :func:`streaming_semantic_dedup`:
     the cell-assigned retained corpus projected to
@@ -156,7 +157,16 @@ def build_probe_table(
     static semi/anti pair plans its static side twice per micro-batch;
     with the inline cap that is two windows over the whole corpus table
     per trigger — materializing collapses both to a pruned scan of this
-    precomputed table."""
+    precomputed table.
+
+    ``observe_caps=True`` attaches a per-cell truncation census
+    (``ceil(size/cap)``) via ``capstats.observe_cap_splits`` to ride
+    the MATERIALIZING action (the ingest-time ``.write.parquet`` /
+    count) — drain after it with ``capstats.drain_cap_stats``. This is
+    the "no silent caps" hook for the streaming gate: Spark observations
+    cannot attach under a streaming query, so the cap is observed where
+    it is applied — at ingest, once per corpus generation — not per
+    trigger."""
     from pyspark.sql import functions as F
 
     from homelogging_spark.operators.similarity import norm
@@ -172,11 +182,29 @@ def build_probe_table(
             raise ValueError(f"cell_probe_cap must be >= 1, got {cell_probe_cap}")
         from homelogging_spark.operators.sampling import group_topk_sample
 
+        census = None
+        if observe_caps:
+            from homelogging_spark.functions.capstats import observe_cap_splits
+
+            census = probe.groupBy("_b_cell").agg(
+                F.ceil(F.count(F.lit(1)) / F.lit(float(cell_probe_cap)))
+                .cast("bigint")
+                .alias("_n_splits")
+            )
+            census = observe_cap_splits(census, "cell_probe_cap")
         # the deterministic per-cell top-k IS sampling.group_topk_sample
         # — same uniform_from_key order, same id tiebreak
         probe = group_topk_sample(
             probe, "_b_cell", "_b_id", cell_probe_cap, salt="semdedup-probe-v1"
         ).drop("u", "rank")
+        if census is not None:
+            # row-preserving inner join on the cell key carries the
+            # observe node into the materializing action's plan, on the
+            # Exchange the rank window needs anyway; reselect so the
+            # emitted schema is byte-identical to the unobserved build
+            probe = probe.join(census.select("_b_cell"), "_b_cell").select(
+                "_b_id", "_b_emb", "_b_nrm", "_b_cell"
+            )
     return probe
 
 
@@ -406,10 +434,21 @@ def incremental_dedup_batch_writer(
     n_bands: int = 4,
     threshold: float = 0.7,
     old_bucket_cap: int | None = None,
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body of ``start_incremental_dedup_stream``,
     exposed so replay idempotency is directly testable: calling it twice
-    with the same ``batch_id`` must leave the sink unchanged."""
+    with the same ``batch_id`` must leave the sink unchanged.
+
+    With ``observe_caps=True`` the ``old_bucket_cap`` guard's census
+    rides each batch's write action and is DRAINED per batch — the
+    capstats queue is thread-scoped, and foreachBatch bodies run on
+    stream-execution threads, so attach and drain pair up inside this
+    body by construction. Drained stats go to the log and, when given,
+    to ``cap_stats_sink(batch_id, stats)`` — a production stream is
+    exactly where silent recall loss accumulates, so the cap census is
+    surfaced per trigger, not once at setup."""
     from pyspark.sql import functions as F
 
     from homelogging_spark.functions.cachelife import cache_scope
@@ -430,6 +469,7 @@ def incremental_dedup_batch_writer(
                 n_bands=n_bands,
                 threshold=threshold,
                 old_bucket_cap=old_bucket_cap,
+                observe_caps=observe_caps,
             ).withColumn("batch_id", F.lit(int(batch_id)))
             # per-WRITE dynamic overwrite (not the session conf — a
             # scoped session-conf toggle can race a concurrent writer
@@ -441,6 +481,15 @@ def incremental_dedup_batch_writer(
                 .partitionBy("batch_id")
                 .parquet(out_path)
             )
+            if observe_caps:
+                from homelogging_spark.functions.capstats import drain_cap_stats
+
+                # the write above executed the observed plan; the
+                # timeout is a backstop so a failed/short-circuited
+                # batch can never wedge the stream thread
+                stats = drain_cap_stats(timeout_s=60)
+                if cap_stats_sink is not None:
+                    cap_stats_sink(int(batch_id), stats)
 
     return write_batch
 
@@ -456,6 +505,9 @@ def start_incremental_dedup_stream(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.7,
+    old_bucket_cap: int | None = None,
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streaming NEAR-dup gate against the retained corpus — the MinHash
@@ -503,6 +555,9 @@ def start_incremental_dedup_stream(
             n_hashes=n_hashes,
             n_bands=n_bands,
             threshold=threshold,
+            old_bucket_cap=old_bucket_cap,
+            observe_caps=observe_caps,
+            cap_stats_sink=cap_stats_sink,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

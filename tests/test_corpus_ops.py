@@ -560,6 +560,32 @@ class TestStreamingSemanticDedup:
                 stream, None, cents, cell_probe_cap=1, probe_table=probe
             )
 
+    def test_probe_build_cap_is_observable_at_ingest(self, spark, tmp_path):
+        """'No silent caps' for the streaming gate: the cell_probe_cap
+        census rides the probe table's MATERIALIZING action (the
+        ingest-time write) — rows unchanged, stats drained after it."""
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.streaming.pipeline import build_probe_table
+
+        _, _, corpus_cells = self._frames(spark)
+        plain = build_probe_table(corpus_cells, cell_probe_cap=1)
+        observed = build_probe_table(
+            corpus_cells, cell_probe_cap=1, observe_caps=True
+        )
+        assert capstats.pending_cap_observations() == 1
+        observed.write.parquet(str(tmp_path / "probe"))  # the ingest action
+        stats = capstats.drain_cap_stats(timeout_s=60)
+        assert [s["guard"] for s in stats] == ["cell_probe_cap"]
+        # corpus: cell 0 holds vectors 1+2 (truncated 2x by cap=1),
+        # cell 1 holds vector 3
+        assert stats[0]["buckets"] == 2
+        assert stats[0]["buckets_split"] == 1
+        assert stats[0]["max_splits"] == 2
+        # observation never changes the emitted probe rows
+        assert sorted(
+            map(tuple, spark.read.parquet(str(tmp_path / "probe")).collect())
+        ) == sorted(map(tuple, plain.collect()))
+
 
 class TestStreamingIncrementalDedup:
     OLD = [(1, "the quick brown fox jumps over the lazy dog"),
@@ -624,6 +650,71 @@ class TestStreamingIncrementalDedup:
         assert got[10].exact_dup is True and got[10].keep is False
         assert got[11].near_dup is True and got[11].dup_of == 1
         assert got[12].keep is True
+
+    def test_per_batch_cap_stats_drain(self, spark, tmp_path):
+        """The production observability loop: old_bucket_cap census
+        drained once per micro-batch on the stream-execution thread,
+        surfaced through cap_stats_sink — and observation never changes
+        the written verdicts."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.operators import dedup
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            start_incremental_dedup_stream,
+        )
+
+        # a verbatim-duplicate retained pair shares every band bucket,
+        # so old_bucket_cap=1 deterministically truncates those buckets
+        old_rows = self.OLD + [(3, self.OLD[0][1])]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        src = tmp_path / "landing"
+        src.mkdir()
+        for i, r in enumerate(self.NEW):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        drained: list[tuple[int, list[dict]]] = []
+        out_dir = tmp_path / "out"
+        q = start_incremental_dedup_stream(
+            stream,
+            old,
+            str(out_dir),
+            str(tmp_path / "ckpt"),
+            old_bucket_cap=1,
+            observe_caps=True,
+            cap_stats_sink=lambda bid, stats: drained.append((bid, stats)),
+        )
+        q.awaitTermination(180)
+        # one drain per micro-batch (4 files, 2 per trigger), each with
+        # exactly this batch's census — thread-scoping keeps concurrent
+        # attachments apart
+        assert sorted(b for b, _ in drained) == [0, 1]
+        for _, stats in drained:
+            assert [s["guard"] for s in stats] == ["old_bucket_cap"]
+            assert stats[0]["buckets"] >= 1
+            assert stats[0]["max_splits"] >= 2  # the duplicate pair
+            assert "timed_out" not in stats[0]
+        got = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+        new_df = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in self.NEW], "doc_id long, text string"
+        )
+        batch = {
+            r.doc_id: r
+            for r in dedup.incremental_dedup(
+                new_df, old, old_bucket_cap=1
+            ).collect()
+        }
+        assert {k: self._row_key(v) for k, v in got.items()} == {
+            k: self._row_key(v) for k, v in batch.items()
+        }
 
     def test_replay_is_idempotent(self, spark, tmp_path):
         """At-least-once foreachBatch delivery: re-running a batch with
