@@ -30,17 +30,34 @@ Usage::
         ...  # {'guard': 'bucket_cap', 'buckets': 64, 'buckets_split': 3,
              #  'max_splits': 7}
 
-``drain_cap_stats()`` blocks on ``Observation.get`` — call it AFTER the
-consuming action (its documented contract). Pass ``timeout_s`` when the
-action might not have run (a caller that may error between attach and
-action — e.g. a guarded streaming batch body): observations whose plan
-hasn't executed by the deadline are dropped with a logged warning and
-returned as ``{'guard': ..., 'timed_out': True}`` rows instead of
-blocking the thread forever. In a streaming foreachBatch loop, drain
-once per batch."""
+``drain_cap_stats()`` blocks until the observed plan executes — call it
+AFTER the consuming action (its documented contract). Pass ``timeout_s``
+when the action might not have run (a caller that may error between
+attach and action — e.g. a guarded streaming batch body): observations
+whose plan hasn't executed by the deadline are dropped with a logged
+warning and returned as ``{'guard': ..., 'timed_out': True}`` rows
+instead of blocking the thread forever. In a streaming foreachBatch
+loop, drain once per batch; on a failure path where the action never
+ran, ``discard_cap_stats()`` instead (no timeout burned, no leak to a
+reused thread ident).
+
+The drain is FAIL-OPEN and returns one row per attached observation,
+always with ``guard`` plus one of: the census values (delivered),
+``timed_out`` (plan never executed / no readiness probe under a
+deadline), ``pruned`` (AQE empty-relation propagation dropped the
+executed census stage from the final plan — wrap the consuming action
+in ``cap_observation_scope`` to prevent this), or ``error`` (metrics
+extraction failed; logged, never raised — an observability failure must
+never take down the observed pipeline).
+
+Metrics are read JVM-side via py4j getters on the observation row, not
+through ``Observation.get``'s pickler — on this Spark build
+``PythonSQLUtils.toPyRow`` asserts on the row a ``_rehome``-replanted
+observation delivers inside ``foreachBatch`` (measured r14)."""
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 import time
@@ -53,6 +70,59 @@ LOG = logging.getLogger("homelogging_spark.capstats")
 _LOCK = threading.RLock()
 # thread ident -> that thread's attach-ordered (guard, Observation) queue
 _PENDING: dict[int, list[tuple[str, object]]] = {}
+
+# every capstats observation has this fixed metric shape, in attach
+# order (observe_cap_splits) — the positional fallback when the JVM row
+# arrives schemaless (see _jvm_metrics)
+_METRIC_NAMES = ("buckets", "buckets_split", "max_splits")
+
+
+_EMPTY_PROP_RULE = (
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+)
+_EXCLUDED_RULES_KEY = "spark.sql.adaptive.optimizer.excludedRules"
+
+
+@contextlib.contextmanager
+def cap_observation_scope(spark):
+    """Guarantee cap-observation DELIVERY for actions run inside the
+    scope: excludes AQE's empty-relation propagation on ``spark`` and
+    restores the previous setting on exit.
+
+    Why: the census rides the consumer's plan via a row-preserving
+    carrier join. When a runtime stage of that plan turns out EMPTY (a
+    micro-batch with zero near-dup candidates), AQEPropagateEmptyRelation
+    replaces the joins above it with an empty relation and DROPS the
+    already-executed census stage from the final plan — the
+    ObservationManager then completes the observation with ``Row.empty``
+    (the drain reports ``pruned``) even though the census ran. Excluding
+    the rule keeps the executed stage in the final plan. Cost: empty
+    branches execute as (trivially cheap) joins over empty shuffle
+    outputs instead of being short-circuited — rows are identical either
+    way; only plan-shortcutting is lost, and only inside the scope.
+
+    Scoping: conf changes are session-wide, so inside ``foreachBatch``
+    pass the micro-batch frame's session (stream-private clone — no
+    other query can race it). On a shared session a concurrent query
+    that overlaps the scope merely loses the same optimization."""
+    try:
+        prev = spark.conf.get(_EXCLUDED_RULES_KEY)
+    except Exception:
+        prev = None
+    rules = [r for r in (prev or "").split(",") if r]
+    if _EMPTY_PROP_RULE not in rules:
+        rules.append(_EMPTY_PROP_RULE)
+    spark.conf.set(_EXCLUDED_RULES_KEY, ",".join(rules))
+    try:
+        yield
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(_EXCLUDED_RULES_KEY)
+            else:
+                spark.conf.set(_EXCLUDED_RULES_KEY, prev)
+        except Exception:
+            LOG.warning("could not restore %s", _EXCLUDED_RULES_KEY, exc_info=True)
 
 
 def _rehome(df: DataFrame, anchor: DataFrame) -> DataFrame:
@@ -109,60 +179,145 @@ def observe_cap_splits(
     return out
 
 
-def _metrics_ready(obs) -> bool:
-    """Non-blocking-ish readiness probe: the JVM ``getRowOrEmpty``
-    waits at most ~100 ms and returns an empty ``Option`` when the
-    observed plan hasn't executed. Classic (py4j) sessions only;
-    anything without the hook reports ready and falls through to the
-    blocking ``get``."""
+def _jvm_metrics(obs) -> tuple[str, dict | None]:
+    """Probe + extract an observation's metrics JVM-side, without the
+    Python pickler. Returns ``('ready', {name: value})`` when the
+    observed plan has executed, ``('pending', None)`` when it provably
+    hasn't yet (the JVM ``getRowOrEmpty`` waits at most ~100 ms), and
+    ``('unknown', None)`` when there is no classic-py4j hook to probe
+    (Spark Connect) or the JVM surface errored.
+
+    Why not ``obs.get``: inside ``foreachBatch`` the observation row of
+    a :func:`_rehome`-replanted frame exists JVM-side but this Spark
+    build's ``PythonSQLUtils.toPyRow`` throws ``AssertionError``
+    materializing it (measured r14 — the drain crashed the stream).
+    The values here are three longs with a fixed schema; py4j getters
+    on the JVM ``Row`` need no pickling at all."""
     jo = getattr(obs, "_jo", None)
     if jo is None:
-        return True
+        return ("unknown", None)
     try:
-        return not jo.getRowOrEmpty().isEmpty()
+        opt = jo.getRowOrEmpty()
+        if opt.isEmpty():
+            return ("pending", None)
+        jrow = opt.get()
+        n = jrow.length()
+        if n == 0:
+            # the ObservationManager completes with Row.empty when the
+            # consuming query's ANALYZED plan contained the observe
+            # node but the EXECUTED plan did not — AQE's empty-relation
+            # propagation dropped the observed subtree at runtime (a
+            # zero-candidate batch). Terminal: the manager already
+            # unregistered the observation, no retry can deliver.
+            return ("pruned", None)
+        schema = jrow.schema()  # null for the GenericRow a _rehome'd
+        # CollectMetrics delivers — fall back to the fixed attach-order
+        # names every capstats observation uses (observe_cap_splits)
+        if schema is not None:
+            names = [schema.apply(i).name() for i in range(schema.size())]
+        else:
+            names = [
+                _METRIC_NAMES[i] if i < len(_METRIC_NAMES) else f"_c{i}"
+                for i in range(n)
+            ]
+        vals = {
+            names[i]: None if jrow.isNullAt(i) else jrow.get(i) for i in range(n)
+        }
+        return ("ready", vals)
     except Exception:  # unexpected JVM surface — don't break the drain
-        return True
+        return ("unknown", None)
 
 
 def drain_cap_stats(timeout_s: float | None = None) -> list[dict]:
     """Collect (and log) the metrics of every observation THIS thread
     attached since its last drain, in attach order. With the default
-    ``timeout_s=None`` each ``Observation.get`` blocks until its plan
-    executes — call after the consuming action (module docstring). With
-    a timeout, observations still unexecuted at the deadline are dropped
-    (warning logged) and reported as ``{'guard': ..., 'timed_out':
-    True}`` rows, so a caller that errored between attach and action
-    cannot hang the drain."""
+    ``timeout_s=None`` each observation blocks until its plan executes —
+    call after the consuming action (module docstring). With a timeout,
+    observations still unexecuted at the deadline are dropped (warning
+    logged) and reported as ``{'guard': ..., 'timed_out': True}`` rows,
+    so a caller that errored between attach and action cannot hang the
+    drain. When the readiness probe itself is unavailable (Spark
+    Connect has no ``_jo``), the timeout path reports ``timed_out``
+    rather than risking an unbounded block — the cannot-hang guarantee
+    is honored on every session type; metric DELIVERY under a timeout
+    is classic-py4j-only.
+
+    FAIL-OPEN: this function never raises. Any per-observation metrics
+    failure is logged and returned as ``{'guard': ..., 'error': ...}``
+    — observability must never take down the observed pipeline (a
+    foreachBatch drain exception would terminate the whole stream)."""
     with _LOCK:
         mine = _PENDING.pop(threading.get_ident(), [])
     deadline = None if timeout_s is None else time.monotonic() + timeout_s
     out: list[dict] = []
     for guard, obs in mine:
-        if deadline is not None:
-            while not _metrics_ready(obs):
-                if time.monotonic() >= deadline:
-                    break
+        try:
+            state, vals = _jvm_metrics(obs)
+            while state == "pending" and (
+                deadline is None or time.monotonic() < deadline
+            ):
                 time.sleep(0.05)
-            if not _metrics_ready(obs):
+                state, vals = _jvm_metrics(obs)
+            if state == "pruned":
                 LOG.warning(
-                    "cap guard %s: observed plan never executed within "
-                    "%.1fs — observation dropped",
+                    "cap guard %s: observed subtree was optimized out of "
+                    "the executed plan (AQE empty-relation propagation) — "
+                    "run the consuming action inside cap_observation_scope "
+                    "to guarantee delivery",
+                    guard,
+                )
+                out.append({"guard": guard, "pruned": True})
+                continue
+            if state == "pending" or (state == "unknown" and deadline is not None):
+                LOG.warning(
+                    "cap guard %s: metrics not available within %.1fs "
+                    "(%s) — observation dropped",
                     guard,
                     timeout_s,
+                    "plan never executed"
+                    if state == "pending"
+                    else "no py4j readiness probe on this session",
                 )
                 out.append({"guard": guard, "timed_out": True})
                 continue
-        row = dict(obs.get)
-        row["guard"] = guard
-        out.append(row)
-        LOG.info(
-            "cap guard %s: %s/%s buckets split (max split factor %s)",
-            guard,
-            row.get("buckets_split"),
-            row.get("buckets"),
-            row.get("max_splits"),
-        )
+            if state == "unknown":
+                # no JVM hook and no deadline: honor the documented
+                # blocking contract via the stock pickler path
+                vals = dict(obs.get)
+            row = dict(vals)
+            row["guard"] = guard
+            out.append(row)
+            LOG.info(
+                "cap guard %s: %s/%s buckets split (max split factor %s)",
+                guard,
+                row.get("buckets_split"),
+                row.get("buckets"),
+                row.get("max_splits"),
+            )
+        except Exception as exc:  # noqa: BLE001 — fail-open by contract
+            LOG.warning("cap guard %s: metrics extraction failed: %r", guard, exc)
+            out.append({"guard": guard, "error": repr(exc)})
     return out
+
+
+def discard_cap_stats() -> int:
+    """Drop THIS thread's pending observations without reading them;
+    returns how many were dropped. For failure paths: when the
+    consuming action raised between attach and drain, the metrics will
+    never materialize — waiting out a drain timeout buys nothing, and
+    leaving the queue behind leaks it to whichever future thread
+    inherits this thread ident (CPython reuses them). Also the
+    batch-entry hygiene call: clear anything a dead predecessor thread
+    left before attaching this batch's observations."""
+    with _LOCK:
+        dropped = _PENDING.pop(threading.get_ident(), [])
+    if dropped:
+        LOG.warning(
+            "discarded %d undrained cap observation(s): %s",
+            len(dropped),
+            [g for g, _ in dropped],
+        )
+    return len(dropped)
 
 
 def pending_cap_observations() -> int:

@@ -455,38 +455,73 @@ def incremental_dedup_batch_writer(
     from homelogging_spark.operators.dedup import incremental_dedup
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import contextlib
+
+        from homelogging_spark.functions.capstats import (
+            cap_observation_scope,
+            discard_cap_stats,
+            drain_cap_stats,
+        )
+
+        if observe_caps:
+            # batch-entry hygiene: CPython reuses thread idents, so a
+            # stream-execution thread can inherit the undrained queue
+            # of a dead predecessor — clear it before attaching this
+            # batch's observations or the drain below misattributes
+            # (or times out on) someone else's census
+            discard_cap_stats()
+        # cap_observation_scope: a zero-candidate micro-batch otherwise
+        # lets AQE empty-relation propagation drop the executed census
+        # stage from the final plan, completing the observation with an
+        # empty row (drain reports 'pruned' instead of the census).
+        # batch.sparkSession is the stream-private cloned session, so
+        # the conf toggle cannot race another query.
+        obs_scope = (
+            cap_observation_scope(batch.sparkSession)
+            if observe_caps
+            else contextlib.nullcontext()
+        )
         # cache_scope (not release_caches): foreachBatch runs on a
         # stream execution thread, and the global release would
         # unpersist a CONCURRENT job's tracked frames mid-computation.
-        with cache_scope():
-            out = incremental_dedup(
-                batch,
-                old_df,
-                id_col=id_col,
-                text_col=text_col,
-                shingle_n=shingle_n,
-                n_hashes=n_hashes,
-                n_bands=n_bands,
-                threshold=threshold,
-                old_bucket_cap=old_bucket_cap,
-                observe_caps=observe_caps,
-            ).withColumn("batch_id", F.lit(int(batch_id)))
-            # per-WRITE dynamic overwrite (not the session conf — a
-            # scoped session-conf toggle can race a concurrent writer
-            # in the same session back to static mode, turning the
-            # partition rewrite into a full-sink wipe)
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
+        with obs_scope, cache_scope():
+            try:
+                out = incremental_dedup(
+                    batch,
+                    old_df,
+                    id_col=id_col,
+                    text_col=text_col,
+                    shingle_n=shingle_n,
+                    n_hashes=n_hashes,
+                    n_bands=n_bands,
+                    threshold=threshold,
+                    old_bucket_cap=old_bucket_cap,
+                    observe_caps=observe_caps,
+                ).withColumn("batch_id", F.lit(int(batch_id)))
+                # per-WRITE dynamic overwrite (not the session conf — a
+                # scoped session-conf toggle can race a concurrent writer
+                # in the same session back to static mode, turning the
+                # partition rewrite into a full-sink wipe)
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_path)
+                )
+            except BaseException:
+                # the observed plan will never execute now — drop the
+                # attachments without burning the drain timeout, so the
+                # queue can't leak to a reused thread ident
+                if observe_caps:
+                    discard_cap_stats()
+                raise
             if observe_caps:
-                from homelogging_spark.functions.capstats import drain_cap_stats
-
                 # the write above executed the observed plan; the
-                # timeout is a backstop so a failed/short-circuited
-                # batch can never wedge the stream thread
+                # timeout is a backstop so a short-circuited batch
+                # (e.g. an empty micro-batch pruned by AQE) can never
+                # wedge the stream thread; drain_cap_stats itself is
+                # fail-open — a metrics error surfaces as an 'error'
+                # row, never as a stream-terminating exception
                 stats = drain_cap_stats(timeout_s=60)
                 if cap_stats_sink is not None:
                     cap_stats_sink(int(batch_id), stats)

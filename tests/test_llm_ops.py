@@ -754,6 +754,201 @@ class TestCapObservability:
         assert stats[1]["max_splits"] == 5
         assert capstats.pending_cap_observations() == 0
 
+    def _enqueue(self, guard, obs):
+        import threading
+
+        from homelogging_spark.functions import capstats
+
+        with capstats._LOCK:
+            capstats._PENDING.setdefault(threading.get_ident(), []).append(
+                (guard, obs)
+            )
+
+    def test_drain_is_fail_open(self):
+        """r15 pin (r14 verdict #1): a metrics failure must surface as
+        an 'error' row, NEVER as an exception — inside foreachBatch a
+        drain exception terminates the whole stream."""
+        from homelogging_spark.functions import capstats
+
+        class BrokenObs:
+            _jo = None  # no JVM probe -> blocking-get path
+
+            @property
+            def get(self):
+                raise RuntimeError("pickler exploded")
+
+        self._enqueue("boom_guard", BrokenObs())
+        stats = capstats.drain_cap_stats()  # no timeout: worst case
+        assert stats == [
+            {"guard": "boom_guard", "error": "RuntimeError('pickler exploded')"}
+        ]
+        assert capstats.pending_cap_observations() == 0
+
+    def test_pruned_completion_is_classified(self):
+        """When the ObservationManager completes with Row.empty (AQE
+        empty-relation propagation dropped the executed census stage),
+        the drain reports 'pruned' — not a guard-only row, not a hang,
+        and never the r14 toPyRow crash."""
+        from homelogging_spark.functions import capstats
+
+        class FakeRow:
+            def length(self):
+                return 0
+
+        class FakeOpt:
+            def isEmpty(self):
+                return False
+
+            def get(self):
+                return FakeRow()
+
+        class FakeJo:
+            def getRowOrEmpty(self):
+                return FakeOpt()
+
+        class PrunedObs:
+            _jo = FakeJo()
+
+        self._enqueue("pruned_guard", PrunedObs())
+        stats = capstats.drain_cap_stats(timeout_s=5)
+        assert stats == [{"guard": "pruned_guard", "pruned": True}]
+
+    def test_unavailable_probe_with_timeout_reports_timed_out(self):
+        """r14 ADVICE (capstats.py:120): when there is no usable py4j
+        readiness probe (Spark Connect, or an erroring JVM surface) the
+        timeout path must report timed_out rather than falling through
+        to an unbounded blocking get — the cannot-hang guarantee holds
+        on every session type."""
+        import time as _time
+
+        from homelogging_spark.functions import capstats
+
+        class ErrJo:
+            def getRowOrEmpty(self):
+                raise OSError("connection torn down")
+
+        class NoProbeObs:
+            _jo = ErrJo()
+
+            @property
+            def get(self):  # pragma: no cover - must never be reached
+                raise AssertionError("blocking get must not run under timeout")
+
+        self._enqueue("noprobe_guard", NoProbeObs())
+        t0 = _time.monotonic()
+        stats = capstats.drain_cap_stats(timeout_s=30)
+        assert _time.monotonic() - t0 < 5  # no probe -> no pointless wait
+        assert stats == [{"guard": "noprobe_guard", "timed_out": True}]
+
+    def test_discard_clears_pending_without_blocking(self, spark):
+        """Failure-path hygiene (r14 ADVICE pipeline.py:490): a caller
+        that errored between attach and action clears its queue with
+        discard_cap_stats — no timeout burned, nothing leaks to a
+        future thread that inherits this thread ident."""
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.functions.capstats import observe_cap_splits
+
+        observe_cap_splits(
+            spark.createDataFrame([("a", 1)], "bucket string, _n_splits int"),
+            "abandoned_guard",
+        )
+        assert capstats.pending_cap_observations() == 1
+        assert capstats.discard_cap_stats() == 1
+        assert capstats.pending_cap_observations() == 0
+        assert capstats.drain_cap_stats(timeout_s=1) == []
+
+    def test_failed_batch_write_does_not_leak_observations(self, spark, tmp_path):
+        """The foreachBatch writer's failure path: when the write action
+        raises AFTER incremental_dedup attached the census, the pending
+        entry is discarded with the exception propagating — CPython
+        reuses thread idents, so a leaked entry would surface in (and
+        time out) a later stream's drain."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.streaming.pipeline import (
+            incremental_dedup_batch_writer,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "retained text one"), (2, "retained text two")],
+            "doc_id long, text string",
+        )
+        boom = F.udf(lambda s: (_ for _ in ()).throw(ValueError("boom")), StringType())
+        batch = spark.createDataFrame(
+            [(10, "x")], "doc_id long, text string"
+        ).withColumn("text", boom("text"))
+        writer = incremental_dedup_batch_writer(
+            old, str(tmp_path / "out"), old_bucket_cap=1, observe_caps=True
+        )
+        with _pytest.raises(Exception):
+            writer(batch, 0)
+        assert capstats.pending_cap_observations() == 0
+
+    def test_cap_observation_scope_excludes_and_restores(self, spark):
+        """cap_observation_scope toggles only the AQE empty-relation
+        rule and restores the previous conf exactly — including the
+        previously-unset case."""
+        from homelogging_spark.functions.capstats import (
+            _EMPTY_PROP_RULE,
+            _EXCLUDED_RULES_KEY,
+            cap_observation_scope,
+        )
+
+        key = _EXCLUDED_RULES_KEY
+        prev = spark.conf.get(key, None)
+        try:
+            spark.conf.unset(key)
+            with cap_observation_scope(spark):
+                assert _EMPTY_PROP_RULE in (spark.conf.get(key) or "")
+            assert spark.conf.get(key, None) in (None, "<undefined>")
+            spark.conf.set(key, "some.other.Rule")
+            with cap_observation_scope(spark):
+                got = spark.conf.get(key)
+                assert "some.other.Rule" in got and _EMPTY_PROP_RULE in got
+            assert spark.conf.get(key) == "some.other.Rule"
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    def test_zero_candidate_consumer_delivers_census_under_scope(
+        self, spark, tmp_path
+    ):
+        """The r15 fix end-to-end in batch form: a consumer whose
+        candidate join is empty at runtime (all-novel snapshot) lets AQE
+        drop the executed census stage — under cap_observation_scope the
+        stage stays in the final plan and the census is delivered."""
+        from homelogging_spark.functions import capstats
+        from homelogging_spark.functions.capstats import cap_observation_scope
+        from homelogging_spark.operators import dedup
+
+        old = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again"),
+                (2, "the quick brown fox jumps over the lazy dog again"),
+                (3, "completely different retained document about inverters"),
+            ],
+            "doc_id long, text string",
+        )
+        novel = spark.createDataFrame(
+            [(10, "novel text one two three"), (11, "novel text four five six")],
+            "doc_id long, text string",
+        )
+        with cap_observation_scope(spark):
+            out = dedup.incremental_dedup(
+                novel, old, old_bucket_cap=1, observe_caps=True
+            )
+            out.write.mode("overwrite").parquet(str(tmp_path / "scoped"))
+            stats = capstats.drain_cap_stats(timeout_s=60)
+        assert [s["guard"] for s in stats] == ["old_bucket_cap"]
+        assert stats[0]["buckets"] >= 1
+        assert stats[0]["max_splits"] >= 2  # the duplicate retained pair
+        assert all(r.keep for r in spark.read.parquet(str(tmp_path / "scoped")).collect())
+
 
 class TestFrameSample:
     def test_frames_and_sampling_rate(self, spark):

@@ -53,6 +53,10 @@ BROADCAST_NESTED_LOOP_OK = {
     # r10: probe/ADC stages are the same broadcast-codebook and
     # broadcast-centroid constant-width lookups as pq_adc_topk/ann_topk
     "ivf_pq_topk",
+    # r14: serves ivf_pq_topk's exact probe/ADC chain from the
+    # cycle-maintained parquet artifacts — same broadcast-codebook /
+    # broadcast-centroid constant-width BNLJ, never a corpus cartesian
+    "index_cycle_search",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
