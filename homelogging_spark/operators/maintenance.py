@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 from dataclasses import dataclass
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -128,6 +128,50 @@ def _fs(spark: SparkSession, path: str):
     return hadoop, root.getFileSystem(sc._jsc.hadoopConfiguration())
 
 
+def _rename_or_raise(fs, src, dst, what: str) -> None:
+    """Hadoop ``FileSystem.rename`` signals failure by RETURNING FALSE
+    (missing parent dir, existing destination, cross-filesystem move) —
+    it does not raise. A swap protocol that ignores the boolean can
+    follow a silently-failed tmp→live rename with ``delete(trash)`` and
+    destroy the only committed generation — the exact failure the
+    stage-then-switch discipline exists to prevent. Raise instead,
+    leaving the source (and any trash generation) intact for the
+    recovery path."""
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"{what}: rename {src} -> {dst} returned false — "
+            "source and any prior generation left intact; run the "
+            "operation's recovery path after resolving the filesystem "
+            "state (missing parent, pre-existing destination, or a "
+            "cross-filesystem move are the usual causes)"
+        )
+
+
+# object-store schemes whose directory "rename" is a non-atomic
+# copy+delete — a concurrent reader can observe partial or mixed
+# generations mid-swap, violating the stage-then-switch contract
+_NON_ATOMIC_RENAME_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift",
+}
+
+
+def _require_rename_atomic(path: str, what: str) -> None:
+    """Refuse to run a rename-swap commit protocol on a filesystem whose
+    rename is not atomic (the scheme-validation discipline of
+    :func:`_audit_filesystem`). On these stores the right tool is a
+    manifest-atomic table/index format (Delta, Iceberg) — failing loudly
+    here beats readers silently seeing mixed generations."""
+    scheme = urlparse(path).scheme.lower()
+    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+        raise ValueError(
+            f"{what} commits generations via atomic directory renames, "
+            f"but scheme {scheme!r} ({path!r}) implements rename as a "
+            "non-atomic copy+delete — concurrent readers could observe "
+            "partial or mixed generations. Use a local/HDFS root, or a "
+            "manifest-atomic table format for object stores."
+        )
+
+
 def recover_compaction(spark: SparkSession, path: str) -> list[str]:
     """Repair any interrupted compaction commits under ``path``.
 
@@ -155,14 +199,14 @@ def recover_compaction(spark: SparkSession, path: str) -> list[str]:
                 if fs.exists(live):
                     fs.delete(trash, True)
                     fs.mkdirs(P(os.path.join(path, TRASH_DIR)))
-                    fs.rename(live, trash)
-                fs.rename(tmp, live)
+                    _rename_or_raise(fs, live, trash, "recover_compaction")
+                _rename_or_raise(fs, tmp, live, "recover_compaction")
                 rolled.append(partition)
             elif not fs.exists(live) and fs.exists(trash):
                 # crashed inside the rename window with no staging left
                 # (cleaned by a concurrent recovery?) — restore the old
                 # files rather than lose the partition
-                fs.rename(trash, live)
+                _rename_or_raise(fs, trash, live, "recover_compaction")
                 rolled.append(partition)
             fs.delete(trash, True)
             fs.delete(st.getPath(), False)
@@ -217,6 +261,7 @@ def _commit_partition_rewrites(
     (:func:`recover_compaction`) repairs any of them the same way."""
     if not todo:
         return []
+    _require_rename_atomic(path, "compaction")
     hadoop, fs = _fs(spark, path)
     P = hadoop.Path
     # rename() needs existing destination parents (HDFS semantics)
@@ -249,10 +294,11 @@ def _commit_partition_rewrites(
         stage(sub, s).write.mode("overwrite").parquet(tmp)
         # 2. journal the intent — created only after staging is complete
         fs.createNewFile(P(marker))
-        # 3+4. the swap: two atomic renames
+        # 3+4. the swap: two atomic renames (boolean-checked — a false
+        # return here must never be followed by the trash delete)
         fs.delete(P(trash), True)
-        fs.rename(P(live), P(trash))
-        fs.rename(P(tmp), P(live))
+        _rename_or_raise(fs, P(live), P(trash), "compaction commit")
+        _rename_or_raise(fs, P(tmp), P(live), "compaction commit")
         # 5. clear the journal, then the old files
         fs.delete(P(marker), False)
         fs.delete(P(trash), True)
@@ -780,9 +826,16 @@ def index_cycle(
     into ``<index_root>.__tmp`` before the live directory is touched,
     then two atomic renames swap generations (the
     ``start_kmv_rollup_stream`` state-swap discipline; a crash between
-    the renames is repaired on the next cycle by restoring the trash).
+    the renames is repaired on the next cycle by restoring the trash,
+    and both renames are boolean-checked — Hadoop signals rename
+    failure by returning false, and a silent tmp→live failure followed
+    by the trash delete would destroy the only committed generation).
     Readers therefore always see one complete, mutually-consistent
-    generation — never a new quantizer with old cells.
+    generation — never a new quantizer with old cells. Rename atomicity
+    holds on local/HDFS only, so object-store roots are REFUSED up
+    front (``_require_rename_atomic`` — on s3a/gs/... a directory
+    rename is a non-atomic copy+delete and concurrent readers could see
+    mixed generations; use a manifest-atomic index format there).
 
     Returns ``{"refreshed": bool, "k": served K, "target_k": K the
     count demands, "n_vectors": N}`` — emit it to the maintenance log
@@ -793,13 +846,14 @@ def index_cycle(
         raise ValueError(f"target_cell_rows must be >= 1, got {target_cell_rows}")
     if growth_factor <= 1:
         raise ValueError(f"growth_factor must be > 1, got {growth_factor}")
+    _require_rename_atomic(index_root, "index_cycle")
     hadoop, fs = _fs(spark, index_root)
     P = hadoop.Path
     tmp, trash = index_root + ".__tmp", index_root + ".__trash"
     if not fs.exists(P(index_root)) and fs.exists(P(trash)):
         # crash landed between the two swap renames: the trash IS the
         # last committed generation — restore it before deciding
-        fs.rename(P(trash), P(index_root))
+        _rename_or_raise(fs, P(trash), P(index_root), "index_cycle repair")
     n = corpus.count()
     target_k = int(min(k_max, max(k_min, -(-n // target_cell_rows))))
     current_k = None
@@ -847,8 +901,10 @@ def index_cycle(
         frame.write.mode("overwrite").parquet(os.path.join(tmp, name))
     fs.delete(P(trash), True)
     if fs.exists(P(index_root)):
-        fs.rename(P(index_root), P(trash))
-    fs.rename(P(tmp), P(index_root))
+        _rename_or_raise(fs, P(index_root), P(trash), "index_cycle commit")
+    # boolean-checked: a silently-failed tmp→live rename followed by the
+    # trash delete below would destroy the only committed generation
+    _rename_or_raise(fs, P(tmp), P(index_root), "index_cycle commit")
     fs.delete(P(trash), True)
     return {
         "refreshed": True,

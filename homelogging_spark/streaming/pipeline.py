@@ -366,7 +366,7 @@ def start_kmv_rollup_stream(
     BEFORE the live dir is touched (never overwrite-while-reading), then
     two renames swap it in.
     """
-    from homelogging_spark.operators.maintenance import _fs
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
     from homelogging_spark.operators.sketches import kmv_merge_arrays, kmv_sketch
 
     from pyspark.sql import functions as F
@@ -384,7 +384,7 @@ def start_kmv_rollup_stream(
             # trash, staged copy not yet promoted): the trash IS the
             # last committed state — restore it before merging, else
             # this batch would silently rebuild from itself alone
-            fs.rename(P(trash0), P(state_path))
+            _rename_or_raise(fs, P(trash0), P(state_path), "kmv state repair")
         exists = fs.exists(P(state_path))
         if exists:
             empty = F.array().cast("array<bigint>")
@@ -412,8 +412,11 @@ def start_kmv_rollup_stream(
         merged.write.mode("overwrite").parquet(tmp)
         fs.delete(P(trash), True)
         if exists:
-            fs.rename(P(state_path), P(trash))
-        fs.rename(P(tmp), P(state_path))
+            _rename_or_raise(fs, P(state_path), P(trash), "kmv state swap")
+        # boolean-checked: a silently-failed tmp→live rename followed
+        # by the trash delete below would destroy the only committed
+        # state generation (Hadoop rename returns false, never raises)
+        _rename_or_raise(fs, P(tmp), P(state_path), "kmv state swap")
         fs.delete(P(trash), True)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(

@@ -826,3 +826,66 @@ class TestIndexCycle:
                 spark, self._corpus(spark, 4), str(tmp_path / "i"),
                 growth_factor=1.0,
             )
+
+    def test_refuses_non_atomic_rename_scheme(self, spark, tmp_path):
+        """r14 ADVICE (maintenance.py:806): the stage-then-switch swap
+        is atomic on local/HDFS only — an object-store root is refused
+        up front, before any filesystem call, the way _audit_filesystem
+        validates schemes."""
+        import pytest
+
+        with pytest.raises(ValueError, match="non-atomic"):
+            self._cycle(
+                spark, self._corpus(spark, 4), "s3a://bucket/index"
+            )
+
+
+class TestRenameHardening:
+    def test_failed_swap_rename_raises_and_preserves_trash(
+        self, spark, tmp_path
+    ):
+        """r14 ADVICE (maintenance.py:851): Hadoop rename signals
+        failure by returning FALSE — a swap that ignored it would
+        delete the only committed generation after a silent no-op
+        rename. _rename_or_raise must raise and leave both sides
+        untouched."""
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            _fs,
+            _rename_or_raise,
+        )
+
+        hadoop, fs = _fs(spark, str(tmp_path))
+        P = hadoop.Path
+        src = tmp_path / "gen"
+        src.mkdir()
+        (src / "part-0.parquet").write_bytes(b"x")
+        # an existing destination file -> Hadoop rename returns false
+        # (never raises); the helper must turn that into an error
+        dst = tmp_path / "occupied"
+        dst.write_bytes(b"committed generation")
+        with pytest.raises(IOError, match="returned false"):
+            _rename_or_raise(fs, P(str(src)), P(str(dst)), "unit swap")
+        assert (src / "part-0.parquet").exists()  # source intact
+        assert dst.read_bytes() == b"committed generation"  # dest intact
+
+    def test_scheme_gate_allows_local_and_hdfs(self):
+        from homelogging_spark.operators.maintenance import (
+            _require_rename_atomic,
+        )
+
+        _require_rename_atomic("/plain/posix/path", "t")
+        _require_rename_atomic("file:///x/y", "t")
+        _require_rename_atomic("hdfs://nn:8020/warehouse/idx", "t")
+
+    def test_scheme_gate_rejects_object_stores(self):
+        import pytest
+
+        from homelogging_spark.operators.maintenance import (
+            _require_rename_atomic,
+        )
+
+        for uri in ("s3a://b/k", "s3://b/k", "gs://b/k", "wasbs://c@a/k"):
+            with pytest.raises(ValueError, match="non-atomic"):
+                _require_rename_atomic(uri, "t")
