@@ -68,12 +68,13 @@ from pyspark.sql import functions as F
 LOG = logging.getLogger("homelogging_spark.capstats")
 
 _LOCK = threading.RLock()
-# thread ident -> that thread's attach-ordered (guard, Observation) queue
-_PENDING: dict[int, list[tuple[str, object]]] = {}
+# thread ident -> that thread's attach-ordered queue of
+# (guard, Observation, metric names in attach order) — the names are
+# the positional fallback when the JVM row arrives schemaless
+# (see _jvm_metrics)
+_PENDING: dict[int, list[tuple[str, object, tuple[str, ...]]]] = {}
 
-# every capstats observation has this fixed metric shape, in attach
-# order (observe_cap_splits) — the positional fallback when the JVM row
-# arrives schemaless (see _jvm_metrics)
+# observe_cap_splits' fixed census shape, in attach order
 _METRIC_NAMES = ("buckets", "buckets_split", "max_splits")
 
 
@@ -164,22 +165,53 @@ def observe_cap_splits(
     consuming action — pass the micro-batch frame from a foreachBatch
     body so the observation registers on the executing (cloned)
     session's listener bus (see :func:`_rehome`)."""
+    return observe_metrics(
+        splits,
+        guard,
+        {
+            "buckets": F.count(F.lit(1)),
+            "buckets_split": F.sum((F.col(n_splits_col) > 1).cast("long")),
+            "max_splits": F.coalesce(F.max(n_splits_col), F.lit(0)),
+        },
+        session_of=session_of,
+    )
+
+
+def observe_metrics(
+    df: DataFrame,
+    guard: str,
+    metrics: dict[str, Column],
+    session_of: DataFrame | None = None,
+) -> DataFrame:
+    """Attach a named-aggregate observation to ``df`` and queue it for
+    THIS thread's ``drain_cap_stats`` — the general form behind
+    :func:`observe_cap_splits`, used by the streaming hygiene gates for
+    per-batch gate stats (rows / dups / Bloom probes) that ride the
+    batch's own write action, zero extra jobs, rows unchanged.
+
+    ``metrics``: insertion-ordered ``{name: aggregate Column}`` — the
+    names double as the positional fallback when the JVM delivers the
+    observation row schemaless (see :func:`_jvm_metrics`).
+
+    ``session_of``: anchor frame whose SparkSession will execute the
+    consuming action — pass the micro-batch frame from a foreachBatch
+    body when ``df`` was built on a different session (see
+    :func:`_rehome`)."""
     from pyspark.sql import Observation
 
-    splits = _rehome(splits, session_of)
+    df = _rehome(df, session_of)
     obs = Observation()
-    out = splits.observe(
-        obs,
-        F.count(F.lit(1)).alias("buckets"),
-        F.sum((F.col(n_splits_col) > 1).cast("long")).alias("buckets_split"),
-        F.coalesce(F.max(n_splits_col), F.lit(0)).alias("max_splits"),
+    out = df.observe(
+        obs, *(col.alias(name) for name, col in metrics.items())
     )
     with _LOCK:
-        _PENDING.setdefault(threading.get_ident(), []).append((guard, obs))
+        _PENDING.setdefault(threading.get_ident(), []).append(
+            (guard, obs, tuple(metrics))
+        )
     return out
 
 
-def _jvm_metrics(obs) -> tuple[str, dict | None]:
+def _jvm_metrics(obs, fallback_names: tuple[str, ...] = _METRIC_NAMES) -> tuple[str, dict | None]:
     """Probe + extract an observation's metrics JVM-side, without the
     Python pickler. Returns ``('ready', {name: value})`` when the
     observed plan has executed, ``('pending', None)`` when it provably
@@ -211,13 +243,13 @@ def _jvm_metrics(obs) -> tuple[str, dict | None]:
             # unregistered the observation, no retry can deliver.
             return ("pruned", None)
         schema = jrow.schema()  # null for the GenericRow a _rehome'd
-        # CollectMetrics delivers — fall back to the fixed attach-order
-        # names every capstats observation uses (observe_cap_splits)
+        # CollectMetrics delivers — fall back to the attach-order names
+        # recorded when the observation was queued
         if schema is not None:
             names = [schema.apply(i).name() for i in range(schema.size())]
         else:
             names = [
-                _METRIC_NAMES[i] if i < len(_METRIC_NAMES) else f"_c{i}"
+                fallback_names[i] if i < len(fallback_names) else f"_c{i}"
                 for i in range(n)
             ]
         vals = {
@@ -250,14 +282,14 @@ def drain_cap_stats(timeout_s: float | None = None) -> list[dict]:
         mine = _PENDING.pop(threading.get_ident(), [])
     deadline = None if timeout_s is None else time.monotonic() + timeout_s
     out: list[dict] = []
-    for guard, obs in mine:
+    for guard, obs, names in mine:
         try:
-            state, vals = _jvm_metrics(obs)
+            state, vals = _jvm_metrics(obs, names)
             while state == "pending" and (
                 deadline is None or time.monotonic() < deadline
             ):
                 time.sleep(0.05)
-                state, vals = _jvm_metrics(obs)
+                state, vals = _jvm_metrics(obs, names)
             if state == "pruned":
                 LOG.warning(
                     "cap guard %s: observed subtree was optimized out of "
@@ -315,7 +347,7 @@ def discard_cap_stats() -> int:
         LOG.warning(
             "discarded %d undrained cap observation(s): %s",
             len(dropped),
-            [g for g, _ in dropped],
+            [g for g, _, _ in dropped],
         )
     return len(dropped)
 

@@ -18,12 +18,15 @@ device, P1 at ~1 Hz). The streaming equivalent of EP3:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from homelogging_spark.operators.ingest import append_readings
+
+LOG = logging.getLogger("homelogging_spark.streaming")
 
 READINGS_DDL = (
     "meter_id string, series string, ts timestamp, value double, tag string"
@@ -603,6 +606,240 @@ def start_incremental_dedup_stream(
     return writer.start()
 
 
+def _gate_write_batch(
+    annotate,
+    out_path: str,
+    guard: str,
+    gate_metrics,
+    observe_caps: bool,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None,
+) -> Callable[[DataFrame, int], None]:
+    """Shared foreachBatch body for the stateless hygiene gates
+    (exact snapshot / Bloom-pre-gated): annotate the micro-batch,
+    write it exactly-once (batch_id-partitioned dynamic overwrite),
+    and — with ``observe_caps=True`` — ride per-batch gate stats on
+    the write action and drain them to the log / ``cap_stats_sink``,
+    the uniform observability surface of the near-dup gate's writer.
+
+    Unlike the near-dup census (a carrier-joined side branch that AQE
+    can prune on zero-candidate batches), the gate stats here observe
+    the OUTPUT frame itself — the write consumes it, so the observe
+    node is the plan's top and cannot be optimized out; no
+    ``cap_observation_scope`` needed."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.functions.cachelife import cache_scope
+    from homelogging_spark.functions.capstats import (
+        discard_cap_stats,
+        drain_cap_stats,
+        observe_metrics,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if observe_caps:
+            discard_cap_stats()  # thread-ident reuse hygiene
+        with cache_scope():
+            try:
+                out = annotate(batch).withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                )
+                if observe_caps:
+                    out = observe_metrics(
+                        out, guard, gate_metrics(), session_of=batch
+                    )
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(out_path)
+                )
+            except BaseException:
+                if observe_caps:
+                    discard_cap_stats()
+                raise
+            if observe_caps:
+                stats = drain_cap_stats(timeout_s=60)
+                if cap_stats_sink is not None:
+                    cap_stats_sink(int(batch_id), stats)
+
+    return write_batch
+
+
+def snapshot_dedup_batch_writer(
+    old_digests: DataFrame,
+    out_path: str,
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body of :func:`start_snapshot_dedup_stream` —
+    the exact gate in the writer form of
+    :func:`incremental_dedup_batch_writer`, with the same
+    ``observe_caps``/``cap_stats_sink`` surface: per batch a
+    ``snapshot_gate`` row ``{rows, exact_dups, kept}`` rides the write
+    action (zero extra jobs; the exact gate has no cap to fire, so the
+    observable is gate throughput — a dup-rate collapse or spike is the
+    silent-failure signal for a seen-set gate: it means the digest
+    table stopped reflecting the retained corpus)."""
+    from pyspark.sql import functions as F
+
+    def metrics():
+        return {
+            "rows": F.count(F.lit(1)),
+            "exact_dups": F.sum(F.col("exact_dup").cast("long")),
+            "kept": F.sum(F.col("keep").cast("long")),
+        }
+
+    return _gate_write_batch(
+        lambda batch: streaming_snapshot_dedup(batch, old_digests),
+        out_path,
+        "snapshot_gate",
+        metrics,
+        observe_caps,
+        cap_stats_sink,
+    )
+
+
+def start_snapshot_dedup_stream(
+    stream: DataFrame,
+    old_digests: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Started-stream form of :func:`streaming_snapshot_dedup` with the
+    exactly-once partitioned sink and per-batch gate observability of
+    :func:`start_incremental_dedup_stream` — completing the uniform
+    ``observe_caps`` surface across all four hygiene gates (exact /
+    Bloom-pre-gated exact / semantic / banded-LSH near)."""
+    writer = stream.writeStream.foreachBatch(
+        snapshot_dedup_batch_writer(
+            old_digests,
+            out_path,
+            observe_caps=observe_caps,
+            cap_stats_sink=cap_stats_sink,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bloom_dedup_batch_writer(
+    old_digests: DataFrame,
+    out_path: str,
+    m_bits: int = 1 << 20,
+    j: int = 5,
+    salt: str = "bloom",
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body of :func:`start_bloom_dedup_stream`.
+
+    The filter is built ONCE here (factory time, ``tracked_persist`` +
+    count — NOT per batch: rebuilding the word table every trigger
+    would out-cost the exact join it exists to skip), so the writer
+    closes over the same broadcastable word table for every batch.
+
+    Observability (``observe_caps=True``):
+
+    - setup: one ``bloom_fill`` row ``{m_bits, n_words, bits_set,
+      fill_ratio, est_fpr}`` from the already-materialized word table
+      (``bit_count`` over ≤ m_bits/63 cached rows — negligible),
+      delivered to ``cap_stats_sink`` with ``batch_id = -1``. This is
+      the gate's silent-degradation dial: the filter is sized once,
+      but the corpus keeps growing — fill ratio drift is exactly the
+      "cap quietly eroding" failure mode, here as FPR erosion
+      (est_fpr = fill_ratio**j) that turns the pre-gate into a
+      pass-through and the exact join back into the bottleneck.
+    - per batch: a ``bloom_gate`` row ``{rows, bloom_probed,
+      exact_dups, bloom_false_pos}`` rides the write action —
+      ``bloom_false_pos/bloom_probed`` is the OBSERVED FPR, the
+      ground truth the est_fpr dial predicts."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.functions.cachelife import tracked_persist
+    from homelogging_spark.operators.sketches import bloom_build
+
+    digests = old_digests.select("content_hash").distinct()
+    filt = tracked_persist(bloom_build(digests, "content_hash", m_bits, j, salt))
+    filt.count()
+    if observe_caps:
+        fill = filt.agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("bits_set"),
+        ).collect()[0]
+        ratio = fill.bits_set / float(m_bits)
+        row = {
+            "guard": "bloom_fill",
+            "m_bits": int(m_bits),
+            "n_words": int(fill.n_words),
+            "bits_set": int(fill.bits_set),
+            "fill_ratio": ratio,
+            "est_fpr": ratio**j,
+        }
+        LOG.info(
+            "bloom gate filter: %.1f%% full, est FPR %.2e",
+            100 * ratio,
+            row["est_fpr"],
+        )
+        if cap_stats_sink is not None:
+            cap_stats_sink(-1, [row])
+
+    def metrics():
+        probed = F.col("bloom_probed").cast("long")
+        return {
+            "rows": F.count(F.lit(1)),
+            "bloom_probed": F.sum(probed),
+            "exact_dups": F.sum(F.col("exact_dup").cast("long")),
+            "bloom_false_pos": F.sum(
+                (F.col("bloom_probed") & ~F.col("exact_dup")).cast("long")
+            ),
+        }
+
+    return _gate_write_batch(
+        lambda batch: _bloom_gate(batch, digests, filt, m_bits, j, salt),
+        out_path,
+        "bloom_gate",
+        metrics,
+        observe_caps,
+        cap_stats_sink,
+    )
+
+
+def start_bloom_dedup_stream(
+    stream: DataFrame,
+    old_digests: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 20,
+    j: int = 5,
+    salt: str = "bloom",
+    observe_caps: bool = False,
+    cap_stats_sink: Callable[[int, list[dict]], None] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Started-stream form of :func:`streaming_bloom_dedup` — same
+    exactly-once sink and ``observe_caps`` surface as the other gate
+    writers, plus the setup-time ``bloom_fill`` saturation row (see
+    :func:`bloom_dedup_batch_writer`)."""
+    writer = stream.writeStream.foreachBatch(
+        bloom_dedup_batch_writer(
+            old_digests,
+            out_path,
+            m_bits=m_bits,
+            j=j,
+            salt=salt,
+            observe_caps=observe_caps,
+            cap_stats_sink=cap_stats_sink,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_bloom_dedup(
     stream: DataFrame,
     old_digests: DataFrame,
@@ -654,7 +891,27 @@ def streaming_bloom_dedup(
 
     filt = tracked_persist(bloom_build(digests, "content_hash", m_bits, j, salt))
     filt.count()
-    hashed = stream.withColumn("content_hash", F.md5(F.col("text")))
+    return _bloom_gate(stream, digests, filt, m_bits, j, salt)
+
+
+def _bloom_gate(
+    frame: DataFrame,
+    digests: DataFrame,
+    filt: DataFrame,
+    m_bits: int,
+    j: int,
+    salt: str,
+) -> DataFrame:
+    """The Bloom-pre-gated exact-dedup annotate step shared by the
+    stream transformation (:func:`streaming_bloom_dedup`) and the
+    per-batch writer (:func:`bloom_dedup_batch_writer`): probe the
+    broadcast word table, then resolve probed rows with the exact
+    digest join whose condition short-circuits on ``bloom_probed``."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.sketches import bloom_contains_inline
+
+    hashed = frame.withColumn("content_hash", F.md5(F.col("text")))
     probed = bloom_contains_inline(
         hashed, filt, "content_hash", m_bits, j, salt
     ).withColumnRenamed("maybe_present", "bloom_probed")

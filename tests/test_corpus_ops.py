@@ -391,6 +391,64 @@ class TestStreamingSnapshotDedup:
         }
         assert batch == {k: v.exact_dup for k, v in got.items()}
 
+    def test_started_stream_drains_gate_stats_per_batch(self, spark, tmp_path):
+        """r15: the exact gate's writer form — same observe_caps /
+        cap_stats_sink surface as the near-dup writer: one snapshot_gate
+        row per micro-batch (rows / exact_dups / kept) riding the write
+        action, verdicts unchanged."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            start_snapshot_dedup_stream,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "kept corpus doc one"), (2, "kept corpus doc two")],
+            "doc_id long, text string",
+        )
+        old_digests = old.select(F.md5(F.col("text")).alias("content_hash"))
+        src = tmp_path / "landing"
+        src.mkdir()
+        new_rows = [
+            {"doc_id": 10, "text": "kept corpus doc one"},   # dup -> batch 0
+            {"doc_id": 11, "text": "a genuinely new doc"},   # batch 0
+            {"doc_id": 12, "text": "kept corpus doc two"},   # dup -> batch 1
+            {"doc_id": 13, "text": "another new doc"},       # batch 1
+        ]
+        for i, r in enumerate(new_rows):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        drained: list[tuple[int, list[dict]]] = []
+        out_dir = tmp_path / "out"
+        q = start_snapshot_dedup_stream(
+            stream,
+            old_digests,
+            str(out_dir),
+            str(tmp_path / "ckpt"),
+            observe_caps=True,
+            cap_stats_sink=lambda bid, stats: drained.append((bid, stats)),
+        )
+        q.awaitTermination(180)
+        assert sorted(b for b, _ in drained) == [0, 1]
+        for _, stats in drained:
+            assert [s["guard"] for s in stats] == ["snapshot_gate"]
+            s = stats[0]
+            assert s["rows"] == 2 and s["exact_dups"] == 1 and s["kept"] == 1
+        got = {r.doc_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+        assert {d: got[d].keep for d in got} == {
+            10: False, 11: True, 12: False, 13: True
+        }
+        assert len({r.batch_id for r in got.values()}) == 2
+
 
 class TestStreamingSemanticDedup:
     CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
@@ -815,3 +873,76 @@ class TestStreamingBloomDedup:
         assert any(
             not gated[d].bloom_probed for d in gated if gated[d].keep
         )
+
+    def test_started_stream_drains_fill_and_gate_stats(self, spark, tmp_path):
+        """r15: the Bloom gate's writer form — the bloom_fill saturation
+        row at setup (batch_id -1: the FPR-erosion dial for a filter
+        sized once against a growing corpus) plus one bloom_gate row per
+        micro-batch whose counts reconcile with the written verdicts."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.streaming.pipeline import (
+            DOCS_DDL,
+            start_bloom_dedup_stream,
+        )
+
+        old = spark.createDataFrame(
+            [(i, f"kept corpus doc {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        old_digests = old.select(F.md5(F.col("text")).alias("content_hash"))
+        src = tmp_path / "landing"
+        src.mkdir()
+        new_rows = [
+            {"doc_id": 100 + i, "text": f"kept corpus doc {i}"} for i in range(6)
+        ] + [
+            {"doc_id": 200 + i, "text": f"novel doc number {i}"} for i in range(20)
+        ]
+        for i, r in enumerate(new_rows):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 13)
+            .load(str(src))
+        )
+        drained: list[tuple[int, list[dict]]] = []
+        out_dir = tmp_path / "out_started"
+        q = start_bloom_dedup_stream(
+            stream,
+            old_digests,
+            str(out_dir),
+            str(tmp_path / "ckpt_started"),
+            m_bits=1 << 12,
+            j=5,
+            observe_caps=True,
+            cap_stats_sink=lambda bid, stats: drained.append((bid, stats)),
+        )
+        q.awaitTermination(180)
+        by_bid = dict(drained)
+        # setup-time saturation row: 50 digests * 5 positions in 4096
+        # bits -> a partially-filled, non-degenerate filter
+        fill = by_bid[-1][0]
+        assert fill["guard"] == "bloom_fill" and fill["m_bits"] == 1 << 12
+        assert 0 < fill["bits_set"] <= 250
+        assert 0 < fill["fill_ratio"] < 0.1
+        assert fill["est_fpr"] == pytest.approx(fill["fill_ratio"] ** 5)
+        # per-batch gate rows reconcile with the written verdicts
+        got = spark.read.parquet(str(out_dir)).collect()
+        assert sorted(b for b in by_bid if b >= 0) == [0, 1]
+        for bid in (0, 1):
+            stats = by_bid[bid]
+            assert [s["guard"] for s in stats] == ["bloom_gate"]
+            s = stats[0]
+            rows = [r for r in got if r.batch_id == bid]
+            assert s["rows"] == len(rows)
+            assert s["bloom_probed"] == sum(r.bloom_probed for r in rows)
+            assert s["exact_dups"] == sum(r.exact_dup for r in rows)
+            assert s["bloom_false_pos"] == sum(
+                r.bloom_probed and not r.exact_dup for r in rows
+            )
+        assert sum(r.exact_dup for r in got) == 6
+        assert sum(r.keep for r in got) == 20

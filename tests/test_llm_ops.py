@@ -761,7 +761,7 @@ class TestCapObservability:
 
         with capstats._LOCK:
             capstats._PENDING.setdefault(threading.get_ident(), []).append(
-                (guard, obs)
+                (guard, obs, capstats._METRIC_NAMES)
             )
 
     def test_drain_is_fail_open(self):
