@@ -360,35 +360,13 @@ FROM events WHERE event_type = 'error'
 """
 
 
-# --- W4: day-boundary report over a cumulative output (ZeroExport.cs:43-48) --
-def q_daily_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    pulses = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    cum = running_sum(pulses, ["user_id"], F.col("value"), "ts", alias="quantity")
-    return (
-        cum.withColumn("day", F.to_date("ts"))
-        .groupBy("day")
-        .agg(
-            quantize(F.max("quantity") - F.min("quantity")).alias("daily_delta"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-ORACLE_DAILY_CYCLES = """
-WITH cum AS (
-  SELECT user_id, ts,
-         sum(value) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS quantity
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT CAST(ts AS DATE) AS day,
-       floor((max(quantity) - min(quantity)) * 1000000 + 0.5) / 1000000 AS daily_delta,
-       count(*) AS n
-FROM cum GROUP BY 1
-"""
+# W4 (day-boundary report over a cumulative output, ZeroExport.cs:43-48)
+# is certified by battery_panel's daily leg (plans/battery_registry.py —
+# per-user end-of-day cycles_delta over the simulated cumulative trace);
+# the standalone daily_cycles row was consolidated into it in r15 to
+# fund the next registration (its only other distinct piece, the
+# running_sum fold over purchase pulses, is pulse_accumulate's exact
+# subject).
 
 
 # --- F1/F3: time-range + id filter with projection ---------------------------
@@ -2728,7 +2706,11 @@ MERGED_FROM: dict[str, list[str]] = {
     "hash_sample_panel": ["stratified_sample", "weighted_sample"],
     "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
     "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
-    "battery_panel": ["battery_sim", "battery_daily_cycles"],
+    # r10 merge of the two original battery rows; r15 additionally
+    # absorbed the standalone daily_cycles row (W4 day-boundary report —
+    # the panel's daily leg certifies it verbatim; running_sum coverage
+    # stays with pulse_accumulate) to pre-fund the next registration
+    "battery_panel": ["battery_sim", "battery_daily_cycles", "daily_cycles"],
     # r11: the PII row widened into the text-cleaning panel (PII scrub +
     # C4/CCNet line dedup in one zero-shuffle projection) — net 0 slots
     "text_clean_panel": ["pii_scrub"],
@@ -2836,7 +2818,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pulse_accumulate": q_pulse_accumulate,
     "counter_rollover": q_counter_rollover,
     "lag_delta": q_lag_delta,
-    "daily_cycles": q_daily_cycles,
     "time_range_filter": q_time_range_filter,
     "json_extract": q_json_extract,
     "least_greatest": q_least_greatest,
@@ -2894,7 +2875,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "pulse_accumulate": ORACLE_PULSE_ACCUMULATE,
     "counter_rollover": ORACLE_COUNTER_ROLLOVER,
     "lag_delta": ORACLE_LAG_DELTA,
-    "daily_cycles": ORACLE_DAILY_CYCLES,
     "time_range_filter": ORACLE_TIME_RANGE_FILTER,
     "json_extract": ORACLE_JSON_EXTRACT,
     "least_greatest": ORACLE_LEAST_GREATEST,
