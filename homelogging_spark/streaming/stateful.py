@@ -514,3 +514,165 @@ def streaming_grid_locf(stream: DataFrame, grid_seconds: int = 3600) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas successor (Spark 4 TWS, r15) -----------------
+#
+# applyInPandasWithState has no timer facility, so every twin above
+# documents the same limitation: a key's OPEN slot/interval can only be
+# emitted when a LATER observation arrives — a meter that goes quiet
+# holds its tail forever. Spark 4's transformWithState adds event-time
+# TIMERS: the processor registers an expiry at the open slot's close
+# boundary, and when the WATERMARK passes it (no row that could still
+# land in the slot can exist anymore) the slot is emitted as final
+# without waiting for the next observation. streaming_grid_locf_tws is
+# the LOCF twin migrated onto that API; the fold is line-for-line
+# make_grid_locf_apply, the timer path is the only addition (pinned:
+# classic-twin rows are a subset, the extras are exactly the
+# watermark-passed tails).
+#
+# Requirements (Spark 4): timeMode="eventTime" needs an upstream
+# withWatermark on ts, and transformWithState runs only on the RocksDB
+# state store provider (spark.sql.streaming.stateStore.providerClass =
+# ...state.RocksDBStateStoreProvider) — the provider a production
+# deployment at millions of keys wants anyway (the module docstring's
+# scale note).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+GRID_LOCF_TWS_STATE_DDL = "cur_h_us bigint, cur_val double, flushed boolean"
+
+
+class GridLocfProcessor(StatefulProcessor):
+    """Per-key LOCF grid resample with a watermark-driven open-tail
+    flush. State = (open slot hour, its latest value, whether the timer
+    already emitted it). Emission contract is append-safe like the
+    classic twin: a slot row is emitted exactly once — either when a
+    later observation closes it, or when the watermark passes its close
+    boundary (the timer), whichever happens first; after a timer flush
+    the value stays in state so later gap slots still carry it
+    forward."""
+
+    def __init__(self, grid_seconds: int = 3600):
+        self._step_us = grid_seconds * 1_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._slot = handle.getValueState("open_slot", GRID_LOCF_TWS_STATE_DDL)
+
+    @staticmethod
+    def _frame(out: list[tuple]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [o[0] for o in out],
+                "grid_h": [pd.Timestamp(o[1], unit="us") for o in out],
+                "obs_value": [o[2] for o in out],
+                "locf_value": [o[3] for o in out],
+                "filled": [o[4] for o in out],
+            }
+        )
+
+    def _expiry_ms(self, h_us: int) -> int:
+        return (h_us + self._step_us) // 1_000
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._slot.get() if self._slot.exists() else None
+        cur_h_us, cur_val, flushed = cur if cur is not None else (None, None, False)
+        pdf = _collect_sorted(rows)
+        out: list[tuple] = []
+        if pdf is not None:
+            for row in pdf.itertuples():
+                ts_us = int(row.ts.value // 1_000)
+                h_us = ts_us - ts_us % self._step_us
+                v = float(row.value)
+                if cur_h_us is None:
+                    cur_h_us, cur_val, flushed = h_us, v, False
+                    self._handle.registerTimer(self._expiry_ms(h_us))
+                elif h_us == cur_h_us:
+                    if not flushed:
+                        cur_val = v  # later ts in the open slot wins
+                    # flushed: the slot was already emitted as final —
+                    # unreachable for non-late rows (the timer only
+                    # fires once the watermark passes the slot), kept
+                    # as a drop guard for late data
+                elif h_us > cur_h_us:
+                    if not flushed:
+                        out.append((key[0], cur_h_us, cur_val, cur_val, False))
+                        self._handle.deleteTimer(self._expiry_ms(cur_h_us))
+                    gap = cur_h_us + self._step_us
+                    while gap < h_us:
+                        out.append((key[0], gap, None, cur_val, True))
+                        gap += self._step_us
+                    cur_h_us, cur_val, flushed = h_us, v, False
+                    self._handle.registerTimer(self._expiry_ms(h_us))
+                # h_us < cur_h_us: late row older than the open slot — drop
+        if cur_h_us is not None:
+            self._slot.update((cur_h_us, cur_val, flushed))
+        if out:
+            yield self._frame(out)
+
+    def handleExpiredTimer(
+        self,
+        key: tuple,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._slot.get() if self._slot.exists() else None
+        if cur is None:
+            return
+        cur_h_us, cur_val, flushed = cur
+        if (
+            cur_h_us is not None
+            and not flushed
+            and expiredTimerInfo.getExpiryTimeInMs() == self._expiry_ms(cur_h_us)
+        ):
+            # the watermark passed the slot's close boundary: no row
+            # that could still land in it can exist — final, emit now;
+            # keep the value so later gap slots still carry it forward
+            self._slot.update((cur_h_us, cur_val, True))
+            yield self._frame([(key[0], cur_h_us, cur_val, cur_val, False)])
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_grid_locf_tws(
+    stream: DataFrame, grid_seconds: int = 3600
+) -> DataFrame:
+    """:func:`streaming_grid_locf` on ``transformWithStateInPandas``
+    with the open-tail flush the classic twin cannot express (see the
+    section comment). ``stream`` needs ``withWatermark("ts", ...)``
+    applied upstream, and the session must run the RocksDB state store
+    provider. Output schema and all non-tail rows are identical to the
+    classic twin; the additional rows are exactly the open slots whose
+    close boundary the watermark passed.
+
+    Runtime dependency: Spark's TransformWithStateInPySpark workers
+    speak a protobuf state protocol — ``protobuf`` must be installed on
+    driver and executors or the stream crashes opaquely at start; fail
+    here with the real reason instead."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's TWS state-server protocol); install it or use the "
+            "applyInPandasWithState twin streaming_grid_locf (identical "
+            "semantics minus the watermark-driven open-tail flush)"
+        ) from exc
+    return stream.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=GridLocfProcessor(grid_seconds),
+        outputStructType=GRID_LOCF_OUTPUT_DDL,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -963,3 +963,221 @@ class TestStreamingGridLocf:
             for r in batch.collect()
         }
         assert drained == expected and len(drained) > 50
+
+
+class TestStreamingGridLocfTws:
+    def test_tws_twin_flushes_open_tail_on_watermark(self, spark, tmp_path):
+        """r15 (r13/r14 stretch): the transformWithStateInPandas twin
+        must emit every classic-twin row identically AND flush the open
+        tail once the watermark passes its slot's close boundary — the
+        exact limitation the applyInPandasWithState twin documents.
+        Keys whose tail the watermark has NOT passed stay withheld.
+
+        Skipped where protobuf is unavailable (Spark's TWS workers speak
+        a protobuf state protocol); the processor's fold+timer logic is
+        pinned runtime-free below in test_processor_logic_* either way."""
+        pytest.importorskip("google.protobuf")
+        from homelogging_spark.streaming.stateful import streaming_grid_locf_tws
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        # same fixture as the classic twin's gap-fill test...
+        b1 = [
+            {"k": "m1", "ts": "2024-04-01T00:10:00Z", "value": 5.0},
+            {"k": "m1", "ts": "2024-04-01T00:40:00Z", "value": 7.0},
+        ]
+        b2 = [
+            {"k": "m1", "ts": "2024-04-01T03:05:00Z", "value": 9.0},
+            {"k": "m2", "ts": "2024-04-01T00:30:00Z", "value": 1.0},
+        ]
+        # ...plus a watermark-advancing sentinel key: 10:00 pushes the
+        # watermark (delay 0) past m1's open-slot boundary (04:00) and
+        # m2's (01:00), but not past its own (11:00)
+        b3 = [{"k": "wm", "ts": "2024-04-01T10:00:00Z", "value": 0.0}]
+        for name, batch in (("a", b1), ("b", b2), ("c", b3)):
+            (src / f"{name}.json").write_text(
+                "\n".join(json.dumps(r) for r in batch)
+            )
+        stream = (
+            spark.readStream.format("json")
+            .schema("k string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withWatermark("ts", "0 seconds")
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            out_dir = tmp_path / "out"
+            q = (
+                streaming_grid_locf_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        rows = {
+            (r.k, r.grid_h.hour): (r.obs_value, r.locf_value, r.filled)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        assert rows == {
+            # identical to the classic twin's drain...
+            ("m1", 0): (7.0, 7.0, False),
+            ("m1", 1): (None, 7.0, True),
+            ("m1", 2): (None, 7.0, True),
+            # ...plus the tails the classic twin withholds forever:
+            ("m1", 3): (9.0, 9.0, False),   # timer-flushed (04:00 < wm)
+            ("m2", 0): (1.0, 1.0, False),   # timer-flushed (01:00 < wm)
+            # wm's own slot (close 11:00 > wm 10:00) stays open
+        }
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = TestStreamingGridLocfTws._FakeValueState()
+            self.timers: set[int] = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+    def _drive(self, batches, fire_watermark_ms=None):
+        """Run GridLocfProcessor's handlers directly (no TWS runtime):
+        feed each batch through handleInputRows, then fire every
+        registered timer the given watermark passed, in expiry order —
+        exactly the engine's contract."""
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import GridLocfProcessor
+
+        proc = GridLocfProcessor()
+        handle = self._FakeHandle()
+        proc.init(handle)
+        out = []
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(r[0]) for r in batch],
+                    "value": [r[1] for r in batch],
+                }
+            )
+            out += list(proc.handleInputRows(("m1",), iter([pdf]), None))
+        if fire_watermark_ms is not None:
+            class _Exp:
+                def __init__(self, ms):
+                    self._ms = ms
+
+                def getExpiryTimeInMs(self):
+                    return self._ms
+
+            for ms in sorted(t for t in handle.timers if t <= fire_watermark_ms):
+                out += list(proc.handleExpiredTimer(("m1",), None, _Exp(ms)))
+        rows = [
+            (r.grid_h.hour, r.obs_value if pd.notna(r.obs_value) else None,
+             r.locf_value, bool(r.filled))
+            for frame in out
+            for r in frame.itertuples()
+        ]
+        return rows, handle
+
+    def test_processor_logic_matches_classic_twin(self):
+        """Runtime-free pin: without any timer firing, the TWS
+        processor's fold emits exactly the classic twin's rows on the
+        classic test's fixture (closed slot + gap fills, open withheld,
+        later obs in slot wins)."""
+        import pandas as pd
+
+        rows, handle = self._drive(
+            [
+                [("2024-04-01T00:10:00", 5.0), ("2024-04-01T00:40:00", 7.0)],
+                [("2024-04-01T03:05:00", 9.0)],
+            ]
+        )
+        assert rows == [(0, 7.0, 7.0, False), (1, None, 7.0, True),
+                        (2, None, 7.0, True)]
+        # exactly one live timer: the open slot's close boundary (04:00)
+        assert handle.timers == {
+            int(pd.Timestamp("2024-04-01T04:00:00").value // 1_000_000)
+        }
+
+    def test_processor_logic_timer_flushes_tail_once(self):
+        """Runtime-free pin of the timer path: the watermark passing the
+        open slot's boundary emits it exactly once (idempotent against a
+        duplicate firing), and a LATER observation after the flush emits
+        gap fills carried from the flushed value without re-emitting the
+        slot."""
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import GridLocfProcessor
+
+        rows, handle = self._drive(
+            [[("2024-04-01T03:05:00", 9.0)]],
+            fire_watermark_ms=int(
+                pd.Timestamp("2024-04-01T10:00:00").value // 1_000_000
+            ),
+        )
+        assert rows == [(3, 9.0, 9.0, False)]  # tail flushed, once
+        # duplicate firing is a no-op (flushed guard)
+        proc = GridLocfProcessor()
+        handle2 = self._FakeHandle()
+        proc.init(handle2)
+        pdf = pd.DataFrame(
+            {"ts": [pd.Timestamp("2024-04-01T03:05:00")], "value": [9.0]}
+        )
+        list(proc.handleInputRows(("m1",), iter([pdf]), None))
+
+        class _Exp:
+            def getExpiryTimeInMs(self):
+                return int(
+                    pd.Timestamp("2024-04-01T04:00:00").value // 1_000_000
+                )
+
+        first = list(proc.handleExpiredTimer(("m1",), None, _Exp()))
+        second = list(proc.handleExpiredTimer(("m1",), None, _Exp()))
+        assert len(first) == 1 and second == []
+        # post-flush: a row at 06 emits ONLY the gaps (04, 05) carried
+        # from the flushed value, never the already-final slot 03
+        pdf2 = pd.DataFrame(
+            {"ts": [pd.Timestamp("2024-04-01T06:30:00")], "value": [2.0]}
+        )
+        frames = list(proc.handleInputRows(("m1",), iter([pdf2]), None))
+        got = [
+            (r.grid_h.hour, None if pd.isna(r.obs_value) else r.obs_value,
+             r.locf_value, bool(r.filled))
+            for f in frames
+            for r in f.itertuples()
+        ]
+        assert got == [(4, None, 9.0, True), (5, None, 9.0, True)]
