@@ -70,24 +70,106 @@ WORD_RE = "[a-z0-9]+"
 # chain has no UDF to fall back to.
 MAX_EXPR_MERGES = 200
 
-# Frozen output of ``learn_bpe_merges(documents, "text", 48)`` on the
-# sf0.01 documents fixture (2026-08-15) — the config-table precedent:
-# learning is an offline build step, the merge list ships as config.
-# Deterministic given the corpus (ties broken lexicographically).
-DEFAULT_MERGES: list[tuple[str, str]] = [
-    ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
-    ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'),
-    ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
-    ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'),
-    ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'),
-    ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
-    ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'),
-    ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'),
-    ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
-    ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'),
-    ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'),
-    ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
-]
+# --- versioned merge-list config (r15, carried from the r13 plan) ------------
+#
+# A tokenizer upgrade is a DATA change, not a code change: merge lists
+# live in this APPEND-ONLY version map (the ``series_schema`` /
+# config-driven-series precedent — ``plans/sources_registry.py``), every
+# consumer pins a ``vocab_version``, ``merges_dim`` exposes the whole
+# map as a joinable config dim, and ``vocab_audit`` emits the audit row
+# a corpus-build manifest records ("which tokenizer counted these
+# tokens" — without it a budget computed under v1 silently mixes with
+# packs computed under v2). Versions are frozen ``learn_bpe_merges``
+# output on the sf0.01 documents fixture; the learner is deterministic
+# (ties broken lexicographically), so v1 is a PREFIX of v2 — larger
+# vocabularies extend, never rewrite, earlier ones.
+MERGE_VERSIONS: dict[int, tuple[tuple[str, str], ...]] = {
+    # v1: learn_bpe_merges(documents, "text", 48) — frozen 2026-08-15
+    1: (
+        ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+        ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'),
+        ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
+        ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'),
+        ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'),
+        ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
+        ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'),
+        ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'),
+        ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
+        ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'),
+        ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'),
+        ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
+    ),
+    # v2: learn_bpe_merges(documents, "text", 64) — frozen 2026-08-15
+    # (r15 vocab bump; extends v1 by 16 merges)
+    2: (
+        ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+        ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'),
+        ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
+        ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'),
+        ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'),
+        ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
+        ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'),
+        ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'),
+        ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
+        ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'),
+        ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'),
+        ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
+        ('in', 'e'), ('l', 'ine'), ('a', 'b'), ('ab', 'l'),
+        ('abl', 'e'), ('at', 'a'), ('d', 'ata'), ('t', 'able'),
+        ('u', 'p'), ('a', 'g'), ('ag', 'g'), ('a', 'lu'),
+        ('alu', 'e'), ('v', 'alue'), ('e', 'y'), ('k', 'ey'),
+    ),
+}
+
+CURRENT_VOCAB_VERSION = 2
+
+
+def merges_for(version: int = CURRENT_VOCAB_VERSION) -> list[tuple[str, str]]:
+    """The frozen merge list for ``version`` (raises on unknown — a
+    consumer must never silently fall back to a different tokenizer)."""
+    if version not in MERGE_VERSIONS:
+        raise ValueError(
+            f"unknown vocab_version {version}; known: "
+            f"{sorted(MERGE_VERSIONS)}"
+        )
+    return list(MERGE_VERSIONS[version])
+
+
+def vocab_audit(version: int = CURRENT_VOCAB_VERSION) -> dict:
+    """The audit row a corpus-build manifest records alongside token
+    counts/packs: version, size, and a content digest so two manifests
+    claiming the same version are provably the same tokenizer."""
+    import hashlib
+
+    merges = merges_for(version)
+    canon = "\n".join(f"{lhs} {rhs}" for lhs, rhs in merges)
+    return {
+        "vocab_version": int(version),
+        "n_merges": len(merges),
+        "merges_md5": hashlib.md5(canon.encode()).hexdigest(),
+    }
+
+
+def merges_dim(spark) -> "DataFrame":
+    """Every version as one joinable/broadcastable config dim:
+    ``(vocab_version int, rank int, lhs string, rhs string)`` — rank is
+    the merge's application order. Dim-sized by construction (versions ×
+    merges); write it next to the corpus manifest so a reader can
+    re-derive any historical count."""
+    rows = [
+        (v, i, lhs, rhs)
+        for v, merges in sorted(MERGE_VERSIONS.items())
+        for i, (lhs, rhs) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "vocab_version int, rank int, lhs string, rhs string"
+    )
+
+
+# Back-compat alias: the CURRENT version's list (bpe_pack and the
+# tokenize tests pin their semantics through this name; bumping
+# CURRENT_VOCAB_VERSION is the data change that re-certifies them).
+DEFAULT_MERGES: list[tuple[str, str]] = merges_for(CURRENT_VOCAB_VERSION)
 
 
 def _wrapped(word: Column) -> Column:

@@ -263,13 +263,26 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokenization is a pure JVM scalar chain (zero Python, zero
     shuffle, whole-stage codegen); packing adds its one hash-shard
     exchange. For production merge lists beyond expression-chain size,
-    ``tokenize.bpe_token_count_udf`` is the pinned-equal Arrow fold."""
-    from homelogging_spark.operators.tokenize import DEFAULT_MERGES, bpe_token_count
+    ``tokenize.bpe_token_count_udf`` is the pinned-equal Arrow fold.
+
+    r15: the merge list is the VERSIONED config dim
+    ``tokenize.MERGE_VERSIONS`` (pinned here to
+    ``CURRENT_VOCAB_VERSION``, bumped 1 → 2 this round — a 64-merge
+    extension of the v1 prefix), so this driver row now re-certifies
+    the tokenizer under the upgraded vocabulary; ``vocab_audit``
+    supplies the manifest row recording which tokenizer counted."""
+    from homelogging_spark.operators.tokenize import (
+        CURRENT_VOCAB_VERSION,
+        bpe_token_count,
+        merges_for,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
-        bpe_token_count(F.col("text"), DEFAULT_MERGES).alias("n_tokens"),
+        bpe_token_count(
+            F.col("text"), merges_for(CURRENT_VOCAB_VERSION)
+        ).alias("n_tokens"),
     )
     return packing.pack_greedy(
         toks, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
@@ -278,13 +291,15 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_bpe_pack() -> str:
     from homelogging_spark.operators.tokenize import (
-        DEFAULT_MERGES,
+        CURRENT_VOCAB_VERSION,
         bpe_token_count_sql,
+        merges_for,
     )
 
     return packing.pack_greedy_oracle_sql(
         "SELECT doc_id, "
-        f"{bpe_token_count_sql('text', DEFAULT_MERGES)} AS n_tokens "
+        f"{bpe_token_count_sql('text', merges_for(CURRENT_VOCAB_VERSION))} "
+        "AS n_tokens "
         "FROM documents",
         capacity=PACK_CAPACITY,
         n_shards=PACK_SHARDS,

@@ -2679,6 +2679,12 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # everywhere, the audit refactor is plan-for-plan equivalent on
     # local paths, and bpe_pack's 48 merges stay on the expression
     # path.)
+    #
+    # r15: the BPE vocab bumped 1 -> 2 (tokenize.MERGE_VERSIONS, 48 ->
+    # 64 merges) — bpe_pack's token counts and therefore its pack
+    # assignments change on the fixtures; its r13 row certifies the v1
+    # vocabulary only.
+    "bpe_pack": 15,
 }
 
 # Window-slot consolidation history: merged query -> the retired names

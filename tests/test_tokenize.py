@@ -5,6 +5,7 @@ parity, and edge cases the driver corpus can't exercise."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from homelogging_spark.operators.tokenize import (
@@ -237,3 +238,71 @@ class TestOracleSqlEscaping:
         # "ab" merges to one token; "cd" stays two chars; "a" and "b"
         # are single chars — 1+2+1+1
         assert got == oracle == {0: 5, 1: 0}
+
+
+class TestVersionedMergeConfig:
+    """r15 (r13 stretch): the merge list as a versioned config dim —
+    tokenizer upgrades are data changes with an audit row."""
+
+    def test_versions_are_prefix_extensions(self):
+        from homelogging_spark.operators.tokenize import (
+            CURRENT_VOCAB_VERSION,
+            DEFAULT_MERGES,
+            MERGE_VERSIONS,
+            merges_for,
+        )
+
+        versions = sorted(MERGE_VERSIONS)
+        assert versions == [1, 2] and CURRENT_VOCAB_VERSION == 2
+        # deterministic learner => every version extends its
+        # predecessor (counts computed under v1 stay reproducible from
+        # the v2 dim by truncating at v1's rank)
+        for lo, hi in zip(versions, versions[1:]):
+            assert MERGE_VERSIONS[hi][: len(MERGE_VERSIONS[lo])] == MERGE_VERSIONS[lo]
+        assert merges_for() == DEFAULT_MERGES == list(MERGE_VERSIONS[2])
+        with pytest.raises(ValueError, match="unknown vocab_version"):
+            merges_for(99)
+
+    def test_audit_row_digests_content(self):
+        from homelogging_spark.operators.tokenize import vocab_audit
+
+        a1, a2 = vocab_audit(1), vocab_audit(2)
+        assert a1["n_merges"] == 48 and a2["n_merges"] == 64
+        assert a1["merges_md5"] != a2["merges_md5"]
+        assert vocab_audit(1) == a1  # stable
+
+    def test_dim_round_trips_every_version(self, spark):
+        from homelogging_spark.operators.tokenize import (
+            MERGE_VERSIONS,
+            merges_dim,
+        )
+
+        dim = merges_dim(spark)
+        got: dict[int, list[tuple[str, str]]] = {}
+        for r in dim.orderBy("vocab_version", "rank").collect():
+            got.setdefault(r.vocab_version, []).append((r.lhs, r.rhs))
+        assert got == {v: list(m) for v, m in MERGE_VERSIONS.items()}
+
+    def test_vocab_bump_changes_counts_monotonically(self, spark):
+        """The v2 extension can only merge further: token counts under
+        v2 are <= v1's on every doc, and strictly lower somewhere on a
+        fixture containing v2-only merge targets ('table', 'value')."""
+        from pyspark.sql import functions as F
+
+        from homelogging_spark.operators.tokenize import (
+            bpe_token_count,
+            merges_for,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "merge the customer table"), (2, "a key value row"),
+             (3, "zzz qqq")],
+            "doc_id long, text string",
+        )
+        rows = df.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), merges_for(1)).alias("v1"),
+            bpe_token_count(F.col("text"), merges_for(2)).alias("v2"),
+        ).collect()
+        assert all(r.v2 <= r.v1 for r in rows)
+        assert any(r.v2 < r.v1 for r in rows)
