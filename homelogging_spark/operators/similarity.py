@@ -1361,3 +1361,200 @@ def semantic_dedup(
             ),
         )
     )
+
+
+# --- SQ8 scalar quantization (r15) -------------------------------------------
+#
+# The OTHER standard ANN memory lever beside PQ (FAISS
+# IndexScalarQuantizer SQ8 / Milvus SQ8): each dimension is linearly
+# mapped to one uint8 against per-dimension [min, max] bounds trained
+# on the corpus — 4x smaller than float32 at dim bytes per vector, far
+# cheaper to encode than PQ (no codebook training, one bounds pass),
+# and the decode is two flops/dim. Where PQ's M-byte codes win on
+# compression, SQ8 wins on encode cost and accuracy near the top of
+# the ranking; serving stacks commonly run SQ8 as the first
+# memory-reduction step and move to PQ only when RAM forces it.
+#
+# Every arithmetic step (clamp, round-half-up, dequantize, cosine) is
+# index-ordered double math, reproduced verbatim by the SQL twins — the
+# driver oracle replays the full train → encode → decode → rank chain
+# bit-for-bit (the pq_codes discipline).
+
+
+def sq8_bounds(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension training bounds as ONE row ``(mins array<double>,
+    maxs array<double>)`` — the SQ8 "codebook". One posexplode +
+    bounded-key shuffle (dim rows), then a fold to position-ordered
+    arrays; dim-sized output, broadcast by every consumer. At 100 TB
+    train on the same id-mod sample the PQ trainer uses — bounds are
+    order statistics, a sample pins them within clamp noise."""
+    per_dim = (
+        corpus.select(F.posexplode(F.col(emb_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def sq8_code_col(emb: Column, mins: Column, maxs: Column) -> Column:
+    """uint8 code array: ``floor(clamp((x-mn)/(mx-mn), 0, 1)*255 + 0.5)``
+    per dimension (round-half-up — the ``quantize`` discipline, so the
+    SQL twin is bit-identical); a degenerate dimension (mx == mn)
+    codes to 0 and decodes to mn exactly."""
+    xm = F.zip_with(
+        emb,
+        mins,
+        lambda x, mn: F.struct(x.cast("double").alias("x"), mn.alias("mn")),
+    )
+    return F.zip_with(
+        xm,
+        maxs,
+        lambda s, mx: F.when(mx - s["mn"] == 0, F.lit(0)).otherwise(
+            F.floor(
+                F.least(
+                    F.greatest((s["x"] - s["mn"]) / (mx - s["mn"]), F.lit(0.0)),
+                    F.lit(1.0),
+                )
+                * 255
+                + F.lit(0.5)
+            ).cast("int")
+        ),
+    )
+
+
+def sq8_dequant_col(codes: Column, mins: Column, maxs: Column) -> Column:
+    """Decode: ``mn + code/255.0*(mx-mn)`` per dimension, double math in
+    the same operation order as the SQL twin."""
+    cm = F.zip_with(
+        codes,
+        mins,
+        lambda c, mn: F.struct(c.cast("double").alias("c"), mn.alias("mn")),
+    )
+    return F.zip_with(
+        cm, maxs, lambda s, mx: s["mn"] + s["c"] / F.lit(255.0) * (mx - s["mn"])
+    )
+
+
+def sq8_codes(
+    corpus: DataFrame,
+    bounds: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus: ``(id, codes array<int>, recon_mse double)``
+    with the per-vector reconstruction MSE as the honesty column (the
+    ``pq_codes`` convention — compression error published by data).
+    Plan: one corpus scan against the broadcast 1-row bounds (constant
+    width — the same benign BNLJ as the PQ codebook lookup); pass a
+    precomputed/persisted ``bounds`` frame to reuse ingest-time
+    training, exactly like ``pq_codes(codebook=...)``."""
+    if bounds is None:
+        bounds = sq8_bounds(corpus, id_col, emb_col)
+    withb = corpus.select(F.col(id_col), F.col(emb_col)).crossJoin(
+        F.broadcast(bounds)
+    )
+    coded = withb.withColumn(
+        "codes", sq8_code_col(F.col(emb_col), F.col("mins"), F.col("maxs"))
+    ).withColumn(
+        "_hat", sq8_dequant_col(F.col("codes"), F.col("mins"), F.col("maxs"))
+    )
+    err = F.zip_with(
+        F.col(emb_col), F.col("_hat"), lambda x, h: (x.cast("double") - h) ** 2
+    )
+    return coded.select(
+        F.col(id_col),
+        "codes",
+        (_fold_sum(err) / F.size(F.col(emb_col))).alias("recon_mse"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bounds: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 search: float queries ranked against the DECODED
+    corpus codes (queries are never quantized — the FAISS asymmetric
+    convention, better accuracy at zero extra cost since the query side
+    is tiny). Returns ``(query_id, rank, vec_id, cosine_sq8)``; compose
+    with :func:`topk_recall` for the honesty column.
+
+    Plan shape: encode+decode is the broadcast-bounds map over one
+    corpus scan (at scale the codes table is the ingest-maintained
+    artifact and only the two-flop decode runs per probe), scoring is
+    the same broadcast-query BNLJ as ``exact_topk``, rank is one
+    window over |Q|·|corpus| scores."""
+    coded = sq8_codes(corpus, bounds, id_col, emb_col).select(
+        F.col(id_col), "codes"
+    )
+    if bounds is None:
+        bounds = sq8_bounds(corpus, id_col, emb_col)
+    hat = coded.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        sq8_dequant_col(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
+            "_hat"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    scored = hat.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        cosine(F.col("q_emb"), F.col("_hat")).alias("cosine_sq8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sq8"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cosine_sq8")
+    )
+
+
+def sq8_bounds_sql(corpus_sql: str, dim: int) -> str:
+    """DuckDB twin of :func:`sq8_bounds` as a CTE body: one row
+    ``(mins, maxs)`` of position-ordered lists."""
+    return f"""SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+FROM (SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+             max(CAST(embedding[i+1] AS DOUBLE)) AS mx
+      FROM ({corpus_sql}) _c, range({dim}) t(i) GROUP BY i)"""
+
+
+def sq8_codes_sql(emb: str, dim: int) -> str:
+    """Per-dimension uint8 code list — identical arithmetic to
+    :func:`sq8_code_col` (clamp, *255, round-half-up) against ``mins``/
+    ``maxs`` lists in scope."""
+    x = f"CAST(({emb})[i+1] AS DOUBLE)"
+    span = "(maxs[i+1] - mins[i+1])"
+    clamped = f"least(greatest(({x} - mins[i+1]) / {span}, 0), 1)"
+    return (
+        f"list_transform(range({dim}), i -> CASE WHEN {span} = 0 THEN 0 "
+        f"ELSE CAST(floor({clamped} * 255 + 0.5) AS INT) END)"
+    )
+
+
+def sq8_dequant_sql(codes: str, dim: int) -> str:
+    """Decode twin of :func:`sq8_dequant_col`."""
+    return (
+        f"list_transform(range({dim}), i -> mins[i+1] + "
+        f"CAST(({codes})[i+1] AS DOUBLE) / 255.0 * (maxs[i+1] - mins[i+1]))"
+    )

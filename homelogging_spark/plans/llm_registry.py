@@ -47,10 +47,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics (r6 merge: subsumes the former
-    per-doc ``token_counts`` driver query — the whitespace AND BPE-ish
-    token counters are aggregated per language here, so one driver row
-    certifies both token measures; any per-doc counting error surfaces
-    in the sums). Per-doc grain stays unit-tested in
+    per-doc ``token_counts`` driver query). RETIRED from the registry
+    in r15 — `text_quality_panel`'s ``panel='lang'`` leg now certifies
+    these columns verbatim (consolidation funding the `sq8_topk`
+    registration); kept as a library operator and for the unit suite.
+    Per-doc grain stays unit-tested in
     ``test_llm_ops.TestQualityAndTokens``."""
     docs = _docs(spark, sf_dir)
     out = textops.corpus_stats(docs, "text", "lang", include_bpe=True)
@@ -175,24 +176,44 @@ ORACLE_TEXT_CLEAN_PANEL = _text_clean_panel_oracle()
 
 
 def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc text-quality panel — the r11 merge of `language_id` and
-    `quality_score` (which itself absorbed `repetition_scores` in r7;
-    window-slot consolidation per the COVERAGE.md registry-growth
-    policy): language-ID prediction + agreement, the length/stopword/
-    punct quality columns, AND the Gopher repetition gate
-    (``textops.repetition_columns``) — all in ONE zero-shuffle
-    projection over the corpus scan (the same shape each leg had
-    separately; Catalyst subexpression-shares the token array)."""
+    """Text-quality panel — the r11 merge of `language_id` and
+    `quality_score` (which itself absorbed `repetition_scores` in r7),
+    r15-widened with the per-language corpus-stats leg of the retired
+    `text_stats` row (window-slot consolidation per the COVERAGE.md
+    registry-growth policy, funding the `sq8_topk` registration):
+
+    - ``panel='doc'``: per-doc language-ID prediction + agreement, the
+      length/stopword/punct quality columns, AND the Gopher repetition
+      gate — one zero-shuffle projection over the corpus scan (the
+      same shape each leg had separately; Catalyst
+      subexpression-shares the token array);
+    - ``panel='lang'``: the per-language aggregate stats (docs, chars,
+      whitespace AND BPE-ish token sums — any per-doc counting error
+      surfaces in the sums), one bounded-key partial-agg shuffle.
+
+    The battery_panel discriminator convention: every output column of
+    both former rows appears verbatim under its leg, so one row set
+    certifies both at full fidelity."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     cols = textops.quality_columns(F.col("text"))
     rep = textops.repetition_columns(F.col("text"))
-    return docs.select(
-        "doc_id",
+    # n/a encoding per dtype: doubles carry typed NULLs (the
+    # battery_panel-proven shape — null doubles hash identically on
+    # both engines), while strings/booleans/bigints carry explicit
+    # sentinels ('' / FALSE / -1): a null in those dtypes degrades the
+    # pandas/driver comparison to object columns whose None-vs-NaN
+    # coercion is engine-dependent. The panel discriminator governs
+    # which columns are meaningful on a row.
+    nd = F.lit(None).cast("double")
+    na_b = F.lit(-1).cast("bigint")
+    doc_leg = docs.select(
+        F.lit("doc").alias("panel"),
+        F.col("doc_id"),
         textops.language_id(toks).alias("pred_lang"),
         F.col("lang").alias("label_lang"),
         (textops.language_id(toks) == F.col("lang")).alias("agree"),
-        cols["n_tokens"].alias("n_tokens"),
+        cols["n_tokens"].cast("bigint").alias("n_tokens"),
         quantize(cols["mean_token_len"]).alias("mean_token_len"),
         quantize(cols["stopword_ratio"]).alias("stopword_ratio"),
         quantize(cols["punct_ratio"]).alias("punct_ratio"),
@@ -200,7 +221,38 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(rep["top_bigram_cover"]).alias("top_bigram_cover"),
         quantize(rep["dup_trigram_frac"]).alias("dup_trigram_frac"),
         rep["keep"].alias("rep_keep"),
+        na_b.alias("n_docs"),
+        na_b.alias("total_chars"),
+        nd.alias("avg_chars"),
+        nd.alias("avg_tokens"),
+        nd.alias("median_chars"),
+        na_b.alias("total_bpe_tokens"),
+        nd.alias("avg_bpe_tokens"),
     )
+    stats = textops.corpus_stats(docs, "text", "lang", include_bpe=True)
+    lang_leg = stats.select(
+        F.lit("lang").alias("panel"),
+        na_b.alias("doc_id"),
+        F.lit("").alias("pred_lang"),
+        F.col("lang").alias("label_lang"),
+        F.lit(False).alias("agree"),
+        na_b.alias("n_tokens"),
+        nd.alias("mean_token_len"),
+        nd.alias("stopword_ratio"),
+        nd.alias("punct_ratio"),
+        nd.alias("quality_score"),
+        nd.alias("top_bigram_cover"),
+        nd.alias("dup_trigram_frac"),
+        F.lit(False).alias("rep_keep"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars"),
+        quantize("avg_chars").alias("avg_chars"),
+        quantize("avg_tokens").alias("avg_tokens"),
+        quantize("median_chars").alias("median_chars"),
+        F.col("total_bpe_tokens"),
+        quantize("avg_bpe_tokens").alias("avg_bpe_tokens"),
+    )
+    return doc_leg.unionByName(lang_leg)
 
 
 _QC = textops.quality_columns_sql("text")
@@ -212,19 +264,49 @@ WITH rep AS (
 ), t AS (
   SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
 )
-SELECT doc_id,
+SELECT 'doc' AS panel,
+       doc_id,
        {textops.language_id_sql('toks')} AS pred_lang,
        lang AS label_lang,
        ({textops.language_id_sql('toks')} = lang) AS agree,
-       {_QC['n_tokens']} AS n_tokens,
+       CAST({_QC['n_tokens']} AS BIGINT) AS n_tokens,
        {quantize_sql(_QC['mean_token_len'])} AS mean_token_len,
        {quantize_sql(_QC['stopword_ratio'])} AS stopword_ratio,
        {quantize_sql(_QC['punct_ratio'])} AS punct_ratio,
        {quantize_sql(_QC['quality_score'])} AS quality_score,
        {quantize_sql('top_bigram_cover')} AS top_bigram_cover,
        {quantize_sql('dup_trigram_frac')} AS dup_trigram_frac,
-       rep_keep
+       rep_keep,
+       CAST(-1 AS BIGINT) AS n_docs,
+       CAST(-1 AS BIGINT) AS total_chars,
+       CAST(NULL AS DOUBLE) AS avg_chars,
+       CAST(NULL AS DOUBLE) AS avg_tokens,
+       CAST(NULL AS DOUBLE) AS median_chars,
+       CAST(-1 AS BIGINT) AS total_bpe_tokens,
+       CAST(NULL AS DOUBLE) AS avg_bpe_tokens
 FROM documents JOIN rep USING (doc_id) JOIN t USING (doc_id)
+UNION ALL
+SELECT 'lang' AS panel,
+       CAST(-1 AS BIGINT) AS doc_id,
+       '' AS pred_lang,
+       lang AS label_lang,
+       FALSE AS agree,
+       CAST(-1 AS BIGINT) AS n_tokens,
+       CAST(NULL AS DOUBLE) AS mean_token_len,
+       CAST(NULL AS DOUBLE) AS stopword_ratio,
+       CAST(NULL AS DOUBLE) AS punct_ratio,
+       CAST(NULL AS DOUBLE) AS quality_score,
+       CAST(NULL AS DOUBLE) AS top_bigram_cover,
+       CAST(NULL AS DOUBLE) AS dup_trigram_frac,
+       FALSE AS rep_keep,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       {quantize_sql('avg(length(text))')} AS avg_chars,
+       {quantize_sql(f'avg(len({tokens_sql("text")}))')} AS avg_tokens,
+       {quantize_sql('quantile_cont(length(text), 0.5)')} AS median_chars,
+       CAST(sum({textops.bpe_ish_token_count_sql('text')}) AS BIGINT) AS total_bpe_tokens,
+       {quantize_sql(f'avg({textops.bpe_ish_token_count_sql("text")})')} AS avg_bpe_tokens
+FROM documents GROUP BY lang
 """
 
 
@@ -922,6 +1004,63 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search (r15): per-dimension uint8 codes
+    against corpus-trained [min, max] bounds — the standard 4x memory
+    lever BESIDE PQ (FAISS SQ8): no codebook training, one bounds pass,
+    two-flop decode. Asymmetric ranking (float queries vs decoded
+    corpus) with the recall@5 honesty column against the exact
+    brute-force truth; the oracle replays the full train → encode →
+    decode → rank chain bit-for-bit (the pq_codes discipline).
+
+    Scale: bounds are a dim-row aggregate trained at ingest (sampled,
+    like the PQ trainer); encode+decode is a broadcast-bounds map over
+    one corpus scan; scoring is exact_topk's broadcast-query shape.
+    The honest trade vs PQ: dim bytes/vector (vs M), near-exact recall
+    at the top of the ranking (pinned ≥ 0.8 here), no cell pruning —
+    compose with IVF for that, exactly as ivf_pq_topk does."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    out = similarity.sq8_topk(queries, corpus, k=5)
+    exact = similarity.exact_topk(queries, corpus, k=5)
+    out = similarity.topk_recall(
+        out.withColumnRenamed("vec_id", "cand_id"), exact, k=5
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        F.col("cand_id").alias("vec_id"),
+        quantize("cosine_sq8").alias("cosine_sq8"),
+        quantize("recall_at_k").alias("recall_at_k"),
+    )
+
+
+def _sq8_topk_oracle(k: int = 5) -> str:
+    corpus_sql = (
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
+    )
+    codes = similarity.sq8_codes_sql("embedding", EMB_DIM)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS ({corpus_sql}),
+b AS ({similarity.sq8_bounds_sql(corpus_sql, EMB_DIM)}),
+deq AS (SELECT vec_id, {similarity.sq8_dequant_sql(codes, EMB_DIM)} AS emb_hat
+        FROM c, b),
+s AS (SELECT query_id, vec_id,
+             {similarity.cosine_sql('q_emb', 'emb_hat', EMB_DIM)} AS cos
+      FROM q, deq),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s),
+ann AS (SELECT query_id, vec_id AS cand_id, cos, rank FROM r WHERE rank <= {k}),
+{_exact_truth_ctes(k)}
+SELECT ann.query_id, CAST(ann.rank AS BIGINT) AS rank, ann.cand_id AS vec_id,
+       {quantize_sql('ann.cos')} AS cosine_sq8,
+       {quantize_sql(f'coalesce(h.n_hits, 0) / {k}.0')} AS recall_at_k
+FROM ann LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN top-k WITH the honesty column (r6): per-query recall@3
     against the exact brute-force top-3 (``similarity.topk_recall``) —
@@ -990,6 +1129,10 @@ FROM ann LEFT JOIN hits h USING (query_id)
 
 
 ORACLE_ANN_LSH_TOPK = _ann_lsh_topk_oracle()
+
+# evaluated here (not at its def site) because the oracle composes the
+# shared _exact_truth_ctes defined just above
+ORACLE_SQ8_TOPK = _sq8_topk_oracle()
 
 
 IVF_N_CENTROIDS = 8
@@ -1890,7 +2033,6 @@ ORACLE_SHARD_MANIFEST = _shard_manifest_oracle()
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "text_stats": q_text_stats,
     "text_quality_panel": q_text_quality_panel,
     "text_clean_panel": q_text_clean_panel,
     "corpus_budget_select": q_corpus_budget_select,
@@ -1910,6 +2052,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "index_cycle_search": q_index_cycle_search,
     "pq_codes": q_pq_codes,
+    "sq8_topk": q_sq8_topk,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_chunks": q_doc_chunks,
@@ -1924,7 +2067,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 LLM_ORACLES: dict[str, str] = {
-    "text_stats": ORACLE_TEXT_STATS,
     "text_quality_panel": ORACLE_TEXT_QUALITY_PANEL,
     "text_clean_panel": ORACLE_TEXT_CLEAN_PANEL,
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
@@ -1944,6 +2086,7 @@ LLM_ORACLES: dict[str, str] = {
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
     "pq_codes": ORACLE_PQ_CODES,
+    "sq8_topk": ORACLE_SQ8_TOPK,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "doc_chunks": ORACLE_DOC_CHUNKS,

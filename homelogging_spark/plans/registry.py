@@ -2685,6 +2685,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # assignments change on the fixtures; its r13 row certifies the v1
     # vocabulary only.
     "bpe_pack": 15,
+    # r15: text_quality_panel gained the retired text_stats row's
+    # per-language corpus-stats leg (panel discriminator); its r13 row
+    # certifies the doc-only shape.
+    "text_quality_panel": 15,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2699,7 +2703,7 @@ MERGED_FROM: dict[str, list[str]] = {
     # r6
     "counter_rollover": ["counter_rollover_values"],
     "pack_docs": ["pack_stats"],
-    "text_stats": ["token_counts"],
+    "text_stats": ["token_counts"],  # r15: text_stats itself absorbed below
     "dedup_clusters": ["dedup_keep_best"],
     # r7
     "quality_score": ["repetition_scores"],
@@ -2727,7 +2731,10 @@ MERGED_FROM: dict[str, list[str]] = {
     # r11: language_id + quality_score (itself the r7 repetition merge)
     # consolidated into one zero-shuffle text-quality projection,
     # freeing the window slot the three r11 panel renames consumed
-    "text_quality_panel": ["language_id", "quality_score"],
+    # r11 merge of language_id + quality_score; r15 additionally
+    # absorbed text_stats (its per-language stats are the panel's
+    # 'lang' leg verbatim), funding the sq8_topk registration
+    "text_quality_panel": ["language_id", "quality_score", "text_stats"],
     # r11: A1 + A2 are both time_bucket_agg bucket averages — one
     # grain-labeled union panel certifies both, funding mad_outliers
     "bucket_downsample_panel": ["hourly_avg", "minute_downsample"],

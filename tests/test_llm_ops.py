@@ -1133,3 +1133,94 @@ class TestIvfPqTopk:
             for r in out:
                 if r.query_id == qid:
                     assert r.adc_d2 == pytest.approx(dists[r.vec_id], rel=1e-9)
+
+
+class TestSq8:
+    """SQ8 scalar quantization (r15): codes/decode must match the numpy
+    reference exactly, degenerate dimensions are safe, and asymmetric
+    search keeps near-exact recall at the top of the ranking."""
+
+    def _fixture(self, spark, dim=8, n=30, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        return df, vecs
+
+    def test_codes_match_numpy_reference(self, spark):
+        import numpy as np
+
+        from homelogging_spark.operators.similarity import sq8_codes
+
+        df, vecs = self._fixture(spark)
+        a = np.array(vecs)
+        mn, mx = a.min(axis=0), a.max(axis=0)
+        span = mx - mn
+        ref = np.floor(np.clip((a - mn) / span, 0, 1) * 255 + 0.5).astype(int)
+        got = {r.vec_id: r for r in sq8_codes(df).collect()}
+        for i in range(len(vecs)):
+            assert list(got[i].codes) == list(ref[i]), i
+            hat = mn + ref[i] / 255.0 * span
+            assert got[i].recon_mse == pytest.approx(
+                float(((a[i] - hat) ** 2).mean())
+            )
+        # uint8 range + honest compression error: small but nonzero
+        assert all(0 <= c <= 255 for r in got.values() for c in r.codes)
+        assert all(0 < r.recon_mse < 1e-3 for r in got.values())
+
+    def test_degenerate_dimension_codes_zero_decodes_min(self, spark):
+        from homelogging_spark.operators.similarity import (
+            sq8_bounds,
+            sq8_codes,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 5.0]), (1, [1.0, 9.0]), (2, [1.0, 7.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: list(r.codes) for r in sq8_codes(df).collect()}
+        assert [g[0] for g in got.values()] == [0, 0, 0]  # constant dim
+        b = sq8_bounds(df).collect()[0]
+        assert b.mins == [1.0, 5.0] and b.maxs == [1.0, 9.0]
+        # exact endpoints survive the round trip on the live dim
+        assert got[0][1] == 0 and got[1][1] == 255
+
+    def test_topk_recall_is_near_exact(self, spark):
+        from homelogging_spark.operators.similarity import (
+            exact_topk,
+            sq8_topk,
+            topk_recall,
+        )
+
+        df, _ = self._fixture(spark, dim=16, n=40)
+        queries = df.where(F.col("vec_id") < 3)
+        corpus = df.where(F.col("vec_id") >= 3)
+        ann = sq8_topk(queries, corpus, k=5).withColumnRenamed(
+            "vec_id", "cand_id"
+        )
+        exact = exact_topk(queries, corpus, k=5)
+        out = topk_recall(ann, exact, k=5).collect()
+        assert len(out) == 15  # 3 queries x top-5
+        # 8-bit decode barely perturbs cosine: near-exact top of ranking
+        assert all(r.recall_at_k >= 0.8 for r in out)
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rows in by_q.values():
+            assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+
+    def test_bounds_reuse_skips_retraining(self, spark):
+        """The ingest-artifact path: codes computed against a passed
+        bounds frame equal the self-trained ones (pq_codes codebook=
+        convention)."""
+        from homelogging_spark.operators.similarity import sq8_bounds, sq8_codes
+
+        df, _ = self._fixture(spark)
+        bounds = sq8_bounds(df)
+        a = {r.vec_id: list(r.codes) for r in sq8_codes(df).collect()}
+        b = {r.vec_id: list(r.codes) for r in sq8_codes(df, bounds=bounds).collect()}
+        assert a == b

@@ -68,6 +68,10 @@ BROADCAST_NESTED_LOOP_OK = {
     # (ADC scoring never touches raw corpus embeddings at all)
     "pq_adc_topk",
     "length_drift_psi",
+    # r15: the 1-row SQ8 bounds broadcast against the corpus scan (a
+    # constant-width lookup, the PQ-codebook shape) plus exact_topk's
+    # allowlisted broadcast-query panel for scoring and recall truth
+    "sq8_topk",
 }
 
 
