@@ -145,6 +145,7 @@ def build_probe_table(
     emb_col: str = "embedding",
     cell_probe_cap: int | None = None,
     observe_caps: bool = False,
+    session_of: DataFrame | None = None,
 ) -> DataFrame:
     """Materializable probe side for :func:`streaming_semantic_dedup`:
     the cell-assigned retained corpus projected to
@@ -194,7 +195,12 @@ def build_probe_table(
                 .cast("bigint")
                 .alias("_n_splits")
             )
-            census = observe_cap_splits(census, "cell_probe_cap")
+            # session_of: when the consuming action runs on a cloned
+            # foreachBatch session (the in-batch gate below), the
+            # observation must register on that session's listener bus
+            census = observe_cap_splits(
+                census, "cell_probe_cap", session_of=session_of
+            )
         # the deterministic per-cell top-k IS sampling.group_topk_sample
         # — same uniform_from_key order, same id tiebreak
         probe = group_topk_sample(
@@ -220,6 +226,7 @@ def streaming_semantic_dedup(
     emb_col: str = "embedding",
     cell_probe_cap: int | None = None,
     probe_table: DataFrame | None = None,
+    observe_caps: bool = False,
 ) -> DataFrame:
     """Stream-static SEMANTIC dedup — the embedding-tier twin of
     ``streaming_snapshot_dedup``'s exact gate: incoming vectors (a
@@ -282,6 +289,12 @@ def streaming_semantic_dedup(
             "cell_probe_cap applies when building from corpus_cells; a "
             "probe_table was already capped by build_probe_table"
         )
+    if probe_table is not None and observe_caps:
+        raise ValueError(
+            "observe_caps applies when building from corpus_cells; a "
+            "probe_table's cap census was observable at its "
+            "build_probe_table(observe_caps=True) materialization"
+        )
 
     cents = centroids.select(
         F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("c_nrm")
@@ -310,10 +323,25 @@ def streaming_semantic_dedup(
         .drop("_best")
     )
 
+    # observe_caps is meaningful on the IN-BATCH path only (this
+    # function applied to a micro-batch frame inside foreachBatch,
+    # where the consumer is a batch action): the inline cell_probe_cap
+    # census rides that action, anchored to the batch frame's (cloned)
+    # session. Under a true streaming query Spark cannot attach
+    # observations — use build_probe_table(observe_caps=True) at
+    # ingest instead (its docstring), which is also where the cap is
+    # actually applied in the production probe_table= shape.
     probe = (
         probe_table
         if probe_table is not None
-        else build_probe_table(corpus_cells, id_col, emb_col, cell_probe_cap)
+        else build_probe_table(
+            corpus_cells,
+            id_col,
+            emb_col,
+            cell_probe_cap,
+            observe_caps=observe_caps,
+            session_of=stream,
+        )
     )
 
     cond = (F.col("centroid_id") == F.col("_b_cell")) & (

@@ -644,6 +644,99 @@ class TestStreamingSemanticDedup:
             map(tuple, spark.read.parquet(str(tmp_path / "probe")).collect())
         ) == sorted(map(tuple, plain.collect()))
 
+    def test_in_batch_gate_drains_cap_census_per_batch(self, spark, tmp_path):
+        """r15 (r14 verdict #1 tail): the semantic gate composed INSIDE a
+        foreachBatch body with the inline cell_probe_cap must deliver
+        the census per micro-batch — the observation re-homes onto the
+        cloned batch session (the incremental_dedup fix path) and
+        delivery is guaranteed by cap_observation_scope. Verdicts equal
+        the transformation-form drain on the same capped probe."""
+        import json as _json
+        import os as _os
+
+        from homelogging_spark.functions.capstats import (
+            cap_observation_scope,
+            discard_cap_stats,
+            drain_cap_stats,
+        )
+        from homelogging_spark.streaming.pipeline import (
+            streaming_semantic_dedup,
+        )
+
+        cents, _, corpus_cells = self._frames(spark)
+        src = tmp_path / "landing_inbatch"
+        src.mkdir()
+        for i, r in enumerate(self.NEW):
+            p = src / f"{i}.json"
+            p.write_text(_json.dumps(r))
+            _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema(self.DDL)
+            .option("maxFilesPerTrigger", 2)
+            .load(str(src))
+        )
+        out_dir = tmp_path / "out_inbatch"
+        drained: list[tuple[int, list[dict]]] = []
+
+        def gate_batch(batch, batch_id):
+            discard_cap_stats()
+            with cap_observation_scope(batch.sparkSession):
+                out = streaming_semantic_dedup(
+                    batch,
+                    corpus_cells,
+                    cents,
+                    threshold=0.9,
+                    cell_probe_cap=1,
+                    observe_caps=True,
+                ).withColumn("batch_id", F.lit(int(batch_id)))
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(str(out_dir))
+                )
+                drained.append((int(batch_id), drain_cap_stats(timeout_s=60)))
+
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt_inbatch"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert sorted(b for b, _ in drained) == [0, 1]
+        for _, stats in drained:
+            assert [s["guard"] for s in stats] == ["cell_probe_cap"]
+            # cell 0 holds corpus vectors 1+2: cap=1 splits it 2x
+            assert stats[0]["buckets"] == 2
+            assert stats[0]["buckets_split"] == 1
+            assert stats[0]["max_splits"] == 2
+        got = {
+            r.vec_id: r for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        ref = self._drain(spark, tmp_path / "ref_inbatch", cap=1)
+        assert set(got) == set(ref) == {10, 11, 12, 13}
+        for vid in got:
+            assert got[vid].semantic_dup == ref[vid].semantic_dup, vid
+            assert got[vid].keep == ref[vid].keep, vid
+
+    def test_observe_caps_with_probe_table_is_refused(self, spark):
+        import pytest
+
+        from homelogging_spark.streaming.pipeline import (
+            build_probe_table,
+            streaming_semantic_dedup,
+        )
+
+        cents, _, corpus_cells = self._frames(spark)
+        stream = spark.readStream.format("rate").load()
+        probe = build_probe_table(corpus_cells)
+        with pytest.raises(ValueError, match="observe_caps"):
+            streaming_semantic_dedup(
+                stream, None, cents, probe_table=probe, observe_caps=True
+            )
+
 
 class TestStreamingIncrementalDedup:
     OLD = [(1, "the quick brown fox jumps over the lazy dog"),
