@@ -1496,21 +1496,26 @@ def sq8_topk(
     is tiny). Returns ``(query_id, rank, vec_id, cosine_sq8)``; compose
     with :func:`topk_recall` for the honesty column.
 
-    Plan shape: encode+decode is the broadcast-bounds map over one
-    corpus scan (at scale the codes table is the ingest-maintained
-    artifact and only the two-flop decode runs per probe), scoring is
-    the same broadcast-query BNLJ as ``exact_topk``, rank is one
-    window over |Q|·|corpus| scores."""
-    coded = sq8_codes(corpus, bounds, id_col, emb_col).select(
-        F.col(id_col), "codes"
-    )
+    Plan shape: bounds are trained ONCE (one dim-row aggregate scan);
+    encode+decode fuse into a single broadcast-bounds projection over
+    one corpus scan (at scale the codes table is the ingest-maintained
+    artifact and only the two-flop decode runs per probe — pass
+    ``bounds`` to skip the training scan entirely), scoring is the
+    same broadcast-query BNLJ as ``exact_topk``, rank is one window
+    over |Q|·|corpus| scores."""
     if bounds is None:
         bounds = sq8_bounds(corpus, id_col, emb_col)
-    hat = coded.crossJoin(F.broadcast(bounds)).select(
-        F.col(id_col),
-        sq8_dequant_col(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
-            "_hat"
-        ),
+    hat = (
+        corpus.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            sq8_dequant_col(
+                sq8_code_col(F.col(emb_col), F.col("mins"), F.col("maxs")),
+                F.col("mins"),
+                F.col("maxs"),
+            ).alias("_hat"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
