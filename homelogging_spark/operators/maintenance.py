@@ -769,7 +769,9 @@ def _zorder_column(df, cols: Sequence[str], bits: int) -> Column:
 
 # --- embedding-index maintenance (nightly cycle, r14) -------------------------
 
-INDEX_ARTIFACTS = ("centroids", "cells", "codes", "codebook")
+INDEX_ARTIFACTS = (
+    "centroids", "cells", "codes", "codebook", "sq8_bounds", "sq8_codes",
+)
 
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
@@ -777,7 +779,12 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     maintains under ``index_root``: ``centroids`` (vec_id, embedding),
     ``cells`` (vec_id, centroid_id), ``codes`` (vec_id, code_*,
     recon_mse), ``codebook`` (subspace, cid, cemb) — exactly the inputs
-    ``similarity.ivf_pq_topk`` serves from."""
+    ``similarity.ivf_pq_topk`` serves from — plus (r15) the SQ8 pair
+    ``sq8_bounds`` (one row: mins/maxs) and ``sq8_codes`` (vec_id,
+    codes, recon_mse), the inputs ``similarity.sq8_topk(bounds=...)``
+    serves from. One cycle maintains BOTH compression tiers, so a
+    serving stack can A/B SQ8 against IVF-PQ from the same committed
+    generation."""
     return {
         a: spark.read.parquet(os.path.join(index_root, a))
         for a in INDEX_ARTIFACTS
@@ -891,12 +898,18 @@ def index_cycle(
         vecs, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
         sample_mod, codebook=codebook,
     )
+    sq8_bounds = similarity.sq8_bounds(vecs, id_col, emb_col)
+    sq8_codes = similarity.sq8_codes(
+        vecs, bounds=sq8_bounds, id_col=id_col, emb_col=emb_col
+    )
     fs.delete(P(tmp), True)
     for name, frame in (
         ("centroids", centroids),
         ("cells", cells),
         ("codes", codes),
         ("codebook", codebook),
+        ("sq8_bounds", sq8_bounds),
+        ("sq8_codes", sq8_codes),
     ):
         frame.write.mode("overwrite").parquet(os.path.join(tmp, name))
     fs.delete(P(trash), True)

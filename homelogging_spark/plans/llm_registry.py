@@ -1535,11 +1535,20 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
     path = _fixture_path(sf_dir, "ivf_index")
     src = os.path.join(sf_dir, "embeddings.parquet")
     # the cycle writes standard parquet dirs per artifact; the centroids
-    # _SUCCESS marker timestamps the generation
+    # _SUCCESS marker timestamps the generation. An artifact-SET upgrade
+    # (r15 added the SQ8 pair) must also rebuild: a generation missing
+    # any current artifact is stale regardless of mtime.
     probe = os.path.join(path, "centroids")
-    if _fixture_stale(probe, src):
+
+    def _stale() -> bool:
+        return _fixture_stale(probe, src) or any(
+            not os.path.exists(os.path.join(path, a))
+            for a in maintenance.INDEX_ARTIFACTS
+        )
+
+    if _stale():
         with _fixture_build_lock(path):
-            if _fixture_stale(probe, src):
+            if _stale():
                 # same-count corpus changes would no-op the occupancy
                 # gate — a stale SOURCE must force a full generation
                 shutil.rmtree(path, ignore_errors=True)

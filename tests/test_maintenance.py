@@ -767,6 +767,28 @@ class TestIndexCycle:
         assert sorted(map(tuple, idx["cells"].collect())) == sorted(
             map(tuple, rederived.collect())
         )
+        # r15: the SQ8 tier is maintained in the SAME generation — one
+        # bounds row, one code row per vector, codes consistent with
+        # the stored bounds (re-encoding against them matches exactly)
+        assert idx["sq8_bounds"].count() == 1
+        assert idx["sq8_codes"].count() == 64
+        re_codes = similarity.sq8_codes(
+            corpus, bounds=idx["sq8_bounds"]
+        ).select("vec_id", "codes")
+        assert sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in idx["sq8_codes"].select("vec_id", "codes").collect()
+        ) == sorted(
+            (r.vec_id, tuple(r.codes)) for r in re_codes.collect()
+        )
+        # ...and sq8_topk serves from the committed artifacts
+        served = similarity.sq8_topk(
+            corpus.where(F.col("vec_id") < 2),
+            corpus.where(F.col("vec_id") >= 2),
+            k=3,
+            bounds=idx["sq8_bounds"],
+        )
+        assert served.count() == 6
 
     def test_no_growth_is_noop_and_drift_retriggers(self, spark, tmp_path):
         import glob
