@@ -318,3 +318,57 @@ def distributed_row_number(
     return out.withColumn(alias, F.col("cum_weight").cast("bigint")).drop(
         "cum_weight"
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k_per_cell: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    salt: str = "cbal",
+) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) sample: assign every
+    vector to its nearest centroid in embedding space, then keep a
+    deterministic exactly-``k_per_cell`` sample PER CLUSTER — the
+    curation step that keeps a corpus's long-tail topics alive where a
+    uniform sample would hand the budget to the dominant modes
+    (SemDeDup/DCLM-style cluster-balanced selection; the sampling twin
+    of ``similarity.semantic_dedup``'s cell partitioning).
+
+    ``centroids``: a (id, embedding) dim from
+    ``similarity.kmeans_lite_centroids`` / ``refresh_centroids`` — the
+    caller owns training so one quantizer generation serves dedup,
+    ANN, and sampling consistently (``maintenance.index_cycle``).
+
+    Output: ``id_col, cell, cell_n, rank`` — ``cell_n`` is the cluster's
+    PRE-sample population (the honesty column: consumers see exactly how
+    skewed the original mass was and how hard each cell was cut), rank
+    ∈ [1, k_per_cell] the deterministic md5-uniform pick order.
+
+    Scale shape: centroid dim broadcast (K rows), assignment is one
+    corpus scan with a map-side partial argmax (``similarity.
+    ivf_assign``), then ONE shuffle on ``cell`` where the census count
+    and the top-k rank share the same window partitioning. Skew =
+    cluster imbalance; at pathological K the same salting dial as the
+    dedup tier applies, but the rank filter bounds what any cell emits
+    downstream at ``k_per_cell`` rows."""
+    from pyspark.sql import Window
+
+    from homelogging_spark.operators.similarity import ivf_assign
+
+    if k_per_cell < 1:
+        raise ValueError(f"k_per_cell must be >= 1, got {k_per_cell}")
+    assigned = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
+        id_col, F.col("centroid_id").cast("bigint").alias("cell")
+    )
+    u = uniform_from_key(F.col(id_col), salt)
+    w = Window.partitionBy("cell")
+    w_rank = w.orderBy("u", id_col)
+    return (
+        assigned.withColumn("u", u)
+        .withColumn("cell_n", F.count(F.lit(1)).over(w))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("rank") <= k_per_cell)
+        .select(id_col, "cell", "cell_n", "rank")
+    )

@@ -1362,6 +1362,73 @@ FROM cells LEFT JOIN agg ON cells.vec_id = agg.vid
 ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
 
+# Per-cell keep budget for the registered cluster-balanced sample:
+# between the sf0.01 min and max cell sizes (55..71), so the driver's
+# oracle compare exercises BOTH branches of the rank filter — four
+# cells are cut to k, four keep all members.
+CBAL_K_PER_CELL = 60
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sample
+    (``sampling.cluster_balanced_sample``): nearest-centroid assignment
+    over the memoized IVF quantizer, then a deterministic exactly-k
+    md5-uniform pick PER CLUSTER — the diversity-preserving selection
+    step (DCLM/SemDeDup-style) that a uniform hash sample cannot
+    express. ``cell_n`` is the pre-sample cell census (the honesty
+    column: how skewed the original mass was, how hard each cell was
+    cut). One corpus scan + broadcast argmax assignment + one shuffle on
+    the cell key shared by census and rank."""
+    from homelogging_spark.operators.sampling import cluster_balanced_sample
+
+    _, corpus = _emb_split(spark, sf_dir)
+    corpus = corpus.select("vec_id", "embedding")
+    centroids = _cached_quantizer(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda: similarity.kmeans_lite_centroids(
+            corpus, n_centroids=IVF_N_CENTROIDS, n_iters=IVF_KMEANS_ITERS, dim=EMB_DIM
+        ),
+    )
+    return cluster_balanced_sample(corpus, centroids, k_per_cell=CBAL_K_PER_CELL)
+
+
+def _cluster_balanced_sample_oracle() -> str:
+    from homelogging_spark.operators.sampling import uniform_sql
+
+    cos = similarity.cosine_sql("t.embedding", "c.c_emb", EMB_DIM)
+    corpus_sql = (
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERY_VECS}"
+    )
+    kmeans = similarity.kmeans_lite_sql(
+        corpus_sql, IVF_N_CENTROIDS, IVF_KMEANS_ITERS, EMB_DIM
+    )
+    u = uniform_sql("vec_id", "cbal")
+    return f"""
+WITH {kmeans},
+c AS (SELECT centroid_id, c_emb FROM c{IVF_KMEANS_ITERS}),
+assign AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY {cos} DESC, centroid_id) AS r
+  FROM ({corpus_sql}) t, c
+),
+cells AS (SELECT vec_id, centroid_id AS cell FROM assign WHERE r = 1),
+ranked AS (
+  SELECT vec_id, cell,
+         count(*) OVER (PARTITION BY cell) AS cell_n,
+         row_number() OVER (PARTITION BY cell ORDER BY {u}, vec_id) AS rank
+  FROM cells
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(cell_n AS BIGINT) AS cell_n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {CBAL_K_PER_CELL}
+"""
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = _cluster_balanced_sample_oracle()
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + reconstruction error over the full
     embeddings table: 4 subspaces x 8 centroids (codebooks from the
@@ -2047,6 +2114,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_budget_select": q_corpus_budget_select,
     "incremental_dedup": q_incremental_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
     "length_drift_psi": q_length_drift_psi,
@@ -2081,6 +2149,7 @@ LLM_ORACLES: dict[str, str] = {
     "corpus_budget_select": ORACLE_CORPUS_BUDGET_SELECT,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,
     "length_drift_psi": ORACLE_LENGTH_DRIFT_PSI,

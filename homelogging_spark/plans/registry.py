@@ -1296,37 +1296,60 @@ FROM rec
 """
 
 
-# --- CUSUM change-point alarms ------------------------------------------------
+# --- change-detection panel (CUSUM alarms + EWMA smoothing, r15 merge) --------
 
 _CUSUM_T, _CUSUM_S, _CUSUM_H = 35.0, 5.0, 50.0
 
 
-def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drift detection the reference's instantaneous band checks miss:
-    per-meter CUSUM with restart-on-alarm (``controllers.cusum_alarms``)
-    over the view stream. Exact sequential fold, recursive-CTE oracle —
-    the max/+/- recurrence needs no rounding step, so both engines emit
-    identical doubles."""
+def q_change_detect_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM + EWMA in one panel — the r15 merge of `cusum_alarms` and
+    `ewma_smooth` (window-slot consolidation per the COVERAGE.md
+    registry-growth policy): both are per-meter sequential change-
+    detection folds over an event stream with recursive-CTE oracles, so
+    one union panel with a ``family`` label certifies both legs
+    verbatim. Cusum leg (``controllers.cusum_alarms``, view stream):
+    m1/m2 = the hi/lo sums, restart-on-alarm. Ewma leg
+    (``aggregations.ewma_smooth``, purchase stream): m1/m2 = smoothed
+    value / one-step-ahead residual, alarm = FALSE sentinel (typed-NULL
+    booleans mis-sort in the driver compare). Each leg keeps its
+    original per-key fold plan; the union is free."""
+    from homelogging_spark.operators.aggregations import ewma_smooth
     from homelogging_spark.operators.controllers import cusum_alarms
 
     events = load_table(spark, sf_dir, "events")
-    series = events.where(F.col("event_type") == "view").select(
+    cus_in = events.where(F.col("event_type") == "view").select(
         "user_id", "ts", "value"
     )
-    out = cusum_alarms(
-        series, ["user_id"], target=_CUSUM_T, slack=_CUSUM_S, threshold=_CUSUM_H
-    )
-    return out.select(
+    cus = cusum_alarms(
+        cus_in, ["user_id"], target=_CUSUM_T, slack=_CUSUM_S, threshold=_CUSUM_H
+    ).select(
+        F.lit("cusum").alias("family"),
         "user_id",
         "ts",
         quantize("value").alias("value"),
-        quantize("cusum_hi").alias("cusum_hi"),
-        quantize("cusum_lo").alias("cusum_lo"),
+        quantize("cusum_hi").alias("m1"),
+        quantize("cusum_lo").alias("m2"),
         "alarm",
     )
+    ew_in = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    ew = ewma_smooth(ew_in, ["user_id"], alpha=_EWMA_ALPHA).select(
+        F.lit("ewma").alias("family"),
+        "user_id",
+        "ts",
+        "value",
+        quantize("ewma").alias("m1"),
+        quantize("resid").alias("m2"),
+        F.lit(False).alias("alarm"),
+    )
+    return cus.unionByName(ew)
 
 
-def _cusum_oracle() -> str:
+_EWMA_ALPHA = 0.25  # dyadic: alpha and 1-alpha are exact binary doubles
+
+
+def _change_detect_oracle() -> str:
     up = _CUSUM_T + _CUSUM_S
     dn = _CUSUM_T - _CUSUM_S
     h = _CUSUM_H
@@ -1357,67 +1380,38 @@ rec AS (
          CASE WHEN {hi_n} > {h} OR {lo_n} > {h} THEN 0.0 ELSE {hi_n} END,
          CASE WHEN {hi_n} > {h} OR {lo_n} > {h} THEN 0.0 ELSE {lo_n} END
   FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1
-)
-SELECT user_id, ts,
-       {quantize_sql('value')} AS value,
-       {quantize_sql('s_hi')} AS cusum_hi,
-       {quantize_sql('s_lo')} AS cusum_lo,
-       alarm
-FROM rec
-"""
-
-
-ORACLE_CUSUM_ALARMS = _cusum_oracle()
-
-
-# --- EWMA smoothing -----------------------------------------------------------
-
-_EWMA_ALPHA = 0.25  # dyadic: alpha and 1-alpha are exact binary doubles
-
-
-def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-meter exponential smoothing + one-step-ahead residual
-    (``aggregations.ewma_smooth``) — the denoising pass the reference's
-    dashboards do client-side, run server-side. Sequential linear
-    recurrence → per-key fold, recursive-CTE oracle; alpha is dyadic so
-    both engines emit identical doubles."""
-    from homelogging_spark.operators.aggregations import ewma_smooth
-
-    events = load_table(spark, sf_dir, "events")
-    series = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    out = ewma_smooth(series, ["user_id"], alpha=_EWMA_ALPHA)
-    return out.select(
-        "user_id",
-        "ts",
-        "value",
-        quantize("ewma").alias("ewma"),
-        quantize("resid").alias("resid"),
-    )
-
-
-ORACLE_EWMA_SMOOTH = f"""
-WITH RECURSIVE t AS (
+),
+e AS (
   SELECT user_id, ts, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
   FROM events WHERE event_type = 'purchase'
 ),
-rec AS (
+erec AS (
   SELECT user_id, ts, value, rn,
          value + 0.0 AS s, CAST(0.0 AS DOUBLE) AS resid
-  FROM t WHERE rn = 1
+  FROM e WHERE rn = 1
   UNION ALL
-  SELECT t.user_id, t.ts, t.value, t.rn,
-         {_EWMA_ALPHA} * t.value + {1.0 - _EWMA_ALPHA} * rec.s,
-         t.value - rec.s
-  FROM rec JOIN t ON t.user_id = rec.user_id AND t.rn = rec.rn + 1
+  SELECT e.user_id, e.ts, e.value, e.rn,
+         {_EWMA_ALPHA} * e.value + {1.0 - _EWMA_ALPHA} * erec.s,
+         e.value - erec.s
+  FROM erec JOIN e ON e.user_id = erec.user_id AND e.rn = erec.rn + 1
 )
-SELECT user_id, ts, value,
-       {quantize_sql('s')} AS ewma,
-       {quantize_sql('resid')} AS resid
+SELECT 'cusum' AS family, user_id, ts,
+       {quantize_sql('value')} AS value,
+       {quantize_sql('s_hi')} AS m1,
+       {quantize_sql('s_lo')} AS m2,
+       alarm
 FROM rec
+UNION ALL
+SELECT 'ewma' AS family, user_id, ts, value,
+       {quantize_sql('s')} AS m1,
+       {quantize_sql('resid')} AS m2,
+       FALSE AS alarm
+FROM erec
 """
+
+
+ORACLE_CHANGE_DETECT_PANEL = _change_detect_oracle()
 
 
 # --- table profile (data-quality audit) ---------------------------------------
@@ -2738,6 +2732,11 @@ MERGED_FROM: dict[str, list[str]] = {
     # r11: A1 + A2 are both time_bucket_agg bucket averages — one
     # grain-labeled union panel certifies both, funding mad_outliers
     "bucket_downsample_panel": ["hourly_avg", "minute_downsample"],
+    # r15: both are per-meter sequential change-detection folds with
+    # recursive-CTE oracles — one family-labeled union panel certifies
+    # both legs verbatim, funding the cluster_balanced_sample
+    # registration
+    "change_detect_panel": ["cusum_alarms", "ewma_smooth"],
 }
 
 
@@ -2854,8 +2853,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kasa_offset_exact": q_kasa_offset_exact,
     "sketch_rollup_panel": q_sketch_rollup_panel,
     "load_profile": q_load_profile,
-    "cusum_alarms": q_cusum_alarms,
-    "ewma_smooth": q_ewma_smooth,
+    "change_detect_panel": q_change_detect_panel,
     "table_profile": q_table_profile,
     "rolling_corr": q_rolling_corr,
     "pricing_summary": q_pricing_summary,
@@ -2911,8 +2909,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "sketch_rollup_panel": ORACLE_SKETCH_ROLLUP_PANEL,
     "load_profile": ORACLE_LOAD_PROFILE,
-    "cusum_alarms": ORACLE_CUSUM_ALARMS,
-    "ewma_smooth": ORACLE_EWMA_SMOOTH,
+    "change_detect_panel": ORACLE_CHANGE_DETECT_PANEL,
     "table_profile": ORACLE_TABLE_PROFILE,
     "rolling_corr": ORACLE_ROLLING_CORR,
     "pricing_summary": ORACLE_PRICING_SUMMARY,

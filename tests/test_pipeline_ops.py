@@ -156,6 +156,62 @@ class TestSampling:
         assert sum(r.rate * r.n_tokens for r in rows.values()) == pytest.approx(total)
 
 
+class TestClusterBalancedSample:
+    """sampling.cluster_balanced_sample — nearest-centroid assignment +
+    deterministic exactly-k per cluster with a pre-sample census."""
+
+    @pytest.fixture(scope="class")
+    def fixture(self, spark):
+        from homelogging_spark.operators.sampling import cluster_balanced_sample
+
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 1.0, 0.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        # well-separated synthetic clusters: 30 / 5 / 10 members
+        rows = (
+            [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)]
+            + [(100 + i, [0.0, 1.0, 0.001 * i, 0.0]) for i in range(5)]
+            + [(200 + i, [0.001 * i, 0.0, 1.0, 0.0]) for i in range(10)]
+        )
+        corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        return corpus, cents, cluster_balanced_sample
+
+    def test_cut_and_keep_all_branches_with_census(self, spark, fixture):
+        corpus, cents, cbal = fixture
+        out = cbal(corpus, cents, k_per_cell=8).collect()
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault(r.cell, []).append(r)
+        # big cells cut to k, small cell kept whole; census is PRE-sample
+        assert len(by_cell[0]) == 8 and all(r.cell_n == 30 for r in by_cell[0])
+        assert len(by_cell[1]) == 5 and all(r.cell_n == 5 for r in by_cell[1])
+        assert len(by_cell[2]) == 8 and all(r.cell_n == 10 for r in by_cell[2])
+        # ranks are 1..n_kept within each cell
+        for cell, rows in by_cell.items():
+            assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+    def test_assignment_is_nearest_centroid(self, spark, fixture):
+        corpus, cents, cbal = fixture
+        out = cbal(corpus, cents, k_per_cell=100).collect()
+        for r in out:
+            assert r.cell == (r.vec_id // 100), r
+
+    def test_deterministic_under_repartition(self, spark, fixture):
+        corpus, cents, cbal = fixture
+        a = sorted((r.vec_id, r.cell, r.cell_n, r.rank)
+                   for r in cbal(corpus, cents, 4).collect())
+        b = sorted((r.vec_id, r.cell, r.cell_n, r.rank)
+                   for r in cbal(corpus.repartition(7), cents, 4).collect())
+        assert a == b and len(a) == 4 + 4 + 4
+
+    def test_rejects_bad_k(self, spark, fixture):
+        corpus, cents, cbal = fixture
+        with pytest.raises(ValueError, match="k_per_cell"):
+            cbal(corpus, cents, 0)
+
+
 class TestWeightedSampling:
     def test_kept_token_mass_tracks_budget(self, spark):
         from homelogging_spark.operators.sampling import weighted_hash_sample

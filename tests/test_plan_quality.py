@@ -72,6 +72,9 @@ BROADCAST_NESTED_LOOP_OK = {
     # constant-width lookup, the PQ-codebook shape) plus exact_topk's
     # allowlisted broadcast-query panel for scoring and recall truth
     "sq8_topk",
+    # r15: ivf_assign's broadcast of K centroids against each vector —
+    # the same designed cell-assignment shape as semantic_dedup/ann_topk
+    "cluster_balanced_sample",
 }
 
 
