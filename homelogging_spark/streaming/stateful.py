@@ -676,3 +676,149 @@ def streaming_grid_locf_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+SCHED_TWS_OUTPUT_DDL = SCHED_OUTPUT_DDL + ", overdue boolean"
+SCHED_TWS_STATE_DDL = (
+    "last_ms bigint, ok_ms bigint, streak bigint, interval double, "
+    "next_ms bigint, overdue_emitted boolean"
+)
+
+
+class PollScheduleProcessor(StatefulProcessor):
+    """ST8/ST9 adaptive poll schedule with a timer-driven DEAD-POLLER
+    alert — the second twin migrated onto transformWithState, and the
+    one whose timer is a genuinely new capability rather than an
+    emission-latency fix: the classic twin can only ever REACT to
+    attempt rows, so a device that stops polling entirely (crashed
+    logger, dead network — exactly the failure the reference's retry
+    accounting exists to surface, ``LoggerService.cs:62-73``) goes
+    silent in the output forever. Here the processor registers an
+    event-time timer at each device's ``next_poll_ts``; if the
+    WATERMARK passes it with no attempt row having landed, the device
+    provably missed its own schedule and an ``overdue=true`` row is
+    emitted exactly once (re-armed by the next real attempt).
+
+    Fold arithmetic is line-for-line ``make_poll_schedule_apply``
+    (ms-truncated timestamps, ``min(interval * 2^streak, cap)``), so
+    the non-overdue rows equal the classic twin's exactly — pinned
+    runtime-free in test_streaming_stateful.py, same harness as
+    ``GridLocfProcessor``."""
+
+    def __init__(self, cap_s: float = 3600.0):
+        self._cap_s = cap_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sched = handle.getValueState("sched", SCHED_TWS_STATE_DDL)
+
+    @staticmethod
+    def _frame(
+        key: str,
+        last_ms: int,
+        ok_ms: int | None,
+        streak: int,
+        delay: float,
+        next_ms: int,
+        overdue: bool,
+    ) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "meter_id": [key],
+                "last_attempt_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "last_ok_ts": [
+                    pd.Timestamp(ok_ms, unit="ms") if ok_ms is not None else pd.NaT
+                ],
+                "fail_streak": [streak],
+                "delay_s": [delay],
+                "next_poll_ts": [pd.Timestamp(next_ms, unit="ms")],
+                "overdue": [overdue],
+            }
+        )
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._sched.get() if self._sched.exists() else None
+        last_ms, ok_ms, streak, interval, prev_next_ms, _ = (
+            cur if cur is not None else (None, None, 0, None, None, False)
+        )
+        pdf = _collect_sorted(rows)
+        if pdf is None:
+            return
+        for row in pdf.itertuples():
+            ts_ms = int(row.ts.value // 1_000_000)  # ns -> ms truncation
+            last_ms = ts_ms
+            interval = float(row.interval_s)
+            if bool(row.ok):
+                ok_ms, streak = ts_ms, 0
+            else:
+                streak += 1
+        delay = min(interval * (2.0 ** streak), self._cap_s)
+        next_ms = last_ms + int(delay * 1000.0)
+        if prev_next_ms is not None:
+            # re-arm: the old deadline is superseded by the new attempt
+            self._handle.deleteTimer(prev_next_ms)
+        self._handle.registerTimer(next_ms)
+        self._sched.update((last_ms, ok_ms, streak, interval, next_ms, False))
+        yield self._frame(key[0], last_ms, ok_ms, streak, delay, next_ms, False)
+
+    def handleExpiredTimer(
+        self,
+        key: tuple,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._sched.get() if self._sched.exists() else None
+        if cur is None:
+            return
+        last_ms, ok_ms, streak, interval, next_ms, overdue_emitted = cur
+        if (
+            next_ms is not None
+            and not overdue_emitted
+            and expiredTimerInfo.getExpiryTimeInMs() == next_ms
+        ):
+            # the watermark passed the device's own next_poll_ts with no
+            # attempt row landing first: the poller provably missed its
+            # schedule. Emit the alert once; the next real attempt
+            # resets the flag and re-arms the timer.
+            delay = min(interval * (2.0 ** streak), self._cap_s)
+            self._sched.update(
+                (last_ms, ok_ms, streak, interval, next_ms, True)
+            )
+            yield self._frame(
+                key[0], last_ms, ok_ms, streak, delay, next_ms, True
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_poll_schedule_tws(
+    stream: DataFrame, cap_s: float = 3600.0
+) -> DataFrame:
+    """:func:`streaming_poll_schedule` on ``transformWithStateInPandas``
+    with the watermark-driven ``overdue`` alert the classic twin cannot
+    express (see :class:`PollScheduleProcessor`). ``stream`` needs
+    ``withWatermark("ts", ...)`` applied upstream and the RocksDB state
+    store provider. Non-overdue rows carry the classic twin's exact
+    schema plus ``overdue=false``; the extras are exactly the devices
+    whose ``next_poll_ts`` the watermark passed without a new attempt."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's TWS state-server protocol); install it or use the "
+            "applyInPandasWithState twin streaming_poll_schedule "
+            "(identical schedule rows minus the overdue alert)"
+        ) from exc
+    return stream.groupBy("meter_id").transformWithStateInPandas(
+        statefulProcessor=PollScheduleProcessor(cap_s),
+        outputStructType=SCHED_TWS_OUTPUT_DDL,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -1181,3 +1181,236 @@ class TestStreamingGridLocfTws:
             for r in f.itertuples()
         ]
         assert got == [(4, None, 9.0, True), (5, None, 9.0, True)]
+
+
+class TestStreamingPollScheduleTws:
+    """PollScheduleProcessor — the ST8/ST9 twin on transformWithState:
+    fold parity with the classic twin pinned runtime-free, plus the
+    timer-driven overdue alert the classic twin cannot express."""
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = TestStreamingPollScheduleTws._FakeValueState()
+            self.timers: set[int] = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.timers.add(ms)
+
+        def deleteTimer(self, ms):
+            self.timers.discard(ms)
+
+    class _FakeGroupState:
+        """Minimal applyInPandasWithState GroupState double for driving
+        make_poll_schedule_apply outside a stream."""
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    @staticmethod
+    def _batch_pdf(rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(r[0]) for r in rows],
+                "ok": [r[1] for r in rows],
+                "interval_s": [r[2] for r in rows],
+            }
+        )
+
+    def test_fold_rows_match_classic_twin(self):
+        """Line-for-line parity: driving the SAME batches through the
+        classic make_poll_schedule_apply and the TWS processor emits
+        identical schedule rows (the TWS rows minus the overdue
+        column)."""
+        from homelogging_spark.streaming.stateful import (
+            PollScheduleProcessor,
+            make_poll_schedule_apply,
+        )
+
+        batches = [
+            [("2024-04-01T00:00:07", True, 60.0)],
+            [("2024-04-01T00:01:10", False, 60.0),
+             ("2024-04-01T00:02:00", False, 60.0)],
+            [("2024-04-01T00:09:00", True, 300.0)],
+        ]
+        classic_apply = make_poll_schedule_apply()
+        gstate = self._FakeGroupState()
+        classic_rows = []
+        for b in batches:
+            for frame in classic_apply(
+                ("m1",), iter([self._batch_pdf(b)]), gstate
+            ):
+                classic_rows += [tuple(r) for r in frame.itertuples(index=False)]
+
+        proc = PollScheduleProcessor()
+        handle = self._FakeHandle()
+        proc.init(handle)
+        tws_rows = []
+        for b in batches:
+            for frame in proc.handleInputRows(
+                ("m1",), iter([self._batch_pdf(b)]), None
+            ):
+                assert not frame.overdue.any()
+                tws_rows += [
+                    tuple(r)
+                    for r in frame.drop(columns=["overdue"]).itertuples(index=False)
+                ]
+        assert tws_rows == classic_rows and len(tws_rows) == 3
+        # exactly ONE live timer: the latest schedule's next_poll_ts
+        # (each re-arm deletes the superseded deadline)
+        import pandas as pd
+
+        expect_next = pd.Timestamp("2024-04-01T00:09:00") + pd.Timedelta(
+            seconds=300.0
+        )
+        assert handle.timers == {int(expect_next.value // 1_000_000)}
+
+    def test_timer_emits_overdue_once_and_rearms(self):
+        """The watermark passing next_poll_ts with no new attempt emits
+        exactly one overdue=true row (duplicate firing is a no-op); the
+        next real attempt resets the flag, re-arms the timer, and emits
+        a normal schedule row again."""
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import PollScheduleProcessor
+
+        proc = PollScheduleProcessor()
+        handle = self._FakeHandle()
+        proc.init(handle)
+        list(
+            proc.handleInputRows(
+                ("m1",),
+                iter([self._batch_pdf([("2024-04-01T00:00:00", True, 60.0)])]),
+                None,
+            )
+        )
+        next_ms = int(
+            pd.Timestamp("2024-04-01T00:01:00").value // 1_000_000
+        )
+        assert handle.timers == {next_ms}
+
+        class _Exp:
+            def __init__(self, ms):
+                self._ms = ms
+
+            def getExpiryTimeInMs(self):
+                return self._ms
+
+        first = list(proc.handleExpiredTimer(("m1",), None, _Exp(next_ms)))
+        second = list(proc.handleExpiredTimer(("m1",), None, _Exp(next_ms)))
+        assert len(first) == 1 and second == []
+        row = first[0].iloc[0]
+        assert bool(row.overdue) and row.fail_streak == 0
+        assert row.next_poll_ts == pd.Timestamp("2024-04-01T00:01:00")
+        # a stale timer (wrong expiry) never emits
+        assert list(proc.handleExpiredTimer(("m1",), None, _Exp(123))) == []
+        # next real attempt: normal row again, flag reset, new deadline
+        frames = list(
+            proc.handleInputRows(
+                ("m1",),
+                iter([self._batch_pdf([("2024-04-01T00:10:00", False, 60.0)])]),
+                None,
+            )
+        )
+        assert len(frames) == 1 and not frames[0].iloc[0].overdue
+        assert frames[0].iloc[0].fail_streak == 1  # delay 120 s
+        new_next = int(
+            pd.Timestamp("2024-04-01T00:12:00").value // 1_000_000
+        )
+        assert handle.timers == {new_next}
+
+    def test_tws_stream_emits_overdue_on_watermark(self, spark, tmp_path):
+        """e2e: a device that stops polling gets exactly one
+        overdue=true row once the watermark passes its next_poll_ts.
+        Skipped where protobuf is unavailable (the processor logic is
+        pinned runtime-free above either way)."""
+        pytest.importorskip("google.protobuf")
+        from homelogging_spark.streaming.stateful import (
+            streaming_poll_schedule_tws,
+        )
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        b1 = [
+            {"meter_id": "p1", "ts": "2024-04-01T00:00:00Z", "ok": True,
+             "interval_s": 60.0},
+        ]
+        # watermark-advancing sentinel: 01:00 pushes the watermark
+        # (delay 0) past p1's next_poll_ts (00:01) but not its own (01:01)
+        b2 = [
+            {"meter_id": "wm", "ts": "2024-04-01T01:00:00Z", "ok": True,
+             "interval_s": 60.0},
+        ]
+        for name, batch in (("a", b1), ("b", b2)):
+            (src / f"{name}.json").write_text(
+                "\n".join(json.dumps(r) for r in batch)
+            )
+        stream = (
+            spark.readStream.format("json")
+            .schema("meter_id string, ts timestamp, ok boolean, interval_s double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withWatermark("ts", "0 seconds")
+        )
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            out_dir = tmp_path / "out"
+            q = (
+                streaming_poll_schedule_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        rows = sorted(
+            (r.meter_id, bool(r.overdue), r.fail_streak)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+        # p1: its schedule row + exactly one overdue row; wm: schedule
+        # row only (its own deadline is past the final watermark)
+        assert rows == [("p1", False, 0), ("p1", True, 0), ("wm", False, 0)]
