@@ -321,12 +321,13 @@ def distributed_row_number(
 
 
 def cluster_balanced_sample(
-    corpus: DataFrame,
-    centroids: DataFrame,
+    corpus: DataFrame | None,
+    centroids: DataFrame | None,
     k_per_cell: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     salt: str = "cbal",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-balanced (diversity-preserving) sample: assign every
     vector to its nearest centroid in embedding space, then keep a
@@ -352,16 +353,31 @@ def cluster_balanced_sample(
     and the top-k rank share the same window partitioning. Skew =
     cluster imbalance; at pathological K the same salting dial as the
     dedup tier applies, but the rank filter bounds what any cell emits
-    downstream at ``k_per_cell`` rows."""
+    downstream at ``k_per_cell`` rows.
+
+    ``cells``: optionally serve from a PRE-COMPUTED (id, centroid_id)
+    assignment — ``maintenance.index_cycle``'s committed ``cells``
+    artifact (the same convention as ``sq8_topk(bounds=...)`` /
+    ``index_cycle_search``). Skips the assignment scan entirely:
+    sampling a maintained corpus costs one shuffle over the cells
+    frame, no embedding is ever read, and the sample is consistent
+    with whatever generation the cycle committed."""
     from pyspark.sql import Window
 
     from homelogging_spark.operators.similarity import ivf_assign
 
     if k_per_cell < 1:
         raise ValueError(f"k_per_cell must be >= 1, got {k_per_cell}")
-    assigned = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
-        id_col, F.col("centroid_id").cast("bigint").alias("cell")
-    )
+    if cells is not None:
+        assigned = cells.select(
+            id_col, F.col("centroid_id").cast("bigint").alias("cell")
+        )
+    elif corpus is None or centroids is None:
+        raise ValueError("need (corpus, centroids) to assign, or cells=")
+    else:
+        assigned = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
+            id_col, F.col("centroid_id").cast("bigint").alias("cell")
+        )
     u = uniform_from_key(F.col(id_col), salt)
     w = Window.partitionBy("cell")
     w_rank = w.orderBy("u", id_col)

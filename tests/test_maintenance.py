@@ -790,6 +790,43 @@ class TestIndexCycle:
         )
         assert served.count() == 6
 
+    def test_cluster_balanced_sample_serves_from_cycle_artifacts(
+        self, spark, tmp_path
+    ):
+        """The curation sampler serves from the cycle's committed
+        generation two ways, consistently: re-assigning against the
+        stored centroids, or (the production shape) straight from the
+        stored ``cells`` artifact with NO embedding read — identical
+        samples, and the census equals the artifact's cell counts."""
+        from homelogging_spark.operators.maintenance import load_index
+        from homelogging_spark.operators.sampling import (
+            cluster_balanced_sample,
+        )
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root)
+        idx = load_index(spark, root)
+        via_centroids = sorted(
+            map(tuple, cluster_balanced_sample(
+                corpus, idx["centroids"], k_per_cell=3
+            ).collect())
+        )
+        via_cells = sorted(
+            map(tuple, cluster_balanced_sample(
+                None, None, k_per_cell=3, cells=idx["cells"]
+            ).collect())
+        )
+        assert via_centroids == via_cells and len(via_cells) > 0
+        # census column equals the committed artifact's cell populations
+        counts = {
+            r.centroid_id: r.n
+            for r in idx["cells"].groupBy("centroid_id").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        for vec_id, cell, cell_n, rank in via_cells:
+            assert cell_n == counts[cell] and rank <= 3
+
     def test_no_growth_is_noop_and_drift_retriggers(self, spark, tmp_path):
         import glob
 
