@@ -17,15 +17,26 @@ Spark shape (scale notes):
   comparing the frame's first bucket index to ``current - (L-1)``
   (gappy stretches produce no candidate rather than a wrong one).
 - The z-normalized distance is pure column algebra over the collected
-  window array (``aggregate``/``transform`` — JVM-side, no UDF):
+  window array (``aggregate``/``zip_with`` — JVM-side, no UDF):
   dist² = Σ (ẑ_w[i] − ẑ_p[i])², with the pattern's ẑ_p a literal
-  array broadcast in the plan.
+  array broadcast in the plan. μ comes from the SAME window frame as
+  the array (``avg().over(w)`` — bit-identical to the sequential fold:
+  both add the frame in order from 0.0, then divide by L), and σ is
+  staged as a real column in an intermediate projection, so every
+  per-element lambda references plain attributes. The naive form —
+  μ/σ as aggregate EXPRESSIONS embedded in the lambdas — re-evaluates
+  those folds per element (O(L²)+ per row; measured ~2x slower at
+  sf0.1, SCALE.md r15). The expanded closed form (dist² = L + Σẑ_p²
+  − 2Σw·ẑ_p/σ …) was measured and REJECTED: one fewer fold, but the
+  ≈L−L cancellation leaves a ~√(L·ε) ≈ 1e-7 noise floor exactly at
+  the perfect-match distances the query ranks by.
 - Top-k is a global ``orderBy(dist).limit(k)`` —
   TakeOrderedAndProject, per-partition heaps then one k-row merge,
   never a full sort.
 - Flat windows (std = 0) carry no shape: scored only if the pattern is
   also flat (then dist 0 by convention), else skipped — mirrors the
-  z-norm domain.
+  z-norm domain. Flatness is the exact element-equality test, never a
+  σ≈0 threshold.
 
 At 100 TB the hourly grid per series is ~9k rows/year — the window
 frame stays tiny; the candidate stream is one row per (series, hour)
@@ -37,7 +48,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,16 +61,6 @@ def _znorm_literal(pattern: Sequence[float]) -> list[float]:
     return [(x - mu) / sd for x in pattern]
 
 
-def _znorm_col(arr: Column, length: int) -> Column:
-    n = F.lit(float(length))
-    mu = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
-    var = (
-        F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)) / n
-    )
-    sd = F.sqrt(var)
-    return F.when(
-        sd > 0, F.transform(arr, lambda x: (x - mu) / sd)
-    ).otherwise(F.transform(arr, lambda x: F.lit(0.0)))
 
 
 def pattern_match_topk(
@@ -101,6 +102,9 @@ def pattern_match_topk(
         F.col(bucket_col),
         "__idx",
         F.collect_list("__v").over(w).alias("__win"),
+        # same frame, same order, same 0.0-seeded sequential adds as the
+        # fold the naive form embedded — bit-identical μ, zero re-eval
+        F.avg("__v").over(w).alias("__mu"),
         F.min("__idx").over(w).alias("__first_idx"),
         # count the VALUE, not rows: collect_list drops nulls, so a null
         # value inside the frame must shrink __n below L and fail the
@@ -113,14 +117,36 @@ def pattern_match_topk(
     cand = framed.where(
         (F.col("__n") == L) & (F.col("__first_idx") == F.col("__idx") - (L - 1))
     )
-    zw = _znorm_col(F.col("__win"), L)
+    # staged scoring (module docstring): μ is already a column from the
+    # window stage; σ becomes one here. Each later lambda references
+    # plain attributes, so no aggregate subtree is re-evaluated per
+    # element — O(L) per row, arithmetic unchanged from the naive form.
+    n = F.lit(float(L))
     zp_lit = F.array(*[F.lit(float(v)) for v in zp])
+    with_sd = cand.withColumn(
+        "__sd",
+        F.sqrt(
+            F.aggregate(
+                F.col("__win"),
+                F.lit(0.0),
+                lambda a, x: a + (x - F.col("__mu")) * (x - F.col("__mu")),
+            )
+            / n
+        ),
+    )
+    # ẑ_w elementwise, referencing the staged μ/σ; flat windows (σ = 0)
+    # z-norm to all-zeros exactly as before
+    znorm = lambda x: F.when(  # noqa: E731
+        F.col("__sd") > 0, (x - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
     dist2 = F.aggregate(
-        F.zip_with(zw, zp_lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            F.col("__win"), zp_lit, lambda x, p: (znorm(x) - p) * (znorm(x) - p)
+        ),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    scored = cand.select(
+    scored = with_sd.select(
         "key",
         (F.col(bucket_col) - F.expr(f"INTERVAL {L - 1} HOURS")).alias(
             "window_start"
@@ -132,14 +158,11 @@ def pattern_match_topk(
     if not pat_flat:
         # flat windows z-norm to all-zeros; against a non-flat pattern
         # their distance is the pattern's norm — a degenerate "match
-        # anything flat" artifact. Drop them.
-        flat = F.aggregate(
-            F.transform(
+        # anything flat" artifact. Drop them (exact element equality).
+        scored = scored.where(
+            F.exists(
                 F.col("window_values"),
-                lambda x: F.when(x != F.element_at(F.col("window_values"), 1), 1).otherwise(0),
-            ),
-            F.lit(0),
-            lambda a, x: a + x,
-        ) == 0
-        scored = scored.where(~flat)
+                lambda x: x != F.element_at(F.col("window_values"), 1),
+            )
+        )
     return scored.orderBy(F.asc("dist"), "key", "window_start").limit(k)
