@@ -650,3 +650,205 @@ SELECT {id_col},
        array_to_string({uniq}, chr(10)) AS line_deduped
 FROM {source}
 """
+
+
+# --- model-based quality filtering (r15) --------------------------------------
+#
+# The pipeline stage downstream of the HEURISTIC signals above: modern
+# corpus builds (DCLM, FineWeb-style) train a small classifier on those
+# signals and filter on its score. The ENGINE's job is the application
+# machinery — computing the score JVM-side over the existing feature
+# columns and treating the trained weights as versioned CONFIG, exactly
+# the tokenize.MERGE_VERSIONS design ("model upgrades are data changes
+# with an audit row"). Weights here are deterministic hand-set
+# stand-ins; a real deployment drops its trained coefficients into a
+# new version and the audit digest records which model filtered what.
+#
+# The score is the raw LOGIT (bias + Σ w·x, folded in sorted feature
+# order): +, * only — bit-identical on any IEEE engine, unlike a
+# sigmoid whose libm exp differs in the last ulp across engines. The
+# keep decision is score >= 0 (the 0.5-probability threshold folded
+# into the bias), so calibration lives with the consumer.
+
+QUALITY_MODEL_VERSIONS: dict[int, dict] = {
+    # v1: fluency-positive, boilerplate-negative — signs follow the
+    # Gopher/C4 rules the heuristic tier implements
+    1: {
+        "bias": -1.0,
+        "weights": {
+            "dup_trigram_frac": -2.0,
+            "len_saturation": 1.5,
+            "mean_token_len": 0.2,
+            "punct_ratio": -5.0,
+            "stopword_ratio": 4.0,
+            "top_bigram_cover": -3.0,
+        },
+    },
+}
+
+CURRENT_QUALITY_MODEL = 1
+
+# feature name -> builders. Spark side takes the text Column; SQL side
+# takes the text expression string. len_saturation is the bounded
+# length signal quality_columns uses inside its heuristic score.
+_MODEL_FEATURES = (
+    "dup_trigram_frac",
+    "len_saturation",
+    "mean_token_len",
+    "punct_ratio",
+    "stopword_ratio",
+    "top_bigram_cover",
+)
+
+
+def model_for(version: int = CURRENT_QUALITY_MODEL) -> dict:
+    """The (bias, weights) config for ``version``; refuses unknown
+    versions instead of silently scoring with the wrong model."""
+    if version not in QUALITY_MODEL_VERSIONS:
+        raise ValueError(
+            f"unknown quality model version {version}; have "
+            f"{sorted(QUALITY_MODEL_VERSIONS)}"
+        )
+    m = QUALITY_MODEL_VERSIONS[version]
+    missing = set(m["weights"]) ^ set(_MODEL_FEATURES)
+    if missing:
+        raise ValueError(f"model v{version} feature mismatch: {missing}")
+    return m
+
+
+def model_audit(version: int = CURRENT_QUALITY_MODEL) -> dict:
+    """The manifest row recording WHICH model filtered a corpus build:
+    version, feature count, and a content digest over the canonical
+    (feature, weight) listing — two manifests claiming the same version
+    are provably the same coefficients."""
+    import hashlib
+
+    m = model_for(version)
+    canon = f"bias {m['bias']!r}\n" + "\n".join(
+        f"{f} {m['weights'][f]!r}" for f in sorted(m["weights"])
+    )
+    return {
+        "model_version": int(version),
+        "n_features": len(m["weights"]),
+        "model_md5": hashlib.md5(canon.encode()).hexdigest(),
+    }
+
+
+def model_dim(spark) -> "DataFrame":
+    """Every model version as one joinable/broadcastable config dim:
+    ``(model_version int, feature string, weight double)`` with the
+    bias as feature ``__bias__`` — dim-sized; write it next to the
+    corpus manifest so any historical keep decision is re-derivable."""
+    rows = []
+    for v in sorted(QUALITY_MODEL_VERSIONS):
+        m = model_for(v)
+        rows.append((v, "__bias__", float(m["bias"])))
+        rows += [
+            (v, f, float(m["weights"][f])) for f in sorted(m["weights"])
+        ]
+    return spark.createDataFrame(
+        rows, "model_version int, feature string, weight double"
+    )
+
+
+def _model_feature_columns(text: Column) -> dict[str, Column]:
+    q = quality_columns(text)
+    r = repetition_columns(text)
+    n_tokens = F.size(tokens(text)).cast("double")
+    return {
+        "dup_trigram_frac": r["dup_trigram_frac"],
+        "len_saturation": F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
+        "mean_token_len": q["mean_token_len"],
+        "punct_ratio": q["punct_ratio"],
+        "stopword_ratio": q["stopword_ratio"],
+        "top_bigram_cover": r["top_bigram_cover"],
+    }
+
+
+def classifier_score_columns(
+    text: Column, version: int = CURRENT_QUALITY_MODEL
+) -> dict[str, Column]:
+    """``score`` (the logit, folded bias-first then sorted feature
+    order — the exact bracketing the SQL twin replays) and ``kept``
+    (score >= 0)."""
+    m = model_for(version)
+    feats = _model_feature_columns(text)
+    score = F.lit(float(m["bias"]))
+    for f in sorted(m["weights"]):
+        score = score + F.lit(float(m["weights"][f])) * feats[f]
+    return {"score": score, "kept": score >= F.lit(0.0)}
+
+
+def classifier_quality_filter(
+    df: DataFrame,
+    version: int = CURRENT_QUALITY_MODEL,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter: one zero-shuffle projection emitting
+    each document's logit score and keep verdict under the given model
+    version (stamped per row — a corpus built across a model upgrade
+    stays auditable). At 100 TB this is a pure map over the corpus
+    scan, same as the heuristic tier it consumes."""
+    c = classifier_score_columns(F.col(text_col), version)
+    return df.select(
+        F.col(id_col),
+        F.lit(int(version)).alias("model_version"),
+        c["score"].alias("score"),
+        c["kept"].alias("kept"),
+    )
+
+
+def _top_bigram_cover_sql(toks: str) -> str:
+    """Scalar-expression twin of ``repetition_columns``' bigram cover
+    (the panel oracle's group-by form needs a whole CTE chain; the
+    classifier needs it as ONE expression). best is an integer count —
+    identical however it is computed — and the 2.0*best/n bracketing
+    matches the Spark side."""
+    from homelogging_spark.functions.texthash import word_shingles_sql
+
+    big = word_shingles_sql(toks, 2, distinct=False)
+    best = (
+        f"list_max(list_transform(list_distinct({big}), "
+        f"g -> len(list_filter({big}, x -> x = g))))"
+    )
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN 2.0 * ({best}) / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _dup_trigram_frac_sql(toks: str) -> str:
+    """Scalar-expression twin of ``repetition_columns``' duplicate
+    trigram fraction."""
+    from homelogging_spark.functions.texthash import word_shingles_sql
+
+    tri = word_shingles_sql(toks, 3, distinct=False)
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"1.0 - CAST(len(list_distinct({tri})) AS DOUBLE) / (len({toks}) - 2) "
+        f"ELSE 0.0 END"
+    )
+
+
+def classifier_score_sql(
+    expr: str, version: int = CURRENT_QUALITY_MODEL
+) -> dict[str, str]:
+    """DuckDB twin of :func:`classifier_score_columns` — identical
+    feature expressions and identical fold order, so the logit is
+    bit-for-bit."""
+    m = model_for(version)
+    q = quality_columns_sql(expr)
+    toks = tokens_sql(expr)
+    feats = {
+        "dup_trigram_frac": _dup_trigram_frac_sql(toks),
+        "len_saturation": f"least(1.0, CAST(len({toks}) AS DOUBLE) / 100.0)",
+        "mean_token_len": q["mean_token_len"],
+        "punct_ratio": q["punct_ratio"],
+        "stopword_ratio": q["stopword_ratio"],
+        "top_bigram_cover": _top_bigram_cover_sql(toks),
+    }
+    score = f"CAST({m['bias']!r} AS DOUBLE)"
+    for f in sorted(m["weights"]):
+        score = f"({score} + CAST({m['weights'][f]!r} AS DOUBLE) * ({feats[f]}))"
+    return {"score": score, "kept": f"(({score}) >= 0.0)"}

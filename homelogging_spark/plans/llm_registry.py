@@ -1429,6 +1429,46 @@ FROM ranked WHERE rank <= {CBAL_K_PER_CELL}
 ORACLE_CLUSTER_BALANCED_SAMPLE = _cluster_balanced_sample_oracle()
 
 
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (``textops.classifier_quality_filter``):
+    the pipeline stage downstream of the heuristic signals — a versioned
+    linear model (weights are config, `textops.QUALITY_MODEL_VERSIONS`,
+    the tokenizer-vocab design) scored as a raw logit over the existing
+    feature columns, keep = logit >= 0. Zero shuffle, one projection
+    over the corpus scan; every row stamps the model version that
+    filtered it. The logit is +/* only (no sigmoid), so both engines
+    emit bit-identical doubles."""
+    from homelogging_spark.operators.textops import classifier_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = classifier_quality_filter(docs)
+    return out.select(
+        "doc_id",
+        "model_version",
+        quantize("score").alias("score"),
+        "kept",
+    )
+
+
+def _model_quality_filter_oracle() -> str:
+    from homelogging_spark.operators.textops import (
+        CURRENT_QUALITY_MODEL,
+        classifier_score_sql,
+    )
+
+    sq = classifier_score_sql("text")
+    return f"""
+SELECT doc_id,
+       {CURRENT_QUALITY_MODEL} AS model_version,
+       {quantize_sql(sq["score"])} AS score,
+       {sq["kept"]} AS kept
+FROM documents
+"""
+
+
+ORACLE_MODEL_QUALITY_FILTER = _model_quality_filter_oracle()
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + reconstruction error over the full
     embeddings table: 4 subspaces x 8 centroids (codebooks from the
@@ -2115,6 +2155,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "semantic_dedup": q_semantic_dedup,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "model_quality_filter": q_model_quality_filter,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_scan": q_contamination_scan,
     "length_drift_psi": q_length_drift_psi,
@@ -2150,6 +2191,7 @@ LLM_ORACLES: dict[str, str] = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
+    "model_quality_filter": ORACLE_MODEL_QUALITY_FILTER,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "contamination_scan": ORACLE_CONTAMINATION_SCAN,
     "length_drift_psi": ORACLE_LENGTH_DRIFT_PSI,

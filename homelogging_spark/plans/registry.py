@@ -336,27 +336,66 @@ FROM s
 # `kasa_offset_exact` (ST2 exact fold). See COVERAGE.md rotation policy.
 
 
-# --- W1: lag / previous-reading delta (Mbus/MbusLogger.cs:122-149) -----------
-def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- W1 lag delta + trailing time-range avg (r15 window-calc panel) ----------
+def q_window_calc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + the trailing time-RANGE average in one panel — the r15 merge
+    of `lag_delta` and `trailing_window_avg` (window-slot consolidation
+    per the COVERAGE.md registry-growth policy): both are per-meter
+    windowed row calculations over an event slice, so one
+    ``family``-labeled union certifies both legs verbatim. Lag leg
+    (W1, Mbus/MbusLogger.cs:122-149, error stream): m1/m2 = value
+    delta / seconds since previous reading, event_id = -1 sentinel
+    (bigint n/a cells use sentinels — typed NULLs mis-sort in the
+    driver compare). Trailing leg (`aggregations.
+    trailing_time_window_agg`, click stream, true RANGE frame on epoch
+    micros): m1 = trailing 1h average, n = rows in window, value/m2 =
+    typed NULL doubles (safe). Each leg keeps its original one-shuffle
+    window plan; the union is free."""
+    from homelogging_spark.operators.aggregations import trailing_time_window_agg
+
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    return (
+    lag = (
         events.where(F.col("event_type") == "error")
         .select(
+            F.lit("lag").alias("family"),
+            F.lit(-1).cast("bigint").alias("event_id"),
             "user_id",
             "ts",
             "value",
-            quantize(F.col("value") - F.lag("value").over(w)).alias("delta"),
-            quantize((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0).alias("dt_seconds"),
+            quantize(F.col("value") - F.lag("value").over(w)).alias("m1"),
+            quantize((F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0).alias("m2"),
+            F.lit(-1).cast("bigint").alias("n"),
         )
     )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    trail = trailing_time_window_agg(clicks, ["user_id"], "value", "ts", 3600).select(
+        F.lit("trail").alias("family"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        quantize("trailing_avg").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.col("n_in_window").alias("n"),
+    )
+    return lag.unionByName(trail)
 
 
-ORACLE_LAG_DELTA = """
-SELECT user_id, ts, value,
-       floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) * 1000000 + 0.5) / 1000000 AS delta,
-       floor(((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) * 1000000 + 0.5) / 1000000 AS dt_seconds
+ORACLE_WINDOW_CALC_PANEL = f"""
+SELECT 'lag' AS family, CAST(-1 AS BIGINT) AS event_id, user_id, ts, value,
+       floor((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts)) * 1000000 + 0.5) / 1000000 AS m1,
+       floor(((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) * 1000000 + 0.5) / 1000000 AS m2,
+       CAST(-1 AS BIGINT) AS n
 FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'trail' AS family, event_id, user_id, ts, CAST(NULL AS DOUBLE) AS value,
+       {quantize_sql("avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")} AS m1,
+       CAST(NULL AS DOUBLE) AS m2,
+       CAST(count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+FROM events WHERE event_type = 'click'
 """
 
 
@@ -1184,34 +1223,6 @@ SELECT user_id, grid_h,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS locf_value,
        (obs_value IS NULL) AS filled
 FROM j
-"""
-
-
-def q_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row trailing 1-hour time-RANGE average of the click load —
-    a true time-window frame (RANGE on epoch micros), not an N-row one."""
-    from homelogging_spark.operators.aggregations import trailing_time_window_agg
-
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    out = trailing_time_window_agg(clicks, ["user_id"], "value", "ts", 3600)
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        quantize("trailing_avg").alias("trailing_avg"),
-        "n_in_window",
-    )
-
-
-ORACLE_TRAILING_WINDOW_AVG = f"""
-WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
-SELECT event_id, user_id, ts,
-       {quantize_sql("avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")} AS trailing_avg,
-       CAST(count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_window
-FROM c
 """
 
 
@@ -2737,6 +2748,10 @@ MERGED_FROM: dict[str, list[str]] = {
     # both legs verbatim, funding the cluster_balanced_sample
     # registration
     "change_detect_panel": ["cusum_alarms", "ewma_smooth"],
+    # r15: both are per-meter windowed row calculations over an event
+    # slice — one family-labeled union panel certifies both legs
+    # verbatim, funding the model_quality_filter registration
+    "window_calc_panel": ["lag_delta", "trailing_window_avg"],
 }
 
 
@@ -2829,7 +2844,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "all_gate": q_all_gate,
     "pulse_accumulate": q_pulse_accumulate,
     "counter_rollover": q_counter_rollover,
-    "lag_delta": q_lag_delta,
+    "window_calc_panel": q_window_calc_panel,
     "time_range_filter": q_time_range_filter,
     "json_extract": q_json_extract,
     "least_greatest": q_least_greatest,
@@ -2848,7 +2863,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_price_join": q_asof_price_join,
     "sessionize": q_sessionize,
     "skew_salted_agg": q_skew_salted_agg,
-    "trailing_window_avg": q_trailing_window_avg,
     "range_session_join": q_range_session_join,
     "kasa_offset_exact": q_kasa_offset_exact,
     "sketch_rollup_panel": q_sketch_rollup_panel,
@@ -2885,7 +2899,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "all_gate": ORACLE_ALL_GATE,
     "pulse_accumulate": ORACLE_PULSE_ACCUMULATE,
     "counter_rollover": ORACLE_COUNTER_ROLLOVER,
-    "lag_delta": ORACLE_LAG_DELTA,
+    "window_calc_panel": ORACLE_WINDOW_CALC_PANEL,
     "time_range_filter": ORACLE_TIME_RANGE_FILTER,
     "json_extract": ORACLE_JSON_EXTRACT,
     "least_greatest": ORACLE_LEAST_GREATEST,
@@ -2904,7 +2918,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
-    "trailing_window_avg": ORACLE_TRAILING_WINDOW_AVG,
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "sketch_rollup_panel": ORACLE_SKETCH_ROLLUP_PANEL,

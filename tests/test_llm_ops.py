@@ -1224,3 +1224,71 @@ class TestSq8:
         a = {r.vec_id: list(r.codes) for r in sq8_codes(df).collect()}
         b = {r.vec_id: list(r.codes) for r in sq8_codes(df, bounds=bounds).collect()}
         assert a == b
+
+
+class TestQualityModel:
+    """textops versioned linear quality model — config-dim machinery
+    and scoring semantics (driver parity is test_oracle_parity's
+    model_quality_filter row)."""
+
+    def test_score_matches_hand_computation(self, spark):
+        from homelogging_spark.operators import textops as T
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat and it is a good day for all")],
+            "doc_id bigint, text string",
+        )
+        row = T.classifier_quality_filter(df).collect()[0]
+        feats = {
+            k: c for k, c in T._model_feature_columns(F.col("text")).items()
+        }
+        got = df.select(*[c.alias(k) for k, c in feats.items()]).collect()[0]
+        m = T.model_for()
+        expect = float(m["bias"])
+        for f in sorted(m["weights"]):
+            expect = expect + m["weights"][f] * got[f]
+        assert row.score == expect  # identical fold order -> bit-equal
+        assert row.kept == (expect >= 0.0)
+        assert row.model_version == T.CURRENT_QUALITY_MODEL
+
+    def test_unknown_version_refused_and_feature_set_pinned(self):
+        import pytest as _pytest
+
+        from homelogging_spark.operators import textops as T
+
+        with _pytest.raises(ValueError, match="unknown quality model"):
+            T.model_for(99)
+        # every version must carry exactly the canonical feature set
+        for v in T.QUALITY_MODEL_VERSIONS:
+            assert set(T.model_for(v)["weights"]) == set(T._MODEL_FEATURES)
+
+    def test_audit_digest_tracks_content(self):
+        from homelogging_spark.operators import textops as T
+
+        a = T.model_audit()
+        assert a["n_features"] == len(T._MODEL_FEATURES)
+        # digest is a pure function of the coefficients: recompute
+        assert a == T.model_audit(T.CURRENT_QUALITY_MODEL)
+
+    def test_model_dim_is_joinable_config(self, spark):
+        from homelogging_spark.operators import textops as T
+
+        dim = T.model_dim(spark)
+        rows = dim.collect()
+        # one bias row + one row per feature, per version
+        assert len(rows) == sum(
+            1 + len(T.model_for(v)["weights"]) for v in T.QUALITY_MODEL_VERSIONS
+        )
+        v1 = {r.feature: r.weight for r in rows if r.model_version == 1}
+        assert v1["__bias__"] == T.model_for(1)["bias"]
+
+    def test_filter_is_zero_shuffle_projection(self, spark, sf_dir):
+        from homelogging_spark.operators.textops import classifier_quality_filter
+        from homelogging_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        plan = (
+            classifier_quality_filter(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan
