@@ -865,18 +865,22 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. hygiene: Gopher repetition keep-flag AND quantized quality >=
        ``_BUILD_QUALITY_MIN`` (``repetition_scores`` + ``quality_columns``);
-    2. dedup: among hygiene survivors, keep the highest-quality member
+    2. model (r15): the versioned linear quality classifier's keep
+       verdict (``classifier_score_columns`` — the model-based filter
+       stage, applied after the cheap heuristics the way production
+       builds order them);
+    3. dedup: among surviving docs, keep the highest-quality member
        of each near-dup cluster (the memoized ``_shared_clusters``
        assignment — ranked WITHIN survivors, so a cluster whose best
-       doc failed hygiene still keeps its best surviving one);
-    3. budget: rank survivors by quality and keep while the running
+       doc failed upstream still keeps its best surviving one);
+    4. budget: rank survivors by quality and keep while the running
        token total stays within ``_BUILD_BUDGET`` tokens (the distributed
        prefix sum, unfiltered so dropped rows are labelable).
 
     Every doc gets a verdict: ``kept`` or the FIRST stage that dropped
-    it (``hygiene`` / ``duplicate`` / ``budget``) plus its running
-    token total where defined — the audit trail a production corpus
-    build publishes alongside the corpus."""
+    it (``hygiene`` / ``model`` / ``duplicate`` / ``budget``) plus its
+    running token total where defined — the audit trail a production
+    corpus build publishes alongside the corpus."""
     from homelogging_spark.operators import sampling
 
     docs = _docs(spark, sf_dir)
@@ -888,6 +892,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         quantize(qc["quality_score"]).alias("quality"),
         qc["n_tokens"].alias("n_tokens"),
+        textops.classifier_score_columns(F.col("text"))["kept"].alias("mdl_ok"),
     )
     # h and ranked are each referenced by multiple plan branches of the
     # final assembly (stage CASE + two left joins); without persist the
@@ -903,7 +908,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clusters = _shared_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    surv = h.where("hyg_ok").join(clusters, "doc_id")
+    surv = h.where("hyg_ok AND mdl_ok").join(clusters, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
@@ -924,6 +929,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
             "n_tokens",
             F.when(~F.col("hyg_ok"), F.lit("hygiene"))
+            .when(~F.col("mdl_ok"), F.lit("model"))
             .when(F.col("rn") > 1, F.lit("duplicate"))
             .when(F.col("cum_weight") <= _BUILD_BUDGET, F.lit("kept"))
             .otherwise(F.lit("budget"))
@@ -940,11 +946,12 @@ rep AS (SELECT doc_id, keep AS rep_ok FROM ({textops.repetition_scores_sql()})),
 q AS (
   SELECT doc_id,
          {quantize_sql(_QC['quality_score'])} AS quality,
-         {_QC['n_tokens']} AS n_tokens
+         {_QC['n_tokens']} AS n_tokens,
+         {textops.classifier_score_sql('text')['kept']} AS mdl_ok
   FROM documents
 ),
 h AS (
-  SELECT q.doc_id, q.quality, q.n_tokens,
+  SELECT q.doc_id, q.quality, q.n_tokens, q.mdl_ok,
          (rep.rep_ok AND q.quality >= {_BUILD_QUALITY_MIN}) AS hyg_ok
   FROM q JOIN rep USING (doc_id)
 ),
@@ -952,7 +959,7 @@ ranked AS (
   SELECT h.doc_id, h.quality, h.n_tokens, a.cluster_id,
          row_number() OVER (PARTITION BY a.cluster_id
                             ORDER BY h.quality DESC, h.doc_id) AS rn
-  FROM h JOIN asg a USING (doc_id) WHERE h.hyg_ok
+  FROM h JOIN asg a USING (doc_id) WHERE h.hyg_ok AND h.mdl_ok
 ),
 winners AS (SELECT doc_id, quality, n_tokens FROM ranked WHERE rn = 1),
 c AS (
@@ -962,6 +969,7 @@ c AS (
 )
 SELECT h.doc_id, h.quality, h.n_tokens,
        CASE WHEN NOT h.hyg_ok THEN 'hygiene'
+            WHEN NOT h.mdl_ok THEN 'model'
             WHEN ranked.rn > 1 THEN 'duplicate'
             WHEN c.cum <= {_BUILD_BUDGET} THEN 'kept'
             ELSE 'budget' END AS stage,

@@ -2694,6 +2694,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # per-language corpus-stats leg (panel discriminator); its r13 row
     # certifies the doc-only shape.
     "text_quality_panel": 15,
+    # r15: the end-to-end build audit gained the model-classifier gate
+    # as stage 2 ('model' verdicts; survivor set feeding dedup/budget
+    # changed); its r13 row certifies the three-stage pipeline.
+    "corpus_build_pipeline": 15,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
