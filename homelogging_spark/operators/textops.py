@@ -86,15 +86,21 @@ def bpe_ish_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}'))"
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
+def quality_columns(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Quality-signal columns (all doubles, deterministic):
 
     - ``n_tokens``, ``mean_token_len``: length profile
     - ``stopword_ratio``: English stopword mass (fluency proxy)
     - ``punct_ratio``: non-alphanumeric density (boilerplate/markup proxy)
     - ``quality_score``: bounded linear combination in [0, 1]
-    """
-    toks = tokens(text)
+
+    ``toks``: optionally an already-staged token-array COLUMN — callers
+    that consume several of these signals in one projection alias
+    ``tokens(text)`` once and pass it here, so the tokenize subtree is
+    not re-embedded (and re-executed) per signal (see
+    ``classifier_quality_filter``'s staging note)."""
+    if toks is None:
+        toks = tokens(text)
     n_tokens = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
@@ -751,17 +757,54 @@ def model_dim(spark) -> "DataFrame":
     )
 
 
-def _model_feature_columns(text: Column) -> dict[str, Column]:
-    q = quality_columns(text)
-    r = repetition_columns(text)
-    n_tokens = F.size(tokens(text)).cast("double")
+def _model_feature_columns(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """The six model features, expression-for-expression the
+    ``quality_columns`` / ``repetition_columns`` definitions (the SQL
+    twin mirrors those, so the formulas here must not drift). Pass
+    ``toks`` to build every token-derived feature from an ALREADY
+    STAGED token array column instead of re-embedding ``tokens(text)``
+    in each — see :func:`classifier_quality_filter` for why."""
+    from homelogging_spark.functions.texthash import word_shingles
+
+    t = tokens(text) if toks is None else toks
+    n = F.size(t)
+    tok_chars = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    big = F.array_sort(word_shingles(t, 2, distinct=False))
+    tri = word_shingles(t, 3, distinct=False)
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(
+        big,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
     return {
-        "dup_trigram_frac": r["dup_trigram_frac"],
-        "len_saturation": F.least(F.lit(1.0), n_tokens / F.lit(100.0)),
-        "mean_token_len": q["mean_token_len"],
-        "punct_ratio": q["punct_ratio"],
-        "stopword_ratio": q["stopword_ratio"],
-        "top_bigram_cover": r["top_bigram_cover"],
+        "dup_trigram_frac": F.when(
+            n >= 3, F.lit(1.0) - F.size(F.array_distinct(tri)) / (n - 2)
+        ).otherwise(F.lit(0.0)),
+        "len_saturation": F.least(
+            F.lit(1.0), n.cast("double") / F.lit(100.0)
+        ),
+        "mean_token_len": tok_chars / n,
+        "punct_ratio": n_punct / n_chars,
+        "stopword_ratio": stopword_hits(t, "en") / n,
+        "top_bigram_cover": F.when(
+            n >= 2, F.lit(2.0) * best / n
+        ).otherwise(F.lit(0.0)),
     }
 
 
@@ -792,22 +835,26 @@ def classifier_quality_filter(
     scan, same as the heuristic tier it consumes.
 
     STAGED on purpose (same lesson as the tsmatch scoring restage,
-    SCALE.md r15): the feature expressions sit inside ``when``
-    branches, which blocks codegen subexpression elimination — so an
-    expression tree that references the score twice (kept + the
-    quantized output) re-tokenizes the document per reference. Features
-    are projected once as columns, the score folds over plain
-    attributes, and ``kept`` references the score ATTRIBUTE; measured
-    8.3 s → ~1.4 s at sf0.1."""
+    SCALE.md r15), and staged so that Catalyst KEEPS the stage: an
+    alias referenced only once gets inlined by CollapseProject, which
+    is exactly what un-staged a naive per-feature projection here and
+    left ~20 copies of ``tokens(text)`` inside ``when`` branches
+    (where codegen subexpression elimination cannot reach). The token
+    array is aliased ONCE and referenced by every token-derived
+    feature — a multiply-referenced non-cheap alias survives
+    CollapseProject — and the score alias is likewise referenced
+    twice (kept + the consumer's quantize). Measured 15 s → ~1 s at
+    sf0.1 under the noop full-materialization protocol."""
     m = model_for(version)
-    feats = _model_feature_columns(F.col(text_col))
     staged = df.select(
         F.col(id_col),
-        *[feats[f].alias(f"__{f}") for f in sorted(m["weights"])],
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
     )
+    feats = _model_feature_columns(F.col("__text"), toks=F.col("__toks"))
     score = F.lit(float(m["bias"]))
     for f in sorted(m["weights"]):
-        score = score + F.lit(float(m["weights"][f])) * F.col(f"__{f}")
+        score = score + F.lit(float(m["weights"][f])) * feats[f]
     return staged.select(
         F.col(id_col),
         F.lit(int(version)).alias("model_version"),

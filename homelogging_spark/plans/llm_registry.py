@@ -887,12 +887,27 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = textops.repetition_scores(docs).select(
         "doc_id", F.col("keep").alias("rep_ok")
     )
-    qc = textops.quality_columns(F.col("text"))
-    q = docs.select(
+    # one staged token array feeds the quality signals AND the model
+    # features — without it each consumer re-embeds tokens(text) and
+    # CollapseProject leaves the duplicates inside when-branches where
+    # codegen CSE cannot reach (classifier_quality_filter's staging
+    # note; measured there)
+    staged = docs.select(
+        "doc_id",
+        "text",
+        textops.tokens(F.col("text")).alias("__toks"),
+    )
+    qc = textops.quality_columns(F.col("text"), toks=F.col("__toks"))
+    mf = textops._model_feature_columns(F.col("text"), toks=F.col("__toks"))
+    mdl = textops.model_for()
+    mdl_score = F.lit(float(mdl["bias"]))
+    for fname in sorted(mdl["weights"]):
+        mdl_score = mdl_score + F.lit(float(mdl["weights"][fname])) * mf[fname]
+    q = staged.select(
         "doc_id",
         quantize(qc["quality_score"]).alias("quality"),
         qc["n_tokens"].alias("n_tokens"),
-        textops.classifier_score_columns(F.col("text"))["kept"].alias("mdl_ok"),
+        (mdl_score >= F.lit(0.0)).alias("mdl_ok"),
     )
     # h and ranked are each referenced by multiple plan branches of the
     # final assembly (stage CASE + two left joins); without persist the
