@@ -11,6 +11,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from homelogging_spark.protoshim import ensure_protobuf
+
 
 def get_spark(
     app_name: str = "homelogging-spark",
@@ -28,6 +30,9 @@ def get_spark(
     - Shuffle partitions default to max(cores, 32) locally; on a real
       cluster, AQE coalesces the (intentionally high) initial number.
     """
+    # must precede session creation: TWS Python workers need
+    # google.protobuf, and they inherit PYTHONPATH at context start
+    ensure_protobuf()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")

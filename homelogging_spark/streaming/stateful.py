@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from homelogging_spark.protoshim import ensure_protobuf
+
 OUTPUT_DDL = "meter_id string, ts timestamp, raw double, offset double, corrected double"
 STATE_DDL = "last_raw double, offset double"
 
@@ -661,15 +663,15 @@ def streaming_grid_locf_tws(
     speak a protobuf state protocol — ``protobuf`` must be installed on
     driver and executors or the stream crashes opaquely at start; fail
     here with the real reason instead."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
+    if ensure_protobuf() == "missing":
         raise ImportError(
-            "transformWithStateInPandas requires the 'protobuf' package "
-            "(Spark's TWS state-server protocol); install it or use the "
+            "transformWithStateInPandas requires a 'google.protobuf' "
+            "runtime (Spark's TWS state-server protocol); neither the "
+            "wheel nor the repo's vendored shim (vendor/google/protobuf) "
+            "is available — install protobuf or use the "
             "applyInPandasWithState twin streaming_grid_locf (identical "
             "semantics minus the watermark-driven open-tail flush)"
-        ) from exc
+        )
     return stream.groupBy("k").transformWithStateInPandas(
         statefulProcessor=GridLocfProcessor(grid_seconds),
         outputStructType=GRID_LOCF_OUTPUT_DDL,
@@ -807,15 +809,15 @@ def streaming_poll_schedule_tws(
     store provider. Non-overdue rows carry the classic twin's exact
     schema plus ``overdue=false``; the extras are exactly the devices
     whose ``next_poll_ts`` the watermark passed without a new attempt."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
+    if ensure_protobuf() == "missing":
         raise ImportError(
-            "transformWithStateInPandas requires the 'protobuf' package "
-            "(Spark's TWS state-server protocol); install it or use the "
+            "transformWithStateInPandas requires a 'google.protobuf' "
+            "runtime (Spark's TWS state-server protocol); neither the "
+            "wheel nor the repo's vendored shim (vendor/google/protobuf) "
+            "is available — install protobuf or use the "
             "applyInPandasWithState twin streaming_poll_schedule "
             "(identical schedule rows minus the overdue alert)"
-        ) from exc
+        )
     return stream.groupBy("meter_id").transformWithStateInPandas(
         statefulProcessor=PollScheduleProcessor(cap_s),
         outputStructType=SCHED_TWS_OUTPUT_DDL,

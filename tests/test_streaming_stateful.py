@@ -10,6 +10,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from homelogging_spark.protoshim import ensure_protobuf
 from homelogging_spark.streaming.stateful import streaming_counter_rollover
 
 
@@ -975,8 +976,12 @@ class TestStreamingGridLocfTws:
 
         Skipped where protobuf is unavailable (Spark's TWS workers speak
         a protobuf state protocol); the processor's fold+timer logic is
-        pinned runtime-free below in test_processor_logic_* either way."""
-        pytest.importorskip("google.protobuf")
+        pinned runtime-free below in test_processor_logic_* either way.
+        Runs on a real google.protobuf runtime where installed, else on
+        the repo's vendored wire-format shim (vendor/google/protobuf) -
+        skipped only where neither exists."""
+        if ensure_protobuf() == "missing":
+            pytest.skip("no google.protobuf runtime (wheel or vendored shim)")
         from homelogging_spark.streaming.stateful import streaming_grid_locf_tws
 
         src = tmp_path / "landing"
@@ -1354,8 +1359,10 @@ class TestStreamingPollScheduleTws:
         """e2e: a device that stops polling gets exactly one
         overdue=true row once the watermark passes its next_poll_ts.
         Skipped where protobuf is unavailable (the processor logic is
-        pinned runtime-free above either way)."""
-        pytest.importorskip("google.protobuf")
+        pinned runtime-free above either way). Runs on the vendored
+        protobuf shim where the wheel is absent."""
+        if ensure_protobuf() == "missing":
+            pytest.skip("no google.protobuf runtime (wheel or vendored shim)")
         from homelogging_spark.streaming.stateful import (
             streaming_poll_schedule_tws,
         )
