@@ -269,10 +269,11 @@ def drain_cap_stats(timeout_s: float | None = None) -> list[dict]:
     logged) and reported as ``{'guard': ..., 'timed_out': True}`` rows,
     so a caller that errored between attach and action cannot hang the
     drain. When the readiness probe itself is unavailable (Spark
-    Connect has no ``_jo``), the timeout path reports ``timed_out``
-    rather than risking an unbounded block — the cannot-hang guarantee
-    is honored on every session type; metric DELIVERY under a timeout
-    is classic-py4j-only.
+    Connect has no ``_jo``), the timeout path still attempts delivery —
+    ``Observation.get`` on a daemon thread joined to the deadline — and
+    reports ``timed_out`` only if it doesn't return in time, so the
+    cannot-hang guarantee is honored on every session type without
+    giving up on metrics the session could in fact deliver.
 
     FAIL-OPEN: this function never raises. Any per-observation metrics
     failure is logged and returned as ``{'guard': ..., 'error': ...}``
@@ -300,19 +301,49 @@ def drain_cap_stats(timeout_s: float | None = None) -> list[dict]:
                 )
                 out.append({"guard": guard, "pruned": True})
                 continue
-            if state == "pending" or (state == "unknown" and deadline is not None):
+            if state == "pending":
                 LOG.warning(
-                    "cap guard %s: metrics not available within %.1fs "
-                    "(%s) — observation dropped",
+                    "cap guard %s: plan never executed within %.1fs — "
+                    "observation dropped",
                     guard,
                     timeout_s,
-                    "plan never executed"
-                    if state == "pending"
-                    else "no py4j readiness probe on this session",
                 )
                 out.append({"guard": guard, "timed_out": True})
                 continue
-            if state == "unknown":
+            if state == "unknown" and deadline is not None:
+                # No readiness probe on this session (Spark Connect has
+                # no py4j _jo) — still ATTEMPT delivery, bounded: run
+                # the blocking Observation.get on a daemon thread and
+                # join it to the deadline (r15 ADVICE: reporting
+                # timed_out without ever trying was a delivery
+                # regression). On deadline the getter thread is
+                # abandoned (daemonized, so it cannot pin shutdown).
+                holder: dict = {}
+
+                def _blocking_get(o=obs, h=holder):
+                    try:
+                        h["vals"] = dict(o.get)
+                    except BaseException as exc:  # noqa: BLE001
+                        h["exc"] = exc
+
+                getter = threading.Thread(target=_blocking_get, daemon=True)
+                getter.start()
+                getter.join(max(0.0, deadline - time.monotonic()))
+                if "vals" in holder:
+                    state, vals = "ready", holder["vals"]
+                elif "exc" in holder:
+                    raise holder["exc"]  # -> the fail-open error row
+                else:
+                    LOG.warning(
+                        "cap guard %s: no py4j readiness probe on this "
+                        "session and Observation.get did not return "
+                        "within %.1fs — observation dropped",
+                        guard,
+                        timeout_s,
+                    )
+                    out.append({"guard": guard, "timed_out": True})
+                    continue
+            elif state == "unknown":
                 # no JVM hook and no deadline: honor the documented
                 # blocking contract via the stock pickler path
                 vals = dict(obs.get)

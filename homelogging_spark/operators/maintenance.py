@@ -181,7 +181,14 @@ def recover_compaction(spark: SparkSession, path: str) -> list[str]:
     dir without a marker is an incomplete write: roll BACK (delete the
     orphan — the live partition was never touched). Returns the list of
     partitions rolled forward. Safe to run any time; no-op on a clean
-    table."""
+    table.
+
+    Subject to the same atomic-rename requirement as the commit path it
+    repairs (r15 ADVICE): recovery performs the identical live<->trash/
+    staging renames, so running it on an object-store root would expose
+    concurrent readers to the same mid-swap mixed generations the
+    commit-side guard exists to prevent."""
+    _require_rename_atomic(path, "recover_compaction")
     hadoop, fs = _fs(spark, path)
     P = hadoop.Path
     journal = P(os.path.join(path, JOURNAL_DIR))

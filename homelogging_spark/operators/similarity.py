@@ -1385,13 +1385,24 @@ def sq8_bounds(
     corpus: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Per-dimension training bounds as ONE row ``(mins array<double>,
     maxs array<double>)`` — the SQ8 "codebook". One posexplode +
     bounded-key shuffle (dim rows), then a fold to position-ordered
-    arrays; dim-sized output, broadcast by every consumer. At 100 TB
-    train on the same id-mod sample the PQ trainer uses — bounds are
-    order statistics, a sample pins them within clamp noise."""
+    arrays; dim-sized output, broadcast by every consumer.
+
+    By default the FULL corpus is scanned (exact bounds — what
+    ``index_cycle`` commits, so encode/decode is deterministic across
+    engines). ``sample_mod`` is the 100 TB dial, mirroring the PQ
+    trainer's ``id % sample_mod == 0`` sample (r15 ADVICE: the
+    docstring used to claim sampling the implementation didn't do):
+    bounds are order statistics, so a sample pins them within clamp
+    noise at a fraction of the scan — but sampled bounds are only
+    min/max-correct over the sample, so codes of out-of-sample extremes
+    clamp (the standard FAISS ScalarQuantizer trade-off)."""
+    if sample_mod:
+        corpus = corpus.where(F.col(id_col) % sample_mod == 0)
     per_dim = (
         corpus.select(F.posexplode(F.col(emb_col)).alias("pos", "x"))
         .groupBy("pos")

@@ -107,8 +107,10 @@ def quality_columns(text: Column, toks: Column | None = None) -> dict[str, Colum
     )
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
-    stop_ratio = stopword_hits(toks, "en") / n_tokens
-    punct_ratio = n_punct / n_chars
+    # try_divide: degenerate docs yield NULL ratios (the DuckDB twin's
+    # divide-by-zero semantics) instead of an ANSI-mode job crash
+    stop_ratio = F.try_divide(stopword_hits(toks, "en"), n_tokens)
+    punct_ratio = F.try_divide(n_punct, n_chars)
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
         + F.least(F.lit(1.0), stop_ratio * F.lit(4.0)) * 0.3
@@ -116,7 +118,7 @@ def quality_columns(text: Column, toks: Column | None = None) -> dict[str, Colum
     )
     return {
         "n_tokens": n_tokens.cast("bigint"),
-        "mean_token_len": tok_chars / n_tokens,
+        "mean_token_len": F.try_divide(tok_chars, n_tokens),
         "stopword_ratio": stop_ratio,
         "punct_ratio": punct_ratio,
         "quality_score": score,
@@ -799,9 +801,13 @@ def _model_feature_columns(text: Column, toks: Column | None = None) -> dict[str
         "len_saturation": F.least(
             F.lit(1.0), n.cast("double") / F.lit(100.0)
         ),
-        "mean_token_len": tok_chars / n,
-        "punct_ratio": n_punct / n_chars,
-        "stopword_ratio": stopword_hits(t, "en") / n,
+        # try_divide: a degenerate doc (zero tokens / zero chars) must
+        # yield NULL ratios like the DuckDB twin — plain `/` under
+        # Spark 4's default ANSI mode would CRASH the corpus job on
+        # the first empty doc (r15 ADVICE textops.py:862)
+        "mean_token_len": F.try_divide(tok_chars, n),
+        "punct_ratio": F.try_divide(n_punct, n_chars),
+        "stopword_ratio": F.try_divide(stopword_hits(t, "en"), n),
         "top_bigram_cover": F.when(
             n >= 2, F.lit(2.0) * best / n
         ).otherwise(F.lit(0.0)),
@@ -813,13 +819,17 @@ def classifier_score_columns(
 ) -> dict[str, Column]:
     """``score`` (the logit, folded bias-first then sorted feature
     order — the exact bracketing the SQL twin replays) and ``kept``
-    (score >= 0)."""
+    (score >= 0, null-safe: a degenerate doc's NULL logit reads as
+    dropped — see ``classifier_quality_filter``)."""
     m = model_for(version)
     feats = _model_feature_columns(text)
     score = F.lit(float(m["bias"]))
     for f in sorted(m["weights"]):
         score = score + F.lit(float(m["weights"][f])) * feats[f]
-    return {"score": score, "kept": score >= F.lit(0.0)}
+    return {
+        "score": score,
+        "kept": F.coalesce(score >= F.lit(0.0), F.lit(False)),
+    }
 
 
 def classifier_quality_filter(
@@ -859,7 +869,12 @@ def classifier_quality_filter(
         F.col(id_col),
         F.lit(int(version)).alias("model_version"),
         score.alias("score"),
-    ).withColumn("kept", F.col("score") >= F.lit(0.0))
+        # null-safe keep verdict (r15 ADVICE): a degenerate doc (zero
+        # tokens or zero chars) has NULL ratio features hence a NULL
+        # logit — it must be deterministically DROPPED, not emit a NULL
+        # verdict downstream gates fall through; the score stays NULL
+        # (honest: the model genuinely has no opinion)
+    ).withColumn("kept", F.coalesce(F.col("score") >= F.lit(0.0), F.lit(False)))
 
 
 def _top_bigram_cover_sql(toks: str) -> str:
@@ -914,4 +929,6 @@ def classifier_score_sql(
     score = f"CAST({m['bias']!r} AS DOUBLE)"
     for f in sorted(m["weights"]):
         score = f"({score} + CAST({m['weights'][f]!r} AS DOUBLE) * ({feats[f]}))"
-    return {"score": score, "kept": f"(({score}) >= 0.0)"}
+    # kept is null-safe exactly like the Spark side: degenerate docs
+    # (NULL logit) read as dropped, score itself stays NULL
+    return {"score": score, "kept": f"COALESCE(({score}) >= 0.0, FALSE)"}

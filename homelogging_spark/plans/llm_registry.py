@@ -907,7 +907,12 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         quantize(qc["quality_score"]).alias("quality"),
         qc["n_tokens"].alias("n_tokens"),
-        (mdl_score >= F.lit(0.0)).alias("mdl_ok"),
+        # null-safe (r15 ADVICE): a degenerate doc (zero tokens/chars)
+        # yields NULL ratio features hence a NULL logit; without the
+        # coalesce it would fall through every stage CASE branch below
+        # and be mislabeled 'budget' (identically in both engines, so
+        # the oracle could never catch it)
+        F.coalesce(mdl_score >= F.lit(0.0), F.lit(False)).alias("mdl_ok"),
     )
     # h and ranked are each referenced by multiple plan branches of the
     # final assembly (stage CASE + two left joins); without persist the
@@ -919,7 +924,12 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = tracked_persist(
         q.join(rep, "doc_id").withColumn(
             "hyg_ok",
-            F.col("rep_ok") & (F.col("quality") >= F.lit(_BUILD_QUALITY_MIN)),
+            # null-safe like mdl_ok: NULL quality (degenerate doc) must
+            # read as a hygiene drop, not fall out of the verdict CASE
+            F.coalesce(
+                F.col("rep_ok") & (F.col("quality") >= F.lit(_BUILD_QUALITY_MIN)),
+                F.lit(False),
+            ),
         )
     )
     clusters = _shared_clusters(spark, sf_dir).select("doc_id", "cluster_id")
@@ -962,12 +972,12 @@ q AS (
   SELECT doc_id,
          {quantize_sql(_QC['quality_score'])} AS quality,
          {_QC['n_tokens']} AS n_tokens,
-         {textops.classifier_score_sql('text')['kept']} AS mdl_ok
+         COALESCE({textops.classifier_score_sql('text')['kept']}, FALSE) AS mdl_ok
   FROM documents
 ),
 h AS (
   SELECT q.doc_id, q.quality, q.n_tokens, q.mdl_ok,
-         (rep.rep_ok AND q.quality >= {_BUILD_QUALITY_MIN}) AS hyg_ok
+         COALESCE(rep.rep_ok AND q.quality >= {_BUILD_QUALITY_MIN}, FALSE) AS hyg_ok
   FROM q JOIN rep USING (doc_id)
 ),
 ranked AS (

@@ -813,12 +813,13 @@ class TestCapObservability:
         stats = capstats.drain_cap_stats(timeout_s=5)
         assert stats == [{"guard": "pruned_guard", "pruned": True}]
 
-    def test_unavailable_probe_with_timeout_reports_timed_out(self):
-        """r14 ADVICE (capstats.py:120): when there is no usable py4j
-        readiness probe (Spark Connect, or an erroring JVM surface) the
-        timeout path must report timed_out rather than falling through
-        to an unbounded blocking get — the cannot-hang guarantee holds
-        on every session type."""
+    def test_unavailable_probe_with_timeout_attempts_bounded_delivery(self):
+        """r14 ADVICE (capstats.py:120) + r15 ADVICE (capstats.py:303):
+        when there is no usable py4j readiness probe (Spark Connect, or
+        an erroring JVM surface) the timeout path must still ATTEMPT
+        delivery — Observation.get on a daemon thread joined to the
+        deadline — so metrics the session can deliver are delivered,
+        while a get that never returns still cannot hang the drain."""
         import time as _time
 
         from homelogging_spark.functions import capstats
@@ -827,18 +828,36 @@ class TestCapObservability:
             def getRowOrEmpty(self):
                 raise OSError("connection torn down")
 
-        class NoProbeObs:
+        class QuickObs:  # get returns promptly -> metrics delivered
             _jo = ErrJo()
 
             @property
-            def get(self):  # pragma: no cover - must never be reached
-                raise AssertionError("blocking get must not run under timeout")
+            def get(self):
+                return {"buckets": 3, "buckets_split": 1, "max_splits": 2}
 
-        self._enqueue("noprobe_guard", NoProbeObs())
+        class StuckObs:  # get never returns -> bounded timed_out
+            _jo = ErrJo()
+
+            @property
+            def get(self):
+                _time.sleep(60)
+                return {}
+
+        self._enqueue("quick_guard", QuickObs())
+        stats = capstats.drain_cap_stats(timeout_s=5)
+        assert stats == [
+            {
+                "guard": "quick_guard",
+                "buckets": 3,
+                "buckets_split": 1,
+                "max_splits": 2,
+            }
+        ]
+        self._enqueue("stuck_guard", StuckObs())
         t0 = _time.monotonic()
-        stats = capstats.drain_cap_stats(timeout_s=30)
-        assert _time.monotonic() - t0 < 5  # no probe -> no pointless wait
-        assert stats == [{"guard": "noprobe_guard", "timed_out": True}]
+        stats = capstats.drain_cap_stats(timeout_s=0.5)
+        assert _time.monotonic() - t0 < 5  # bounded despite the stuck get
+        assert stats == [{"guard": "stuck_guard", "timed_out": True}]
 
     def test_discard_clears_pending_without_blocking(self, spark):
         """Failure-path hygiene (r14 ADVICE pipeline.py:490): a caller
@@ -1151,6 +1170,22 @@ class TestSq8:
         )
         return df, vecs
 
+    def test_bounds_sample_mod_dial(self, spark):
+        """r15 ADVICE (similarity.py:1393): sample_mod is now a real
+        parameter mirroring the PQ trainer's id-mod sample — sampled
+        bounds equal full-corpus bounds computed over the same subset,
+        and the default remains the exact full scan."""
+        from homelogging_spark.operators import similarity as S
+
+        df, vecs = self._fixture(spark)
+        full = S.sq8_bounds(df).collect()[0]
+        sampled = S.sq8_bounds(df, sample_mod=4).collect()[0]
+        subset = [v for i, v in enumerate(vecs) if i % 4 == 0]
+        for d in range(len(vecs[0])):
+            assert full.mins[d] == min(v[d] for v in vecs)
+            assert sampled.mins[d] == min(v[d] for v in subset)
+            assert sampled.maxs[d] == max(v[d] for v in subset)
+
     def test_codes_match_numpy_reference(self, spark):
         import numpy as np
 
@@ -1250,6 +1285,35 @@ class TestQualityModel:
         assert row.score == expect  # identical fold order -> bit-equal
         assert row.kept == (expect >= 0.0)
         assert row.model_version == T.CURRENT_QUALITY_MODEL
+
+    def test_degenerate_doc_is_deterministically_dropped(self, spark):
+        """r15 ADVICE (textops.py:862): a doc with zero tokens (or zero
+        chars) has NULL ratio features hence a NULL logit — the verdict
+        must coalesce to kept=false in BOTH engines (score stays NULL:
+        the model honestly has no opinion), and the corpus pipeline's
+        stage CASE must attribute the drop instead of falling through
+        to 'budget'."""
+        import duckdb
+
+        from homelogging_spark.operators import textops as T
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "!!!"), (4, "a normal document here")],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r for r in T.classifier_quality_filter(df).collect()}
+        for d in (1, 2):  # zero tokens AND (doc 1) zero chars
+            assert rows[d].score is None and rows[d].kept is False
+        assert rows[4].score is not None
+        # SQL twin agrees on the degenerate rows
+        sql = T.classifier_score_sql("text")
+        got = duckdb.sql(
+            "SELECT doc_id, "
+            f"{sql['score']} AS score, {sql['kept']} AS kept "
+            "FROM (VALUES (1, ''), (2, '   ')) AS t(doc_id, text) "
+            "ORDER BY doc_id"
+        ).fetchall()
+        assert [(r[1], r[2]) for r in got] == [(None, False), (None, False)]
 
     def test_unknown_version_refused_and_feature_set_pinned(self):
         import pytest as _pytest
