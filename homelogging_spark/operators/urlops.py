@@ -1,0 +1,209 @@
+"""URL normalization + registrable-domain curation (r16).
+
+The one common training-data pipeline stage family the engine lacked
+(r15 verdict gap #3): the FineWeb/CCNet-style pre-filter that runs
+AHEAD of text quality — URL canonicalization, registrable-domain
+extraction, domain blocklisting, and the per-domain rollup whose token
+shares feed :func:`sampling.mixture_weights`.
+
+Everything here is a map-side column expression (zero shuffle, no
+UDF); only the domain rollup aggregates, and its key space is the
+registrable-domain set (web-scale ~10^7 — a bounded partial-agg
+shuffle, nothing scales with corpus size except the scan). Every
+expression has a DuckDB twin built from the same regex/list-function
+subset, so the driver's hash gate verifies the normalized STRINGS, not
+row counts.
+
+Normalization contract (documented, deterministic, engine-identical):
+
+1. fragment dropped (``#...``);
+2. scheme and host (incl. port digits) lowercased — path/query case is
+   PRESERVED (path case is significant per RFC 3986; host is not);
+3. default ports stripped (``:80`` for http, ``:443`` for https —
+   non-default ports survive, including ``https://h:80``);
+4. tracking query parameters removed (``TRACKING_PARAM_RE``: utm_*,
+   gclid, fbclid, msclkid, mc_eid, igshid, ref, ref_src), other
+   parameters kept in original order; an emptied query loses its
+   ``?``;
+5. a bare root path with no surviving query collapses
+   (``http://h/`` -> ``http://h``) — deeper trailing slashes are
+   preserved (they can be semantic).
+
+Registrable domain = last two host labels, or last three when the
+two-label tail is a multi-label public suffix (``MULTI_LABEL_SUFFIXES``
+— a documented config SUBSET of the Mozilla public-suffix list, the
+versioned-config design: extending it is a data change, not a code
+change). Blocklists are versioned config the same way
+(``BLOCKLIST_VERSIONS``).
+
+Reference scope note: the reference has no web-curation surface; this
+family extends the commissioned LLM-pipeline tier (BASELINE.md
+north-star), modeled on the C4/CCNet/FineWeb pre-filter stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- config dims --------------------------------------------------------
+
+# lowercase-match regex for query parameters that never change content
+# identity (analytics/attribution); matched against "name" or "name=..."
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+)
+
+# two-label public suffixes under which the registrable domain takes
+# THREE labels (documented subset of the public-suffix list; append-only)
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "ac.uk", "co.in", "co.jp", "co.nz", "co.uk", "co.za", "com.au",
+    "com.br", "com.cn", "com.mx", "gov.uk", "net.au", "org.au", "org.uk",
+)
+
+# versioned domain blocklists (the MERGE_VERSIONS / QUALITY_MODEL_VERSIONS
+# design: curation policy upgrades are data changes; append-only)
+BLOCKLIST_VERSIONS: dict[int, tuple[str, ...]] = {
+    1: ("spam-mill.com", "tracker-farm.net"),
+}
+CURRENT_BLOCKLIST = 1
+
+
+def blocklist_for(version: int = CURRENT_BLOCKLIST) -> tuple[str, ...]:
+    if version not in BLOCKLIST_VERSIONS:
+        raise ValueError(
+            f"unknown domain blocklist version {version!r}; "
+            f"known: {sorted(BLOCKLIST_VERSIONS)}"
+        )
+    return BLOCKLIST_VERSIONS[version]
+
+
+def blocklist_dim(spark: SparkSession) -> DataFrame:
+    """The blocklists as a joinable config table
+    ``(blocklist_version, domain)`` — dim-sized, broadcast by joins."""
+    rows = [
+        (v, d) for v in sorted(BLOCKLIST_VERSIONS) for d in blocklist_for(v)
+    ]
+    return spark.createDataFrame(rows, "blocklist_version int, domain string")
+
+
+# --- normalization columns ----------------------------------------------
+
+def normalize_url_col(url: Column) -> Column:
+    """The five-step normalization above as one JVM expression tree."""
+    u1 = F.regexp_replace(url, r"#.*$", "")  # (1) fragment
+    head = F.regexp_extract(u1, r"^[^:/?#]+://[^/?#]*", 0)
+    tail = F.substring(u1, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)  # (2) scheme+host
+    head = F.when(  # (3) default ports
+        head.startswith("http://"), F.regexp_replace(head, r":80$", "")
+    ).otherwise(F.regexp_replace(head, r":443$", ""))
+    qi = F.instr(tail, "?")
+    path = F.when(qi > 0, F.substring(tail, F.lit(1), qi - 1)).otherwise(tail)
+    query = F.when(qi > 0, F.substring(tail, qi + 1, F.lit(1 << 30))).otherwise(
+        F.lit("")
+    )
+    kept = F.filter(  # (4) tracking params
+        F.split(query, "&"),
+        lambda p: ~F.lower(p).rlike(TRACKING_PARAM_RE),
+    )
+    q_n = F.when(
+        (query != "") & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    path_n = F.when((path == "/") & (q_n == ""), F.lit("")).otherwise(path)  # (5)
+    return F.concat(head, path_n, q_n)
+
+
+def host_col(url_norm: Column) -> Column:
+    """Host of an already-normalized URL, port stripped."""
+    return F.regexp_replace(
+        F.regexp_extract(url_norm, r"^[^:/?#]+://([^/?#]*)", 1),
+        r":[0-9]+$",
+        "",
+    )
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """eTLD+1 under the config suffix subset (module docstring)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: a single-label host (no dot) must degrade to the
+    # host itself, not an ANSI out-of-range error (concat_ws skips the
+    # NULL); the oracle twin only sees >=2-label hosts by construction
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
+    )
+    return F.when(
+        (n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES),
+        F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), last2),
+    ).otherwise(last2)
+
+
+def url_columns(url: Column, blocklist_version: int = CURRENT_BLOCKLIST) -> dict[str, Column]:
+    """``url_norm`` / ``host`` / ``domain`` / ``blocked`` in one dict —
+    callers project them in a single map-side select."""
+    url_norm = normalize_url_col(url)
+    host = host_col(url_norm)
+    domain = registrable_domain_col(host)
+    return {
+        "url_norm": url_norm,
+        "host": host,
+        "domain": domain,
+        "blocked": domain.isin(*blocklist_for(blocklist_version)),
+    }
+
+
+# --- DuckDB twins --------------------------------------------------------
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url_col` — same step order, same
+    regex subset (RE2-safe: no backrefs/lookaround)."""
+    u1 = f"regexp_replace({expr}, '#.*$', '')"
+    head0 = f"COALESCE(regexp_extract({u1}, '^[^:/?#]+://[^/?#]*', 0), '')"
+    tail = f"substr({u1}, length({head0}) + 1)"
+    head1 = f"lower({head0})"
+    head = (
+        f"(CASE WHEN {head1} LIKE 'http://%' "
+        f"THEN regexp_replace({head1}, ':80$', '') "
+        f"ELSE regexp_replace({head1}, ':443$', '') END)"
+    )
+    qi = f"strpos({tail}, '?')"
+    path = f"(CASE WHEN {qi} > 0 THEN substr({tail}, 1, {qi} - 1) ELSE {tail} END)"
+    query = f"(CASE WHEN {qi} > 0 THEN substr({tail}, {qi} + 1) ELSE '' END)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> NOT regexp_matches(lower(p), '{TRACKING_PARAM_RE}'))"
+    )
+    q_n = (
+        f"(CASE WHEN {query} <> '' AND len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END)"
+    )
+    path_n = (
+        f"(CASE WHEN {path} = '/' AND {q_n} = '' THEN '' ELSE {path} END)"
+    )
+    return f"({head} || {path_n} || {q_n})"
+
+
+def host_sql(url_norm_expr: str) -> str:
+    return (
+        f"regexp_replace(COALESCE(regexp_extract({url_norm_expr}, "
+        f"'^[^:/?#]+://([^/?#]*)', 1), ''), ':[0-9]+$', '')"
+    )
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    labels = f"string_split({host_expr}, '.')"
+    n = f"len({labels})"
+    last2 = f"({labels}[{n} - 1] || '.' || {labels}[{n}])"
+    return (
+        f"(CASE WHEN {n} >= 3 AND {last2} IN ({suffixes}) "
+        f"THEN {labels}[{n} - 2] || '.' || {last2} "
+        f"ELSE {last2} END)"
+    )
+
+
+def blocked_sql(domain_expr: str, blocklist_version: int = CURRENT_BLOCKLIST) -> str:
+    doms = ", ".join(f"'{d}'" for d in blocklist_for(blocklist_version))
+    return f"({domain_expr} IN ({doms}))"

@@ -247,6 +247,188 @@ FROM t
 """
 
 
+# --- URL/domain curation ------------------------------------------------------
+
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation panel (r16 — the FineWeb/CCNet pre-filter
+    stage that ran AHEAD of text quality everywhere but here, r15
+    verdict gap #3). Two family-labeled legs over one synthesized
+    URL column (``documents`` carries no URL, so the gate SYNTHESIZES a
+    deterministic messy URL per doc — uppercase schemes/hosts, default
+    and non-default ports, tracking params mixed into real ones,
+    fragments, root paths; the text_clean_panel pattern):
+
+    - ``panel='doc'``: per-doc ``url_norm`` / registrable ``domain`` /
+      blocklist verdict — certifies the whole normalization contract
+      string-for-string (``operators/urlops`` module docstring) and the
+      eTLD+1 extraction incl. multi-label suffixes (retail.co.uk,
+      sample.com.au).
+    - ``panel='domain'``: the per-domain rollup over UNBLOCKED docs fed
+      into ``sampling.mixture_weights`` with uniform targets — n_docs,
+      byte mass, and the acceptance rate that achieves the target mix.
+
+    Scale: normalization/domain/blocklist are map-side column exprs on
+    the corpus scan (zero shuffle, no UDF); the rollup is one bounded
+    partial-agg exchange on the registrable-domain key (~10^7 at web
+    scale) + a window over the dim-sized aggregate. Blocklist and
+    suffix set are versioned config (``urlops.BLOCKLIST_VERSIONS``)."""
+    from homelogging_spark.operators import urlops
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 8 == 0, "example.com")
+        .when(d % 8 == 1, "News.Example.com")
+        .when(d % 8 == 2, "shop.retail.co.uk")
+        .when(d % 8 == 3, "spam-mill.com")
+        .when(d % 8 == 4, "blog.sample.com.au")
+        .when(d % 8 == 5, "ads.tracker-farm.net")
+        .when(d % 8 == 6, "EXAMPLE.org")
+        .otherwise("docs.sub.example.io")
+    )
+    url_raw = F.concat(
+        F.when(d % 3 == 0, "HTTP://").when(d % 3 == 1, "https://").otherwise("http://"),
+        host,
+        F.when(d % 7 == 0, ":80").when(d % 7 == 1, ":443").when(d % 7 == 2, ":8080").otherwise(""),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/Articles/item"), (d % 100).cast("string"))
+        ),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (d % 50).cast("string"),
+                F.lit("&utm_medium=rss"),
+            ),
+        )
+        .when(d % 5 == 1, F.lit("?gclid=zz123"))
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("?id="), (d % 50).cast("string"), F.lit("&ref=sidebar")),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, "#Section2").otherwise(""),
+    )
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", url_raw.alias("url_raw")
+    )
+    u = urlops.url_columns(F.col("url_raw"))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        u["url_norm"].alias("url_norm"),
+        u["domain"].alias("domain"),
+        u["blocked"].alias("blocked"),
+    )
+    doc_leg = base.select(
+        F.lit("doc").alias("panel"),
+        d.cast("string").alias("key"),
+        "url_norm",
+        "domain",
+        "blocked",
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("rate"),
+    )
+    mix = sampling.mixture_weights(
+        base.where(~F.col("blocked")),
+        "domain",
+        F.col("n_chars").cast("bigint"),
+        DOMAIN_MIX_SHARES,
+    )
+    dom_leg = mix.select(
+        F.lit("domain").alias("panel"),
+        F.col("domain").alias("key"),
+        F.lit(None).cast("string").alias("url_norm"),
+        "domain",
+        F.lit(False).alias("blocked"),
+        "n_docs",
+        "n_tokens",
+        quantize("rate").alias("rate"),
+    )
+    return doc_leg.unionByName(dom_leg)
+
+
+# uniform mix target over the five unblocked registrable domains the
+# synthesis produces (config, like MIX_SHARES)
+DOMAIN_MIX_SHARES = {
+    "example.com": 0.2,
+    "example.io": 0.2,
+    "example.org": 0.2,
+    "retail.co.uk": 0.2,
+    "sample.com.au": 0.2,
+}
+
+
+def _oracle_domain_curation() -> str:
+    from homelogging_spark.operators import urlops
+
+    synth = """
+    ((CASE WHEN doc_id % 3 = 0 THEN 'HTTP://'
+           WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END)
+     || (CASE WHEN doc_id % 8 = 0 THEN 'example.com'
+              WHEN doc_id % 8 = 1 THEN 'News.Example.com'
+              WHEN doc_id % 8 = 2 THEN 'shop.retail.co.uk'
+              WHEN doc_id % 8 = 3 THEN 'spam-mill.com'
+              WHEN doc_id % 8 = 4 THEN 'blog.sample.com.au'
+              WHEN doc_id % 8 = 5 THEN 'ads.tracker-farm.net'
+              WHEN doc_id % 8 = 6 THEN 'EXAMPLE.org'
+              ELSE 'docs.sub.example.io' END)
+     || (CASE WHEN doc_id % 7 = 0 THEN ':80'
+              WHEN doc_id % 7 = 1 THEN ':443'
+              WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END)
+     || (CASE WHEN doc_id % 4 = 0 THEN '/'
+              ELSE '/Articles/item' || CAST(doc_id % 100 AS VARCHAR) END)
+     || (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                   || '&utm_medium=rss'
+              WHEN doc_id % 5 = 1 THEN '?gclid=zz123'
+              WHEN doc_id % 5 = 2
+              THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&ref=sidebar'
+              ELSE '' END)
+     || (CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END))
+    """
+    mix_share = (
+        "CASE "
+        + " ".join(
+            f"WHEN domain = '{s}' THEN {v}"
+            for s, v in sorted(DOMAIN_MIX_SHARES.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, n_chars,
+         {urlops.normalize_url_sql(synth)} AS url_norm
+  FROM documents
+), b AS (
+  SELECT doc_id, n_chars, url_norm,
+         {urlops.registrable_domain_sql(urlops.host_sql('url_norm'))} AS domain
+  FROM n
+), v AS (
+  SELECT *, {urlops.blocked_sql('domain')} AS blocked FROM b
+), agg AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+         {mix_share} AS target_share
+  FROM v WHERE NOT blocked GROUP BY domain
+), t AS (
+  SELECT *, sum(n_tokens) OVER () AS total FROM agg
+)
+SELECT 'doc' AS panel, CAST(doc_id AS VARCHAR) AS key, url_norm, domain,
+       blocked, CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS DOUBLE) AS rate
+FROM v
+UNION ALL
+SELECT 'domain', domain, CAST(NULL AS VARCHAR), domain, FALSE, n_docs, n_tokens,
+       {quantize_sql('target_share * total / n_tokens')}
+FROM t
+"""
+
+
+ORACLE_DOMAIN_CURATION = _oracle_domain_curation()
+
+
 # --- real-BPE tokenization + packing -----------------------------------------
 
 def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +497,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample_panel": q_hash_sample_panel,
     "group_topk_sample": q_group_topk_sample,
     "mixture_weights": q_mixture_weights,
+    "domain_curation": q_domain_curation,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -323,4 +506,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "hash_sample_panel": ORACLE_HASH_SAMPLE_PANEL,
     "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+    "domain_curation": ORACLE_DOMAIN_CURATION,
 }
