@@ -119,9 +119,40 @@ MERGE_VERSIONS: dict[int, tuple[tuple[str, str], ...]] = {
         ('u', 'p'), ('a', 'g'), ('ag', 'g'), ('a', 'lu'),
         ('alu', 'e'), ('v', 'alue'), ('e', 'y'), ('k', 'ey'),
     ),
+    # v3: learn_bpe_merges_batched(documents, "text", 32, initial=v2) —
+    # frozen 2026-08-15 (r16 vocab bump; the batched learner's
+    # continuation path, pinned sequential-identical in test_tokenize).
+    # Extends v2 by 25 merges and EXHAUSTS the fixture corpus at
+    # min_freq=2 (the learner stopped early: no pair with freq >= 2
+    # remains), so v3 is this corpus's complete BPE vocabulary.
+    3: (
+        ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'),
+        ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'),
+        ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
+        ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'),
+        ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'),
+        ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
+        ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'),
+        ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'),
+        ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
+        ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'),
+        ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'),
+        ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
+        ('in', 'e'), ('l', 'ine'), ('a', 'b'), ('ab', 'l'),
+        ('abl', 'e'), ('at', 'a'), ('d', 'ata'), ('t', 'able'),
+        ('u', 'p'), ('a', 'g'), ('ag', 'g'), ('a', 'lu'),
+        ('alu', 'e'), ('v', 'alue'), ('e', 'y'), ('k', 'ey'),
+        ('a', 'm'), ('e', 'am'), ('r', 'eam'), ('st', 'ream'),
+        ('d', 'ow'), ('in', 'dow'), ('w', 'indow'), ('par', 'k'),
+        ('s', 'park'), ('g', 'r'), ('gr', 'o'), ('gro', 'up'),
+        ('par', 't'), ('b', 'i'), ('bi', 'g'), ('or', 't'),
+        ('s', 'ort'), ('er', 'y'), ('q', 'u'), ('qu', 'ery'),
+        ('a', 'st'), ('f', 'ast'), ('h', 'e'), ('t', 'he'),
+        ('d', 'up'),
+    ),
 }
 
-CURRENT_VOCAB_VERSION = 2
+CURRENT_VOCAB_VERSION = 3
 
 
 def merges_for(version: int = CURRENT_VOCAB_VERSION) -> list[tuple[str, str]]:
@@ -436,6 +467,147 @@ def learn_bpe_merges(
             if not top or top[0]["freq"] < min_freq:
                 break
             merges.append((top[0]["l"], top[0]["r"]))
+        return merges
+    finally:
+        words.unpersist()
+
+
+def learn_bpe_merges_batched(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_freq: int = 2,
+    initial: Sequence[tuple[str, str]] | None = None,
+    batch_cap: int = 64,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """:func:`learn_bpe_merges`, PROVABLY identical output, in a
+    fraction of the Spark jobs (r15 verdict #2: one job per merge is
+    the last driver-side loop that grows with a model parameter — at a
+    real 32k vocabulary it is a training-path scale-killer).
+
+    Per round ONE pair-count job runs (same tables as the sequential
+    learner), the top ``batch_cap + 1`` pairs come back ranked by the
+    sequential tie-break ``(freq DESC, l, r)``, and the driver accepts
+    the longest prefix that is safe to take as consecutive sequential
+    steps:
+
+    - **token-disjoint prefix**: the walk stops at the first pair
+      sharing a token with an accepted pair (merging ``(a,b)`` can only
+      change counts of pairs CONTAINING ``a`` or ``b``, so
+      disjoint-pair counts are exactly their round-start counts), and
+      stops at any self-pair ``(a,a)`` beyond position 0 (a self-merge
+      can create a pair — e.g. ``(aa,a)`` — bounded only by its own
+      frequency, which breaks the separation argument below);
+    - **strict frequency separation**: accepted pairs are truncated to
+      those with ``freq`` STRICTLY above the first non-accepted pair's
+      (``f_out``). Every pair a batch merge CREATES — ``(x, ab)``,
+      ``(ab, y)`` — is count-bounded by a round-start neighbor pair
+      (``(x, a)`` / ``(b, y)``) that CONTAINS ``a`` or ``b`` and is
+      therefore not in the (token-disjoint) batch, so created-pair
+      frequency <= f_out < every accepted frequency: at each simulated
+      sequential step the accepted pair is still the unique
+      ``(freq, l, r)``-max over old and created pairs alike.
+
+    When truncation leaves nothing (ties at the top, or a leading
+    self-pair), the round degenerates to accepting exactly the top-1 —
+    which IS the sequential step — so progress is guaranteed and the
+    worst case is the sequential learner's schedule. Zipf-shaped
+    corpora spend that worst case only on the first few rounds, where
+    the head pairs contest the same characters.
+
+    ``initial``: already-applied merges (continue an existing frozen
+    vocabulary — how v3 extends v2); the ``n_merges`` budget counts NEW
+    merges only. ``stats`` (optional dict) receives ``rounds`` /
+    ``jobs`` / ``learned`` for SCALE.md-style accounting. Equality with
+    the sequential learner is pinned in ``test_tokenize``."""
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str]] = list(initial or [])
+        n_initial = len(merges)
+        rounds = 0
+        while len(merges) - n_initial < n_merges:
+            budget = n_merges - (len(merges) - n_initial)
+            toks = word_bpe_tokens(F.col("word"), merges)
+            pairs = (
+                words.select("wcount", toks.alias("_toks"))
+                .where(F.size("_toks") >= 2)
+                .select(
+                    "wcount",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("_toks") - 2),
+                            lambda i: F.struct(
+                                F.col("_toks")[i].alias("l"),
+                                F.col("_toks")[i + 1].alias("r"),
+                            ),
+                        )
+                    ).alias("pair"),
+                )
+            )
+            ranked = (
+                pairs.groupBy("pair.l", "pair.r")
+                .agg(F.sum("wcount").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+                .limit(batch_cap + 1)
+                .collect()
+            )
+            rounds += 1
+            if not ranked or ranked[0]["freq"] < min_freq:
+                break
+            used: set[str] = set()
+            accepted: list[tuple[str, str, int]] = []
+            f_out: int | None = None
+            for i, row in enumerate(ranked):
+                l, r, freq = row["l"], row["r"], row["freq"]
+                if (
+                    len(accepted) >= budget
+                    or l in used
+                    or r in used
+                    or (l == r and i > 0)
+                ):
+                    f_out = freq
+                    break
+                accepted.append((l, r, freq))
+                used.update((l, r))
+                if l == r:
+                    # a leading self-pair is only safe SOLO: its created
+                    # pairs (e.g. (aa,a)) are bounded by its own
+                    # frequency, not by any non-batch neighbor — close
+                    # the batch so this round is the sequential step
+                    f_out = (
+                        ranked[i + 1]["freq"] if i + 1 < len(ranked) else None
+                    )
+                    break
+            else:
+                # table exhausted before batch_cap+1 rows: no pair was
+                # left out, so no separation cut is needed
+                f_out = None if len(ranked) <= batch_cap else ranked[-1]["freq"]
+            if f_out is not None:
+                accepted = [a for a in accepted if a[2] > f_out]
+            if not accepted:
+                # ties at the top (or a leading self-pair): take exactly
+                # the sequential step
+                accepted = [(ranked[0]["l"], ranked[0]["r"], ranked[0]["freq"])]
+            take = [a for a in accepted if a[2] >= min_freq]
+            merges.extend((l, r) for l, r, _ in take)
+            if len(take) < len(accepted):
+                break  # sequential stop: best remaining pair < min_freq
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["jobs"] = rounds  # one pair-count job per round
+            stats["learned"] = len(merges) - n_initial
         return merges
     finally:
         words.unpersist()

@@ -1273,11 +1273,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializes the two legs behind its materialization barrier, while
     the duplicated subtrees run concurrently on otherwise-idle cores
     (and the honesty column is dropped entirely in the production path,
-    so the duplication never reaches the 100 TB plan)."""
+    so the duplication never reaches the 100 TB plan).
+
+    r16 window-slot consolidation (funding ``domain_curation`` at the
+    100-query cap): absorbs the retired ``embedding_topk`` row as a
+    third ``method='exact'`` leg — the exact brute-force cosine top-k
+    (``similarity.exact_topk``) emitted verbatim with
+    ``recall_at_k=1.0`` (it IS the truth set the other legs' honesty
+    columns compare against), so one driver row now certifies the
+    baseline and both index families."""
     lsh = q_ann_lsh_topk(spark, sf_dir)
     ivf = q_ann_ivf_topk(spark, sf_dir)
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+    exact = (
+        q_embedding_topk(spark, sf_dir)
+        .withColumnRenamed("vec_id", "cand_id")
+        .withColumn("recall_at_k", F.lit(1.0))
+    )
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "*")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
+        .unionByName(exact.select(F.lit("exact").alias("method"), "*"))
     )
 
 
@@ -1285,6 +1300,10 @@ ORACLE_ANN_TOPK = f"""
 SELECT 'lsh' AS method, * FROM ({ORACLE_ANN_LSH_TOPK})
 UNION ALL
 SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_IVF_TOPK})
+UNION ALL
+SELECT 'exact' AS method, query_id, rank, vec_id AS cand_id, cosine,
+       1.0 AS recall_at_k
+FROM ({ORACLE_EMBEDDING_TOPK})
 """
 
 
@@ -2198,7 +2217,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "leakage_split": q_leakage_split,
     "corpus_build_pipeline": q_corpus_build_pipeline,
-    "embedding_topk": q_embedding_topk,
     "ann_topk": q_ann_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "index_cycle_search": q_index_cycle_search,
@@ -2234,7 +2252,6 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "leakage_split": ORACLE_LEAKAGE_SPLIT,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
-    "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "ann_topk": ORACLE_ANN_TOPK,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,

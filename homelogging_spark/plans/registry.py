@@ -2685,11 +2685,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # local paths, and bpe_pack's 48 merges stay on the expression
     # path.)
     #
-    # r15: the BPE vocab bumped 1 -> 2 (tokenize.MERGE_VERSIONS, 48 ->
-    # 64 merges) — bpe_pack's token counts and therefore its pack
-    # assignments change on the fixtures; its r13 row certifies the v1
-    # vocabulary only.
-    "bpe_pack": 15,
+    # (r15's bpe_pack: 15 tag — vocab v1 -> v2 — expired on its green
+    # CORRECTNESS_r15 row and was superseded by the r16 tag below.)
     # r15: text_quality_panel gained the retired text_stats row's
     # per-language corpus-stats leg (panel discriminator); its r13 row
     # certifies the doc-only shape.
@@ -2698,6 +2695,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # as stage 2 ('model' verdicts; survivor set feeding dedup/budget
     # changed); its r13 row certifies the three-stage pipeline.
     "corpus_build_pipeline": 15,
+    # r16: the BPE vocab bumped 2 -> 3 (64 -> 89 merges, the batched
+    # learner's continuation output — the corpus's complete vocabulary
+    # at min_freq=2); bpe_pack's token counts and pack assignments
+    # change; its r15 row certifies the v2 vocabulary only.
+    "bpe_pack": 16,
+    # r16: ann_topk absorbed the retired embedding_topk row as its
+    # method='exact' leg (window-slot consolidation funding
+    # domain_curation at the 100 cap); its r14 row certifies the
+    # two-leg panel only.
+    "ann_topk": 16,
 }
 
 # Window-slot consolidation history: merged query -> the retired names

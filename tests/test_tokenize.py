@@ -74,6 +74,99 @@ class TestLearner:
         assert merges == [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
 
 
+class TestBatchedLearner:
+    """r16 (r15 verdict #2): the batched learner must emit the EXACT
+    sequential merge list — its whole point is taking provably-safe
+    prefixes of each round's ranked pair table — while spending far
+    fewer Spark jobs than one-per-merge."""
+
+    def test_equals_sequential_on_corpus(self, spark, sf_dir):
+        from homelogging_spark.operators.tokenize import (
+            learn_bpe_merges_batched,
+        )
+        from homelogging_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        seq = learn_bpe_merges(docs, "text", n_merges=40)
+        stats: dict = {}
+        bat = learn_bpe_merges_batched(docs, "text", n_merges=40, stats=stats)
+        assert bat == seq
+        assert stats["learned"] == len(seq)
+        # the scaling claim, measured not asserted-by-faith: strictly
+        # fewer pair-count jobs than merges learned
+        assert stats["rounds"] < len(seq)
+
+    def test_equals_sequential_on_tie_heavy_fixture(self, spark):
+        """Ties at the top and self-pairs are the degenerate paths —
+        the batch must shrink to the exact sequential step, never
+        reorder. 'aaaa bb' makes (a,a)/(b,b) contests; the Sennrich
+        fixture makes freq ties."""
+        from homelogging_spark.operators.tokenize import (
+            learn_bpe_merges_batched,
+        )
+
+        for text in (
+            "aaaa aaaa bb abab",
+            "low low low lower lower",
+            "xy xy yx yx xx yy",
+        ):
+            df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+            seq = learn_bpe_merges(df, "text", n_merges=12, min_freq=2)
+            bat = learn_bpe_merges_batched(df, "text", n_merges=12, min_freq=2)
+            assert bat == seq, f"fixture {text!r}: {bat} != {seq}"
+
+    def test_continuation_from_initial_prefix(self, spark, sf_dir):
+        """`initial=` continues an existing frozen vocabulary: learning
+        k more merges on top of the first m sequential merges equals
+        the first m+k sequential merges — the v2 -> v3 extension path."""
+        from homelogging_spark.operators.tokenize import (
+            learn_bpe_merges_batched,
+        )
+        from homelogging_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        seq = learn_bpe_merges(docs, "text", n_merges=30)
+        cont = learn_bpe_merges_batched(
+            docs, "text", n_merges=len(seq) - 10, initial=seq[:10]
+        )
+        assert cont == seq
+
+    def test_broad_head_batches_many_merges_per_round(self, spark):
+        """Where the pair-frequency head is broad and token-disjoint
+        (real web-scale vocabularies; here 13 disjoint two-letter words
+        at strictly descending counts), one round must learn MANY
+        merges — this is the scaling case the batch rule exists for,
+        and the fixture where a rounds==merges regression would show."""
+        from homelogging_spark.operators.tokenize import (
+            learn_bpe_merges_batched,
+        )
+
+        words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr",
+                 "st", "uv", "wx", "yz"]
+        text = " ".join(
+            " ".join([w] * (100 - 3 * i)) for i, w in enumerate(words)
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        seq = learn_bpe_merges(df, "text", n_merges=13, min_freq=2)
+        stats: dict = {}
+        bat = learn_bpe_merges_batched(
+            df, "text", n_merges=13, min_freq=2, stats=stats
+        )
+        assert bat == seq and len(bat) == 13
+        assert stats["rounds"] <= 2  # 13 sequential jobs collapse to <=2
+
+    def test_min_freq_stop_matches_sequential(self, spark):
+        from homelogging_spark.operators.tokenize import (
+            learn_bpe_merges_batched,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "low low low lower lower")], "doc_id long, text string"
+        )
+        bat = learn_bpe_merges_batched(df, "text", n_merges=10, min_freq=2)
+        assert bat == [("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")]
+
+
 class TestTokenCount:
     def test_count_edges(self, spark):
         df = spark.createDataFrame(
@@ -253,22 +346,23 @@ class TestVersionedMergeConfig:
         )
 
         versions = sorted(MERGE_VERSIONS)
-        assert versions == [1, 2] and CURRENT_VOCAB_VERSION == 2
+        assert versions == [1, 2, 3] and CURRENT_VOCAB_VERSION == 3
         # deterministic learner => every version extends its
         # predecessor (counts computed under v1 stay reproducible from
         # the v2 dim by truncating at v1's rank)
         for lo, hi in zip(versions, versions[1:]):
             assert MERGE_VERSIONS[hi][: len(MERGE_VERSIONS[lo])] == MERGE_VERSIONS[lo]
-        assert merges_for() == DEFAULT_MERGES == list(MERGE_VERSIONS[2])
+        assert merges_for() == DEFAULT_MERGES == list(MERGE_VERSIONS[3])
         with pytest.raises(ValueError, match="unknown vocab_version"):
             merges_for(99)
 
     def test_audit_row_digests_content(self):
         from homelogging_spark.operators.tokenize import vocab_audit
 
-        a1, a2 = vocab_audit(1), vocab_audit(2)
+        a1, a2, a3 = vocab_audit(1), vocab_audit(2), vocab_audit(3)
         assert a1["n_merges"] == 48 and a2["n_merges"] == 64
-        assert a1["merges_md5"] != a2["merges_md5"]
+        assert a3["n_merges"] == 89  # r16: the corpus's full vocab at min_freq=2
+        assert len({a1["merges_md5"], a2["merges_md5"], a3["merges_md5"]}) == 3
         assert vocab_audit(1) == a1  # stable
 
     def test_dim_round_trips_every_version(self, spark):
