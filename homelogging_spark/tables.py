@@ -332,7 +332,17 @@ def inc_zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     row conservation through the fragment → compact → per-partition
     Z-order cycle is oracle-checked end-to-end; the pruning, isolation
     (untouched partitions byte-identical), and convergence invariants
-    live in ``tests/test_maintenance.TestIncrementalLayoutRewrite``."""
+    live in ``tests/test_maintenance.TestIncrementalLayoutRewrite``.
+
+    r16: the rewrite runs through the COMPOSED nightly entry point
+    (``maintenance.nightly_cycle`` layout leg = recover → compact →
+    incremental layout rewrite) instead of calling the rewrite
+    directly, so the registered ``maintenance_panel`` row now certifies
+    the production composition's row conservation, not just the single
+    operator's. Emitted rows are identical either way (the composition
+    adds crash recovery — a no-op here — and the compaction pass, which
+    is row-preserving by the K1 contract); ordering/idempotency/crash
+    pins live in ``TestNightlyCycle``."""
     path = _fixture_path(sf_dir, "inc_zordered")
     srcs = (
         os.path.join(sf_dir, "events.parquet"),
@@ -344,7 +354,7 @@ def inc_zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 import shutil
 
                 from homelogging_spark.operators.maintenance import (
-                    incremental_layout_rewrite,
+                    nightly_cycle,
                 )
 
                 compacted_readings_table(spark, sf_dir)  # ensure built
@@ -354,9 +364,12 @@ def inc_zordered_readings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # compacted fixture's timestamp, so staleness stays keyed
                 # on the SOURCE build time
                 shutil.copytree(src_path, path)
-                incremental_layout_rewrite(
-                    spark, path, ["meter_id", "value"], n_files=8, bits=4
-                )
+                nightly_cycle(
+                    spark,
+                    readings_path=path,
+                    layout_cols=["meter_id", "value"],
+                    layout_kwargs=dict(n_files=8, bits=4),
+                ).collect()
     return spark.read.parquet(path)
 
 

@@ -948,3 +948,147 @@ class TestRenameHardening:
         for uri in ("s3a://b/k", "s3://b/k", "gs://b/k", "wasbs://c@a/k"):
             with pytest.raises(ValueError, match="non-atomic"):
                 _require_rename_atomic(uri, "t")
+
+
+class TestNightlyCycle:
+    """r16 (r15 verdict #5): ONE composed nightly entry — layout cycle +
+    ANN index cycle + rollup refresh — returning a single maintenance-
+    log frame; any stage ordering yields the identical final state, and
+    crash repair holds across the composition."""
+
+    DIM = 8
+
+    def _corpus(self, spark, n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (i + 3)) % 17).cast("double") + F.lit(0.1)
+                    for i in range(self.DIM)
+                ]
+            ).alias("embedding"),
+        )
+
+    def _readings(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        for b in range(6):
+            append_readings(_mk_batch(spark, "P", 1, b * 1000, 200), path)
+        append_readings(_mk_batch(spark, "Q", 2, 0, 200), path)
+        return path
+
+    def _index_kwargs(self):
+        return dict(
+            target_cell_rows=8, k_min=2, n_iters=1, pq_subspaces=2,
+            pq_centroids=4, dim=self.DIM, sample_mod=None,
+        )
+
+    def _run(self, spark, readings, index_root, rollup, order):
+        from homelogging_spark.operators.maintenance import nightly_cycle
+
+        return nightly_cycle(
+            spark,
+            readings_path=readings,
+            layout_cols=["value"],
+            corpus=self._corpus(spark, 64),
+            index_root=index_root,
+            rollup_path=rollup,
+            order=order,
+            layout_kwargs=dict(min_files=10, n_files=4),
+            index_kwargs=self._index_kwargs(),
+        )
+
+    def test_both_orderings_identical_state_and_log(self, spark, tmp_path):
+        from homelogging_spark.operators.maintenance import load_index
+
+        states = {}
+        for order in (("layout", "index", "rollup"), ("index", "rollup", "layout")):
+            tag = "_".join(order)
+            readings = self._readings(spark, tmp_path, f"r_{tag}")
+            index_root = str(tmp_path / f"idx_{tag}")
+            rollup = str(tmp_path / f"roll_{tag}")
+            before = _table_fingerprint(spark, readings)
+            log = {
+                (r.stage, r.action): (r.n, r.detail)
+                for r in self._run(spark, readings, index_root, rollup, order).collect()
+            }
+            assert log[("layout", "recovered")][0] == 0
+            assert log[("layout", "rewritten")] == (1, "series=P/date=2024-01-01")
+            assert log[("index", "refreshed")][0] == 8  # k
+            assert log[("rollup", "refreshed")] == (-1, "full")
+            assert _table_fingerprint(spark, readings) == before
+            states[tag] = (
+                before,
+                load_index(spark, index_root)["centroids"].count(),
+                spark.read.parquet(rollup).count(),
+            )
+        assert len(set(states.values())) == 1  # ordering-independent
+
+    def test_second_run_is_noop_and_logged_as_such(self, spark, tmp_path):
+        readings = self._readings(spark, tmp_path, "r_idem")
+        index_root = str(tmp_path / "idx_idem")
+        rollup = str(tmp_path / "roll_idem")
+        order = ("layout", "index", "rollup")
+        self._run(spark, readings, index_root, rollup, order)
+        log2 = {
+            (r.stage, r.action): r.n
+            for r in self._run(spark, readings, index_root, rollup, order).collect()
+        }
+        assert log2[("layout", "compacted")] == 0
+        assert log2[("layout", "rewritten")] == 0
+        assert ("index", "noop") in log2  # occupancy gate: no re-train
+        # rollup refresh is idempotent by dynamic-overwrite (same rows)
+        assert log2[("rollup", "refreshed")] == -1
+
+    def test_crash_repair_holds_with_index_first(self, spark, tmp_path):
+        """A layout crash from a previous run (complete staging + journal
+        marker, live partition still old) must be rolled FORWARD by the
+        composed cycle even when the index stage runs first — the legs
+        touch disjoint roots, so ordering cannot lose the repair."""
+        import os as _os
+        import shutil as _shutil
+
+        from homelogging_spark.operators.maintenance import (
+            JOURNAL_DIR,
+            TMP_DIR,
+            _flat_name,
+        )
+
+        readings = self._readings(spark, tmp_path, "r_crash")
+        part = "series=Q/date=2024-01-02"
+        flat = _flat_name(part)
+        live = _os.path.join(readings, part)
+        staged = _os.path.join(readings, TMP_DIR, flat)
+        # simulate: staging fully written + marker, crash before swap
+        _shutil.copytree(live, staged)
+        _os.makedirs(_os.path.join(readings, JOURNAL_DIR), exist_ok=True)
+        open(_os.path.join(readings, JOURNAL_DIR, flat), "w").close()
+        before = _table_fingerprint(spark, readings)
+        log = {
+            (r.stage, r.action): (r.n, r.detail)
+            for r in self._run(
+                spark, readings, str(tmp_path / "idx_crash"),
+                str(tmp_path / "roll_crash"), ("index", "layout", "rollup"),
+            ).collect()
+        }
+        assert log[("layout", "recovered")] == (1, part)
+        assert _table_fingerprint(spark, readings) == before
+        assert not _os.path.exists(_os.path.join(readings, JOURNAL_DIR, flat))
+
+    def test_order_validation_and_partial_configs(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from homelogging_spark.operators.maintenance import nightly_cycle
+
+        with _pytest.raises(ValueError, match="order must be distinct"):
+            nightly_cycle(spark, order=("layout", "layout"))
+        with _pytest.raises(ValueError, match="without a corpus"):
+            nightly_cycle(spark, index_root=str(tmp_path / "i"))
+        with _pytest.raises(ValueError, match="without readings_path"):
+            nightly_cycle(spark, rollup_path=str(tmp_path / "r"))
+        # layout-only config: the other legs silently absent
+        readings = self._readings(spark, tmp_path, "r_partial")
+        log = nightly_cycle(
+            spark, readings_path=readings, layout_cols=["value"],
+            layout_kwargs=dict(min_files=10, n_files=4),
+        ).collect()
+        assert {r.stage for r in log} == {"layout"}
