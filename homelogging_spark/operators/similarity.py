@@ -1574,3 +1574,85 @@ def sq8_dequant_sql(codes: str, dim: int) -> str:
         f"list_transform(range({dim}), i -> mins[i+1] + "
         f"CAST(({codes})[i+1] AS DOUBLE) / 255.0 * (maxs[i+1] - mins[i+1]))"
     )
+
+
+# --- OPQ-style structured rotation (r16) --------------------------------------
+#
+# Ge et al. 2013 (Optimized Product Quantization) rotate vectors before
+# PQ so variance spreads evenly across subspaces — contiguous slices of
+# raw embeddings often concentrate energy in a few subspaces, wasting
+# codebook entropy. The learned-R variant needs an SVD per iteration;
+# the standard cheap stand-in (FALCONN / fast-JL practice) is the
+# STRUCTURED rotation y = (1/sqrt(d)) * H * (s ⊙ x): a deterministic
+# ±1 diagonal followed by a Walsh–Hadamard transform. H entries are
+# ±1 ((-1)^popcount(i AND j)), so the rotation is exactly orthogonal,
+# L2 distances are preserved to fp rounding, and — the property
+# everything here hangs on — BOTH engines can replay it bit-for-bit
+# from `bit_count`, with md5-derived signs frozen as literals (the LSH
+# plane discipline). Requires dim to be a power of two.
+
+def hd_signs(dim: int, seed: str = "opq") -> list[float]:
+    """The rotation's ±1 diagonal: md5-derived per dimension, embedded
+    as literals on both engines (deterministic config, not data)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def hd_rotate(emb: Column, dim: int, seed: str = "opq") -> Column:
+    """``y_j = (1/sqrt(dim)) * sum_i (-1)^popcount(i & j) * s_i * x_i``
+    — map-side expression, index-order summation (``_fold_sum``), scale
+    exact for power-of-two dims. O(dim^2) flops per vector: fine for
+    encode/train passes (one corpus scan each); production at large dim
+    would use the O(d log d) butterfly, which is a per-batch numpy
+    Pandas-UDF swap with identical semantics."""
+    if dim & (dim - 1):
+        raise ValueError(f"hd_rotate needs a power-of-two dim, got {dim}")
+    signs = F.array(*[F.lit(s) for s in hd_signs(dim, seed)])
+    sx = F.zip_with(emb, signs, lambda x, s: x.cast("double") * s)
+    scale = 1.0 / float(dim) ** 0.5
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: _fold_sum(
+            F.transform(
+                sx,
+                lambda x, i: F.when(
+                    F.bit_count(i.cast("long").bitwiseAND(j.cast("long"))) % 2
+                    == 1,
+                    -x,
+                ).otherwise(x),
+            )
+        )
+        * F.lit(scale),
+    )
+
+
+def hd_rotate_sql(
+    corpus_sql: str,
+    dim: int,
+    seed: str = "opq",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`hd_rotate` — identical sign literals,
+    identical summation bracketing (``list_reduce``), identical scale.
+    Yields ``(id_col, emb_col)`` with the rotated embedding."""
+    if dim & (dim - 1):
+        raise ValueError(f"hd_rotate_sql needs a power-of-two dim, got {dim}")
+    signs = "[" + ", ".join(repr(s) for s in hd_signs(dim, seed)) + "]"
+    scale = repr(1.0 / float(dim) ** 0.5)
+    return f"""
+SELECT {id_col}, list_transform(range({dim}), j ->
+         list_reduce(list_transform(range({dim}), i ->
+             CASE WHEN bit_count(i & j) % 2 = 1 THEN -sx[i+1] ELSE sx[i+1] END),
+           (x, y) -> x + y) * {scale}) AS {emb_col}
+FROM (SELECT {id_col},
+             list_transform(range({dim}),
+               i -> CAST({emb_col}[i+1] AS DOUBLE) * ({signs})[i+1]) AS sx
+      FROM ({corpus_sql}))
+"""

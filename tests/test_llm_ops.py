@@ -1356,3 +1356,92 @@ class TestQualityModel:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestHdRotation:
+    """r16 OPQ stretch: the structured rotation must be exactly
+    orthogonal, numpy-exact, and bit-equal across engines (the whole
+    OPQ oracle chain hangs on the last property)."""
+
+    DIM = 8
+
+    def _vecs(self):
+        import random
+
+        rng = random.Random(11)
+        return [
+            [round(rng.gauss(0, 1), 3) for _ in range(self.DIM)]
+            for _ in range(6)
+        ]
+
+    def test_numpy_exact_and_orthogonal(self, spark):
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: r.r
+            for r in df.select(
+                "vec_id", S.hd_rotate(F.col("embedding"), self.DIM).alias("r")
+            ).collect()
+        }
+        signs = np.array(S.hd_signs(self.DIM))
+        H = np.array(
+            [
+                [(-1) ** bin(i & j).count("1") for i in range(self.DIM)]
+                for j in range(self.DIM)
+            ],
+            dtype=float,
+        )
+        a = np.array(vecs)
+        ref = (H @ (a * signs).T).T / np.sqrt(self.DIM)
+        assert np.allclose(np.array([got[i] for i in range(6)]), ref, atol=1e-12)
+        # orthogonality: norms and pairwise L2 distances preserved
+        for i in range(6):
+            assert abs(np.linalg.norm(got[i]) - np.linalg.norm(a[i])) < 1e-9
+        d_orig = np.linalg.norm(a[0] - a[1])
+        d_rot = np.linalg.norm(np.array(got[0]) - np.array(got[1]))
+        assert abs(d_orig - d_rot) < 1e-9
+
+    def test_duckdb_twin_bit_equal(self, spark):
+        import duckdb
+
+        from homelogging_spark.operators import similarity as S
+
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: list(r.r)
+            for r in df.select(
+                "vec_id", S.hd_rotate(F.col("embedding"), self.DIM).alias("r")
+            ).collect()
+        }
+        vals = ", ".join(
+            "(%d, [%s])" % (i, ",".join(repr(float(x)) for x in v))
+            for i, v in enumerate(vecs)
+        )
+        sql = S.hd_rotate_sql(
+            f"SELECT vec_id, embedding FROM (VALUES {vals}) t(vec_id, embedding)",
+            self.DIM,
+        )
+        duck = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+        assert duck == got  # bit-equal, not approximately equal
+
+    def test_power_of_two_required_and_signs_frozen(self):
+        import pytest as _pytest
+
+        from homelogging_spark.operators import similarity as S
+
+        with _pytest.raises(ValueError, match="power-of-two"):
+            S.hd_rotate_sql("SELECT 1", 12)
+        s1, s2 = S.hd_signs(16), S.hd_signs(16)
+        assert s1 == s2 and set(s1) == {1.0, -1.0}
+        assert S.hd_signs(16, seed="other") != s1
