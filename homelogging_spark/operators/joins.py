@@ -138,6 +138,111 @@ def bucketed_range_join(
     return joined.drop("__bucket")
 
 
+def detect_hot_keys(
+    fact: DataFrame,
+    keys: Sequence[str],
+    hot_threshold: int,
+    max_hot: int = 64,
+    sample_fraction: float | None = None,
+) -> list[tuple]:
+    """Find the fact-side join keys whose row counts exceed
+    ``hot_threshold`` (at most ``max_hot`` of them, heaviest first).
+
+    Scale design: the census is one ``groupBy(keys).count()`` — partial
+    aggregation means the hot key contributes ONE row per map task, so
+    the shuffle carries the distinct-key table, not the fact. When even
+    that is too wide (billions of distinct keys at 100 TB), pass
+    ``sample_fraction``: the census runs on a Bernoulli sample and the
+    threshold is scaled by the same fraction — skew detection only
+    needs the heavy head, which a sample preserves. The result is a
+    bounded driver-side list (``max_hot`` rows), the one place a
+    collect is correct by construction.
+    """
+    census = fact
+    threshold = hot_threshold
+    if sample_fraction is not None:
+        census = census.sample(fraction=sample_fraction, seed=7)
+        threshold = max(1, int(hot_threshold * sample_fraction))
+    top = (
+        census.groupBy(*keys)
+        .count()
+        .where(F.col("count") >= threshold)
+        .orderBy(F.col("count").desc(), *keys)
+        .limit(max_hot)
+        .select(*keys)
+        .collect()
+    )
+    return [tuple(r) for r in top]
+
+
+def _hot_predicate(keys: Sequence[str], hot: Sequence[tuple]):
+    """OR-of-conjunctions membership test for a bounded hot-key list —
+    a plain JVM boolean expression (pushdown-eligible), exact for
+    multi-column keys where string-concat tricks would risk separator
+    collisions."""
+    pred = F.lit(False)
+    for tup in hot:
+        term = F.lit(True)
+        for k, v in zip(keys, tup):
+            term = term & (F.col(k) == F.lit(v))
+        pred = pred | term
+    return pred
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    hot_keys: Sequence[tuple] | None = None,
+    hot_threshold: int | None = None,
+    max_hot: int = 64,
+    sample_fraction: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-split equi join: row-identical to ``fact.join(dim, keys,
+    how)`` but the hottest fact keys take a broadcast path while the
+    long tail takes the ordinary shuffle join.
+
+    The 100 TB problem this solves: the dim is too large to broadcast
+    whole (so Spark picks a sort-merge/shuffle-hash join) and the fact
+    key distribution is Zipf — a handful of keys own most rows. AQE's
+    skew-join splits an oversized post-shuffle partition across tasks,
+    which fixes task-level stragglers, but every fact row still pays
+    the full shuffle write+read. Here the hot keys' fact rows never
+    shuffle at all: the dim rows for those few keys (a slice bounded by
+    ``max_hot`` keys, small even when the whole dim is not) broadcast
+    to a map-side hash join, and only the tail shuffles — with the
+    skew removed from its key distribution as a side effect.
+
+    ``hot_keys``: caller-supplied key tuples, or None to detect via
+    ``detect_hot_keys`` (requires ``hot_threshold``; see its docstring
+    for the sampled form). ``how``: 'inner' or 'left' — for both, a
+    fact row matches only dim rows of its own key, so partitioning the
+    key space partitions the join exactly; 'right'/'outer' would need
+    unmatched-dim reconciliation across the two branches and is
+    refused rather than silently mis-joined.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        if hot_threshold is None:
+            raise ValueError("pass hot_keys or hot_threshold")
+        hot_keys = detect_hot_keys(
+            fact, keys, hot_threshold, max_hot=max_hot,
+            sample_fraction=sample_fraction,
+        )
+    if not hot_keys:
+        return fact.join(dim, list(keys), how)
+    is_hot = _hot_predicate(keys, hot_keys)
+    hot_branch = fact.where(is_hot).join(
+        F.broadcast(dim.where(is_hot)), list(keys), how
+    )
+    cold_branch = fact.where(~is_hot | is_hot.isNull()).join(
+        dim.where(~is_hot | is_hot.isNull()), list(keys), how
+    )
+    return hot_branch.unionByName(cold_branch)
+
+
 def key_normalized_join(
     left: DataFrame,
     right: DataFrame,

@@ -127,6 +127,103 @@ class TestAsofAndRangeJoins:
         assert [r.tag for r in out] == ["hit"]
 
 
+class TestSkewSplitJoin:
+    """skew_split_join must be row-identical to the plain equi join —
+    the hot/cold split is a physical rewrite only."""
+
+    def _skewed(self, spark):
+        # key 1 owns 80% of the fact; dim has matched, unmatched-in-fact,
+        # and NULL keys; fact has a key absent from dim and a NULL key.
+        fact = spark.createDataFrame(
+            [(1, i) for i in range(80)]
+            + [(k, 100 + k) for k in range(2, 22)]
+            + [(99, 999), (None, 0)],
+            "k long, payload long",
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(1, 22)] + [(50, "d50"), (None, "dnull")],
+            "k long, attr string",
+        )
+        return fact, dim
+
+    def _rows(self, df):
+        return sorted(
+            (tuple(r) for r in df.select("k", "payload", "attr").collect()),
+            key=repr,
+        )
+
+    def test_matches_plain_join_inner_and_left(self, spark):
+        from homelogging_spark.operators.joins import skew_split_join
+
+        fact, dim = self._skewed(spark)
+        for how in ("inner", "left"):
+            plain = fact.join(dim, ["k"], how)
+            split = skew_split_join(
+                fact, dim, ["k"], hot_threshold=50, how=how
+            )
+            assert self._rows(split) == self._rows(plain), how
+
+    def test_caller_supplied_hot_keys_and_empty_hot(self, spark):
+        from homelogging_spark.operators.joins import skew_split_join
+
+        fact, dim = self._skewed(spark)
+        plain = self._rows(fact.join(dim, ["k"], "inner"))
+        assert self._rows(
+            skew_split_join(fact, dim, ["k"], hot_keys=[(1,)])
+        ) == plain
+        # threshold nothing reaches -> degenerates to the plain join
+        assert self._rows(
+            skew_split_join(fact, dim, ["k"], hot_threshold=10_000)
+        ) == plain
+
+    def test_multi_column_keys(self, spark):
+        from homelogging_spark.operators.joins import skew_split_join
+
+        fact = spark.createDataFrame(
+            [("a", 1, i) for i in range(40)] + [("a", 2, 1), ("b", 1, 2)],
+            "g string, k long, payload long",
+        )
+        dim = spark.createDataFrame(
+            [("a", 1, "hot"), ("a", 2, "c1"), ("b", 1, "c2"), ("b", 9, "x")],
+            "g string, k long, attr string",
+        )
+        plain = sorted(tuple(r) for r in fact.join(dim, ["g", "k"]).collect())
+        split = skew_split_join(fact, dim, ["g", "k"], hot_threshold=10)
+        assert sorted(tuple(r) for r in split.collect()) == plain
+
+    def test_plan_has_broadcast_hot_and_shuffled_cold(self, spark):
+        from homelogging_spark.operators.joins import skew_split_join
+
+        fact, dim = self._skewed(spark)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = skew_split_join(
+                fact, dim, ["k"], hot_keys=[(1,)]
+            )._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "BroadcastHashJoin" in plan  # hot branch never shuffles
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_detect_hot_keys_head_and_sampled(self, spark):
+        from homelogging_spark.operators.joins import detect_hot_keys
+
+        fact, _ = self._skewed(spark)
+        assert detect_hot_keys(fact, ["k"], hot_threshold=50) == [(1,)]
+        # sampled census still finds an 80%-of-rows key
+        assert detect_hot_keys(
+            fact, ["k"], hot_threshold=50, sample_fraction=0.5
+        ) == [(1,)]
+
+    def test_unsupported_how_refused(self, spark):
+        from homelogging_spark.operators.joins import skew_split_join
+
+        fact, dim = self._skewed(spark)
+        with pytest.raises(ValueError, match="inner/left"):
+            skew_split_join(fact, dim, ["k"], hot_keys=[(1,)], how="right")
+
+
 class TestSessionizeAndTimeWindows:
     def test_sessionize_gap_boundary_is_strict(self, spark):
         import datetime as dt

@@ -45,7 +45,6 @@ BROADCAST_NESTED_LOOP_OK = {
     # faster than the shuffle form in SCALE.md.
     "kmv_source_overlap",
     "funnel_stages",
-    "embedding_topk",
     # r6 (ann_lsh/ann_ivf, merged into ann_topk in r10): recall@k honesty
     # column joins the exact_topk reference, whose 5-row broadcast query
     # panel is the same benign BNLJ as embedding_topk
@@ -62,11 +61,15 @@ BROADCAST_NESTED_LOOP_OK = {
     "curriculum_order",
     "values_projection",
     "tfidf_top_terms",
-    "pq_codes",
     # r10: the per-query K·M distance table is the queries × codebook
     # broadcast cross — the same constant-width lookup as pq_codes
     # (ADC scoring never touches raw corpus embeddings at all)
     "pq_adc_topk",
+    # r16: composes the retired pq_codes' broadcast-codebook lookup
+    # (absorbed as its method='pq' codes leg), pq_adc_topk's
+    # query × codebook cross, and exact_topk's broadcast-query recall
+    # truth — the same designed constant-width BNLJs, for two methods
+    "opq_panel",
     "length_drift_psi",
     # r15: the 1-row SQ8 bounds broadcast against the corpus scan (a
     # constant-width lookup, the PQ-codebook shape) plus exact_topk's
