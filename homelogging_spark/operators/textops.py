@@ -15,6 +15,7 @@ bottleneck.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -314,6 +315,204 @@ r AS (
 SELECT doc_id, rank, term, tf, df, tfidf
 FROM r WHERE rank <= {k}
 """
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query BM25 top-k lexical retrieval (Robertson/Sparck Jones;
+    the Lucene non-negative idf variant ``ln(1 + (N - df + .5)/(df +
+    .5))``) — the ranked-retrieval complement to ``tfidf_top_terms``
+    (which characterizes docs, not answers queries) and the lexical leg
+    ``rrf_fuse`` hybridizes with the ANN leg.
+
+    ``queries``: (query_id bigint, term string) rows — a bounded query
+    panel (broadcast twice: once to prune the exploded term stream,
+    once to attach query ids), the ann_topk query-side shape.
+
+    Scale shape: the corpus term stream is pruned to QUERY terms by a
+    broadcast semi-join immediately after the explode, so tf, df, and
+    the score aggregation all run on |docs containing a query term| —
+    the full vocabulary table is never built (unlike tf·idf, which
+    needs it by definition). Corpus size N and avgdl are one 1-row
+    aggregate broadcast back (a second corpus scan; production keeps
+    doc length as a stored column or statistic). Ranking sorts the
+    QUANTIZED score (ln's last ulp is engine-specific) with doc-id
+    ties, so the emitted top-k is a pure function of the corpus.
+    """
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.numeric import quantize
+    from homelogging_spark.functions.texthash import tokens
+
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    terms = staged.select(
+        id_col,
+        F.size("__toks").cast("double").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    q_terms = queries.select("term").distinct()
+    matched = terms.join(F.broadcast(q_terms), "term")
+    # tf once per (doc, term) — query ids attach AFTER the heavy agg so
+    # two queries sharing a term reuse the same row
+    tf = matched.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_total") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(idf * tf_norm).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        quantize(F.col("score")).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            quantize("score").alias("score"),
+            "n_terms_hit",
+        )
+    )
+
+
+def bm25_topk_sql(
+    queries_cte: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of ``bm25_topk``. ``queries_cte``: SQL producing
+    (query_id, term) rows, e.g. ``SELECT * FROM (VALUES (0, 'grid'),
+    (0, 'power')) q(query_id, term)``."""
+    from homelogging_spark.functions.numeric import quantize_sql
+    from homelogging_spark.functions.texthash import tokens_sql
+
+    return f"""
+WITH q AS ({queries_cte}),
+staged AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM {source}),
+terms AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+  FROM staged
+),
+matched AS (
+  SELECT t.* FROM terms t
+  WHERE t.term IN (SELECT DISTINCT term FROM q)
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+  FROM matched GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_total, avg(len(toks)) AS avgdl
+  FROM staged
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + (stats.n_total - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * {k1 + 1.0!r}) /
+               (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / stats.avgdl))
+         ) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats JOIN q USING (term)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {quantize_sql('score')} DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, {quantize_sql('score')} AS score, n_terms_hit
+FROM r WHERE rank <= {k}
+"""
+
+
+def rrf_fuse(
+    legs: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists that
+    share (query, id, rank) columns — the standard hybrid-search merge
+    of a lexical (BM25) and a vector (ANN) leg: ``score = Σ_legs
+    1/(c + rank)``, ids absent from a leg contribute nothing.
+
+    Rank-only fusion needs no score calibration between legs — exactly
+    why it is the robust default when one leg is cosine distance and
+    the other a BM25 logit. Each leg is already top-k (bounded), so the
+    union, the fuse aggregation, and the final window are all
+    dim-sized. Output ranks sort by the QUANTIZED fused score with id
+    ties (1/(c+r) sums are double additions; both engines emit the
+    same quantized key)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.numeric import quantize
+
+    tagged = [
+        leg.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias("contrib"),
+        )
+        for leg in legs
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_legs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        quantize(F.col("rrf_score")).desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            quantize("rrf_score").alias("rrf_score"),
+            "n_legs",
+        )
+    )
 
 
 def benchmark_contamination(

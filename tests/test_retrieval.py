@@ -1,0 +1,144 @@
+"""BM25 top-k + reciprocal-rank fusion pins (r16, unit-only — the
+registered panel is an r17 runway candidate, COVERAGE.md r16 moves).
+
+The BM25 scores are hand-computed against the Robertson formula with
+the Lucene idf, and the Spark plan is cross-checked against the DuckDB
+twin on the same fixture — the same two-engine discipline the oracle
+rows enforce for registered queries."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.textops import bm25_topk, bm25_topk_sql, rrf_fuse
+
+DOCS = [
+    (1, "grid power grid power grid"),
+    (2, "power meter reading"),
+    (3, "the quick brown fox"),
+    (4, "grid"),
+    (5, "power power power power power power"),
+]
+QUERY = [(0, "grid"), (0, "power"), (1, "fox")]
+K1, B = 1.2, 0.75
+
+
+def _bm25_expected():
+    toks = {d: t.split() for d, t in DOCS}
+    n = float(len(DOCS))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {}
+    for term in {t for _, t in QUERY}:
+        dfreq[term] = float(sum(1 for v in toks.values() if term in v))
+    out = {}
+    for qid in {q for q, _ in QUERY}:
+        terms = [t for q, t in QUERY if q == qid]
+        for d, v in toks.items():
+            s, hits = 0.0, 0
+            for t in terms:
+                tf = float(v.count(t))
+                if tf == 0:
+                    continue
+                hits += 1
+                idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * len(v) / avgdl)
+                )
+            if hits:
+                out[(qid, d)] = (s, hits)
+    return out
+
+
+class TestBm25:
+    def _run(self, spark, k=10):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        return bm25_topk(docs, q, k=k, k1=K1, b=B).collect()
+
+    def test_scores_match_hand_computation(self, spark):
+        expected = _bm25_expected()
+        rows = self._run(spark)
+        got = {(r.query_id, r.doc_id): (r.score, r.n_terms_hit) for r in rows}
+        assert set(got) == set(expected)
+        for key, (s, hits) in expected.items():
+            # emitted scores are quantized to 6 decimals (cross-engine rule)
+            assert got[key][0] == pytest.approx(s, abs=5.1e-7), key
+            assert got[key][1] == hits, key
+
+    def test_ranks_and_k_cutoff(self, spark):
+        rows = self._run(spark, k=2)
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+        # query 0: doc 1 (3x grid + 2x power) beats the one-term docs;
+        # doc 5 spams the LOW-idf term (power, df=3) so saturation +
+        # idf keep it under doc 1
+        assert sorted(by_q[0])[0] == (1, 1)
+        assert len(by_q[0]) == 2  # k cutoff applied
+        assert by_q[1] == [(1, 3)]  # 'fox' matches only doc 3
+
+    def test_duckdb_twin_emits_identical_rows(self, spark):
+        spark_rows = sorted(
+            tuple(r) for r in self._run(spark)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({d}, '{t}')" for d, t in DOCS)
+            + ") v(doc_id, text)"
+        )
+        q_cte = (
+            "SELECT * FROM (VALUES "
+            + ",".join(f"({q}, '{t}')" for q, t in QUERY)
+            + ") q(query_id, term)"
+        )
+        duck_rows = sorted(
+            tuple(r)
+            for r in con.execute(bm25_topk_sql(q_cte, k=10, k1=K1, b=B)).fetchall()
+        )
+        assert spark_rows == duck_rows
+
+    def test_query_pruning_never_builds_full_vocab(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        plan = (
+            bm25_topk(docs, q)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the query-term prune must be a broadcast join (the explode
+        # output never shuffles at full width)
+        assert "BroadcastHashJoin" in plan
+
+
+class TestRrfFuse:
+    def test_fusion_hand_check_and_leg_counts(self, spark):
+        lex = spark.createDataFrame(
+            [(0, 10, 1), (0, 20, 2), (0, 30, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        vec = spark.createDataFrame(
+            [(0, 20, 1), (0, 40, 2)],
+            "query_id long, doc_id long, rank long",
+        )
+        rows = {r.doc_id: r for r in rrf_fuse([lex, vec], k=10, c=60).collect()}
+        # doc 20: rank 2 lexical + rank 1 vector
+        assert rows[20].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=5.1e-7)
+        assert rows[20].n_legs == 2
+        assert rows[20].rank == 1  # two-leg doc outranks any single-leg
+        assert rows[10].n_legs == 1
+        assert rows[40].rrf_score == pytest.approx(1 / 62, abs=5.1e-7)
+        # exact fused order: 1/61+1/62 > 1/61 > 1/62 > 1/63
+        assert [
+            r.doc_id for r in sorted(rows.values(), key=lambda r: r.rank)
+        ] == [20, 10, 40, 30]
+
+    def test_k_cutoff(self, spark):
+        leg = spark.createDataFrame(
+            [(0, d, r) for r, d in enumerate(range(100, 110), start=1)],
+            "query_id long, doc_id long, rank long",
+        )
+        assert rrf_fuse([leg], k=3).count() == 3
