@@ -169,15 +169,33 @@ def mixture_weights(
     One aggregation (rows → one per stratum) plus a scalar total via a
     window over the tiny aggregate — nothing scales with corpus size
     except the first scan."""
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count).cast("bigint").alias("n_tokens"),
+    )
+    return mixture_weights_from_agg(agg, stratum_col, target_shares)
+
+
+def mixture_weights_from_agg(
+    agg: DataFrame,
+    stratum_col: str,
+    target_shares: dict[str, float],
+) -> DataFrame:
+    """:func:`mixture_weights` from a pre-built per-stratum aggregate
+    (``stratum, n_docs, n_tokens`` — extra columns pass through the
+    caller's own groupBy, not this one). Exists so callers can
+    aggregate FIRST and filter strata on the dim-sized result: a
+    pre-agg predicate like ``where(~blocked)`` gets pushed below the
+    corpus projection by PushDownPredicate, which re-inlines every
+    staged subtree the predicate references into a per-row Filter —
+    the q_domain_curation 3.2 s lesson (SCALE.md r16). Filtering the
+    aggregate costs |strata| rows and leaves the scan's staged
+    projection intact."""
     from pyspark.sql import Window
 
     share = F.lit(0.0)
     for stratum, s in sorted(target_shares.items()):
         share = F.when(F.col(stratum_col) == stratum, F.lit(float(s))).otherwise(share)
-    agg = df.groupBy(stratum_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(token_count).cast("bigint").alias("n_tokens"),
-    )
     total = F.sum("n_tokens").over(Window.partitionBy())
     rate = share * total / F.col("n_tokens")
     return agg.select(

@@ -154,6 +154,105 @@ def url_columns(url: Column, blocklist_version: int = CURRENT_BLOCKLIST) -> dict
     }
 
 
+def with_url_columns(
+    df: DataFrame,
+    url_col: str | Column,
+    blocklist_version: int = CURRENT_BLOCKLIST,
+) -> DataFrame:
+    """Staged form of :func:`url_columns` for corpus-sized scans:
+    appends ``url_norm`` / ``host`` / ``domain`` / ``blocked``.
+
+    Why this exists (the r15 classifier-scoring lesson, SCALE.md):
+    :func:`url_columns` hands back ONE expression tree per output, and
+    Column trees copy their sub-expressions at every reference site —
+    ``domain`` re-derives ``host``, which re-derives ``url_norm``,
+    which re-derives the fragment-stripped URL at each of its ~15
+    internal references, so the four outputs together evaluate the
+    same regexes hundreds of times per row (measured 5+ s at sf0.1 for
+    a "map-side" projection). Here every shared subtree is staged as a
+    real column that the NEXT layer references at least twice — the
+    exact condition under which CollapseProject keeps the stage
+    instead of silently inlining it back — so each regex runs once per
+    row. Output values are bit-identical to :func:`url_columns` (same
+    expressions, same order); only the physical plan differs.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    out = df.withColumn("__u1", F.regexp_replace(u, r"#.*$", ""))
+    out = out.withColumn(
+        "__head0", F.regexp_extract(F.col("__u1"), r"^[^:/?#]+://[^/?#]*", 0)
+    )
+    out = out.withColumn(
+        "__tail",
+        F.substring(F.col("__u1"), F.length("__head0") + 1, F.lit(1 << 30)),
+    ).withColumn("__head1", F.lower(F.col("__head0")))
+    out = out.withColumn(
+        "__head",
+        F.when(
+            F.col("__head1").startswith("http://"),
+            F.regexp_replace(F.col("__head1"), r":80$", ""),
+        ).otherwise(F.regexp_replace(F.col("__head1"), r":443$", "")),
+    ).withColumn("__qi", F.instr(F.col("__tail"), "?"))
+    out = out.withColumn(
+        "__path",
+        F.when(
+            F.col("__qi") > 0,
+            F.substring(F.col("__tail"), F.lit(1), F.col("__qi") - 1),
+        ).otherwise(F.col("__tail")),
+    ).withColumn(
+        "__query",
+        F.when(
+            F.col("__qi") > 0,
+            F.substring(F.col("__tail"), F.col("__qi") + 1, F.lit(1 << 30)),
+        ).otherwise(F.lit("")),
+    )
+    out = out.withColumn(
+        "__kept",
+        F.filter(
+            F.split(F.col("__query"), "&"),
+            lambda p: ~F.lower(p).rlike(TRACKING_PARAM_RE),
+        ),
+    )
+    out = out.withColumn(
+        "__q_n",
+        F.when(
+            (F.col("__query") != "") & (F.size("__kept") > 0),
+            F.concat(F.lit("?"), F.array_join(F.col("__kept"), "&")),
+        ).otherwise(F.lit("")),
+    )
+    out = out.withColumn(
+        "__path_n",
+        F.when(
+            (F.col("__path") == "/") & (F.col("__q_n") == ""), F.lit("")
+        ).otherwise(F.col("__path")),
+    )
+    out = out.withColumn(
+        "url_norm", F.concat(F.col("__head"), F.col("__path_n"), F.col("__q_n"))
+    )
+    out = out.withColumn("host", host_col(F.col("url_norm")))
+    out = out.withColumn("__labels", F.split(F.col("host"), r"\."))
+    out = out.withColumn(
+        "__last2",
+        F.concat_ws(
+            ".",
+            F.try_element_at(F.col("__labels"), F.lit(-2)),
+            F.try_element_at(F.col("__labels"), F.lit(-1)),
+        ),
+    )
+    out = out.withColumn(
+        "domain",
+        F.when(
+            (F.size("__labels") >= 3) & F.col("__last2").isin(*MULTI_LABEL_SUFFIXES),
+            F.concat_ws(
+                ".", F.try_element_at(F.col("__labels"), F.lit(-3)), F.col("__last2")
+            ),
+        ).otherwise(F.col("__last2")),
+    )
+    out = out.withColumn(
+        "blocked", F.col("domain").isin(*blocklist_for(blocklist_version))
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
 # --- DuckDB twins --------------------------------------------------------
 
 def normalize_url_sql(expr: str) -> str:

@@ -1602,16 +1602,42 @@ def q_opq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED per corpus, not assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     rot = _rotated_emb(spark, sf_dir)
+    # the recall truth is ORIGINAL-space exact top-k — method-independent
+    # (the rotation is orthogonal), so compute it once and materialize
+    # its |queries|*k rows instead of re-running the exact pass inside
+    # each method leg (the panel's two legs otherwise carry two
+    # identical exact-topk subtrees; no plan-level CSE crosses a union)
+    exact = similarity.exact_topk(
+        emb.where(F.col("vec_id") < N_QUERY_VECS),
+        emb.where(F.col("vec_id") >= N_QUERY_VECS),
+        k=5,
+    ).localCheckpoint(eager=True)
+    # train the two methods' codebooks concurrently: each build is a
+    # chain of tiny Lloyd jobs (scheduling-bound, not CPU-bound), so the
+    # two chains overlap on the scheduler like pq_codebook's own
+    # per-subspace threads — halves the first-action training wall
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        books = dict(
+            zip(
+                ("pq", "opq_pq"),
+                pool.map(
+                    lambda tag_table: _cached_quantizer(
+                        spark,
+                        sf_dir,
+                        tag_table[0],
+                        lambda: similarity.pq_codebook(
+                            tag_table[1], n_subspaces=4, n_centroids=8, dim=EMB_DIM
+                        ),
+                    ),
+                    (("pq", emb), ("opq_pq", rot)),
+                ),
+            )
+        )
     legs = []
     for method, table, tag in (("pq", emb, "pq"), ("opq", rot, "opq_pq")):
-        codebook = _cached_quantizer(
-            spark,
-            sf_dir,
-            tag,
-            lambda t=table: similarity.pq_codebook(
-                t, n_subspaces=4, n_centroids=8, dim=EMB_DIM
-            ),
-        )
+        codebook = books[tag]
         codes_full = similarity.pq_codes(
             table, n_subspaces=4, n_centroids=8, dim=EMB_DIM, codebook=codebook
         )
@@ -1649,11 +1675,6 @@ def q_opq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=EMB_DIM,
             rank_decimals=6,
         ).withColumnRenamed("vec_id", "cand_id")
-        exact = similarity.exact_topk(
-            emb.where(F.col("vec_id") < N_QUERY_VECS),
-            emb.where(F.col("vec_id") >= N_QUERY_VECS),
-            k=5,
-        )
         rec = similarity.topk_recall(adc, exact, k=5)
         legs.append(
             rec.select(

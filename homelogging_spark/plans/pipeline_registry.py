@@ -311,13 +311,11 @@ def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars", url_raw.alias("url_raw")
     )
-    u = urlops.url_columns(F.col("url_raw"))
-    base = docs.select(
-        "doc_id",
-        "n_chars",
-        u["url_norm"].alias("url_norm"),
-        u["domain"].alias("domain"),
-        u["blocked"].alias("blocked"),
+    # staged form: the single-tree url_columns dict re-evaluates the
+    # shared regex subtrees at every reference site (measured 5+ s at
+    # sf0.1); with_url_columns stages them once per row (SCALE.md r16)
+    base = urlops.with_url_columns(docs, "url_raw").select(
+        "doc_id", "n_chars", "url_norm", "domain", "blocked"
     )
     doc_leg = base.select(
         F.lit("doc").alias("panel"),
@@ -329,10 +327,20 @@ def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_tokens"),
         F.lit(None).cast("double").alias("rate"),
     )
-    mix = sampling.mixture_weights(
-        base.where(~F.col("blocked")),
+    # aggregate FIRST and filter the 8-row aggregate: a pre-agg
+    # where(~blocked) is pushed below the staged projection and
+    # re-inlines the whole URL tree into a per-row Filter (SCALE.md
+    # r16, 3.2 s -> ms). blocked must ride as an AGGREGATE OUTPUT
+    # (first(), constant per domain), not a group key — a predicate on
+    # a group key pushes below the Aggregate all the same.
+    per_domain = base.groupBy("domain").agg(
+        F.first("blocked").alias("blocked"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    mix = sampling.mixture_weights_from_agg(
+        per_domain.where(~F.col("blocked")).drop("blocked"),
         "domain",
-        F.col("n_chars").cast("bigint"),
         DOMAIN_MIX_SHARES,
     )
     dom_leg = mix.select(
