@@ -126,6 +126,26 @@ class TestPlanQuality:
         assert "event_type" in read_schema
         assert "value" not in read_schema and "event_id" not in read_schema
 
+    def test_domain_curation_filter_stays_above_projection(self, spark):
+        """The r16 pushdown-trap pin (SCALE.md): the mixture leg's
+        blocked-stratum filter must run on the dim-sized aggregate, not
+        be pushed below the staged URL projection — where
+        PushDownPredicate would re-inline the whole regex tree into a
+        per-row Filter at the scan (measured 3.2 s vs ms at sf0.1)."""
+        from homelogging_spark.plans.pipeline_registry import q_domain_curation
+
+        df = q_domain_curation(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for chunk in opt.split("Filter ")[1:]:
+            predicate = chunk.splitlines()[0]
+            assert "regexp_extract" not in predicate, (
+                "blocked-filter re-inlined the URL tree into a per-row "
+                "Filter — aggregate-first with first(blocked) regressed"
+            )
+        # the whole optimized plan stays bounded (was 91 KB when the
+        # single-tree projection + pushed filter both re-inlined)
+        assert len(opt) < 30_000
+
     def test_dim_join_broadcasts(self, spark):
         from homelogging_spark.plans.registry import QUERIES
 
