@@ -151,6 +151,72 @@ def group_topk_sample(
     )
 
 
+def weighted_group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "wtopk",
+) -> DataFrame:
+    """Exactly-k-per-group sample WEIGHTED without replacement
+    (Efraimidis–Spirakis 2006 A-ES): rank rows by ``u^(1/w)``
+    descending with the deterministic key-hash uniform ``u`` — the
+    size-biased complement to :func:`group_topk_sample` (uniform) and
+    :func:`weighted_hash_sample` (Bernoulli, random size). Rows with
+    ``w <= 0`` or NULL weight never qualify (their key is NULL and
+    NULLs sort last under DESC in both engines — filtered anyway for
+    explicitness).
+
+    Same scale shape as group_topk_sample: one shuffle on the group
+    key, rank-k window. Cross-engine determinism: ``pow`` is a libm
+    call whose last ulp is engine-specific, so the rank key is
+    QUANTIZED (9 decimals — far above the ~1e-16 relative libm
+    disagreement, far below the key spacing of any group that fits in
+    memory) and ties break by ``key_col`` — the tfidf_top_terms rule.
+    ``aes_key`` is emitted so callers can audit the draw."""
+    from pyspark.sql import Window
+
+    from homelogging_spark.functions.numeric import quantize
+
+    u = uniform_from_key(F.col(key_col), salt)
+    aes = quantize(
+        F.pow(u, F.lit(1.0) / weight.cast("double")), decimals=9
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("aes_key").desc(), key_col)
+    return (
+        df.where(weight.cast("double") > 0)
+        .withColumn("aes_key", aes)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def weighted_group_topk_sql(
+    source: str,
+    group_col: str,
+    key_col: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "wtopk",
+) -> str:
+    """DuckDB twin of :func:`weighted_group_topk_sample`."""
+    from homelogging_spark.functions.numeric import quantize_sql
+
+    u = uniform_sql(key_col, salt)
+    aes = quantize_sql(f"pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE))", decimals=9)
+    return f"""
+SELECT * FROM (
+  SELECT *, {aes} AS aes_key,
+         CAST(row_number() OVER (
+              PARTITION BY {group_col}
+              ORDER BY {aes} DESC, {key_col}) AS BIGINT) AS rank
+  FROM {source}
+  WHERE CAST({weight_expr} AS DOUBLE) > 0
+) WHERE rank <= {k}
+"""
+
+
 def mixture_weights(
     df: DataFrame,
     stratum_col: str,

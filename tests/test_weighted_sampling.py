@@ -1,0 +1,91 @@
+"""Efraimidis–Spirakis weighted exactly-k sampling pins (r16,
+unit-only — r17 registration candidate, COVERAGE.md r16 moves).
+
+Expected draws are recomputed in pure Python from the same md5
+uniforms and the same quantized A-ES key, and the DuckDB twin must
+emit identical rows — the registered-query discipline applied at unit
+level."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from homelogging_spark.operators.sampling import (
+    weighted_group_topk_sample,
+    weighted_group_topk_sql,
+)
+
+ROWS = [
+    # (grp, id, weight) — weights span 3 orders of magnitude; one zero,
+    # one NULL-ish (negative) that must never be drawn
+    ("a", 1, 100.0), ("a", 2, 1.0), ("a", 3, 10.0), ("a", 4, 0.5),
+    ("a", 5, 0.0), ("a", 6, -3.0), ("a", 7, 25.0), ("a", 8, 2.0),
+    ("b", 10, 1.0), ("b", 11, 1.0), ("b", 12, 1000.0),
+]
+K, SALT = 3, "wtopk"
+
+
+def _u(key: int) -> float:
+    hx = hashlib.md5(f"{SALT}|{key}".encode()).hexdigest()
+    return int(hx[:13], 16) / float(1 << 52)
+
+
+def _expected():
+    out = {}
+    for grp in {g for g, _, _ in ROWS}:
+        scored = []
+        for g, i, w in ROWS:
+            if g != grp or w <= 0:
+                continue
+            aes = math.floor((_u(i) ** (1.0 / w)) * 1e9 + 0.5) / 1e9
+            scored.append((-aes, i))
+        scored.sort()
+        out[grp] = [(i, rank + 1, -neg) for rank, (neg, i) in enumerate(scored[:K])]
+    return out
+
+
+class TestWeightedGroupTopk:
+    def _run(self, spark):
+        df = spark.createDataFrame(ROWS, "grp string, id long, w double")
+        return weighted_group_topk_sample(
+            df, "grp", "id", F.col("w"), K, salt=SALT
+        ).collect()
+
+    def test_matches_python_reference(self, spark):
+        exp = _expected()
+        got = {}
+        for r in self._run(spark):
+            got.setdefault(r.grp, []).append((r.id, r.rank, r.aes_key))
+        for grp in exp:
+            assert sorted(got[grp], key=lambda t: t[1]) == exp[grp], grp
+
+    def test_nonpositive_weights_never_drawn(self, spark):
+        drawn = {r.id for r in self._run(spark)}
+        assert 5 not in drawn and 6 not in drawn
+
+    def test_high_weight_dominates(self, spark):
+        # w=1000 vs w=1: u^(1/1000) is near 1 for any u — id 12 must
+        # lead group b under any uniform draw
+        by_b = [r for r in self._run(spark) if r.grp == "b"]
+        assert min(by_b, key=lambda r: r.rank).id == 12
+
+    def test_duckdb_twin_identical(self, spark):
+        spark_rows = sorted(
+            (r.grp, r.id, r.rank, r.aes_key) for r in self._run(spark)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"('{g}', {i}, {w})" for g, i, w in ROWS)
+            + ") v(grp, id, w)"
+        )
+        sql = weighted_group_topk_sql("t", "grp", "id", "w", K, salt=SALT)
+        duck_rows = sorted(
+            (r[0], r[1], r[4], r[3])
+            for r in con.execute(sql).fetchall()
+        )
+        assert spark_rows == duck_rows
