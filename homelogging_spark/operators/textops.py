@@ -325,6 +325,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doc_len_col: str | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k lexical retrieval (Robertson/Sparck Jones;
     the Lucene non-negative idf variant ``ln(1 + (N - df + .5)/(df +
@@ -341,8 +342,12 @@ def bm25_topk(
     the score aggregation all run on |docs containing a query term| —
     the full vocabulary table is never built (unlike tf·idf, which
     needs it by definition). Corpus size N and avgdl are one 1-row
-    aggregate broadcast back (a second corpus scan; production keeps
-    doc length as a stored column or statistic). Ranking sorts the
+    aggregate broadcast back — by default a second tokenizing scan;
+    ``doc_len_col`` is the 100 TB dial: point it at a STORED
+    token-count column (``bpe_token_count_udf`` output, an ingest
+    statistic) and the stats pass aggregates two numeric columns
+    instead of re-tokenizing the text (same emitted rows when the
+    stored lengths equal the tokenizer's — pinned). Ranking sorts the
     QUANTIZED score (ln's last ulp is engine-specific) with doc-id
     ties, so the emitted top-k is a pure function of the corpus.
     """
@@ -351,10 +356,19 @@ def bm25_topk(
     from homelogging_spark.functions.numeric import quantize
     from homelogging_spark.functions.texthash import tokens
 
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    if doc_len_col is not None:
+        staged = df.select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("__toks"),
+            F.col(doc_len_col).cast("double").alias("__dl"),
+        )
+    else:
+        staged = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        ).withColumn("__dl", F.size("__toks").cast("double"))
     terms = staged.select(
         id_col,
-        F.size("__toks").cast("double").alias("dl"),
+        F.col("__dl").alias("dl"),
         F.explode("__toks").alias("term"),
     )
     q_terms = queries.select("term").distinct()
@@ -365,10 +379,17 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    stats = staged.agg(
-        F.count(F.lit(1)).cast("double").alias("n_total"),
-        F.avg(F.size("__toks")).alias("avgdl"),
-    )
+    if doc_len_col is not None:
+        # the dial: stats from the stored length column — no tokenizing
+        stats = df.agg(
+            F.count(F.lit(1)).cast("double").alias("n_total"),
+            F.avg(F.col(doc_len_col).cast("double")).alias("avgdl"),
+        )
+    else:
+        stats = staged.agg(
+            F.count(F.lit(1)).cast("double").alias("n_total"),
+            F.avg(F.size("__toks")).alias("avgdl"),
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_total") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -102,6 +102,23 @@ class TestBm25:
         )
         assert spark_rows == duck_rows
 
+    def test_stored_doc_len_dial_identical(self, spark):
+        # the 100 TB dial: a stored token-count column must reproduce
+        # the default (re-tokenizing) path row for row
+        docs = spark.createDataFrame(
+            [(d, t, len(t.split())) for d, t in DOCS],
+            "doc_id long, text string, n_toks long",
+        )
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        default = sorted(tuple(r) for r in bm25_topk(docs, q, k1=K1, b=B).collect())
+        dialed = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, q, k1=K1, b=B, doc_len_col="n_toks"
+            ).collect()
+        )
+        assert default == dialed
+
     def test_query_pruning_never_builds_full_vocab(self, spark):
         docs = spark.createDataFrame(DOCS, "doc_id long, text string")
         q = spark.createDataFrame(QUERY, "query_id long, term string")
