@@ -238,6 +238,17 @@ class TestPlanQuality:
                 and name not in BROADCAST_NESTED_LOOP_OK
             ):
                 offenders.append((name, "BroadcastNestedLoopJoin"))
+            # registry-wide pushdown-trap gate (SCALE.md r16): a Filter
+            # whose predicate text runs to kilobytes is a derived-column
+            # predicate that PushDownPredicate re-inlined below its
+            # staged projection — domain_curation's was tens of KB and
+            # cost 17x; the registry-wide max today is ~0.4 KB
+            worst = max(
+                (len(c.splitlines()[0]) for c in plan.split("Filter ")[1:]),
+                default=0,
+            )
+            if worst > 4000:
+                offenders.append((name, f"Filter predicate {worst} chars"))
         assert offenders == []
 
 
