@@ -549,6 +549,13 @@ def benchmark_contamination(
     distinct word-``shingle_n``-gram hashes with any benchmark doc —
     the standard guard against eval-set leakage into training data.
 
+    This is the EXACT-overlap form (the GPT-3/PaLM n-gram-collision
+    style). The fuzzy whole-doc complement needs no new operator:
+    ``dedup.incremental_dedup(new_df=corpus, old_df=benchmark)`` is
+    precisely near-dup decontamination — one verdict row per corpus
+    doc against the benchmark's LSH band buckets, cross-frame only,
+    with ``dup_of`` naming the matched benchmark doc.
+
     Scale shape — never all-pairs: both sides explode to (gram_hash,
     doc) rows; candidates form ONLY via the equi-join on the 60-bit
     gram hash (8-byte keys, not gram strings); the per-(corpus, bench)
