@@ -2685,16 +2685,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # local paths, and bpe_pack's 48 merges stay on the expression
     # path.)
     #
-    # (r15's bpe_pack: 15 tag — vocab v1 -> v2 — expired on its green
-    # CORRECTNESS_r15 row and was superseded by the r16 tag below.)
-    # r15: text_quality_panel gained the retired text_stats row's
-    # per-language corpus-stats leg (panel discriminator); its r13 row
-    # certifies the doc-only shape.
-    "text_quality_panel": 15,
-    # r15: the end-to-end build audit gained the model-classifier gate
-    # as stage 2 ('model' verdicts; survivor set feeding dedup/budget
-    # changed); its r13 row certifies the three-stage pipeline.
-    "corpus_build_pipeline": 15,
+    # (r15's three tags — bpe_pack v1->v2, text_quality_panel's lang
+    # leg, corpus_build_pipeline's model stage — all expired on their
+    # green CORRECTNESS_r15 rows and were pruned in r16; bpe_pack was
+    # immediately re-tagged below for the v3 vocab.)
     # r16: the BPE vocab bumped 2 -> 3 (64 -> 89 merges, the batched
     # learner's continuation output — the corpus's complete vocabulary
     # at min_freq=2); bpe_pack's token counts and pack assignments
