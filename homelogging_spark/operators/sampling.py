@@ -172,20 +172,31 @@ def weighted_group_topk_sample(
     key, rank-k window. Cross-engine determinism: ``pow`` is a libm
     call whose last ulp is engine-specific, so the rank key is
     QUANTIZED (9 decimals — far above the ~1e-16 relative libm
-    disagreement, far below the key spacing of any group that fits in
-    memory) and ties break by ``key_col`` — the tfidf_top_terms rule.
-    ``aes_key`` is emitted so callers can audit the draw."""
+    disagreement) and ties break by ``key_col`` — the tfidf_top_terms
+    rule. ``aes_key`` is emitted so callers can audit the draw.
+
+    Weights are NORMALIZED by the group maximum before exponentiation
+    (r17, r16 ADVICE): the rank key is ``u^(w_max/w)``. A-ES ordering
+    is scale-invariant (``u^(1/(c*w))`` is a monotone transform of
+    ``u^(1/w)`` for ``c > 0``), so the draw distribution is unchanged,
+    but raw byte-count-sized weights (w ~ 1e8, where every ``u^(1/w)``
+    rounds to 1.0 at 9 decimals) can no longer flatten the key to
+    all-ties. Post-normalization the heaviest rows have exponent ~1
+    (keys spread like u itself); only negligible-relative-weight rows
+    (w_max/w ≳ 1e9) can still quantize to a 0.0 tie, and those lose
+    the draw anyway. The group max is a window over the same
+    partitioning as the rank — no extra exchange."""
     from pyspark.sql import Window
 
     from homelogging_spark.functions.numeric import quantize
 
     u = uniform_from_key(F.col(key_col), salt)
-    aes = quantize(
-        F.pow(u, F.lit(1.0) / weight.cast("double")), decimals=9
-    )
+    wd = weight.cast("double")
+    wmax = F.max(wd).over(Window.partitionBy(group_col))
+    aes = quantize(F.pow(u, wmax / wd), decimals=9)
     w = Window.partitionBy(group_col).orderBy(F.col("aes_key").desc(), key_col)
     return (
-        df.where(weight.cast("double") > 0)
+        df.where(wd > 0)
         .withColumn("aes_key", aes)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
@@ -200,19 +211,26 @@ def weighted_group_topk_sql(
     k: int,
     salt: str = "wtopk",
 ) -> str:
-    """DuckDB twin of :func:`weighted_group_topk_sample`."""
+    """DuckDB twin of :func:`weighted_group_topk_sample` — same
+    group-max weight normalization, same quantized key."""
     from homelogging_spark.functions.numeric import quantize_sql
 
     u = uniform_sql(key_col, salt)
-    aes = quantize_sql(f"pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE))", decimals=9)
+    aes = quantize_sql(
+        f"pow({u}, __wmax / CAST({weight_expr} AS DOUBLE))", decimals=9
+    )
     return f"""
-SELECT * FROM (
+SELECT * EXCLUDE (__wmax) FROM (
   SELECT *, {aes} AS aes_key,
          CAST(row_number() OVER (
               PARTITION BY {group_col}
               ORDER BY {aes} DESC, {key_col}) AS BIGINT) AS rank
-  FROM {source}
-  WHERE CAST({weight_expr} AS DOUBLE) > 0
+  FROM (
+    SELECT *, max(CAST({weight_expr} AS DOUBLE)) OVER (
+                  PARTITION BY {group_col}) AS __wmax
+    FROM {source}
+    WHERE CAST({weight_expr} AS DOUBLE) > 0
+  )
 ) WHERE rank <= {k}
 """
 

@@ -398,10 +398,14 @@ def bm25_topk(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    # r17 (r16 ADVICE): dedup (query_id, term) ahead of the scoring
+    # join too — a duplicated term row in the panel would double-count
+    # that term's contribution in score AND n_terms_hit
+    q_pairs = queries.select("query_id", "term").distinct()
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(queries), "term")
+        .join(F.broadcast(q_pairs), "term")
         .groupBy("query_id", id_col)
         .agg(
             F.sum(idf * tf_norm).alias("score"),
@@ -464,7 +468,8 @@ scored AS (
                (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl / stats.avgdl))
          ) AS score,
          CAST(count(*) AS BIGINT) AS n_terms_hit
-  FROM tf JOIN dfreq USING (term) CROSS JOIN stats JOIN q USING (term)
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       JOIN (SELECT DISTINCT query_id, term FROM q) q USING (term)
   GROUP BY 1, 2
 ),
 r AS (

@@ -20,7 +20,9 @@ Normalization contract (documented, deterministic, engine-identical):
 2. scheme and host (incl. port digits) lowercased — path/query case is
    PRESERVED (path case is significant per RFC 3986; host is not);
 3. default ports stripped (``:80`` for http, ``:443`` for https —
-   non-default ports survive, including ``https://h:80``);
+   non-default ports survive, including ``https://h:80``; other
+   schemes keep their port untouched, including ``ftp://h:443`` —
+   r17, the r16 verdict's over-wide ELSE branch);
 4. tracking query parameters removed (``TRACKING_PARAM_RE``: utm_*,
    gclid, fbclid, msclkid, mc_eid, igshid, ref, ref_src), other
    parameters kept in original order; an emptied query loses its
@@ -55,10 +57,15 @@ TRACKING_PARAM_RE = (
 )
 
 # two-label public suffixes under which the registrable domain takes
-# THREE labels (documented subset of the public-suffix list; append-only)
+# THREE labels (documented subset of the public-suffix list; append-only
+# policy — entries are never removed; r17 widened the initial 14 with
+# the common ccTLD second-level registries below)
 MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
-    "ac.uk", "co.in", "co.jp", "co.nz", "co.uk", "co.za", "com.au",
-    "com.br", "com.cn", "com.mx", "gov.uk", "net.au", "org.au", "org.uk",
+    "ac.jp", "ac.uk", "co.id", "co.il", "co.in", "co.jp", "co.kr",
+    "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br",
+    "com.cn", "com.hk", "com.mx", "com.my", "com.pl", "com.sg",
+    "com.tr", "com.tw", "com.vn", "edu.au", "gov.au", "gov.uk",
+    "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
 )
 
 # versioned domain blocklists (the MERGE_VERSIONS / QUALITY_MODEL_VERSIONS
@@ -95,9 +102,13 @@ def normalize_url_col(url: Column) -> Column:
     head = F.regexp_extract(u1, r"^[^:/?#]+://[^/?#]*", 0)
     tail = F.substring(u1, F.length(head) + 1, F.lit(1 << 30))
     head = F.lower(head)  # (2) scheme+host
-    head = F.when(  # (3) default ports
-        head.startswith("http://"), F.regexp_replace(head, r":80$", "")
-    ).otherwise(F.regexp_replace(head, r":443$", ""))
+    head = (
+        F.when(  # (3) default ports — scheme-gated both ways (r17)
+            head.startswith("http://"), F.regexp_replace(head, r":80$", "")
+        )
+        .when(head.startswith("https://"), F.regexp_replace(head, r":443$", ""))
+        .otherwise(head)
+    )
     qi = F.instr(tail, "?")
     path = F.when(qi > 0, F.substring(tail, F.lit(1), qi - 1)).otherwise(tail)
     query = F.when(qi > 0, F.substring(tail, qi + 1, F.lit(1 << 30))).otherwise(
@@ -177,6 +188,15 @@ def with_url_columns(
     expressions, same order); only the physical plan differs.
     """
     u = F.col(url_col) if isinstance(url_col, str) else url_col
+    # drop exactly the staging columns THIS function adds — never a
+    # caller's own '__'-prefixed columns (r17 ADVICE fix); a colliding
+    # input name would be silently overwritten by withColumn, so refuse
+    collide = _STAGING_COLUMNS.intersection(df.columns)
+    if collide:
+        raise ValueError(
+            f"with_url_columns staging columns already present in input: "
+            f"{sorted(collide)}; rename them before calling"
+        )
     out = df.withColumn("__u1", F.regexp_replace(u, r"#.*$", ""))
     out = out.withColumn(
         "__head0", F.regexp_extract(F.col("__u1"), r"^[^:/?#]+://[^/?#]*", 0)
@@ -190,7 +210,12 @@ def with_url_columns(
         F.when(
             F.col("__head1").startswith("http://"),
             F.regexp_replace(F.col("__head1"), r":80$", ""),
-        ).otherwise(F.regexp_replace(F.col("__head1"), r":443$", "")),
+        )
+        .when(
+            F.col("__head1").startswith("https://"),
+            F.regexp_replace(F.col("__head1"), r":443$", ""),
+        )
+        .otherwise(F.col("__head1")),
     ).withColumn("__qi", F.instr(F.col("__tail"), "?"))
     out = out.withColumn(
         "__path",
@@ -250,7 +275,18 @@ def with_url_columns(
     out = out.withColumn(
         "blocked", F.col("domain").isin(*blocklist_for(blocklist_version))
     )
-    return out.drop(*[c for c in out.columns if c.startswith("__")])
+    return out.drop(*sorted(_STAGING_COLUMNS))
+
+
+# the fixed set of intermediate columns with_url_columns stages (and
+# drops); kept as data so the drop can never swallow caller columns
+_STAGING_COLUMNS: frozenset[str] = frozenset(
+    {
+        "__u1", "__head0", "__tail", "__head1", "__head", "__qi",
+        "__path", "__query", "__kept", "__q_n", "__path_n",
+        "__labels", "__last2",
+    }
+)
 
 
 # --- DuckDB twins --------------------------------------------------------
@@ -265,7 +301,9 @@ def normalize_url_sql(expr: str) -> str:
     head = (
         f"(CASE WHEN {head1} LIKE 'http://%' "
         f"THEN regexp_replace({head1}, ':80$', '') "
-        f"ELSE regexp_replace({head1}, ':443$', '') END)"
+        f"WHEN {head1} LIKE 'https://%' "
+        f"THEN regexp_replace({head1}, ':443$', '') "
+        f"ELSE {head1} END)"
     )
     qi = f"strpos({tail}, '?')"
     path = f"(CASE WHEN {qi} > 0 THEN substr({tail}, 1, {qi} - 1) ELSE {tail} END)"

@@ -81,6 +81,37 @@ class TestBm25:
         assert len(by_q[0]) == 2  # k cutoff applied
         assert by_q[1] == [(1, 3)]  # 'fox' matches only doc 3
 
+    def test_duplicate_query_terms_do_not_double_count(self, spark):
+        """r16 ADVICE: a duplicated (query_id, term) row used to
+        double-count that term in score AND n_terms_hit; both engines
+        now dedup the panel before the scoring join."""
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        dup = spark.createDataFrame(
+            QUERY + [(0, "grid"), (1, "fox")], "query_id long, term string"
+        )
+        clean = sorted(tuple(r) for r in self._run(spark))
+        got = sorted(
+            tuple(r) for r in bm25_topk(docs, dup, k=10, k1=K1, b=B).collect()
+        )
+        assert got == clean
+        # the SQL twin applies the same dedup
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({d}, '{t}')" for d, t in DOCS)
+            + ") v(doc_id, text)"
+        )
+        q_cte = (
+            "SELECT * FROM (VALUES "
+            + ",".join(f"({q}, '{t}')" for q, t in QUERY + [(0, "grid"), (1, "fox")])
+            + ") q(query_id, term)"
+        )
+        duck = sorted(
+            tuple(r)
+            for r in con.execute(bm25_topk_sql(q_cte, k=10, k1=K1, b=B)).fetchall()
+        )
+        assert duck == clean
+
     def test_duckdb_twin_emits_identical_rows(self, spark):
         spark_rows = sorted(
             tuple(r) for r in self._run(spark)

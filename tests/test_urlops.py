@@ -46,6 +46,40 @@ CASES = [
     # tracking-NAME prefix must not over-match real params
     ("http://a.com/p?reference=1", "http://a.com/p?reference=1", "a.com"),
     ("http://a.com/p?id=gclid", "http://a.com/p?id=gclid", "a.com"),
+    # r17: default-port strip is scheme-gated — non-http(s) schemes
+    # keep :443 / :80 verbatim (scheme still lowercases)
+    ("ftp://Files.example.com:443/pub", "ftp://files.example.com:443/pub", "example.com"),
+    ("ftp://files.example.com:80/pub", "ftp://files.example.com:80/pub", "example.com"),
+    ("ws://live.example.com:80/feed", "ws://live.example.com:80/feed", "example.com"),
+    # r17: widened MULTI_LABEL_SUFFIXES corners
+    ("http://shop.brand.co.kr/x", "http://shop.brand.co.kr/x", "brand.co.kr"),
+    ("http://news.portal.com.tr", "http://news.portal.com.tr", "portal.com.tr"),
+    ("http://www.lab.ac.jp/y", "http://www.lab.ac.jp/y", "lab.ac.jp"),
+    ("http://a.b.ne.jp", "http://a.b.ne.jp", "b.ne.jp"),
+    ("http://x.uni.edu.au/z", "http://x.uni.edu.au/z", "uni.edu.au"),
+    # a host that IS a two-label suffix stays two labels (n >= 3 gate)
+    ("http://co.kr/x", "http://co.kr/x", "co.kr"),
+]
+
+# adversarial URLs for the staged-vs-single-tree equivalence pin
+# (r16 ADVICE: nothing guarded drift between the two hand-duplicated
+# expression trees): fragments, ports, no-scheme, empty, NULL,
+# multi-label suffixes, tracker-only queries, case soup
+EQUIV_URLS = [raw for raw, _, _ in CASES] + [
+    "",
+    None,
+    "no-scheme-at-all",
+    "relative/path?utm_source=x#f",
+    "HTTPS://MIXED.Case.CO.UK:443/A/B?REF=1&Utm_Campaign=2&keep=Me#Frag",
+    "http://trailing.dot.example.com./x",
+    "https://h:443",
+    "https://h:443/?utm_source=1",
+    "http://h:80#only-frag",
+    "http://h:80?x=1",
+    "http://user@pass.example.com:80/x",  # userinfo lands in the 'host' blob
+    "http://a.com/p?a=1&&b=2",  # empty param survives the filter
+    "http://a.com/p??" ,  # '?' inside query
+    "ftp://h.example.org:2121/f",
 ]
 
 
@@ -96,6 +130,38 @@ class TestUrlNormalization:
             (1, "tracker-farm.net"),
         }
         assert urlops.blocked_sql("d") == "(d IN ('spam-mill.com', 'tracker-farm.net'))"
+
+    def test_staged_equals_single_tree(self, spark):
+        """`with_url_columns` output is row-for-row identical to the
+        `url_columns` projection on the adversarial fixture (r16 ADVICE:
+        the two hand-duplicated expression trees had no drift guard)."""
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(EQUIV_URLS)], "i int, url string"
+        )
+        cols = urlops.url_columns(F.col("url"))
+        single = df.select(
+            "i", *(cols[c].alias(c) for c in ("url_norm", "host", "domain", "blocked"))
+        )
+        staged = urlops.with_url_columns(df, "url").select(
+            "i", "url_norm", "host", "domain", "blocked"
+        )
+        s_rows = sorted(single.collect())
+        t_rows = sorted(staged.collect())
+        assert s_rows == t_rows
+
+    def test_staging_columns_do_not_swallow_caller_dunders(self, spark):
+        """A caller's own '__'-prefixed column survives; a collision with
+        an actual staging name raises instead of silently overwriting
+        (r16 ADVICE fix)."""
+        df = spark.createDataFrame(
+            [("http://a.com/", "keep-me")], "url string, __mine string"
+        )
+        out = urlops.with_url_columns(df, "url")
+        assert "__mine" in out.columns
+        assert out.select("__mine").collect()[0][0] == "keep-me"
+        bad = spark.createDataFrame([("http://a.com/", "x")], "url string, __head string")
+        with pytest.raises(ValueError, match="staging columns already present"):
+            urlops.with_url_columns(bad, "url")
 
     def test_domain_curation_is_map_side_plus_one_rollup(self, spark, sf_dir):
         """Plan shape: the doc leg is exchange-free (pure projection on

@@ -34,14 +34,18 @@ def _u(key: int) -> float:
     return int(hx[:13], 16) / float(1 << 52)
 
 
-def _expected():
+def _expected(rows=ROWS):
     out = {}
-    for grp in {g for g, _, _ in ROWS}:
+    for grp in {g for g, _, _ in rows}:
+        pos = [(i, w) for g, i, w in rows if g == grp and w > 0]
+        if not pos:
+            continue
+        wmax = max(w for _, w in pos)
         scored = []
-        for g, i, w in ROWS:
-            if g != grp or w <= 0:
-                continue
-            aes = math.floor((_u(i) ** (1.0 / w)) * 1e9 + 0.5) / 1e9
+        for i, w in pos:
+            # r17: group-max-normalized exponent (order-preserving;
+            # keeps huge raw weights from flattening the key to 1.0)
+            aes = math.floor((_u(i) ** (wmax / w)) * 1e9 + 0.5) / 1e9
             scored.append((-aes, i))
         scored.sort()
         out[grp] = [(i, rank + 1, -neg) for rank, (neg, i) in enumerate(scored[:K])]
@@ -72,6 +76,25 @@ class TestWeightedGroupTopk:
         # lead group b under any uniform draw
         by_b = [r for r in self._run(spark) if r.grp == "b"]
         assert min(by_b, key=lambda r: r.rank).id == 12
+
+    def test_huge_weights_do_not_flatten_key(self, spark):
+        """r16 ADVICE: byte-count-sized weights (~1e8-1e9) used to all
+        quantize to aes_key 1.0, silently degrading the draw to id
+        order. With group-max normalization the keys must spread and
+        match the Python reference exactly."""
+        rows = [("g", i, float(w)) for i, w in enumerate(
+            [3e8, 5e8, 1e9, 2e8, 9e8, 7e8, 4e8, 6e8], start=1
+        )]
+        df = spark.createDataFrame(rows, "grp string, id long, w double")
+        got = weighted_group_topk_sample(
+            df, "grp", "id", F.col("w"), K, salt=SALT
+        ).collect()
+        keys = {r.aes_key for r in got}
+        assert len(keys) == len(got), "rank keys collapsed to ties"
+        exp = _expected(rows)["g"]
+        assert sorted(
+            ((r.id, r.rank, r.aes_key) for r in got), key=lambda t: t[1]
+        ) == exp
 
     def test_duckdb_twin_identical(self, spark):
         spark_rows = sorted(
