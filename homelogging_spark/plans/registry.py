@@ -1253,6 +1253,87 @@ FROM events GROUP BY 1
 """
 
 
+# --- skew-split join (hot keys broadcast, tail shuffles) ---------------------
+
+SKEW_HOT_THRESHOLD = 80  # fact rows per key; catches the heavy head at
+# every test SF (events averages ~67 rows/user at sf0.001..0.1)
+SKEW_MAX_HOT = 64
+
+
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split equi join driver row (r17 — the r16 pre-funded slot):
+    events (fact) LEFT JOIN customer (dim, ``c_custkey = user_id``)
+    through ``joins.skew_split_join`` — the hottest fact keys take a
+    map-side broadcast of their dim slice while the tail shuffles
+    (3.9× at 80 % hot, SCALE.md r16; the remedy AQE's partition
+    splitting does not give you because every row still pays the
+    shuffle there).
+
+    The operator's entire claim is row-identity with the plain join,
+    so the oracle IS the plain SQL left join; the bounded aggregate
+    groups by a ``was_hot`` flag derived from the SAME census
+    semantics (count >= threshold, heaviest-first, capped) replicated
+    in SQL — so the hot/cold SPLIT is certified too, not just the
+    union of the branches: a dropped or double-counted branch shows up
+    as a mismatched hot-group count. Unmatched users (left rows with
+    no customer) keep their NULL-dim group, certifying the 'left'
+    reconciliation across both branches.
+
+    Scale: census = one partial-agg groupBy carrying the distinct-key
+    table (sampled dial for billions of keys — ``detect_hot_keys``);
+    hot branch never shuffles; the tail shuffles WITHOUT the skewed
+    head in its key distribution."""
+    from homelogging_spark.operators.joins import detect_hot_keys, skew_split_join
+
+    fact = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = detect_hot_keys(
+        fact, ["user_id"], SKEW_HOT_THRESHOLD, max_hot=SKEW_MAX_HOT
+    )
+    joined = skew_split_join(fact, dim, ["user_id"], hot_keys=hot, how="left")
+    was_hot = (
+        F.col("user_id").isin([t[0] for t in hot]) if hot else F.lit(False)
+    )
+    return (
+        joined.groupBy(
+            was_hot.alias("was_hot"), "c_mktsegment", "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            quantize(F.sum("value")).alias("sum_value"),
+            F.sum(
+                F.when(F.col("c_mktsegment").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_matched"),
+        )
+        .select("was_hot", "c_mktsegment", "event_type", "n", "sum_value", "n_matched")
+    )
+
+
+ORACLE_SKEW_SPLIT_JOIN = f"""
+WITH hot AS (
+  SELECT user_id FROM (
+    SELECT user_id, count(*) AS c FROM events GROUP BY 1
+  ) WHERE c >= {SKEW_HOT_THRESHOLD}
+  ORDER BY c DESC, user_id LIMIT {SKEW_MAX_HOT}
+),
+j AS (
+  SELECT e.user_id, e.event_type, e.value, c.c_mktsegment
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT user_id IN (SELECT user_id FROM hot) AS was_hot,
+       c_mktsegment, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       {quantize_sql('sum(value)')} AS sum_value,
+       CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched
+FROM j GROUP BY 1, 2, 3
+"""
+
+
 # --- ST2 exact: Kasa offset-replace fold -------------------------------------
 def q_kasa_offset_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 with the reference's *replace* semantics
@@ -2868,6 +2949,7 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_price_join": q_asof_price_join,
     "sessionize": q_sessionize,
     "skew_salted_agg": q_skew_salted_agg,
+    "skew_split_join": q_skew_split_join,
     "range_session_join": q_range_session_join,
     "kasa_offset_exact": q_kasa_offset_exact,
     "sketch_rollup_panel": q_sketch_rollup_panel,
@@ -2923,6 +3005,7 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "skew_salted_agg": ORACLE_SKEW_SALTED_AGG,
+    "skew_split_join": ORACLE_SKEW_SPLIT_JOIN,
     "range_session_join": ORACLE_RANGE_SESSION_JOIN,
     "kasa_offset_exact": ORACLE_KASA_OFFSET_EXACT,
     "sketch_rollup_panel": ORACLE_SKETCH_ROLLUP_PANEL,
