@@ -45,12 +45,16 @@ PCT_CUTOFF = "2024-01-25 00:00:00"
 
 # --- A1: tumbling hourly average, per series --------------------------------
 def q_bucket_downsample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 + A2 in one panel — the r11 merge of `hourly_avg` and
-    `minute_downsample` (window-slot consolidation per the COVERAGE.md
-    registry-growth policy): both legs are ``time_bucket_agg`` bucket
-    averages, so one union panel with a ``grain`` label certifies both
-    (the hourly all-series leg keyed by event_type, and the A2
-    single-series minute leg — ZeroExport.cs:86-104). Each leg keeps
+    """A1 + A2 + A4 in one panel — the r11 merge of `hourly_avg` and
+    `minute_downsample`, widened in r17 with the retired
+    `count_by_series` row as its ``grain='series'`` leg (window-slot
+    consolidations per the COVERAGE.md registry-growth policy; the r17
+    leg funds the hybrid_search_panel registration): all three are
+    grain-labeled aggregates of the same event scan, so one union panel
+    certifies each leg verbatim (the hourly all-series leg keyed by
+    event_type, the A2 single-series minute leg — ZeroExport.cs:86-104
+    — and the A4 whole-series count, Gpio/GpioLogger.cs:79-85, with a
+    NULL bucket: it has no time grain by definition). Each leg keeps
     its original one-shuffle partial-agg plan; the union is free."""
     events = load_table(spark, sf_dir, "events")
     hourly = time_bucket_agg(
@@ -80,9 +84,20 @@ def q_bucket_downsample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("minute").alias("grain"),
         )
     )
-    return hourly.select(
-        "bucket", "event_type", "avg_value", "n", "grain"
-    ).unionByName(minute)
+    series = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit(None).cast("timestamp").alias("bucket"),
+        "event_type",
+        F.lit(None).cast("double").alias("avg_value"),
+        "n",
+        F.lit("series").alias("grain"),
+    )
+    return (
+        hourly.select("bucket", "event_type", "avg_value", "n", "grain")
+        .unionByName(minute)
+        .unionByName(series)
+    )
 
 
 ORACLE_BUCKET_DOWNSAMPLE_PANEL = """
@@ -95,6 +110,11 @@ SELECT date_trunc('minute', ts) AS bucket, CAST(NULL AS VARCHAR) AS event_type,
        floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value,
        CAST(NULL AS BIGINT) AS n, 'minute' AS grain
 FROM events WHERE event_type = 'click' GROUP BY 1
+UNION ALL
+SELECT CAST(NULL AS TIMESTAMP) AS bucket, event_type,
+       CAST(NULL AS DOUBLE) AS avg_value,
+       count(*) AS n, 'series' AS grain
+FROM events GROUP BY 2
 """
 
 
@@ -115,15 +135,6 @@ SELECT user_id, ts, event_type, value FROM (
   FROM events
 ) WHERE rn = 1
 """
-
-
-# --- A4: count per series (Gpio/GpioLogger.cs:79-85) -------------------------
-def q_count_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-
-ORACLE_COUNT_BY_SERIES = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
 
 
 # --- A5: percentile over trailing window (Deploy/switchboiler.sh:5) ----------
@@ -195,79 +206,93 @@ FROM events GROUP BY 1, 2
 """
 
 
-# --- A8: pulse accumulation + rate (Gpio/GpioLogger.cs:74-99) ----------------
+# --- A8 + S10: the complete pulse treatment in one leg-labeled panel ---------
 def q_pulse_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    pulses = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    out = running_sum(pulses, ["user_id"], F.col("value"), "ts", alias="quantity")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    dt_s = (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0
-    return out.select(
-        "user_id",
-        "ts",
-        quantize("quantity").alias("quantity"),
-        quantize(F.col("value") / dt_s).alias("rate"),
-    )
+    """A8 pulse panel — the r17 merge of the former standalone
+    ``pulse_step_emit`` row into this one (window-slot consolidation
+    per the COVERAGE.md registry-growth policy, funding the
+    hybrid_search_panel registration): both rows were the SAME
+    ``Gpio/GpioLogger.cs:74-99`` treatment at two fidelity dials, so
+    one leg-labeled union certifies both verbatim.
 
+    - ``leg='raw'``: the original A8 row — running-sum quantity + rate
+      from the undebounced pulse stream (``is_pulse`` NULL: raw rows
+      have no step emission).
+    - ``leg='debounced'``: the original pulse_step_emit row — 200 ms
+      debounce, cumulative quantity, and the two-rows-per-pulse step
+      emission (a point ``step_emit_ms`` before each pulse carrying
+      the previous cumulative value, ``:92-93``), ``is_pulse`` 0/1.
 
-ORACLE_PULSE_ACCUMULATE = """
-SELECT user_id, ts,
-       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS quantity,
-       floor((value / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0)) * 1000000 + 0.5) / 1000000 AS rate
-FROM events WHERE event_type = 'purchase'
-"""
-
-
-# --- A8 (full): debounced pulse accumulation with step-function emission -----
-def q_pulse_step_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete GPIO pulse treatment (``Gpio/GpioLogger.cs:74-99``):
-    200 ms debounce, cumulative quantity, and the two-rows-per-pulse
-    step emission (a point ``step_emit_ms`` before each pulse carrying
-    the previous cumulative value, ``:92-93``)."""
+    Each leg keeps its original per-key window/fold plan; the union is
+    free (same scan, two window branches)."""
     from homelogging_spark.operators.counters import pulse_accumulate
 
     events = load_table(spark, sf_dir, "events")
     pulses = events.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("qty")
+        "user_id", "ts", "value"
     )
-    out = pulse_accumulate(
-        pulses, ["user_id"], F.col("qty"), "ts", debounce_ms=200, step_emit_ms=10
+    acc = running_sum(pulses, ["user_id"], F.col("value"), "ts", alias="quantity")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dt_s = (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))) / 1000.0
+    raw = acc.select(
+        F.lit("raw").alias("leg"),
+        "user_id",
+        "ts",
+        quantize("quantity").alias("quantity"),
+        quantize(F.col("value") / dt_s).alias("rate"),
+        F.lit(None).cast("bigint").alias("is_pulse"),
     )
-    return out.select(
+    deb = pulse_accumulate(
+        pulses.withColumnRenamed("value", "qty"),
+        ["user_id"],
+        F.col("qty"),
+        "ts",
+        debounce_ms=200,
+        step_emit_ms=10,
+    ).select(
+        F.lit("debounced").alias("leg"),
         "user_id",
         "ts",
         quantize("quantity").alias("quantity"),
         quantize("rate").alias("rate"),
         F.col("is_pulse").cast("bigint").alias("is_pulse"),
     )
+    return raw.unionByName(deb)
 
 
-ORACLE_PULSE_STEP_EMIT = """
-WITH p AS (
-  SELECT user_id, ts, value AS qty,
-         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
-  FROM events WHERE event_type = 'purchase'
-), deb AS (
-  SELECT user_id, ts, qty FROM p WHERE gap IS NULL OR gap >= 200
-), acc AS (
-  SELECT user_id, ts, qty,
-         sum(qty) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS UNBOUNDED PRECEDING) AS quantity,
-         qty / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) AS rate
-  FROM deb
-)
-SELECT user_id, make_timestamp(epoch_ms(ts) * 1000 - 10000) AS ts,
-       floor((quantity - qty) * 1000000 + 0.5) / 1000000 AS quantity,
-       CAST(NULL AS DOUBLE) AS rate, CAST(0 AS BIGINT) AS is_pulse
-FROM acc
+ORACLE_PULSE_ACCUMULATE = """
+SELECT 'raw' AS leg, user_id, ts,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) / 1000000 AS quantity,
+       floor((value / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0)) * 1000000 + 0.5) / 1000000 AS rate,
+       CAST(NULL AS BIGINT) AS is_pulse
+FROM events WHERE event_type = 'purchase'
 UNION ALL
-SELECT user_id, ts,
-       floor((quantity) * 1000000 + 0.5) / 1000000 AS quantity,
-       floor((rate) * 1000000 + 0.5) / 1000000 AS rate, CAST(1 AS BIGINT) AS is_pulse
-FROM acc
+SELECT leg, user_id, ts, quantity, rate, is_pulse FROM (
+  WITH p AS (
+    SELECT user_id, ts, value AS qty,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+    FROM events WHERE event_type = 'purchase'
+  ), deb AS (
+    SELECT user_id, ts, qty FROM p WHERE gap IS NULL OR gap >= 200
+  ), acc AS (
+    SELECT user_id, ts, qty,
+           sum(qty) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS quantity,
+           qty / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1000.0) AS rate
+    FROM deb
+  )
+  SELECT 'debounced' AS leg, user_id,
+         make_timestamp(epoch_ms(ts) * 1000 - 10000) AS ts,
+         floor((quantity - qty) * 1000000 + 0.5) / 1000000 AS quantity,
+         CAST(NULL AS DOUBLE) AS rate, CAST(0 AS BIGINT) AS is_pulse
+  FROM acc
+  UNION ALL
+  SELECT 'debounced', user_id, ts,
+         floor((quantity) * 1000000 + 0.5) / 1000000 AS quantity,
+         floor((rate) * 1000000 + 0.5) / 1000000 AS rate, CAST(1 AS BIGINT) AS is_pulse
+  FROM acc
+)
 """
 
 
@@ -2780,6 +2805,15 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # domain_curation at the 100 cap); its r14 row certifies the
     # two-leg panel only.
     "ann_topk": 16,
+    # r17: pulse_accumulate absorbed the retired pulse_step_emit row as
+    # its leg='debounced' (window-slot consolidation funding the
+    # hybrid_search_panel registration); its r15 row certifies the
+    # raw-only output.
+    "pulse_accumulate": 17,
+    # r17: bucket_downsample_panel absorbed the retired count_by_series
+    # row as its grain='series' leg (the second funding merge); its r15
+    # row certifies the hour+minute panel only.
+    "bucket_downsample_panel": 17,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2828,7 +2862,13 @@ MERGED_FROM: dict[str, list[str]] = {
     "text_quality_panel": ["language_id", "quality_score", "text_stats"],
     # r11: A1 + A2 are both time_bucket_agg bucket averages — one
     # grain-labeled union panel certifies both, funding mad_outliers
-    "bucket_downsample_panel": ["hourly_avg", "minute_downsample"],
+    # r17 additionally absorbed count_by_series: A4's whole-series
+    # count joined the grain-labeled panel as its 'series' leg (NULL
+    # bucket — no time grain), the second funding merge for
+    # hybrid_search_panel
+    "bucket_downsample_panel": [
+        "hourly_avg", "minute_downsample", "count_by_series",
+    ],
     # r15: both are per-meter sequential change-detection folds with
     # recursive-CTE oracles — one family-labeled union panel certifies
     # both legs verbatim, funding the cluster_balanced_sample
@@ -2838,6 +2878,11 @@ MERGED_FROM: dict[str, list[str]] = {
     # slice — one family-labeled union panel certifies both legs
     # verbatim, funding the model_quality_filter registration
     "window_calc_panel": ["lag_delta", "trailing_window_avg"],
+    # r17: both rows were the same Gpio pulse treatment at two fidelity
+    # dials (undebounced running-sum vs debounce + step emission) — one
+    # leg-labeled union certifies both verbatim, funding
+    # hybrid_search_panel
+    "pulse_accumulate": ["pulse_step_emit"],
 }
 
 
@@ -2924,7 +2969,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cost_totals": flagship.cost_totals,
     "bucket_downsample_panel": q_bucket_downsample_panel,
     "latest_per_key": q_latest_per_key,
-    "count_by_series": q_count_by_series,
     "trailing_percentile": q_trailing_percentile,
     "weighted_totals": q_weighted_totals,
     "all_gate": q_all_gate,
@@ -2943,7 +2987,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "device_class_scan": q_device_class_scan,
     "doc_upsert": q_doc_upsert,
     "first_match": q_first_match,
-    "pulse_step_emit": q_pulse_step_emit,
     "thermostat_mode": q_thermostat_mode,
     "tag_mode_report": q_tag_mode_report,
     "asof_price_join": q_asof_price_join,
@@ -2980,7 +3023,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "cost_totals": flagship.COST_TOTALS_ORACLE,
     "bucket_downsample_panel": ORACLE_BUCKET_DOWNSAMPLE_PANEL,
     "latest_per_key": ORACLE_LATEST_PER_KEY,
-    "count_by_series": ORACLE_COUNT_BY_SERIES,
     "trailing_percentile": ORACLE_TRAILING_PERCENTILE,
     "weighted_totals": ORACLE_WEIGHTED_TOTALS,
     "all_gate": ORACLE_ALL_GATE,
@@ -2999,7 +3041,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,
     "doc_upsert": ORACLE_DOC_UPSERT,
     "first_match": ORACLE_FIRST_MATCH,
-    "pulse_step_emit": ORACLE_PULSE_STEP_EMIT,
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,
     "tag_mode_report": ORACLE_TAG_MODE_REPORT,
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,

@@ -14,6 +14,7 @@ cannot silently regress:
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -119,10 +120,24 @@ class TestPlanQuality:
         assert "user_id" in pushed  # raw-column predicate reaches the scan
 
     def test_column_pruning_reaches_scan(self, spark):
-        from homelogging_spark.plans.registry import QUERIES
+        """r17: count_by_series merged into bucket_downsample_panel —
+        the pruning pin now covers the panel's scans (ts/event_type/
+        value, never props/event_id/user_id) and keeps the original
+        2-column assertion on the series leg built standalone."""
+        from homelogging_spark.plans.registry import QUERIES, load_table
 
-        plan = plan_of(QUERIES["count_by_series"](spark, SF))
-        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        plan = plan_of(QUERIES["bucket_downsample_panel"](spark, SF))
+        for read_schema in (
+            seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+        ):
+            assert "props" not in read_schema
+            assert "event_id" not in read_schema and "user_id" not in read_schema
+        leg = (
+            load_table(spark, SF, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        read_schema = plan_of(leg).split("ReadSchema:")[1].splitlines()[0]
         assert "event_type" in read_schema
         assert "value" not in read_schema and "event_id" not in read_schema
 
