@@ -1307,6 +1307,156 @@ FROM ({ORACLE_EMBEDDING_TOPK})
 """
 
 
+# --- hybrid search: BM25 lexical + exact ANN + RRF fusion --------------------
+
+# (query_id, terms): the lexical intent of each ANN query vector —
+# query ids deliberately coincide with the _emb_split query vec_ids so
+# the two legs rank the same candidate pool for the same query
+HYBRID_QUERY_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("key", "scan"),
+    1: ("merge", "batch"),
+    2: ("vector", "group"),
+    3: ("window", "stream"),
+    4: ("hash", "filter"),
+}
+HYBRID_K = 10
+RRF_C = 60
+
+
+def q_hybrid_search_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval panel (r17 — the r16 verdict's registration
+    task, funded by the pulse/count window-slot consolidations): the
+    three legs of a hybrid search stack in one family-labeled row,
+    certifying ``textops.bm25_topk``, the exact ANN baseline, and
+    ``textops.rrf_fuse`` verbatim.
+
+    - ``family='bm25'``: per-query BM25 top-k over the corpus split
+      (Lucene idf, query-term broadcast prune — the full vocabulary
+      table is never built); ``n`` = n_terms_hit.
+    - ``family='ann'``: exact brute-force cosine top-k of the SAME
+      query ids' vectors over the corpus split (the truth set the
+      ann_topk row's index families compare against); ``n`` NULL.
+    - ``family='rrf'``: reciprocal-rank fusion of exactly those two
+      ranked lists (``score = Σ 1/(c + rank)``, c=60) — rank-only, so
+      no calibration between a BM25 logit and a cosine; ``n`` =
+      n_legs. The fused leg consumes the other legs' emitted ranks,
+      which are quantize-keyed and id-tie-broken — a pure function of
+      the corpus in both engines.
+
+    Both retrieval legs restrict to ``doc_id >= N_QUERY_VECS`` so the
+    lexical and vector candidate pools coincide (embeddings' vec_id
+    and documents' doc_id share the id space by construction).
+
+    Scale: bm25 is the pruned-join shape documented at the operator;
+    the ann leg is the broadcast-query scoring scan (allowlisted BNLJ);
+    rrf touches only the two bounded top-k lists. The panel union adds
+    nothing — three dim-sized legs."""
+    queries, corpus = _emb_split(spark, sf_dir)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") >= N_QUERY_VECS)
+    q_panel = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(HYBRID_QUERY_TERMS.items()) for t in terms],
+        "query_id long, term string",
+    )
+    bm = textops.bm25_topk(docs, q_panel, k=HYBRID_K)
+    ann = (
+        similarity.exact_topk(queries, corpus, k=HYBRID_K)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("query_id", "rank", "doc_id", quantize("cosine").alias("cosine"))
+    )
+    fused = textops.rrf_fuse([bm, ann], k=HYBRID_K, c=RRF_C)
+    bm_leg = bm.select(
+        F.lit("bm25").alias("family"),
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("score"),
+        F.col("n_terms_hit").alias("n"),
+    )
+    ann_leg = ann.select(
+        F.lit("ann").alias("family"),
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("cosine").alias("score"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    rrf_leg = fused.select(
+        F.lit("rrf").alias("family"),
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("rrf_score").alias("score"),
+        F.col("n_legs").alias("n"),
+    )
+    return bm_leg.unionByName(ann_leg).unionByName(rrf_leg)
+
+
+def _hybrid_oracle() -> str:
+    q_cte = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, terms in sorted(HYBRID_QUERY_TERMS.items())
+            for t in terms
+        )
+        + ") q(query_id, term)"
+    )
+    bm_sql = textops.bm25_topk_sql(
+        q_cte,
+        k=HYBRID_K,
+        source=f"(SELECT * FROM documents WHERE doc_id >= {N_QUERY_VECS})",
+    )
+    ann_sql = f"""
+WITH qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id < {N_QUERY_VECS}),
+cv AS (SELECT vec_id AS doc_id, embedding FROM embeddings
+       WHERE vec_id >= {N_QUERY_VECS}),
+sc AS (SELECT query_id, doc_id,
+              {similarity.cosine_sql('q_emb', 'embedding', EMB_DIM)} AS cos
+       FROM qv, cv),
+rk AS (SELECT query_id, doc_id, cos,
+              CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id) AS BIGINT) AS rank
+       FROM sc)
+SELECT query_id, rank, doc_id, {quantize_sql('cos')} AS cosine
+FROM rk WHERE rank <= {HYBRID_K}
+"""
+    return f"""
+WITH bm AS ({bm_sql}),
+ann AS ({ann_sql}),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_C} + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({RRF_C} + rank) AS c FROM ann
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c) AS s,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM contrib GROUP BY 1, 2
+),
+rrf AS (
+  SELECT query_id, doc_id, s, n_legs,
+         CAST(row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY {quantize_sql('s')} DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT 'bm25' AS family, query_id, rank, doc_id, score,
+       n_terms_hit AS n
+FROM bm
+UNION ALL
+SELECT 'ann', query_id, rank, doc_id, cosine, CAST(NULL AS BIGINT)
+FROM ann
+UNION ALL
+SELECT 'rrf', query_id, rank, doc_id, {quantize_sql('s')}, n_legs
+FROM rrf WHERE rank <= {HYBRID_K}
+"""
+
+
+ORACLE_HYBRID_SEARCH_PANEL = _hybrid_oracle()
+
+
 # Hot-cell guard dial for the registered semantic_dedup query: below the
 # sf0.01 mean cell size (~544 rows / 8 cells) so the split path is
 # actually exercised by the driver's oracle compare.
@@ -2436,6 +2586,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_split": q_leakage_split,
     "corpus_build_pipeline": q_corpus_build_pipeline,
     "ann_topk": q_ann_topk,
+    "hybrid_search_panel": q_hybrid_search_panel,
     "ivf_pq_topk": q_ivf_pq_topk,
     "index_cycle_search": q_index_cycle_search,
     "opq_panel": q_opq_panel,
@@ -2471,6 +2622,7 @@ LLM_ORACLES: dict[str, str] = {
     "leakage_split": ORACLE_LEAKAGE_SPLIT,
     "corpus_build_pipeline": ORACLE_CORPUS_BUILD_PIPELINE,
     "ann_topk": ORACLE_ANN_TOPK,
+    "hybrid_search_panel": ORACLE_HYBRID_SEARCH_PANEL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
     "opq_panel": ORACLE_OPQ_PANEL,

@@ -79,6 +79,10 @@ BROADCAST_NESTED_LOOP_OK = {
     # r15: ivf_assign's broadcast of K centroids against each vector —
     # the same designed cell-assignment shape as semantic_dedup/ann_topk
     "cluster_balanced_sample",
+    # r17: the ann leg is exact_topk's broadcast-query scoring scan —
+    # the same allowlisted shape as ann_topk's exact leg; the bm25 and
+    # rrf legs plan only hash joins over bounded frames
+    "hybrid_search_panel",
 }
 
 
