@@ -99,23 +99,34 @@ FROM packed
 
 # --- deterministic sampling --------------------------------------------------
 
-def q_hash_sample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r10 window-slot consolidation (absorbs the former
-    ``stratified_sample`` + ``weighted_sample`` rows): both hash-sampling
-    designs share the keep rule ``u < p`` with ``u`` the salted md5
-    uniform of doc_id, so one union panel certifies both —
-    (method, doc_id, lang, n_tokens, u, p):
+def q_sampling_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic-sampling designs in one method-labeled panel —
+    the r17 merge of the former ``hash_sample_panel`` (itself the r10
+    merge of ``stratified_sample`` + ``weighted_sample``) and
+    ``group_topk_sample`` rows, which additionally registers the
+    r16-unit-only ``weighted_group_topk_sample`` as its ``wtopk`` leg
+    (one merge funding two registrations' worth — the r16 verdict's
+    consolidation plan). All four designs are salted-md5-uniform draws
+    over the same corpus scan, so one union panel certifies each leg
+    verbatim — (method, doc_id, lang, n_tokens, u, p, key, rank):
 
-    - ``stratified``: per-language Bernoulli at configured rates (en 50%,
-      de 25%, zh 10%, default 5%); p = the stratum rate, n_tokens NULL
-      (``operators/sampling.stratified_hash_sample``).
-    - ``weighted``: size-biased, p = min(1, rate * n_tokens) — budgets
-      the kept TOKEN mass; u/p feed Horvitz-Thompson correction
-      downstream (``operators/sampling.weighted_hash_sample``).
+    - ``stratified``: per-language Bernoulli at configured rates (en
+      50%, de 25%, zh 10%, default 5%); keep rule ``u < p``, p = the
+      stratum rate (``sampling.stratified_hash_sample``).
+    - ``weighted``: size-biased Bernoulli, p = min(1, rate * n_tokens)
+      — budgets the kept TOKEN mass; u/p feed Horvitz-Thompson
+      correction downstream (``sampling.weighted_hash_sample``).
+    - ``topk``: exactly-k-per-language uniform (rank the hash uniform,
+      keep first k — reservoir distribution, reproducible;
+      ``sampling.group_topk_sample``).
+    - ``wtopk``: exactly-k-per-language WEIGHTED without replacement
+      (Efraimidis–Spirakis A-ES, token-count weights — the size-biased
+      complement of topk); ``key`` = the audited group-max-normalized
+      rank key u^(w_max/w) (``sampling.weighted_group_topk_sample``).
 
-    Both legs stay pure map-side predicates (no shuffle, reproducible
-    under any repartitioning); the union is two scans of the same
-    parquet — each leg prunes to its own columns."""
+    The Bernoulli legs stay pure map-side predicates (no shuffle,
+    reproducible under any repartitioning); the exactly-k legs are one
+    rank-window shuffle each on the bounded language key."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     strat = sampling.stratified_hash_sample(
         docs, "doc_id", "lang", STRAT_RATES, default_rate=STRAT_DEFAULT
@@ -126,13 +137,22 @@ def q_hash_sample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.lit(float(STRAT_DEFAULT))
     for stratum, r in sorted(STRAT_RATES.items()):
         rate = F.when(F.col("lang") == stratum, F.lit(float(r))).otherwise(rate)
+    nulls = {
+        "n_tokens": F.lit(None).cast("bigint").alias("n_tokens"),
+        "u": F.lit(None).cast("double").alias("u"),
+        "p": F.lit(None).cast("double").alias("p"),
+        "key": F.lit(None).cast("double").alias("key"),
+        "rank": F.lit(None).cast("bigint").alias("rank"),
+    }
     strat_leg = strat.select(
         F.lit("stratified").alias("method"),
         "doc_id",
         "lang",
-        F.lit(None).cast("bigint").alias("n_tokens"),
+        nulls["n_tokens"],
         quantize("u").alias("u"),
         quantize(rate).alias("p"),
+        nulls["key"],
+        nulls["rank"],
     )
     toks = F.size(tokens(F.col("text"))).cast("bigint")
     wtd = sampling.weighted_hash_sample(
@@ -145,8 +165,40 @@ def q_hash_sample_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         quantize("u").alias("u"),
         quantize("p").alias("p"),
+        nulls["key"],
+        nulls["rank"],
     )
-    return strat_leg.unionByName(wtd_leg)
+    topk = sampling.group_topk_sample(docs, "lang", "doc_id", k=TOPK_PER_LANG)
+    topk_leg = topk.select(
+        F.lit("topk").alias("method"),
+        "doc_id",
+        "lang",
+        nulls["n_tokens"],
+        quantize("u").alias("u"),
+        nulls["p"],
+        nulls["key"],
+        "rank",
+    )
+    wtopk = sampling.weighted_group_topk_sample(
+        docs.withColumn("n_tokens", toks),
+        "lang",
+        "doc_id",
+        F.col("n_tokens"),
+        k=TOPK_PER_LANG,
+    )
+    wtopk_leg = wtopk.select(
+        F.lit("wtopk").alias("method"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        nulls["u"],
+        nulls["p"],
+        F.col("aes_key").alias("key"),
+        "rank",
+    )
+    return (
+        strat_leg.unionByName(wtd_leg).unionByName(topk_leg).unionByName(wtopk_leg)
+    )
 
 
 _STRAT_RATE_SQL = (
@@ -158,33 +210,12 @@ _STRAT_RATE_SQL = (
 )
 
 
-def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-k-per-language deterministic sample (k=20): rank docs in
-    each language by hash uniform, keep the first k — reservoir-sample
-    distribution, reproducible (``operators/sampling.group_topk_sample``)."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    out = sampling.group_topk_sample(docs, "lang", "doc_id", k=TOPK_PER_LANG)
-    return out.select("doc_id", "lang", "rank", quantize("u").alias("u"))
-
-
-ORACLE_GROUP_TOPK_SAMPLE = f"""
-WITH u AS (
-  SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'topk')} AS u
-  FROM documents
-), r AS (
-  SELECT doc_id, lang, u,
-         CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rank
-  FROM u
-)
-SELECT doc_id, lang, rank, {quantize_sql('u')} AS u
-FROM r WHERE rank <= {TOPK_PER_LANG}
-"""
-
-
 WSAMP_RATE = 0.004  # per-token keep rate; ~100-token docs keep at ~0.4
 
+_NULL_D = "CAST(NULL AS DOUBLE)"
+_NULL_B = "CAST(NULL AS BIGINT)"
 
-ORACLE_HASH_SAMPLE_PANEL = f"""
+ORACLE_SAMPLING_PANEL = f"""
 WITH su AS (
   SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'strat')} AS u,
          {_STRAT_RATE_SQL} AS p
@@ -193,14 +224,34 @@ WITH su AS (
   SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens,
          {sampling.weighted_sql('doc_id', _N_TOKENS_SQL, WSAMP_RATE)}
   FROM documents
-)
-SELECT 'stratified' AS method, doc_id, lang, CAST(NULL AS BIGINT) AS n_tokens,
-       {quantize_sql('u')} AS u, {quantize_sql('p')} AS p
+), tk AS (
+  SELECT doc_id, lang, u,
+         CAST(row_number() OVER (
+              PARTITION BY lang ORDER BY u, doc_id) AS BIGINT) AS rank
+  FROM (
+    SELECT doc_id, lang, {sampling.uniform_sql('doc_id', 'topk')} AS u
+    FROM documents
+  )
+), wtk AS ({sampling.weighted_group_topk_sql(
+    f"(SELECT doc_id, lang, {_N_TOKENS_SQL} AS n_tokens FROM documents)",
+    "lang", "doc_id", "n_tokens", TOPK_PER_LANG,
+)})
+SELECT 'stratified' AS method, doc_id, lang, {_NULL_B} AS n_tokens,
+       {quantize_sql('u')} AS u, {quantize_sql('p')} AS p,
+       {_NULL_D} AS key, {_NULL_B} AS rank
 FROM su WHERE u < p
 UNION ALL
 SELECT 'weighted', doc_id, lang, n_tokens,
-       {quantize_sql('u')} AS u, {quantize_sql('p')} AS p
+       {quantize_sql('u')}, {quantize_sql('p')}, {_NULL_D}, {_NULL_B}
 FROM wt WHERE u < p
+UNION ALL
+SELECT 'topk', doc_id, lang, {_NULL_B},
+       {quantize_sql('u')}, {_NULL_D}, {_NULL_D}, rank
+FROM tk WHERE rank <= {TOPK_PER_LANG}
+UNION ALL
+SELECT 'wtopk', doc_id, lang, n_tokens,
+       {_NULL_D}, {_NULL_D}, aes_key, rank
+FROM wtk
 """
 
 
@@ -502,8 +553,7 @@ ORACLE_BPE_PACK = _oracle_bpe_pack()
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pack": q_bpe_pack,
     "pack_docs": q_pack_docs,
-    "hash_sample_panel": q_hash_sample_panel,
-    "group_topk_sample": q_group_topk_sample,
+    "sampling_panel": q_sampling_panel,
     "mixture_weights": q_mixture_weights,
     "domain_curation": q_domain_curation,
 }
@@ -511,8 +561,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "bpe_pack": ORACLE_BPE_PACK,
     "pack_docs": ORACLE_PACK_DOCS,
-    "hash_sample_panel": ORACLE_HASH_SAMPLE_PANEL,
-    "group_topk_sample": ORACLE_GROUP_TOPK_SAMPLE,
+    "sampling_panel": ORACLE_SAMPLING_PANEL,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "domain_curation": ORACLE_DOMAIN_CURATION,
 }

@@ -2839,6 +2839,12 @@ MERGED_FROM: dict[str, list[str]] = {
     "seasonal_residuals": ["zscore_anomaly"],
     # r10
     "hash_sample_panel": ["stratified_sample", "weighted_sample"],
+    # r17: the full deterministic-sampling family in one method-labeled
+    # panel — absorbs hash_sample_panel (itself the r10 merge above)
+    # and group_topk_sample, and registers the r16-unit-only
+    # weighted_group_topk_sample as its 'wtopk' leg (one merge, two
+    # registrations' worth — the r16 verdict's consolidation plan)
+    "sampling_panel": ["hash_sample_panel", "group_topk_sample"],
     "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
     "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
     # r10 merge of the two original battery rows; r15 additionally
