@@ -780,6 +780,11 @@ INDEX_ARTIFACTS = (
     "centroids", "cells", "codes", "codebook", "sq8_bounds", "sq8_codes",
 )
 
+# the OPQ rotated-PQ tier (r17, opt-in via index_cycle(opq_seed=...)):
+# the rotation's ±1 diagonal frozen as data, plus the codebook/codes
+# trained on hd_rotate'd vectors — same generation, same swap
+OPQ_ARTIFACTS = ("opq_signs", "opq_codebook", "opq_codes")
+
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
     """Read the four IVF-PQ index artifacts a :func:`index_cycle` run
@@ -791,11 +796,21 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     codes, recon_mse), the inputs ``similarity.sq8_topk(bounds=...)``
     serves from. One cycle maintains BOTH compression tiers, so a
     serving stack can A/B SQ8 against IVF-PQ from the same committed
-    generation."""
-    return {
+    generation.
+
+    r17: when the generation was built with ``opq_seed`` set, the OPQ
+    tier (``opq_signs`` (i, sign), ``opq_codebook``, ``opq_codes`` —
+    see :func:`opq_search`) loads under its artifact names too; absent
+    otherwise, so pre-OPQ generations keep loading unchanged."""
+    idx = {
         a: spark.read.parquet(os.path.join(index_root, a))
         for a in INDEX_ARTIFACTS
     }
+    hadoop, fs = _fs(spark, index_root)
+    if fs.exists(hadoop.Path(os.path.join(index_root, OPQ_ARTIFACTS[0]))):
+        for a in OPQ_ARTIFACTS:
+            idx[a] = spark.read.parquet(os.path.join(index_root, a))
+    return idx
 
 
 def index_cycle(
@@ -814,6 +829,7 @@ def index_cycle(
     emb_col: str = "embedding",
     sample_mod: int | None = 16,
     exact_fold: bool = True,
+    opq_seed: str | None = None,
 ) -> dict:
     """One nightly INDEX-maintenance call for an embedding corpus — the
     ANN-tier sibling of :func:`maintenance_cycle` (the reference's
@@ -851,9 +867,22 @@ def index_cycle(
     rename is a non-atomic copy+delete and concurrent readers could see
     mixed generations; use a manifest-atomic index format there).
 
+    r17 (``opq_seed``): when set, the SAME generation additionally
+    materializes the OPQ rotated-PQ tier — ``opq_signs`` (the
+    structured rotation's ±1 diagonal as (i, sign) rows: config frozen
+    AS DATA so serving derives the rotation from the committed
+    artifact, never from a seed that may have changed), plus
+    ``opq_codebook``/``opq_codes`` trained on the
+    ``similarity.hd_rotate``'d corpus. A generation that should carry
+    the tier but doesn't (opq enabled on an existing pre-OPQ index)
+    forces a rebuild even when occupancy is in band — otherwise the
+    no-op path would never create it. Serving:
+    :func:`opq_search` (rotation applied query-side only — queries are
+    dim-sized; the corpus is read as codes).
+
     Returns ``{"refreshed": bool, "k": served K, "target_k": K the
-    count demands, "n_vectors": N}`` — emit it to the maintenance log
-    ("no silent maintenance")."""
+    count demands, "n_vectors": N, "opq": tier maintained?}`` — emit
+    it to the maintenance log ("no silent maintenance")."""
     from homelogging_spark.operators import similarity
 
     if target_cell_rows < 1:
@@ -874,14 +903,19 @@ def index_cycle(
     cent_path = os.path.join(index_root, "centroids")
     if fs.exists(P(cent_path)):
         current_k = spark.read.parquet(cent_path).count()
-    if current_k and (
-        max(target_k, current_k) < growth_factor * min(target_k, current_k)
+    opq_live = fs.exists(P(os.path.join(index_root, OPQ_ARTIFACTS[0])))
+    opq_missing = opq_seed is not None and not opq_live
+    if (
+        current_k
+        and not opq_missing
+        and max(target_k, current_k) < growth_factor * min(target_k, current_k)
     ):
         return {
             "refreshed": False,
             "k": int(current_k),
             "target_k": target_k,
             "n_vectors": int(n),
+            "opq": bool(opq_live),
         }
 
     vecs = corpus.select(F.col(id_col), F.col(emb_col))
@@ -909,15 +943,38 @@ def index_cycle(
     sq8_codes = similarity.sq8_codes(
         vecs, bounds=sq8_bounds, id_col=id_col, emb_col=emb_col
     )
-    fs.delete(P(tmp), True)
-    for name, frame in (
+    frames = [
         ("centroids", centroids),
         ("cells", cells),
         ("codes", codes),
         ("codebook", codebook),
         ("sq8_bounds", sq8_bounds),
         ("sq8_codes", sq8_codes),
-    ):
+    ]
+    if opq_seed is not None:
+        signs = similarity.hd_signs(dim, opq_seed)
+        rot = vecs.select(
+            F.col(id_col),
+            similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(emb_col),
+        )
+        opq_codebook = similarity.pq_codebook(
+            rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
+            sample_mod,
+        )
+        opq_codes = similarity.pq_codes(
+            rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
+            sample_mod, codebook=opq_codebook,
+        )
+        signs_df = spark.createDataFrame(
+            list(enumerate(signs)), "i int, sign double"
+        )
+        frames += [
+            ("opq_signs", signs_df),
+            ("opq_codebook", opq_codebook),
+            ("opq_codes", opq_codes),
+        ]
+    fs.delete(P(tmp), True)
+    for name, frame in frames:
         frame.write.mode("overwrite").parquet(os.path.join(tmp, name))
     fs.delete(P(trash), True)
     if fs.exists(P(index_root)):
@@ -931,7 +988,63 @@ def index_cycle(
         "k": target_k,
         "target_k": target_k,
         "n_vectors": int(n),
+        "opq": opq_seed is not None,
     }
+
+
+def opq_search(
+    queries,
+    idx: dict,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rank_decimals: int | None = 6,
+):
+    """Serve OPQ rotated-PQ top-k from a committed :func:`index_cycle`
+    generation (r17, the r16 verdict's OPQ-serving task): rotate the
+    QUERY vectors with the generation's own ``opq_signs`` artifact
+    (queries are dim-sized — the corpus is never rotated at serve
+    time, it already lives as rotated codes), then ADC-rank against
+    the committed ``opq_codes``/``opq_codebook`` via
+    ``similarity.pq_adc_topk``. Rotation is orthogonal, so ranking
+    rotated-query-vs-rotated-reconstruction preserves the L2 geometry
+    the PQ tables approximate.
+
+    Deriving the diagonal from the ARTIFACT (not a seed argument)
+    makes a seed change across generations structurally incapable of
+    mismatching the stored codes. ``idx``: a :func:`load_index` result
+    carrying the OPQ tier; raises KeyError with a pointed message when
+    the generation was built without it."""
+    from homelogging_spark.operators import similarity
+
+    if "opq_signs" not in idx:
+        raise KeyError(
+            "index generation carries no OPQ tier; rebuild with "
+            "index_cycle(opq_seed=...) first"
+        )
+    sign_rows = idx["opq_signs"].orderBy("i").collect()
+    signs = [float(r.sign) for r in sign_rows]
+    if len(signs) != dim:
+        raise ValueError(
+            f"opq_signs artifact has {len(signs)} rows, expected dim={dim}"
+        )
+    rotated = queries.select(
+        F.col(id_col),
+        similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(emb_col),
+    )
+    return similarity.pq_adc_topk(
+        rotated,
+        idx["opq_codes"],
+        idx["opq_codebook"],
+        k=k,
+        n_subspaces=n_subspaces,
+        dim=dim,
+        id_col=id_col,
+        emb_col=emb_col,
+        rank_decimals=rank_decimals,
+    )
 
 
 def nightly_cycle(

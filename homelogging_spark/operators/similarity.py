@@ -1604,16 +1604,26 @@ def hd_signs(dim: int, seed: str = "opq") -> list[float]:
     ]
 
 
-def hd_rotate(emb: Column, dim: int, seed: str = "opq") -> Column:
+def hd_rotate(
+    emb: Column, dim: int, seed: str = "opq", signs: list[float] | None = None
+) -> Column:
     """``y_j = (1/sqrt(dim)) * sum_i (-1)^popcount(i & j) * s_i * x_i``
     — map-side expression, index-order summation (``_fold_sum``), scale
     exact for power-of-two dims. O(dim^2) flops per vector: fine for
     encode/train passes (one corpus scan each); production at large dim
     would use the O(d log d) butterfly, which is a per-batch numpy
-    Pandas-UDF swap with identical semantics."""
+    Pandas-UDF swap with identical semantics.
+
+    ``signs``: explicit ±1 diagonal overriding the seed derivation —
+    pass the COMMITTED ``opq_signs`` artifact when serving against a
+    :func:`maintenance.index_cycle` generation, so a later seed change
+    can never silently mismatch the stored codes (r17)."""
     if dim & (dim - 1):
         raise ValueError(f"hd_rotate needs a power-of-two dim, got {dim}")
-    signs = F.array(*[F.lit(s) for s in hd_signs(dim, seed)])
+    sign_list = hd_signs(dim, seed) if signs is None else list(signs)
+    if len(sign_list) != dim or any(s not in (1.0, -1.0) for s in sign_list):
+        raise ValueError("signs must be a dim-length list of +/-1.0")
+    signs = F.array(*[F.lit(s) for s in sign_list])
     sx = F.zip_with(emb, signs, lambda x, s: x.cast("double") * s)
     scale = 1.0 / float(dim) ** 0.5
     return F.transform(

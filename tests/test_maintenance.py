@@ -6,6 +6,7 @@ import datetime
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from homelogging_spark.operators.ingest import append_readings
@@ -752,6 +753,7 @@ class TestIndexCycle:
         out = self._cycle(spark, corpus, root)
         assert out == {
             "refreshed": True, "k": 8, "target_k": 8, "n_vectors": 64,
+            "opq": False,
         }
         idx = load_index(spark, root)
         assert idx["centroids"].count() == 8
@@ -837,6 +839,7 @@ class TestIndexCycle:
         again = self._cycle(spark, self._corpus(spark, 64), root)
         assert again == {
             "refreshed": False, "k": 8, "target_k": 8, "n_vectors": 64,
+            "opq": False,
         }
         under = self._cycle(spark, self._corpus(spark, 100), root)
         assert under["refreshed"] is False and under["target_k"] == 13
@@ -845,11 +848,100 @@ class TestIndexCycle:
         grown = self._cycle(spark, self._corpus(spark, 256), root)
         assert grown == {
             "refreshed": True, "k": 32, "target_k": 32, "n_vectors": 256,
+            "opq": False,
         }
         from homelogging_spark.operators.maintenance import load_index
 
         assert load_index(spark, root)["centroids"].count() == 32
         assert load_index(spark, root)["cells"].count() == 256
+
+    def test_opq_tier_builds_serves_and_repairs(self, spark, tmp_path):
+        """r17 (r16 verdict #3): ``opq_seed`` materializes the rotated-
+        PQ tier in the SAME generation — signs frozen as data, codes
+        consistent with a recompute from the committed artifacts — and
+        ``opq_search`` ranks from them with the rotation applied
+        query-side only. Generation consistency and crash repair cover
+        the new artifacts because they ride the same swap."""
+        import shutil
+
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.maintenance import (
+            index_cycle, load_index, opq_search,
+        )
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        out = self._cycle(spark, corpus, root, opq_seed="gen1")
+        assert out["refreshed"] is True and out["opq"] is True
+        idx = load_index(spark, root)
+        # signs artifact == the seed derivation, frozen as data
+        signs = [r.sign for r in idx["opq_signs"].orderBy("i").collect()]
+        assert signs == similarity.hd_signs(self.DIM, "gen1")
+        assert idx["opq_codes"].count() == 64
+        assert idx["opq_codebook"].count() == 2 * 4
+        # codes consistent with the committed generation: re-encoding
+        # the rotated corpus against the STORED codebook matches
+        rot = corpus.select(
+            "vec_id",
+            similarity.hd_rotate(
+                F.col("embedding"), self.DIM, signs=signs
+            ).alias("embedding"),
+        )
+        re_codes = similarity.pq_codes(
+            rot, 2, 4, 1, self.DIM, sample_mod=None,
+            codebook=idx["opq_codebook"],
+        )
+        code_cols = [c for c in re_codes.columns if c.startswith("code_")]
+        assert sorted(
+            map(tuple, idx["opq_codes"].select("vec_id", *code_cols).collect())
+        ) == sorted(map(tuple, re_codes.select("vec_id", *code_cols).collect()))
+        # serving: query-side rotation + ADC from the committed codes
+        # equals in-memory pq_adc_topk over the same rotated frames
+        queries = corpus.where(F.col("vec_id") < 3)
+        served = opq_search(
+            queries, idx, k=4, n_subspaces=2, dim=self.DIM
+        )
+        in_mem = similarity.pq_adc_topk(
+            rot.where(F.col("vec_id") < 3),
+            idx["opq_codes"],
+            idx["opq_codebook"],
+            k=4, n_subspaces=2, dim=self.DIM, rank_decimals=6,
+        )
+        assert sorted(
+            (r.query_id, r.rank, r.vec_id) for r in served.collect()
+        ) == sorted((r.query_id, r.rank, r.vec_id) for r in in_mem.collect())
+        # an opq-less generation refuses to serve with a pointed error
+        self._cycle(spark, corpus, str(tmp_path / "plain"))
+        plain = load_index(spark, str(tmp_path / "plain"))
+        assert "opq_signs" not in plain
+        with pytest.raises(KeyError, match="no OPQ tier"):
+            opq_search(queries, plain, dim=self.DIM)
+        # enabling opq on an in-band pre-OPQ index forces the rebuild
+        # the occupancy check alone would skip
+        out2 = index_cycle(
+            spark, corpus, str(tmp_path / "plain"),
+            target_cell_rows=8, k_min=2, n_iters=1, pq_subspaces=2,
+            pq_centroids=4, dim=self.DIM, sample_mod=None, opq_seed="gen1",
+        )
+        assert out2 == {
+            "refreshed": True, "k": 8, "target_k": 8, "n_vectors": 64,
+            "opq": True,
+        }
+        # ...and the crash window repairs the opq artifacts with the rest
+        served_codes = sorted(
+            map(tuple, idx["opq_codes"].select("vec_id", *code_cols).collect())
+        )
+        shutil.move(root, root + ".__trash")
+        rep = self._cycle(spark, corpus, root, opq_seed="gen1")
+        assert rep["refreshed"] is False and rep["opq"] is True
+        assert sorted(
+            map(
+                tuple,
+                load_index(spark, root)["opq_codes"]
+                .select("vec_id", *code_cols)
+                .collect(),
+            )
+        ) == served_codes
 
     def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
         import os as _os
