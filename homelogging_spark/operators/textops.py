@@ -326,6 +326,8 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     doc_len_col: str | None = None,
+    dfreq: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k lexical retrieval (Robertson/Sparck Jones;
     the Lucene non-negative idf variant ``ln(1 + (N - df + .5)/(df +
@@ -350,6 +352,18 @@ def bm25_topk(
     stored lengths equal the tokenizer's — pinned). Ranking sorts the
     QUANTIZED score (ln's last ulp is engine-specific) with doc-id
     ties, so the emitted top-k is a pure function of the corpus.
+
+    ``dfreq`` / ``stats`` (r17): serve the corpus statistics from
+    MAINTAINED artifacts instead of recomputing them — the lexical
+    analogue of the ANN leg ranking from ``index_cycle`` parquet.
+    ``dfreq``: a (term, df) table (the
+    ``streaming.pipeline.start_bm25_stats_stream`` state — full
+    vocabulary; it is pruned to query terms before broadcast).
+    ``stats``: one (n_docs, total_dl) row from the same state
+    generation (avgdl derives as total_dl / n_docs, the identical
+    long/long double division the batch path's avg performs). Emitted
+    rows are pinned identical to the recomputing path when the state
+    covers exactly the scored corpus.
     """
     from pyspark.sql import Window
 
@@ -378,8 +392,22 @@ def bm25_topk(
     tf = matched.groupBy(id_col, "term", "dl").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    if doc_len_col is not None:
+    if dfreq is not None:
+        # maintained full-vocabulary df table: prune to query terms
+        # (tiny) before it rides the broadcast below
+        dfreq = dfreq.join(F.broadcast(q_terms), "term").select(
+            "term", F.col("df").cast("double").alias("df")
+        )
+    else:
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+    if stats is not None:
+        stats = stats.select(
+            F.col("n_docs").cast("double").alias("n_total"),
+            (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
+        )
+    elif doc_len_col is not None:
         # the dial: stats from the stored length column — no tokenizing
         stats = df.agg(
             F.count(F.lit(1)).cast("double").alias("n_total"),

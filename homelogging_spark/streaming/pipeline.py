@@ -19,6 +19,7 @@ device, P1 at ~1 Hz). The streaming equivalent of EP3:
 from __future__ import annotations
 
 import logging
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -453,6 +454,131 @@ def start_kmv_rollup_stream(
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_stats_batch_merger(
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The ``foreachBatch`` body of :func:`start_bm25_stats_stream`,
+    exposed so replay idempotency is directly testable (the
+    ``incremental_dedup_batch_writer`` discipline): calling it twice
+    with the same ``batch_id`` must leave the state unchanged.
+
+    State is ONE generation directory holding two mutually-consistent
+    parquet tables (a df table served against the wrong N skews every
+    idf, so they swap together, stage-then-rename):
+
+    - ``dfreq``: (term, df) — per-term count of docs containing the
+      term, the full-vocabulary inverted-index statistic (bounded by
+      vocabulary size, not corpus size; additive across doc-disjoint
+      batches because each doc contributes 0/1 per term);
+    - ``stats``: one row (n_docs, total_dl, max_batch_id) — corpus
+      size and total token mass (avgdl = total_dl / n_docs at serve
+      time, the same integer-exact division the batch path computes).
+
+    Exactly-once: the additive merge is guarded by ``max_batch_id`` —
+    foreachBatch ids are monotonic per checkpoint, so an at-least-once
+    redelivery (batch_id <= watermark) is a no-op on the state. The
+    input contract is append-only docs (each doc streamed once), the
+    same contract the index-maintenance tier holds."""
+    from homelogging_spark.functions.texthash import tokens
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hadoop, fs = _fs(spark, state_path)
+        P = hadoop.Path
+        tmp, trash = state_path + ".__tmp", state_path + ".__trash"
+        if not fs.exists(P(state_path)) and fs.exists(P(trash)):
+            # crash landed between the swap renames: trash IS the last
+            # committed generation — restore before merging
+            _rename_or_raise(fs, P(trash), P(state_path), "bm25 state repair")
+        exists = fs.exists(P(state_path))
+        if exists:
+            old_stats = spark.read.parquet(
+                os.path.join(state_path, "stats")
+            ).collect()[0]
+            if int(batch_id) <= old_stats.max_batch_id:
+                return  # redelivered micro-batch: additive merge skipped
+        staged = batch.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        ).select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("__dl"),
+            F.array_distinct("__toks").alias("__terms"),
+        )
+        agg = staged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("bigint").alias("dl"),
+        ).collect()[0]
+        df_b = (
+            staged.select(F.explode("__terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        )
+        if exists:
+            dfreq = (
+                spark.read.parquet(os.path.join(state_path, "dfreq"))
+                .withColumnRenamed("df", "__old")
+                .join(df_b.withColumnRenamed("df", "__new"), "term", "full")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("__old"), F.lit(0))
+                        + F.coalesce(F.col("__new"), F.lit(0))
+                    ).cast("bigint").alias("df"),
+                )
+            )
+            n_docs = int(old_stats.n_docs) + int(agg.n)
+            total_dl = int(old_stats.total_dl) + int(agg.dl)
+        else:
+            dfreq = df_b
+            n_docs, total_dl = int(agg.n), int(agg.dl)
+        stats = spark.createDataFrame(
+            [(n_docs, total_dl, int(batch_id))],
+            "n_docs bigint, total_dl bigint, max_batch_id bigint",
+        )
+        fs.delete(P(tmp), True)
+        dfreq.write.mode("overwrite").parquet(os.path.join(tmp, "dfreq"))
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
+        )
+        fs.delete(P(trash), True)
+        if exists:
+            _rename_or_raise(fs, P(state_path), P(trash), "bm25 state swap")
+        # boolean-checked: a silently-failed tmp→live rename followed by
+        # the trash delete would destroy the only committed generation
+        _rename_or_raise(fs, P(tmp), P(state_path), "bm25 state swap")
+        fs.delete(P(trash), True)
+
+    return merge_batch
+
+
+def start_bm25_stats_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental BM25 corpus-statistics maintenance (r17, the r16
+    verdict's stretch): foreachBatch folds each micro-batch of docs
+    into the persistent (df, N, total_dl) state the lexical leg serves
+    from — ``textops.bm25_topk(dfreq=..., stats=...)`` — the way the
+    ANN leg serves from ``index_cycle`` artifacts. Pinned: the served
+    ranking from streamed state is row-identical to the batch
+    computation over the same corpus (``test_retrieval``)."""
+    writer = stream.writeStream.foreachBatch(
+        bm25_stats_batch_merger(state_path, id_col, text_col)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -162,6 +162,120 @@ class TestBm25:
         assert "BroadcastHashJoin" in plan
 
 
+class TestBm25StatsStream:
+    """r17 stretch (r16 verdict #8): incremental df / N / total_dl
+    maintenance via the KMV-rollup foreachBatch pattern, so the lexical
+    leg serves from maintained artifacts the way the ANN leg does."""
+
+    def _chunks(self):
+        return [DOCS[:2], DOCS[2:4], DOCS[4:]]
+
+    def _merge_all(self, spark, state, chunks=None, start_id=0):
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        merger = bm25_stats_batch_merger(state)
+        for i, chunk in enumerate(chunks or self._chunks()):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"),
+                start_id + i,
+            )
+        return merger
+
+    def _state(self, spark, state):
+        dfreq = {
+            r.term: r.df
+            for r in spark.read.parquet(state + "/dfreq").collect()
+        }
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        return dfreq, stats
+
+    def test_state_equals_batch_stats_and_serves_identically(
+        self, spark, tmp_path
+    ):
+        state = str(tmp_path / "bm25_state")
+        self._merge_all(spark, state)
+        dfreq, stats = self._state(spark, state)
+        # hand-checked corpus statistics over the full fixture
+        toks = {d: t.split() for d, t in DOCS}
+        exp_df = {}
+        for v in toks.values():
+            for t in set(v):
+                exp_df[t] = exp_df.get(t, 0) + 1
+        assert dfreq == exp_df
+        assert stats.n_docs == len(DOCS)
+        assert stats.total_dl == sum(len(v) for v in toks.values())
+        assert stats.max_batch_id == 2
+        # serving from the maintained state == the recomputing path
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        recomputed = sorted(
+            tuple(r) for r in bm25_topk(docs, q, k=10, k1=K1, b=B).collect()
+        )
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, q, k=10, k1=K1, b=B,
+                dfreq=spark.read.parquet(state + "/dfreq"),
+                stats=spark.read.parquet(state + "/stats"),
+            ).collect()
+        )
+        assert served == recomputed
+
+    def test_redelivered_batch_is_noop(self, spark, tmp_path):
+        state = str(tmp_path / "bm25_state")
+        merger = self._merge_all(spark, state)
+        before = self._state(spark, state)
+        # at-least-once redelivery: replay batches 0..2 (ids <= watermark)
+        for i, chunk in enumerate(self._chunks()):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        assert self._state(spark, state) == before
+
+    def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
+        import shutil
+
+        state = str(tmp_path / "bm25_state")
+        self._merge_all(spark, state)
+        before = self._state(spark, state)
+        # crash window: live moved to trash, staged copy never promoted
+        shutil.move(state, state + ".__trash")
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        bm25_stats_batch_merger(state)(
+            spark.createDataFrame(DOCS[:1], "doc_id long, text string"), 2
+        )
+        # repair restored the committed generation; the redelivered
+        # id-2 batch then hit the watermark and was skipped
+        assert self._state(spark, state) == before
+
+    def test_stream_e2e_equals_direct_merges(self, spark, tmp_path):
+        from homelogging_spark.streaming.pipeline import start_bm25_stats_stream
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        for chunk in self._chunks():
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        state = str(tmp_path / "bm25_state")
+        q = start_bm25_stats_stream(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+        dfreq, stats = self._state(spark, state)
+        ref_state = str(tmp_path / "ref_state")
+        self._merge_all(spark, ref_state)
+        ref_dfreq, ref_stats = self._state(spark, ref_state)
+        assert dfreq == ref_dfreq
+        assert (stats.n_docs, stats.total_dl) == (
+            ref_stats.n_docs, ref_stats.total_dl,
+        )
+
+
 class TestRrfFuse:
     def test_fusion_hand_check_and_leg_counts(self, spark):
         lex = spark.createDataFrame(
