@@ -2793,18 +2793,9 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     #
     # (r15's three tags — bpe_pack v1->v2, text_quality_panel's lang
     # leg, corpus_build_pipeline's model stage — all expired on their
-    # green CORRECTNESS_r15 rows and were pruned in r16; bpe_pack was
-    # immediately re-tagged below for the v3 vocab.)
-    # r16: the BPE vocab bumped 2 -> 3 (64 -> 89 merges, the batched
-    # learner's continuation output — the corpus's complete vocabulary
-    # at min_freq=2); bpe_pack's token counts and pack assignments
-    # change; its r15 row certifies the v2 vocabulary only.
-    "bpe_pack": 16,
-    # r16: ann_topk absorbed the retired embedding_topk row as its
-    # method='exact' leg (window-slot consolidation funding
-    # domain_curation at the 100 cap); its r14 row certifies the
-    # two-leg panel only.
-    "ann_topk": 16,
+    # green CORRECTNESS_r15 rows and were pruned in r16; r16's two tags
+    # — bpe_pack v3, ann_topk's exact leg — expired on their green
+    # CORRECTNESS_r16 rows and were pruned in r17.)
     # r17: pulse_accumulate absorbed the retired pulse_step_emit row as
     # its leg='debounced' (window-slot consolidation funding the
     # hybrid_search_panel registration); its r15 row certifies the
