@@ -2836,7 +2836,13 @@ MERGED_FROM: dict[str, list[str]] = {
     # weighted_group_topk_sample as its 'wtopk' leg (one merge, two
     # registrations' worth — the r16 verdict's consolidation plan)
     "sampling_panel": ["hash_sample_panel", "group_topk_sample"],
-    "ann_topk": ["ann_lsh_topk", "ann_ivf_topk"],
+    # r16 additionally absorbed embedding_topk as the method='exact' leg
+    # (entry added r17 — the omission made bench's vs_prev under-credit
+    # the panel's previous time by the absorbed row's)
+    "ann_topk": ["ann_lsh_topk", "ann_ivf_topk", "embedding_topk"],
+    # r16: the method='pq' codes leg is the retired pq_codes verbatim
+    # (entry added r17, same omission)
+    "opq_panel": ["pq_codes"],
     "controller_panel": ["flow_temp_decision", "pv_mode_decision"],
     # r10 merge of the two original battery rows; r15 additionally
     # absorbed the standalone daily_cycles row (W4 day-boundary report —
