@@ -830,6 +830,7 @@ def index_cycle(
     sample_mod: int | None = 16,
     exact_fold: bool = True,
     opq_seed: str | None = None,
+    opq_impl: str = "expr",
 ) -> dict:
     """One nightly INDEX-maintenance call for an embedding corpus — the
     ANN-tier sibling of :func:`maintenance_cycle` (the reference's
@@ -878,7 +879,11 @@ def index_cycle(
     forces a rebuild even when occupancy is in band — otherwise the
     no-op path would never create it. Serving:
     :func:`opq_search` (rotation applied query-side only — queries are
-    dim-sized; the corpus is read as codes).
+    dim-sized; the corpus is read as codes). ``opq_impl``: 'expr' (the
+    oracle-replicable O(dim²) column expression) or 'fwht' (the
+    O(d log d) Arrow-batch butterfly, ``similarity.hd_rotate_fwht`` —
+    the production-dim encode dial; outputs differ at fp-rounding
+    level, so keep one impl per generation).
 
     Returns ``{"refreshed": bool, "k": served K, "target_k": K the
     count demands, "n_vectors": N, "opq": tier maintained?}`` — emit
@@ -952,11 +957,20 @@ def index_cycle(
         ("sq8_codes", sq8_codes),
     ]
     if opq_seed is not None:
+        if opq_impl not in ("expr", "fwht"):
+            raise ValueError(f"opq_impl must be 'expr' or 'fwht', got {opq_impl!r}")
         signs = similarity.hd_signs(dim, opq_seed)
-        rot = vecs.select(
-            F.col(id_col),
-            similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(emb_col),
-        )
+        if opq_impl == "fwht":
+            rot = similarity.hd_rotate_fwht(
+                vecs, dim, signs=signs, id_col=id_col, emb_col=emb_col
+            )
+        else:
+            rot = vecs.select(
+                F.col(id_col),
+                similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(
+                    emb_col
+                ),
+            )
         opq_codebook = similarity.pq_codebook(
             rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
             sample_mod,

@@ -258,12 +258,19 @@ def ivf_assign(
     vecs = df.select(
         F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("v_nrm")
     )
+    # zero-norm guard (r17): a vector (or PQ subspace SLICE — zero
+    # slices are routine on sparse/rotated data; the FWHT encode path
+    # surfaced it) with ||v||=0 has no direction — define its cosine as
+    # 0 instead of letting ANSI mode abort the whole training job on
+    # 0/0. Non-degenerate values are bit-identical (the when() guards,
+    # it never re-brackets the division).
+    nrm_prod = F.col("v_nrm") * F.col("c_nrm")
     scored = vecs.crossJoin(F.broadcast(c)).select(
         id_col, emb_col, "centroid_id",
-        (
-            dot_product(F.col(emb_col), F.col("c_emb"))
-            / (F.col("v_nrm") * F.col("c_nrm"))
-        ).alias("c_cos"),
+        F.when(
+            nrm_prod != 0.0,
+            dot_product(F.col(emb_col), F.col("c_emb")) / nrm_prod,
+        ).otherwise(F.lit(0.0)).alias("c_cos"),
     )
     if n_cells == 1:
         # argmax per vector via a partially-aggregated struct max: the
@@ -1639,6 +1646,73 @@ def hd_rotate(
             )
         )
         * F.lit(scale),
+    )
+
+
+def hd_rotate_fwht(
+    df: DataFrame,
+    dim: int,
+    seed: str = "opq",
+    signs: list[float] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """O(d log d) form of :func:`hd_rotate`: the fast Walsh–Hadamard
+    butterfly over Arrow batches (``mapInPandas`` + numpy) — the
+    production-dim encode path the r16 round documented as hypothetical
+    and r17 ships (the serving path made it real: ``index_cycle`` now
+    rotates the WHOLE corpus per OPQ generation, and at dim 1024 the
+    expression form is ~1M flops/vector vs ~10K here).
+
+    Same transform, same frozen signs, but BUTTERFLY summation order —
+    float addition is non-associative, so outputs differ from the
+    expression form at the ~1e-15 relative level (pinned ≤ 1e-9 abs in
+    ``TestHdRotation``). Therefore: per GENERATION pick one impl and
+    keep it — codes recomputed under the other impl can flip an argmin
+    on a knife-edge vector. The oracle-replicable expression form stays
+    the default everywhere the DuckDB twin must replay rotation
+    bit-for-bit; this one is the throughput dial
+    (``index_cycle(opq_impl='fwht')``), measured in SCALE.md r17.
+
+    Emits ``(id_col, emb_col array<double>)``; other columns drop (the
+    encode path needs nothing else)."""
+    if dim & (dim - 1):
+        raise ValueError(f"hd_rotate_fwht needs a power-of-two dim, got {dim}")
+    sign_list = hd_signs(dim, seed) if signs is None else list(signs)
+    if len(sign_list) != dim or any(s not in (1.0, -1.0) for s in sign_list):
+        raise ValueError("signs must be a dim-length list of +/-1.0")
+    sign_arr = [float(s) for s in sign_list]
+    scale = 1.0 / float(dim) ** 0.5
+
+    def rotate_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = np.asarray(sign_arr, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            ) * s
+            h = 1
+            while h < dim:
+                # vectorized butterfly: pair lanes i and i+h per block —
+                # exactly H_{ij} = (-1)^popcount(i AND j) in natural order
+                m = m.reshape(-1, dim // (2 * h), 2, h)
+                a = m[:, :, 0, :].copy()
+                b = m[:, :, 1, :]
+                m[:, :, 0, :] = a + b
+                m[:, :, 1, :] = a - b
+                m = m.reshape(-1, dim)
+                h *= 2
+            m *= scale
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, emb_col: list(m)}
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(
+        rotate_batches, schema=f"{id_col} long, {emb_col} array<double>"
     )
 
 

@@ -1445,3 +1445,65 @@ class TestHdRotation:
         s1, s2 = S.hd_signs(16), S.hd_signs(16)
         assert s1 == s2 and set(s1) == {1.0, -1.0}
         assert S.hd_signs(16, seed="other") != s1
+
+    def test_fwht_butterfly_matches_expression_form(self, spark):
+        """r17 (r16 verdict wrong #2): the O(d log d) Arrow-batch
+        butterfly computes the SAME transform as the O(d²) expression
+        (same frozen signs, same scale) — equal to ~fp-rounding (the
+        bracketing differs, so bit-equality is NOT expected and the
+        docstring forbids mixing impls within a generation)."""
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        vecs = self._vecs()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        expr = {
+            r.vec_id: np.array(r.r)
+            for r in df.select(
+                "vec_id", S.hd_rotate(F.col("embedding"), self.DIM).alias("r")
+            ).collect()
+        }
+        fwht = {
+            r.vec_id: np.array(r.embedding)
+            for r in S.hd_rotate_fwht(df, self.DIM).collect()
+        }
+        assert set(fwht) == set(expr)
+        for i in expr:
+            assert np.max(np.abs(fwht[i] - expr[i])) <= 1e-9
+
+    def test_fwht_production_dim_preserves_geometry(self, spark):
+        """dim 1024 (the scale where the expression form is ~1M
+        flops/vector): butterfly output preserves norms and pairwise
+        distances to 1e-9 — orthogonality at the dim the dial exists
+        for, where building the H matrix explicitly is already silly."""
+        import random
+
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        dim = 1024
+        rng = random.Random(7)
+        vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.vec_id: np.array(r.embedding)
+            for r in S.hd_rotate_fwht(df, dim).collect()
+        }
+        a = np.array(vecs)
+        for i in range(4):
+            assert abs(np.linalg.norm(got[i]) - np.linalg.norm(a[i])) < 1e-9
+        assert (
+            abs(
+                np.linalg.norm(got[0] - got[1])
+                - np.linalg.norm(a[0] - a[1])
+            )
+            < 1e-9
+        )

@@ -943,6 +943,42 @@ class TestIndexCycle:
             )
         ) == served_codes
 
+    def test_opq_fwht_impl_generation_is_self_consistent(self, spark, tmp_path):
+        """r17: the O(d log d) butterfly encode dial builds a servable
+        generation — codes recompute identically UNDER THE SAME IMPL
+        (deterministic numpy), opq_search ranks from them, and an
+        unknown impl name is refused."""
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.maintenance import (
+            index_cycle, load_index, opq_search,
+        )
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        out = self._cycle(spark, corpus, root, opq_seed="g", opq_impl="fwht")
+        assert out["opq"] is True
+        idx = load_index(spark, root)
+        signs = [r.sign for r in idx["opq_signs"].orderBy("i").collect()]
+        rot = similarity.hd_rotate_fwht(corpus, self.DIM, signs=signs)
+        re_codes = similarity.pq_codes(
+            rot, 2, 4, 1, self.DIM, sample_mod=None,
+            codebook=idx["opq_codebook"],
+        )
+        code_cols = [c for c in re_codes.columns if c.startswith("code_")]
+        assert sorted(
+            map(tuple, idx["opq_codes"].select("vec_id", *code_cols).collect())
+        ) == sorted(map(tuple, re_codes.select("vec_id", *code_cols).collect()))
+        served = opq_search(
+            corpus.where(F.col("vec_id") < 2), idx, k=3,
+            n_subspaces=2, dim=self.DIM,
+        )
+        assert served.count() == 6
+        with pytest.raises(ValueError, match="opq_impl"):
+            self._cycle(
+                spark, corpus, str(tmp_path / "x"),
+                opq_seed="g", opq_impl="nope",
+            )
+
     def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
         import os as _os
         import shutil
