@@ -96,6 +96,29 @@ class TestWeightedGroupTopk:
             ((r.id, r.rank, r.aes_key) for r in got), key=lambda t: t[1]
         ) == exp
 
+    def test_scale_invariance_power_of_two(self, spark):
+        """A-ES ordering is invariant under weight scaling (u^(1/(cw))
+        is a monotone transform of u^(1/w)); with the r17 group-max
+        normalization the rank KEY itself is scale-invariant — exactly
+        so for power-of-two scales, where (c*wmax)/(c*w) is IEEE-equal
+        to wmax/w. The drawn (id, rank, key) triples must be
+        bit-identical across c in {1, 2^-8, 2^20}."""
+        base = None
+        for c in (1.0, 2.0 ** -8, 2.0 ** 20):
+            df = spark.createDataFrame(
+                [(g, i, w * c) for g, i, w in ROWS], "grp string, id long, w double"
+            )
+            got = sorted(
+                (r.grp, r.id, r.rank, r.aes_key)
+                for r in weighted_group_topk_sample(
+                    df, "grp", "id", F.col("w"), K, salt=SALT
+                ).collect()
+            )
+            if base is None:
+                base = got
+            else:
+                assert got == base, f"scale {c} changed the draw"
+
     def test_duckdb_twin_identical(self, spark):
         spark_rows = sorted(
             (r.grp, r.id, r.rank, r.aes_key) for r in self._run(spark)
