@@ -2041,6 +2041,9 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 INDEX_CYCLE_K = 16
 
 
+OPQ_INDEX_SEED = "opq"  # the rotation diagonal of the fixture generation
+
+
 def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialized IVF-PQ index generation for the embeddings corpus —
     built once per sf_dir by ``maintenance.index_cycle`` (staleness
@@ -2068,9 +2071,11 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
     probe = os.path.join(path, "centroids")
 
     def _stale() -> bool:
+        # r17: the generation now carries the OPQ tier too — a root
+        # missing any current artifact (incl. the opq trio) rebuilds
         return _fixture_stale(probe, src) or any(
             not os.path.exists(os.path.join(path, a))
-            for a in maintenance.INDEX_ARTIFACTS
+            for a in maintenance.INDEX_ARTIFACTS + maintenance.OPQ_ARTIFACTS
         )
 
     if _stale():
@@ -2090,6 +2095,13 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
                     pq_subspaces=4,
                     pq_centroids=8,
                     dim=EMB_DIM,
+                    # r17: the OPQ tier rides the same generation; the
+                    # default 'expr' impl keeps the rotation (and hence
+                    # the trained rotated codebook/codes) bit-replayable
+                    # by the DuckDB twin — the registered-form
+                    # requirement. 'fwht' is the production encode dial
+                    # where no oracle must replay the rotation.
+                    opq_seed=OPQ_INDEX_SEED,
                 )
     return path
 
@@ -2140,6 +2152,60 @@ WITH base AS ({similarity.ivf_pq_topk_sql(
     coarse_k=INDEX_CYCLE_K, coarse_iters=IVF_KMEANS_ITERS, dim=EMB_DIM)})
 SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 """
+
+
+def q_opq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotated-PQ search SERVED from the ``index_cycle`` generation
+    (r17, unit-only — the r18 registration candidate on the pre-funded
+    slot): the nightly cycle materializes the rotation signs + rotated
+    codebook/codes alongside the IVF-PQ tier, and
+    ``maintenance.opq_search`` ranks from those committed artifacts with
+    the rotation applied QUERY-side only (queries are dim-sized; the
+    corpus is read as codes). The production path the r16 verdict's
+    missing #2 asked for, end-to-end: refresh → rotate → encode →
+    commit → load → search.
+
+    Oracle-replicable because the fixture generation encodes via the
+    'expr' rotation, which ``hd_rotate_sql`` replays bit-for-bit — the
+    DuckDB twin retrains the rotated codebook with the same sampled
+    Lloyd chain and re-ranks identically (the ``pq_adc_topk_sql``
+    discipline)."""
+    from homelogging_spark.operators.maintenance import load_index, opq_search
+
+    idx = load_index(spark, _ivf_index_root(spark, sf_dir))
+    queries, _ = _emb_split(spark, sf_dir)
+    out = opq_search(
+        queries.select("vec_id", "embedding"),
+        idx,
+        k=5,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+def _opq_index_search_oracle() -> str:
+    rot_corpus = similarity.hd_rotate_sql(
+        _IDX_CORPUS_SQL, EMB_DIM, seed=OPQ_INDEX_SEED
+    )
+    rot_queries = similarity.hd_rotate_sql(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+        EMB_DIM,
+        seed=OPQ_INDEX_SEED,
+    )
+    return f"""
+WITH base AS ({similarity.pq_adc_topk_sql(
+        rot_corpus, rot_corpus, rot_queries,
+        k=5, n_subspaces=4, n_centroids=8, n_iters=IVF_KMEANS_ITERS,
+        dim=EMB_DIM, sample_mod=16, rank_decimals=6)})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
+ORACLE_OPQ_INDEX_SEARCH = _opq_index_search_oracle()
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

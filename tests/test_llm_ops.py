@@ -1016,6 +1016,47 @@ class TestCurriculumOrder:
         assert max(sizes.values()) - min(sizes.values()) <= 1
 
 
+class TestOpqIndexSearch:
+    """r17 runway (registration candidate for the next round's
+    pre-funded slot): OPQ search served from the index_cycle generation
+    must hash-match its DuckDB twin at sf0.001 — the registered-query
+    gate applied at unit level, exactly as the driver would run it."""
+
+    def test_served_matches_duckdb_twin(self, spark, sf_dir):
+        import os
+
+        import duckdb
+
+        from homelogging_spark.plans.llm_registry import (
+            ORACLE_OPQ_INDEX_SEARCH,
+            q_opq_index_search,
+        )
+        from homelogging_spark.tables import TABLE_NAMES
+        from tools.check_oracle import compare
+
+        spark_pdf = q_opq_index_search(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_pdf = con.execute(ORACLE_OPQ_INDEX_SEARCH).fetchdf()
+        assert len(spark_pdf) > 0
+        assert compare("opq_index_search", spark_pdf, duck_pdf)
+
+    def test_generation_artifact_set_includes_opq(self, spark, sf_dir):
+        """The shared fixture generation now carries the OPQ trio, and
+        the staleness gate rebuilds a root missing any of them."""
+        import os
+
+        from homelogging_spark.operators.maintenance import OPQ_ARTIFACTS
+        from homelogging_spark.plans.llm_registry import _ivf_index_root
+
+        root = _ivf_index_root(spark, sf_dir)
+        for a in OPQ_ARTIFACTS:
+            assert os.path.exists(os.path.join(root, a)), a
+
+
 class TestPqAdcTopk:
     """PQ asymmetric-distance search: ADC(q, v) must equal the L2 of q
     to v's codebook reconstruction EXACTLY (that is its definition),
