@@ -403,9 +403,14 @@ def bm25_topk(
             F.count(F.lit(1)).cast("double").alias("df")
         )
     if stats is not None:
+        # n_docs=0 guard: an empty-corpus state must yield the empty
+        # result the recomputing path yields, not an ANSI
+        # divide-by-zero (Spark raises on double 0/0 under ANSI)
         stats = stats.select(
             F.col("n_docs").cast("double").alias("n_total"),
-            (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
+            F.when(
+                F.col("n_docs") > 0, F.col("total_dl") / F.col("n_docs")
+            ).alias("avgdl"),
         )
     elif doc_len_col is not None:
         # the dial: stats from the stored length column — no tokenizing

@@ -485,7 +485,11 @@ def bm25_stats_batch_merger(
     foreachBatch ids are monotonic per checkpoint, so an at-least-once
     redelivery (batch_id <= watermark) is a no-op on the state. The
     input contract is append-only docs (each doc streamed once), the
-    same contract the index-maintenance tier holds."""
+    same contract the index-maintenance tier holds — with non-NULL
+    text: NULL-text docs would count toward n_docs but contribute no
+    length, so the served avgdl would divide by ALL docs where the
+    batch path's avg divides by non-NULL ones; the recompute-identity
+    pin applies to non-NULL-text corpora."""
     from homelogging_spark.functions.texthash import tokens
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
 

@@ -221,6 +221,25 @@ class TestBm25StatsStream:
         )
         assert served == recomputed
 
+    def test_empty_corpus_state_serves_empty_not_crash(self, spark, tmp_path):
+        """Serving from a zero-doc state emits the same empty result
+        the recomputing path emits — not an ANSI divide-by-zero from
+        avgdl = 0/0 (Spark raises on double zero-division)."""
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        bm25_stats_batch_merger(state)(empty, 0)
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert (stats.n_docs, stats.total_dl) == (0, 0)
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        out = bm25_topk(
+            empty, q, k=10, k1=K1, b=B,
+            dfreq=spark.read.parquet(state + "/dfreq"),
+            stats=spark.read.parquet(state + "/stats"),
+        ).collect()
+        assert out == []
+
     def test_redelivered_batch_is_noop(self, spark, tmp_path):
         state = str(tmp_path / "bm25_state")
         merger = self._merge_all(spark, state)
