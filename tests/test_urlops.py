@@ -83,6 +83,135 @@ EQUIV_URLS = [raw for raw, _, _ in CASES] + [
 ]
 
 
+def _py_normalize(u: str) -> str:
+    """Pure-Python articulation of the 5-step contract (module
+    docstring) — an implementation INDEPENDENT of all three engine
+    forms (single-tree expr / staged expr / DuckDB SQL), so a bug
+    shared by the hand-duplicated trees can't hide (r17; this contract
+    drew three findings in two rounds)."""
+    import re
+
+    u1 = re.sub(r"#.*$", "", u)  # (1) fragment
+    m = re.match(r"^[^:/?#]+://[^/?#]*", u1)
+    head = m.group(0) if m else ""
+    tail = u1[len(head):]
+    head = head.lower()  # (2) scheme + host
+    if head.startswith("http://"):  # (3) scheme-gated default ports
+        head = re.sub(r":80$", "", head)
+    elif head.startswith("https://"):
+        head = re.sub(r":443$", "", head)
+    qi = tail.find("?")
+    if qi >= 0:
+        path, query = tail[:qi], tail[qi + 1:]
+    else:
+        path, query = tail, ""
+    kept = [
+        p
+        for p in query.split("&")
+        if not re.match(urlops.TRACKING_PARAM_RE, p.lower())
+    ]  # (4) tracking params
+    q_n = "?" + "&".join(kept) if (query != "" and len(kept) > 0) else ""
+    if path == "/" and q_n == "":  # (5) bare root collapse
+        path = ""
+    return head + path + q_n
+
+
+def _py_domain(url_norm: str) -> str:
+    import re
+
+    m = re.match(r"^[^:/?#]+://([^/?#]*)", url_norm)
+    host = re.sub(r":[0-9]+$", "", m.group(1) if m else "")
+    labels = host.split(".")
+    if len(labels) < 2:
+        return host
+    last2 = ".".join(labels[-2:])
+    if len(labels) >= 3 and last2 in urlops.MULTI_LABEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return last2
+
+
+def _composed_urls(n=400, seed=42):
+    """Deterministic cross-product sampler over the contract's axes —
+    corners the hand-picked fixtures can't densely cover."""
+    import random
+
+    rng = random.Random(seed)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", "ftp://",
+               "ws://", "FTP://", ""]
+    hosts = ["news.Example.COM", "EXAMPLE.com", "shop.retail.CO.UK",
+             "a.b.ne.jp", "localhost", "co.kr", "sub.domain.com.tr",
+             "h", "x.y.z.example.io", "trailing.dot.example.com.",
+             "pass.example.com", "128.0.0.1"]
+    ports = ["", ":80", ":443", ":8080", ":0080", ":443 ", ":08"]
+    paths = ["", "/", "/A/b", "/dir/", "/p%20q", "//double", "/?x",
+             "/UPPER/Case7"]
+    queries = ["", "?", "?utm_source=x", "?a=1&REF=2&b=3", "?gclid",
+               "?a=1&&b=2", "?ref_src=t&x=1", "?id=gclid",
+               "?UTM_CAMPAIGN=Z", "?reference=1&fbclid=q", "?ref",
+               "?keep=Me&utm_x"]
+    frags = ["", "#f", "#Frag/with?stuff", "#", "#utm_source=x"]
+    out = []
+    for _ in range(n):
+        u = (rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+             + rng.choice(paths) + rng.choice(queries) + rng.choice(frags))
+        out.append(u)
+    return out
+
+
+class TestContractReference:
+    """Every engine form vs the independent Python articulation, over
+    the composed adversarial corpus — one Spark batch, one DuckDB
+    query, never per-example round-trips."""
+
+    def test_all_three_engine_forms_match_python_reference(self, spark):
+        urls = _composed_urls()
+        exp = [(i, _py_normalize(u), _py_domain(_py_normalize(u)))
+               for i, u in enumerate(urls)]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i int, url string"
+        )
+        cols = urlops.url_columns(F.col("url"))
+        single = sorted(
+            (r.i, r.n, r.d)
+            for r in df.select(
+                "i", cols["url_norm"].alias("n"), cols["domain"].alias("d")
+            ).collect()
+        )
+        assert single == exp
+        staged = sorted(
+            (r.i, r.url_norm, r.domain)
+            for r in urlops.with_url_columns(df, "url")
+            .select("i", "url_norm", "domain")
+            .collect()
+        )
+        assert staged == exp
+        import duckdb
+
+        norm = urlops.normalize_url_sql("url")
+        dom = urlops.registrable_domain_sql(urlops.host_sql(norm))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (i int, url varchar)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+        duck = sorted(
+            con.execute(
+                f"SELECT i, {norm} AS n, {dom} AS d FROM t ORDER BY i"
+            ).fetchall()
+        )
+        # the SQL twin's documented asymmetry (registrable_domain_col
+        # comment): single-label hosts degrade to the host Spark-side
+        # but NULL in DuckDB's 1-indexed list arithmetic — the oracle
+        # only sees >=2-label hosts by construction. Norm always
+        # matches; domain matches wherever the host has a dot.
+        for (di, dn, dd), (ei, en, ed) in zip(duck, exp):
+            assert (di, dn) == (ei, en)
+            if "." in ed:
+                assert dd == ed, (di, dd, ed)
+            else:
+                assert dd is None or dd == ed
+
+
 class TestUrlNormalization:
     def test_contract_cases_spark(self, spark):
         df = spark.createDataFrame(
