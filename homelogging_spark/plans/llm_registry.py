@@ -2208,6 +2208,93 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 ORACLE_OPQ_INDEX_SEARCH = _opq_index_search_oracle()
 
 
+def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized BM25 corpus-statistics state for the documents
+    table — built once per sf_dir THROUGH the incremental merger
+    (three doc_id-sliced micro-batches folded by
+    ``streaming.pipeline.bm25_stats_batch_merger``, the exact
+    foreachBatch body the stream runs), then SERVED from parquet. The
+    `_ivf_index_root` discipline applied to the lexical tier: the
+    certified chain is stream-merge → committed generation → load →
+    rank."""
+    import os
+    import shutil
+
+    from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+    from homelogging_spark.tables import (
+        _fixture_build_lock,
+        _fixture_path,
+        _fixture_stale,
+    )
+
+    path = _fixture_path(sf_dir, "bm25_state")
+    src = os.path.join(sf_dir, "documents.parquet")
+    probe = os.path.join(path, "stats")
+
+    def _stale() -> bool:
+        return _fixture_stale(probe, src) or not os.path.exists(
+            os.path.join(path, "dfreq")
+        )
+
+    if _stale():
+        with _fixture_build_lock(path):
+            if _stale():
+                shutil.rmtree(path, ignore_errors=True)
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                merger = bm25_stats_batch_merger(path)
+                for i in range(3):
+                    merger(docs.where(F.col("doc_id") % 3 == i), i)
+    return path
+
+
+def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k SERVED from the stream-maintained statistics state
+    (r17, unit-only — an r18 registration candidate): df / N / total_dl
+    come from the committed generation `_bm25_state_root` built through
+    the incremental merger; only the (query-term-pruned) tf pass
+    touches text at serve time. The oracle is the plain RECOMPUTING
+    BM25 SQL over the same corpus — the operator's entire claim is that
+    serving from maintained state emits the recomputing path's rows
+    verbatim, so hash-matching the recompute IS the certification (the
+    skew_split_join oracle pattern)."""
+    from homelogging_spark.operators.textops import bm25_topk
+
+    state = _bm25_state_root(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    q_panel = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(HYBRID_QUERY_TERMS.items()) for t in terms],
+        "query_id long, term string",
+    )
+    out = bm25_topk(
+        docs,
+        q_panel,
+        k=HYBRID_K,
+        dfreq=spark.read.parquet(state + "/dfreq"),
+        stats=spark.read.parquet(state + "/stats"),
+    )
+    return out.select("query_id", "rank", "doc_id", "score", "n_terms_hit")
+
+
+def _bm25_state_served_oracle() -> str:
+    from homelogging_spark.operators.textops import bm25_topk_sql
+
+    q_cte = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, terms in sorted(HYBRID_QUERY_TERMS.items())
+            for t in terms
+        )
+        + ") q(query_id, term)"
+    )
+    return bm25_topk_sql(q_cte, k=HYBRID_K)
+
+
+ORACLE_BM25_STATE_SERVED = _bm25_state_served_oracle()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)

@@ -1057,6 +1057,34 @@ class TestOpqIndexSearch:
             assert os.path.exists(os.path.join(root, a)), a
 
 
+class TestBm25StateServed:
+    """r17 runway: BM25 served from the stream-merged state generation
+    must hash-match the plain recomputing BM25 SQL at sf0.001 — the
+    driver gate run at unit level (registration candidate next round)."""
+
+    def test_served_matches_recomputing_oracle(self, spark, sf_dir):
+        import os
+
+        import duckdb
+
+        from homelogging_spark.plans.llm_registry import (
+            ORACLE_BM25_STATE_SERVED,
+            q_bm25_state_served,
+        )
+        from homelogging_spark.tables import TABLE_NAMES
+        from tools.check_oracle import compare
+
+        spark_pdf = q_bm25_state_served(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_pdf = con.execute(ORACLE_BM25_STATE_SERVED).fetchdf()
+        assert len(spark_pdf) > 0
+        assert compare("bm25_state_served", spark_pdf, duck_pdf)
+
+
 class TestPqAdcTopk:
     """PQ asymmetric-distance search: ADC(q, v) must equal the L2 of q
     to v's codebook reconstruction EXACTLY (that is its definition),
