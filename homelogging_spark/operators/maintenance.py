@@ -894,6 +894,10 @@ def index_cycle(
         raise ValueError(f"target_cell_rows must be >= 1, got {target_cell_rows}")
     if growth_factor <= 1:
         raise ValueError(f"growth_factor must be > 1, got {growth_factor}")
+    if opq_impl not in ("expr", "fwht"):
+        # validated up front: the Lloyd-chain training below is eager,
+        # so a late raise would come minutes into a rebuild
+        raise ValueError(f"opq_impl must be 'expr' or 'fwht', got {opq_impl!r}")
     _require_rename_atomic(index_root, "index_cycle")
     hadoop, fs = _fs(spark, index_root)
     P = hadoop.Path
@@ -957,8 +961,6 @@ def index_cycle(
         ("sq8_codes", sq8_codes),
     ]
     if opq_seed is not None:
-        if opq_impl not in ("expr", "fwht"):
-            raise ValueError(f"opq_impl must be 'expr' or 'fwht', got {opq_impl!r}")
         signs = similarity.hd_signs(dim, opq_seed)
         if opq_impl == "fwht":
             rot = similarity.hd_rotate_fwht(
