@@ -1038,7 +1038,10 @@ FROM r WHERE rank <= 5
 
 
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 scalar-quantized search (r15): per-dimension uint8 codes
+    """SQ8 scalar-quantized search (r15; r18: its registry row retired
+    into ``ann_topk``'s ``method='sq8'`` leg, which emits these columns
+    verbatim — this function stays as the leg's builder and the unit
+    tests' subject): per-dimension uint8 codes
     against corpus-trained [min, max] bounds — the standard 4x memory
     lever BESIDE PQ (FAISS SQ8): no codebook training, one bounds pass,
     two-flop decode. Asymmetric ranking (float queries vs decoded
@@ -1281,7 +1284,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``similarity.exact_topk``) emitted verbatim with
     ``recall_at_k=1.0`` (it IS the truth set the other legs' honesty
     columns compare against), so one driver row now certifies the
-    baseline and both index families."""
+    baseline and both index families.
+
+    r18 window-slot consolidation (funding the ``bm25_state_served``
+    registration per the r17 verdict's plan): absorbs the retired
+    ``sq8_topk`` row as a fourth ``method='sq8'`` leg — the
+    scalar-quantized asymmetric top-5 (``q_sq8_topk``) emitted verbatim
+    modulo the panel's column names (vec_id→cand_id,
+    cosine_sq8→cosine). The leg keeps its own k=5 (the legs are
+    unioned, never joined, so per-leg k is data, not a schema
+    constraint). One row now certifies the exact baseline and all
+    three quantized/index families."""
     lsh = q_ann_lsh_topk(spark, sf_dir)
     ivf = q_ann_ivf_topk(spark, sf_dir)
     exact = (
@@ -1289,10 +1302,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("vec_id", "cand_id")
         .withColumn("recall_at_k", F.lit(1.0))
     )
+    sq8 = (
+        q_sq8_topk(spark, sf_dir)
+        .withColumnRenamed("vec_id", "cand_id")
+        .withColumnRenamed("cosine_sq8", "cosine")
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
         .unionByName(exact.select(F.lit("exact").alias("method"), "*"))
+        .unionByName(sq8.select(F.lit("sq8").alias("method"), "*"))
     )
 
 
@@ -1304,6 +1323,10 @@ UNION ALL
 SELECT 'exact' AS method, query_id, rank, vec_id AS cand_id, cosine,
        1.0 AS recall_at_k
 FROM ({ORACLE_EMBEDDING_TOPK})
+UNION ALL
+SELECT 'sq8' AS method, query_id, rank, vec_id AS cand_id,
+       cosine_sq8 AS cosine, recall_at_k
+FROM ({ORACLE_SQ8_TOPK})
 """
 
 
@@ -2156,8 +2179,8 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 
 def q_opq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ rotated-PQ search SERVED from the ``index_cycle`` generation
-    (r17, unit-only — the r18 registration candidate on the pre-funded
-    slot): the nightly cycle materializes the rotation signs + rotated
+    (written r17, registered r18 on the pre-funded slot): the nightly
+    cycle materializes the rotation signs + rotated
     codebook/codes alongside the IVF-PQ tier, and
     ``maintenance.opq_search`` ranks from those committed artifacts with
     the rotation applied QUERY-side only (queries are dim-sized; the
@@ -2251,7 +2274,8 @@ def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
 
 def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k SERVED from the stream-maintained statistics state
-    (r17, unit-only — an r18 registration candidate): df / N / total_dl
+    (written r17, registered r18 — funded by the sq8_topk → ann_topk
+    method-leg consolidation): df / N / total_dl
     come from the committed generation `_bm25_state_root` built through
     the incremental merger; only the (query-term-pruned) tf pass
     touches text at serve time. The oracle is the plain RECOMPUTING
@@ -2742,8 +2766,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search_panel": q_hybrid_search_panel,
     "ivf_pq_topk": q_ivf_pq_topk,
     "index_cycle_search": q_index_cycle_search,
+    "opq_index_search": q_opq_index_search,
+    "bm25_state_served": q_bm25_state_served,
     "opq_panel": q_opq_panel,
-    "sq8_topk": q_sq8_topk,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_chunks": q_doc_chunks,
@@ -2778,8 +2803,9 @@ LLM_ORACLES: dict[str, str] = {
     "hybrid_search_panel": ORACLE_HYBRID_SEARCH_PANEL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
+    "opq_index_search": ORACLE_OPQ_INDEX_SEARCH,
+    "bm25_state_served": ORACLE_BM25_STATE_SERVED,
     "opq_panel": ORACLE_OPQ_PANEL,
-    "sq8_topk": ORACLE_SQ8_TOPK,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "doc_chunks": ORACLE_DOC_CHUNKS,

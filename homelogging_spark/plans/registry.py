@@ -2796,15 +2796,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # green CORRECTNESS_r15 rows and were pruned in r16; r16's two tags
     # — bpe_pack v3, ann_topk's exact leg — expired on their green
     # CORRECTNESS_r16 rows and were pruned in r17.)
-    # r17: pulse_accumulate absorbed the retired pulse_step_emit row as
-    # its leg='debounced' (window-slot consolidation funding the
-    # hybrid_search_panel registration); its r15 row certifies the
-    # raw-only output.
-    "pulse_accumulate": 17,
-    # r17: bucket_downsample_panel absorbed the retired count_by_series
-    # row as its grain='series' leg (the second funding merge); its r15
-    # row certifies the hour+minute panel only.
-    "bucket_downsample_panel": 17,
+    # (r17's two tags — pulse_accumulate's debounced leg,
+    # bucket_downsample_panel's series leg — expired on their green
+    # CORRECTNESS_r17 rows and were pruned in r18.)
+    #
+    # r18: ann_topk absorbed the retired sq8_topk row as its
+    # method='sq8' leg (window-slot consolidation funding the
+    # bm25_state_served registration); its r16 row certifies the
+    # lsh/ivf/exact panel only. ann_topk is r18-stale anyway (last
+    # green r16), so the tag costs zero extra window slots.
+    "ann_topk": 18,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2838,8 +2839,10 @@ MERGED_FROM: dict[str, list[str]] = {
     "sampling_panel": ["hash_sample_panel", "group_topk_sample"],
     # r16 additionally absorbed embedding_topk as the method='exact' leg
     # (entry added r17 — the omission made bench's vs_prev under-credit
-    # the panel's previous time by the absorbed row's)
-    "ann_topk": ["ann_lsh_topk", "ann_ivf_topk", "embedding_topk"],
+    # the panel's previous time by the absorbed row's);
+    # r18 additionally absorbed sq8_topk as the method='sq8' leg
+    # (funding the bm25_state_served registration)
+    "ann_topk": ["ann_lsh_topk", "ann_ivf_topk", "embedding_topk", "sq8_topk"],
     # r16: the method='pq' codes leg is the retired pq_codes verbatim
     # (entry added r17, same omission)
     "opq_panel": ["pq_codes"],

@@ -48,7 +48,10 @@ BROADCAST_NESTED_LOOP_OK = {
     "funnel_stages",
     # r6 (ann_lsh/ann_ivf, merged into ann_topk in r10): recall@k honesty
     # column joins the exact_topk reference, whose 5-row broadcast query
-    # panel is the same benign BNLJ as embedding_topk
+    # panel is the same benign BNLJ as embedding_topk; r18: the absorbed
+    # sq8 leg adds the 1-row SQ8 bounds broadcast against the corpus
+    # scan (a constant-width lookup, the PQ-codebook shape — the retired
+    # sq8_topk row's allowlist entry carried here with the merge)
     "ann_topk",
     # r10: probe/ADC stages are the same broadcast-codebook and
     # broadcast-centroid constant-width lookups as pq_adc_topk/ann_topk
@@ -57,6 +60,16 @@ BROADCAST_NESTED_LOOP_OK = {
     # cycle-maintained parquet artifacts — same broadcast-codebook /
     # broadcast-centroid constant-width BNLJ, never a corpus cartesian
     "index_cycle_search",
+    # r18: the OPQ tier served from the same cycle generation — the
+    # identical broadcast-codebook / broadcast-centroid constant-width
+    # ADC lookups as index_cycle_search, plus the query-side rotation
+    # (a dim-sized projection, no join at all)
+    "opq_index_search",
+    # r18: BM25 served from the maintained state generation — the
+    # (N, total_dl) stats frame is ONE row crossed onto the pruned
+    # per-term frame (a designed 1-row broadcast, the stats-dim shape);
+    # everything else is hash joins over bounded frames
+    "bm25_state_served",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
@@ -72,10 +85,6 @@ BROADCAST_NESTED_LOOP_OK = {
     # truth — the same designed constant-width BNLJs, for two methods
     "opq_panel",
     "length_drift_psi",
-    # r15: the 1-row SQ8 bounds broadcast against the corpus scan (a
-    # constant-width lookup, the PQ-codebook shape) plus exact_topk's
-    # allowlisted broadcast-query panel for scoring and recall truth
-    "sq8_topk",
     # r15: ivf_assign's broadcast of K centroids against each vector —
     # the same designed cell-assignment shape as semantic_dedup/ann_topk
     "cluster_balanced_sample",
