@@ -785,6 +785,17 @@ INDEX_ARTIFACTS = (
 # trained on hd_rotate'd vectors — same generation, same swap
 OPQ_ARTIFACTS = ("opq_signs", "opq_codebook", "opq_codes")
 
+# r18 (r17 verdict #2): one-row provenance artifact written with the OPQ
+# frames — (opq_impl, opq_seed, dim). The 'expr'/'fwht' rotation impls
+# differ at fp-rounding level, so a generation's codes are only
+# recompute-consistent under the impl that built them; the docstring
+# discipline "per generation pick one impl and keep it" is now a row in
+# the generation, asserted by index_cycle (impl change refused unless
+# forced) and opq_search (seed→signs derivation verified). Kept out of
+# OPQ_ARTIFACTS so pre-r18 generations (tier present, no meta) still
+# load; they backfill provenance on their next rebuild.
+OPQ_META = "opq_meta"
+
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
     """Read the four IVF-PQ index artifacts a :func:`index_cycle` run
@@ -801,7 +812,11 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     r17: when the generation was built with ``opq_seed`` set, the OPQ
     tier (``opq_signs`` (i, sign), ``opq_codebook``, ``opq_codes`` —
     see :func:`opq_search`) loads under its artifact names too; absent
-    otherwise, so pre-OPQ generations keep loading unchanged."""
+    otherwise, so pre-OPQ generations keep loading unchanged.
+
+    r18: the ``opq_meta`` provenance row (opq_impl, opq_seed, dim)
+    loads alongside the tier when present — absent only on pre-r18
+    generations, which backfill it at their next rebuild."""
     idx = {
         a: spark.read.parquet(os.path.join(index_root, a))
         for a in INDEX_ARTIFACTS
@@ -810,6 +825,9 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     if fs.exists(hadoop.Path(os.path.join(index_root, OPQ_ARTIFACTS[0]))):
         for a in OPQ_ARTIFACTS:
             idx[a] = spark.read.parquet(os.path.join(index_root, a))
+        meta_path = os.path.join(index_root, OPQ_META)
+        if fs.exists(hadoop.Path(meta_path)):
+            idx[OPQ_META] = spark.read.parquet(meta_path)
     return idx
 
 
@@ -831,6 +849,7 @@ def index_cycle(
     exact_fold: bool = True,
     opq_seed: str | None = None,
     opq_impl: str = "expr",
+    allow_opq_impl_change: bool = False,
 ) -> dict:
     """One nightly INDEX-maintenance call for an embedding corpus — the
     ANN-tier sibling of :func:`maintenance_cycle` (the reference's
@@ -885,6 +904,21 @@ def index_cycle(
     the production-dim encode dial; outputs differ at fp-rounding
     level, so keep one impl per generation).
 
+    r18 (r17 verdict #2 + ADVICE): the one-impl-per-generation
+    discipline is ENFORCED from persisted provenance, not convention.
+    Each OPQ generation carries a one-row ``opq_meta`` artifact
+    (opq_impl, opq_seed, dim); on a live OPQ index the cycle compares
+    the request against it BEFORE the occupancy no-op: a changed
+    ``opq_seed`` is treated like a missing tier (rebuild — the stored
+    codes would mismatch the requested rotation), while a changed
+    ``opq_impl`` is REFUSED with a pointed error unless
+    ``allow_opq_impl_change=True`` (which forces a full re-encode
+    under the new impl — never a silent impl switch, never mixed-impl
+    codes). Pre-r18 generations without the meta row fall back to
+    comparing the committed ``opq_signs`` artifact against
+    ``hd_signs(dim, opq_seed)`` (seed drift still rebuilds; impl drift
+    is undetectable until the next rebuild backfills the meta).
+
     Returns ``{"refreshed": bool, "k": served K, "target_k": K the
     count demands, "n_vectors": N, "opq": tier maintained?}`` — emit
     it to the maintenance log ("no silent maintenance")."""
@@ -914,6 +948,39 @@ def index_cycle(
         current_k = spark.read.parquet(cent_path).count()
     opq_live = fs.exists(P(os.path.join(index_root, OPQ_ARTIFACTS[0])))
     opq_missing = opq_seed is not None and not opq_live
+    if opq_seed is not None and opq_live:
+        # r18: validate the request against the committed generation's
+        # provenance BEFORE the occupancy no-op — a seed change must
+        # rebuild (the stored codes were encoded under a different
+        # rotation), an impl change must never happen silently.
+        meta_path = os.path.join(index_root, OPQ_META)
+        if fs.exists(P(meta_path)):
+            meta = spark.read.parquet(meta_path).collect()[0]
+            if meta.opq_impl != opq_impl and not allow_opq_impl_change:
+                raise ValueError(
+                    f"index generation at {index_root} was built with "
+                    f"opq_impl={meta.opq_impl!r} but {opq_impl!r} was "
+                    "requested; the two rotation impls differ at "
+                    "fp-rounding level, so codes must never mix. Pass "
+                    "allow_opq_impl_change=True to force a full "
+                    "re-encode under the new impl."
+                )
+            if meta.opq_seed != opq_seed or meta.opq_impl != opq_impl:
+                opq_missing = True  # provenance drift: rebuild the tier
+        else:
+            # pre-r18 generation (tier present, no meta): the signs
+            # artifact is the only provenance — seed drift rebuilds,
+            # impl drift is undetectable until the rebuild records it
+            stored_signs = [
+                r.sign
+                for r in spark.read.parquet(
+                    os.path.join(index_root, "opq_signs")
+                )
+                .orderBy("i")
+                .collect()
+            ]
+            if stored_signs != similarity.hd_signs(dim, opq_seed):
+                opq_missing = True
     if (
         current_k
         and not opq_missing
@@ -984,10 +1051,18 @@ def index_cycle(
         signs_df = spark.createDataFrame(
             list(enumerate(signs)), "i int, sign double"
         )
+        # provenance row (r18): which impl encoded this generation's
+        # codes, from which seed the signs derive, at what dim —
+        # asserted by the next cycle and by opq_search
+        meta_df = spark.createDataFrame(
+            [(opq_impl, opq_seed, dim)],
+            "opq_impl string, opq_seed string, dim int",
+        )
         frames += [
             ("opq_signs", signs_df),
             ("opq_codebook", opq_codebook),
             ("opq_codes", opq_codes),
+            (OPQ_META, meta_df),
         ]
     fs.delete(P(tmp), True)
     for name, frame in frames:
@@ -1032,7 +1107,13 @@ def opq_search(
     makes a seed change across generations structurally incapable of
     mismatching the stored codes. ``idx``: a :func:`load_index` result
     carrying the OPQ tier; raises KeyError with a pointed message when
-    the generation was built without it."""
+    the generation was built without it.
+
+    r18: when the generation carries the ``opq_meta`` provenance row,
+    serving asserts it is mutually consistent with the signs artifact —
+    the meta's dim matches the requested dim and its seed re-derives
+    the committed diagonal exactly. A torn or hand-edited generation
+    fails loudly here instead of ranking against the wrong rotation."""
     from homelogging_spark.operators import similarity
 
     if "opq_signs" not in idx:
@@ -1046,6 +1127,19 @@ def opq_search(
         raise ValueError(
             f"opq_signs artifact has {len(signs)} rows, expected dim={dim}"
         )
+    if OPQ_META in idx:
+        meta = idx[OPQ_META].collect()[0]
+        if int(meta.dim) != dim:
+            raise ValueError(
+                f"opq_meta records dim={int(meta.dim)} but dim={dim} was "
+                "requested; this generation serves a different dimension"
+            )
+        if similarity.hd_signs(dim, meta.opq_seed) != signs:
+            raise ValueError(
+                "opq_meta seed does not derive the committed opq_signs "
+                "diagonal — the generation is torn or hand-edited; "
+                "rebuild with index_cycle(opq_seed=...)"
+            )
     rotated = queries.select(
         F.col(id_col),
         similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(emb_col),

@@ -1674,8 +1674,11 @@ def hd_rotate_fwht(
     bit-for-bit; this one is the throughput dial
     (``index_cycle(opq_impl='fwht')``), measured in SCALE.md r17.
 
-    Emits ``(id_col, emb_col array<double>)``; other columns drop (the
-    encode path needs nothing else)."""
+    Emits ``(id_col, emb_col array<double>)`` with the id column's
+    INPUT dtype (r18, ADVICE fix: the schema was hard-coded ``long``,
+    so non-bigint id corpora — which the 'expr' path and ``index_cycle``
+    otherwise accept — failed or miscast only on this dial); other
+    columns drop (the encode path needs nothing else)."""
     if dim & (dim - 1):
         raise ValueError(f"hd_rotate_fwht needs a power-of-two dim, got {dim}")
     sign_list = hd_signs(dim, seed) if signs is None else list(signs)
@@ -1711,8 +1714,9 @@ def hd_rotate_fwht(
                 {id_col: pdf[id_col].values, emb_col: list(m)}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, emb_col).mapInPandas(
-        rotate_batches, schema=f"{id_col} long, {emb_col} array<double>"
+        rotate_batches, schema=f"{id_col} {id_type}, {emb_col} array<double>"
     )
 
 

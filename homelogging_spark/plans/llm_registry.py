@@ -2095,10 +2095,13 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
 
     def _stale() -> bool:
         # r17: the generation now carries the OPQ tier too — a root
-        # missing any current artifact (incl. the opq trio) rebuilds
+        # missing any current artifact (incl. the opq trio and, r18,
+        # the opq_meta provenance row) rebuilds
         return _fixture_stale(probe, src) or any(
             not os.path.exists(os.path.join(path, a))
-            for a in maintenance.INDEX_ARTIFACTS + maintenance.OPQ_ARTIFACTS
+            for a in maintenance.INDEX_ARTIFACTS
+            + maintenance.OPQ_ARTIFACTS
+            + (maintenance.OPQ_META,)
         )
 
     if _stale():

@@ -979,6 +979,90 @@ class TestIndexCycle:
                 opq_seed="g", opq_impl="nope",
             )
 
+    def test_opq_provenance_persisted_and_enforced(self, spark, tmp_path):
+        """r18 (r17 verdict #2): each OPQ generation records which
+        rotation impl encoded it (one-row ``opq_meta``); a recompute
+        request under the OTHER impl is refused unless explicitly
+        forced (then fully re-encoded — never mixed-impl codes), and a
+        changed seed on an in-band index rebuilds instead of silently
+        serving the old rotation (the r17 ADVICE finding)."""
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.maintenance import load_index
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root, opq_seed="g", opq_impl="fwht")
+        idx = load_index(spark, root)
+        meta = idx["opq_meta"].collect()[0]
+        assert (meta.opq_impl, meta.opq_seed, meta.dim) == (
+            "fwht", "g", self.DIM,
+        )
+        with pytest.raises(ValueError, match="never mix"):
+            self._cycle(spark, corpus, root, opq_seed="g", opq_impl="expr")
+        # forced: a full re-encode under the new impl, provenance updated
+        out = self._cycle(
+            spark, corpus, root, opq_seed="g", opq_impl="expr",
+            allow_opq_impl_change=True,
+        )
+        assert out["refreshed"] is True and out["opq"] is True
+        assert (
+            load_index(spark, root)["opq_meta"].collect()[0].opq_impl
+            == "expr"
+        )
+        # in-band seed change: rebuild, new signs committed + recorded
+        out2 = self._cycle(spark, corpus, root, opq_seed="g2")
+        assert out2["refreshed"] is True
+        idx2 = load_index(spark, root)
+        signs = [r.sign for r in idx2["opq_signs"].orderBy("i").collect()]
+        assert signs == similarity.hd_signs(self.DIM, "g2")
+        assert idx2["opq_meta"].collect()[0].opq_seed == "g2"
+
+    def test_opq_pre_provenance_generation_falls_back_to_signs(
+        self, spark, tmp_path
+    ):
+        """A pre-r18 generation (tier present, no opq_meta) still loads
+        and still detects seed drift via the committed signs artifact;
+        the next rebuild backfills the provenance row."""
+        import shutil
+
+        from homelogging_spark.operators.maintenance import load_index
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root, opq_seed="g")
+        shutil.rmtree(os.path.join(root, "opq_meta"))
+        idx = load_index(spark, root)
+        assert "opq_meta" not in idx and "opq_signs" in idx
+        # same seed: the signs-compare fallback keeps the in-band no-op
+        out = self._cycle(spark, corpus, root, opq_seed="g")
+        assert out["refreshed"] is False and out["opq"] is True
+        # changed seed: rebuild + provenance backfilled
+        out2 = self._cycle(spark, corpus, root, opq_seed="h")
+        assert out2["refreshed"] is True
+        meta = load_index(spark, root)["opq_meta"].collect()[0]
+        assert (meta.opq_impl, meta.opq_seed) == ("expr", "h")
+
+    def test_opq_search_asserts_meta_signs_consistency(self, spark, tmp_path):
+        """Serving refuses a generation whose provenance row no longer
+        derives the committed diagonal (torn/hand-edited state)."""
+        from homelogging_spark.operators.maintenance import (
+            load_index, opq_search,
+        )
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root, opq_seed="g")
+        spark.createDataFrame(
+            [("expr", "WRONG-SEED", self.DIM)],
+            "opq_impl string, opq_seed string, dim int",
+        ).write.mode("overwrite").parquet(os.path.join(root, "opq_meta"))
+        idx = load_index(spark, root)
+        with pytest.raises(ValueError, match="torn or hand-edited"):
+            opq_search(
+                corpus.where(F.col("vec_id") < 2), idx,
+                k=3, n_subspaces=2, dim=self.DIM,
+            )
+
     def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
         import os as _os
         import shutil
