@@ -2258,9 +2258,18 @@ def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
     probe = os.path.join(path, "stats")
 
     def _stale() -> bool:
-        return _fixture_stale(probe, src) or not os.path.exists(
+        if _fixture_stale(probe, src) or not os.path.exists(
             os.path.join(path, "dfreq")
-        )
+        ):
+            return True
+        # r18: the generation must carry the corpus fingerprint the
+        # serve-time drift check verifies — pre-r18 states rebuild once
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        parts = _glob.glob(os.path.join(probe, "*.parquet"))
+        return not parts or "corpus_digest" not in _pq.read_schema(parts[0]).names
 
     if _stale():
         with _fixture_build_lock(path):
@@ -2285,7 +2294,10 @@ def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 SQL over the same corpus — the operator's entire claim is that
     serving from maintained state emits the recomputing path's rows
     verbatim, so hash-matching the recompute IS the certification (the
-    skew_split_join oracle pattern)."""
+    skew_split_join oracle pattern). ``verify_state=True`` (r18): the
+    registered row also exercises the corpus-fingerprint drift check —
+    the state generation's digest must match the scored frame or the
+    query raises instead of serving shifted idfs."""
     from homelogging_spark.operators.textops import bm25_topk
 
     state = _bm25_state_root(spark, sf_dir)
@@ -2300,6 +2312,7 @@ def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=HYBRID_K,
         dfreq=spark.read.parquet(state + "/dfreq"),
         stats=spark.read.parquet(state + "/stats"),
+        verify_state=True,
     )
     return out.select("query_id", "rank", "doc_id", "score", "n_terms_hit")
 

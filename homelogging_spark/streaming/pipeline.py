@@ -463,6 +463,7 @@ def bm25_stats_batch_merger(
     state_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ):
     """The ``foreachBatch`` body of :func:`start_bm25_stats_stream`,
     exposed so replay idempotency is directly testable (the
@@ -477,13 +478,32 @@ def bm25_stats_batch_merger(
       term, the full-vocabulary inverted-index statistic (bounded by
       vocabulary size, not corpus size; additive across doc-disjoint
       batches because each doc contributes 0/1 per term);
-    - ``stats``: one row (n_docs, total_dl, max_batch_id) — corpus
-      size and total token mass (avgdl = total_dl / n_docs at serve
-      time, the same integer-exact division the batch path computes).
+    - ``stats``: one row (n_docs, total_dl, max_batch_id, and — r18 —
+      corpus_digest, run_id) — corpus size and total token mass (avgdl
+      = total_dl / n_docs at serve time, the same integer-exact
+      division the batch path computes), plus the order-insensitive
+      md5-XOR fingerprint of every folded doc id
+      (``textops.corpus_digest_col``; XOR-accumulated per batch, so it
+      stays exact across any batch slicing) — the serve-time drift
+      check ``bm25_topk(verify_state=True)`` compares it against the
+      scored frame. Merging over a LEGACY state (no digest column)
+      propagates NULL — honest "unknown", refused by the verifier —
+      until a rebuild re-folds the corpus.
 
     Exactly-once: the additive merge is guarded by ``max_batch_id`` —
     foreachBatch ids are monotonic per checkpoint, so an at-least-once
-    redelivery (batch_id <= watermark) is a no-op on the state. The
+    redelivery (batch_id <= watermark) is a no-op on the state. r18
+    (r17 ADVICE): that monotonicity holds per CHECKPOINT LINEAGE only —
+    a stream restarted against a fresh checkpoint re-numbers batches
+    from 0, and the bare watermark would silently classify genuinely
+    new batches as redelivered, losing data with no error. The state
+    therefore records ``run_id`` (the checkpoint identity;
+    :func:`start_bm25_stats_stream` passes its checkpoint dir) and a
+    batch-id REGRESSION under a DIFFERENT run id raises instead of
+    no-opping — the operator must either resume the original
+    checkpoint or rebuild the state to a fresh ``state_path``. With
+    ``run_id=None`` (direct/backfill use, and legacy states) the check
+    degrades to the bare watermark, documented here. The
     input contract is append-only docs (each doc streamed once), the
     same contract the index-maintenance tier holds — with non-NULL
     text: NULL-text docs would count toward n_docs but contribute no
@@ -505,11 +525,33 @@ def bm25_stats_batch_merger(
             # committed generation — restore before merging
             _rename_or_raise(fs, P(trash), P(state_path), "bm25 state repair")
         exists = fs.exists(P(state_path))
+        old = None
         if exists:
-            old_stats = spark.read.parquet(
-                os.path.join(state_path, "stats")
-            ).collect()[0]
-            if int(batch_id) <= old_stats.max_batch_id:
+            old = (
+                spark.read.parquet(os.path.join(state_path, "stats"))
+                .collect()[0]
+                .asDict()
+            )
+            if int(batch_id) <= old["max_batch_id"]:
+                stored_run = old.get("run_id")
+                if (
+                    run_id is not None
+                    and stored_run is not None
+                    and stored_run != run_id
+                ):
+                    # r18 (r17 ADVICE): a regressed batch id under a
+                    # DIFFERENT checkpoint lineage is not a redelivery —
+                    # it is a fresh stream whose ids restarted at 0, and
+                    # no-opping would silently drop its batches
+                    raise ValueError(
+                        f"bm25 state at {state_path} was built by run "
+                        f"{stored_run!r} up to batch "
+                        f"{old['max_batch_id']}; run {run_id!r} "
+                        f"delivered batch {int(batch_id)}, which would "
+                        "be silently skipped as redelivered. Resume the "
+                        "original checkpoint, or rebuild the state "
+                        "under a fresh state_path."
+                    )
                 return  # redelivered micro-batch: additive merge skipped
         staged = batch.select(
             F.col(id_col), tokens(F.col(text_col)).alias("__toks")
@@ -518,9 +560,14 @@ def bm25_stats_batch_merger(
             F.size("__toks").cast("bigint").alias("__dl"),
             F.array_distinct("__toks").alias("__terms"),
         )
+        from homelogging_spark.operators.textops import corpus_digest_col
+
         agg = staged.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("__dl"), F.lit(0)).cast("bigint").alias("dl"),
+            F.coalesce(
+                F.bit_xor(corpus_digest_col(F.col(id_col))), F.lit(0)
+            ).alias("digest"),
         ).collect()[0]
         df_b = (
             staged.select(F.explode("__terms").alias("term"))
@@ -540,14 +587,25 @@ def bm25_stats_batch_merger(
                     ).cast("bigint").alias("df"),
                 )
             )
-            n_docs = int(old_stats.n_docs) + int(agg.n)
-            total_dl = int(old_stats.total_dl) + int(agg.dl)
+            n_docs = int(old["n_docs"]) + int(agg.n)
+            total_dl = int(old["total_dl"]) + int(agg.dl)
+            # XOR-accumulate the corpus fingerprint; a legacy state
+            # without one propagates NULL (honest unknown) rather than
+            # inventing a digest that misses its docs
+            old_digest = old.get("corpus_digest")
+            digest = (
+                None
+                if old_digest is None
+                else int(old_digest) ^ int(agg.digest)
+            )
         else:
             dfreq = df_b
             n_docs, total_dl = int(agg.n), int(agg.dl)
+            digest = int(agg.digest)
         stats = spark.createDataFrame(
-            [(n_docs, total_dl, int(batch_id))],
-            "n_docs bigint, total_dl bigint, max_batch_id bigint",
+            [(n_docs, total_dl, int(batch_id), digest, run_id)],
+            "n_docs bigint, total_dl bigint, max_batch_id bigint, "
+            "corpus_digest bigint, run_id string",
         )
         fs.delete(P(tmp), True)
         dfreq.write.mode("overwrite").parquet(os.path.join(tmp, "dfreq"))
@@ -579,9 +637,14 @@ def start_bm25_stats_stream(
     from — ``textops.bm25_topk(dfreq=..., stats=...)`` — the way the
     ANN leg serves from ``index_cycle`` artifacts. Pinned: the served
     ranking from streamed state is row-identical to the batch
-    computation over the same corpus (``test_retrieval``)."""
+    computation over the same corpus (``test_retrieval``).
+
+    r18: the checkpoint dir doubles as the state's run identity — the
+    merger raises (instead of silently no-opping) when a later stream
+    with a DIFFERENT checkpoint delivers regressed batch ids, the r17
+    ADVICE data-loss window."""
     writer = stream.writeStream.foreachBatch(
-        bm25_stats_batch_merger(state_path, id_col, text_col)
+        bm25_stats_batch_merger(state_path, id_col, text_col, run_id=checkpoint_dir)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -170,10 +170,10 @@ class TestBm25StatsStream:
     def _chunks(self):
         return [DOCS[:2], DOCS[2:4], DOCS[4:]]
 
-    def _merge_all(self, spark, state, chunks=None, start_id=0):
+    def _merge_all(self, spark, state, chunks=None, start_id=0, run_id=None):
         from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
 
-        merger = bm25_stats_batch_merger(state)
+        merger = bm25_stats_batch_merger(state, run_id=run_id)
         for i, chunk in enumerate(chunks or self._chunks()):
             merger(
                 spark.createDataFrame(chunk, "doc_id long, text string"),
@@ -267,6 +267,104 @@ class TestBm25StatsStream:
         # repair restored the committed generation; the redelivered
         # id-2 batch then hit the watermark and was skipped
         assert self._state(spark, state) == before
+
+    def test_verify_state_detects_corpus_drift(self, spark, tmp_path):
+        """r18 (r17 verdict #3): the state generation fingerprints the
+        corpus it folded (n_docs + md5-XOR digest of doc ids);
+        ``verify_state=True`` serves normally when the scored frame
+        matches and raises when it drifts — a lagging/leading state can
+        no longer silently shift every idf."""
+        import pytest
+
+        state = str(tmp_path / "bm25_state")
+        self._merge_all(spark, state)
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        kw = dict(
+            k=10, k1=K1, b=B,
+            dfreq=spark.read.parquet(state + "/dfreq"),
+            stats=spark.read.parquet(state + "/stats"),
+        )
+        verified = sorted(
+            tuple(r)
+            for r in bm25_topk(docs, q, verify_state=True, **kw).collect()
+        )
+        assert verified == sorted(
+            tuple(r) for r in bm25_topk(docs, q, k=10, k1=K1, b=B).collect()
+        )
+        # the state LEADS this frame (one doc filtered out): refused
+        subset = docs.where(F.col("doc_id") != DOCS[0][0])
+        with pytest.raises(ValueError, match="drift"):
+            bm25_topk(subset, q, verify_state=True, **kw)
+        # ...while the documented subset-corpus contract (the hybrid
+        # panel shape) stays expressible without verification
+        assert bm25_topk(subset, q, **kw).count() > 0
+
+    def test_run_identity_guards_fresh_checkpoint_restart(
+        self, spark, tmp_path
+    ):
+        """r18 (r17 ADVICE): batch ids are monotonic per CHECKPOINT —
+        a fresh checkpoint restarts at 0, and the bare watermark would
+        silently classify its genuinely new batches as redelivered.
+        A regressed id under a different run identity now raises; a
+        same-run replay stays the exactly-once no-op."""
+        import pytest
+
+        from homelogging_spark.streaming.pipeline import (
+            bm25_stats_batch_merger,
+        )
+
+        state = str(tmp_path / "bm25_state")
+        merger_a = self._merge_all(spark, state, run_id="ckpt-A")
+        before = self._state(spark, state)
+        assert before[1].run_id == "ckpt-A"
+        # same lineage redelivery: no-op, state unchanged
+        merger_a(
+            spark.createDataFrame(DOCS[:2], "doc_id long, text string"), 0
+        )
+        assert self._state(spark, state) == before
+        # fresh checkpoint (ids restart at 0): raise, never silently drop
+        merger_b = bm25_stats_batch_merger(state, run_id="ckpt-B")
+        with pytest.raises(ValueError, match="redelivered"):
+            merger_b(
+                spark.createDataFrame(
+                    DOCS[:2], "doc_id long, text string"
+                ),
+                0,
+            )
+
+    def test_legacy_state_without_digest_merges_but_refuses_verify(
+        self, spark, tmp_path
+    ):
+        """A pre-r18 state (no corpus_digest / run_id columns) keeps
+        merging — the digest propagates as NULL (honest unknown) — and
+        the verifier refuses it with a pointed error instead of
+        pretending to check."""
+        import pytest
+
+        state = str(tmp_path / "bm25_state")
+        self._merge_all(spark, state, chunks=[DOCS[:2], DOCS[2:4]])
+        # rewrite the stats generation in the legacy shape
+        legacy = spark.read.parquet(state + "/stats").select(
+            "n_docs", "total_dl", "max_batch_id"
+        )
+        legacy.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "legacy_stats")
+        )
+        spark.read.parquet(str(tmp_path / "legacy_stats")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(state + "/stats")
+        self._merge_all(spark, state, chunks=[DOCS[4:]], start_id=2)
+        dfreq, stats = self._state(spark, state)
+        assert stats.n_docs == len(DOCS) and stats.corpus_digest is None
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        with pytest.raises(ValueError, match="no\\s+corpus_digest"):
+            bm25_topk(
+                docs, q, k=10, k1=K1, b=B, verify_state=True,
+                dfreq=spark.read.parquet(state + "/dfreq"),
+                stats=spark.read.parquet(state + "/stats"),
+            )
 
     def test_stream_e2e_equals_direct_merges(self, spark, tmp_path):
         from homelogging_spark.streaming.pipeline import start_bm25_stats_stream
