@@ -184,8 +184,11 @@ def weighted_group_topk_sample(
     all-ties. Post-normalization the heaviest rows have exponent ~1
     (keys spread like u itself); only negligible-relative-weight rows
     (w_max/w ≳ 1e9) can still quantize to a 0.0 tie, and those lose
-    the draw anyway. The group max is a window over the same
-    partitioning as the rank — no extra exchange."""
+    the draw anyway — pinned AT that boundary on both engines
+    (r18, ``test_weighted_sampling.
+    test_negligible_weight_boundary_quantizes_to_zero_tie``). The
+    group max is a window over the same partitioning as the rank — no
+    extra exchange."""
     from pyspark.sql import Window
 
     from homelogging_spark.functions.numeric import quantize

@@ -32,11 +32,12 @@ Normalization contract (documented, deterministic, engine-identical):
    preserved (they can be semantic).
 
 Registrable domain = last two host labels, or last three when the
-two-label tail is a multi-label public suffix (``MULTI_LABEL_SUFFIXES``
-— a documented config SUBSET of the Mozilla public-suffix list, the
-versioned-config design: extending it is a data change, not a code
-change). Blocklists are versioned config the same way
-(``BLOCKLIST_VERSIONS``).
+two-label tail is a multi-label public suffix (``SUFFIX_VERSIONS`` — a
+documented config SUBSET of the Mozilla public-suffix list, versioned
+append-only since r18: v1 is the r17 31-entry table, v2 imports the
+fuller ICANN-section second-level registries; extending it is a data
+change, and ``suffix_version=`` pins any query to a table generation).
+Blocklists are versioned config the same way (``BLOCKLIST_VERSIONS``).
 
 Reference scope note: the reference has no web-curation surface; this
 family extends the commissioned LLM-pipeline tier (BASELINE.md
@@ -57,16 +58,154 @@ TRACKING_PARAM_RE = (
 )
 
 # two-label public suffixes under which the registrable domain takes
-# THREE labels (documented subset of the public-suffix list; append-only
-# policy — entries are never removed; r17 widened the initial 14 with
-# the common ccTLD second-level registries below)
-MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+# THREE labels — VERSIONED config since r18 (the MERGE_VERSIONS /
+# BLOCKLIST_VERSIONS design: suffix-table upgrades are data changes;
+# append-only — a version's entries are never removed, and version N is
+# always a subset of N+1, pinned in test_urlops). Scope note: the table
+# holds TWO-label suffixes only; PSL wildcard rules (*.bd, *.np,
+# *.sch.uk, ...) are representable only by enumerating their common
+# children (com.bd, com.np, ... below) — hosts under an unenumerated
+# wildcard child degrade to the 2-label tail, documented behavior.
+_SUFFIXES_V1: tuple[str, ...] = (
     "ac.jp", "ac.uk", "co.id", "co.il", "co.in", "co.jp", "co.kr",
     "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br",
     "com.cn", "com.hk", "com.mx", "com.my", "com.pl", "com.sg",
     "com.tr", "com.tw", "com.vn", "edu.au", "gov.au", "gov.uk",
     "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
 )
+
+# r18 (r17 verdict #5): the fuller ICANN-section subset — second-level
+# registries of the major ccTLDs, entries taken verbatim from the
+# public Mozilla list (publicsuffix.org); only plain two-label entries,
+# no wildcard or exception rules
+_SUFFIXES_V2_ADDED: tuple[str, ...] = (
+    # Canada (provinces + federal)
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    # United Kingdom (remaining ICANN entries)
+    "ltd.uk", "me.uk", "net.uk", "nhs.uk", "plc.uk", "police.uk",
+    # Japan (remaining generic second-levels)
+    "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    # Australia / New Zealand
+    "asn.au", "id.au", "ac.nz", "geek.nz", "gen.nz", "govt.nz",
+    "net.nz", "org.nz", "school.nz",
+    # Western Europe
+    "ac.at", "co.at", "gv.at", "or.at",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt",
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    "com.se", "org.se", "pp.se", "press.se",
+    "com.ro", "firm.ro", "info.ro", "nom.ro", "org.ro",
+    "co.hu", "info.hu", "org.hu", "priv.hu",
+    # Eastern Europe / Caucasus / Central Asia
+    "biz.pl", "edu.pl", "gov.pl", "info.pl", "net.pl", "org.pl",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru",
+    "com.by", "gov.by",
+    "com.ee", "edu.ee", "gov.ee", "org.ee", "pri.ee",
+    "com.lv", "edu.lv", "gov.lv", "id.lv", "net.lv", "org.lv",
+    "gov.lt",
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.hr", "name.hr",
+    "com.ge", "edu.ge", "gov.ge", "net.ge", "org.ge", "pvt.ge",
+    "com.am", "net.am", "org.am",
+    "com.az", "edu.az", "gov.az", "net.az", "org.az",
+    "com.kz", "edu.kz", "gov.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    # Middle East
+    "ac.il", "gov.il", "k12.il", "muni.il", "net.il", "org.il",
+    "av.tr", "bel.tr", "gen.tr", "gov.tr", "k12.tr", "mil.tr",
+    "net.tr", "org.tr", "web.tr",
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "sch.sa",
+    "ac.ae", "co.ae", "gov.ae", "net.ae", "org.ae", "sch.ae",
+    "com.qa", "edu.qa", "gov.qa", "net.qa", "org.qa", "sch.qa",
+    "com.kw", "edu.kw", "gov.kw", "net.kw", "org.kw",
+    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
+    "co.om", "com.om", "edu.om", "gov.om", "net.om", "org.om",
+    "com.jo", "edu.jo", "gov.jo", "net.jo", "org.jo", "sch.jo",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    # South / Southeast Asia
+    "ac.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "net.in", "nic.in", "org.in", "res.in",
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "net.bd", "org.bd",
+    "ac.lk", "com.lk", "edu.lk", "gov.lk", "net.lk", "org.lk",
+    "sch.lk",
+    "com.np", "edu.np", "gov.np", "net.np", "org.np",
+    "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk", "web.pk",
+    "ac.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "com.ph", "edu.ph", "gov.ph", "net.ph", "ngo.ph", "org.ph",
+    "ac.id", "biz.id", "go.id", "net.id", "or.id", "sch.id", "web.id",
+    "edu.my", "gov.my", "net.my", "org.my",
+    "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "edu.tw", "gov.tw", "idv.tw", "net.tw", "org.tw",
+    "ac.kr", "go.kr", "mil.kr", "ne.kr", "or.kr", "pe.kr", "re.kr",
+    "ac.cn", "edu.cn", "gov.cn", "net.cn", "org.cn",
+    "edu.vn", "gov.vn", "int.vn", "net.vn", "org.vn",
+    # Africa
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "com.dz", "edu.dz", "gov.dz", "net.dz", "org.dz",
+    "com.tn", "gov.tn", "ind.tn", "info.tn", "net.tn", "org.tn",
+    "com.eg", "edu.eg", "gov.eg", "net.eg", "org.eg", "sci.eg",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng", "sch.ng",
+    "com.gh", "edu.gh", "gov.gh", "org.gh",
+    "ac.ke", "co.ke", "go.ke", "me.ke", "ne.ke", "or.ke", "sc.ke",
+    "ac.tz", "co.tz", "go.tz", "ne.tz", "or.tz", "sc.tz",
+    "ac.ug", "co.ug", "go.ug", "ne.ug", "or.ug", "org.ug", "sc.ug",
+    "ac.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "org.zm",
+    "ac.zw", "co.zw", "gov.zw", "org.zw",
+    "ac.za", "edu.za", "gov.za", "net.za", "org.za", "web.za",
+    "com.et", "edu.et", "gov.et", "net.et", "org.et",
+    # Latin America
+    "edu.ar", "gob.ar", "int.ar", "net.ar", "org.ar", "tur.ar",
+    "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    "gob.cl", "gov.cl", "mil.cl",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co",
+    "org.co",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe",
+    "org.pe",
+    "com.ec", "edu.ec", "gob.ec", "gov.ec", "net.ec", "org.ec",
+    "com.ve", "co.ve", "edu.ve", "gob.ve", "net.ve", "org.ve",
+    "com.bo", "edu.bo", "gob.bo", "net.bo", "org.bo",
+    "com.py", "edu.py", "gov.py", "net.py", "org.py",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "org.uy",
+    "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "net.gt", "org.gt",
+    "com.do", "edu.do", "gob.do", "gov.do", "net.do", "org.do",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+)
+
+SUFFIX_VERSIONS: dict[int, tuple[str, ...]] = {
+    1: _SUFFIXES_V1,
+    2: tuple(sorted(set(_SUFFIXES_V1) | set(_SUFFIXES_V2_ADDED))),
+}
+CURRENT_SUFFIXES = 2
+
+
+def suffixes_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
+    if version not in SUFFIX_VERSIONS:
+        raise ValueError(
+            f"unknown suffix-table version {version!r}; "
+            f"known: {sorted(SUFFIX_VERSIONS)}"
+        )
+    return SUFFIX_VERSIONS[version]
+
+
+def suffix_dim(spark: SparkSession) -> DataFrame:
+    """The suffix tables as a joinable config table
+    ``(suffix_version, suffix)`` — dim-sized, broadcast by joins."""
+    rows = [
+        (v, s) for v in sorted(SUFFIX_VERSIONS) for s in suffixes_for(v)
+    ]
+    return spark.createDataFrame(rows, "suffix_version int, suffix string")
+
+
+# back-compat module constant: the CURRENT version's table (every
+# in-repo consumer routes through this or suffixes_for)
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = suffixes_for()
 
 # versioned domain blocklists (the MERGE_VERSIONS / QUALITY_MODEL_VERSIONS
 # design: curation policy upgrades are data changes; append-only)
@@ -135,8 +274,11 @@ def host_col(url_norm: Column) -> Column:
     )
 
 
-def registrable_domain_col(host: Column) -> Column:
-    """eTLD+1 under the config suffix subset (module docstring)."""
+def registrable_domain_col(
+    host: Column, suffix_version: int = CURRENT_SUFFIXES
+) -> Column:
+    """eTLD+1 under the config suffix subset (module docstring);
+    ``suffix_version`` pins the table generation (r18)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # try_element_at: a single-label host (no dot) must degrade to the
@@ -146,17 +288,21 @@ def registrable_domain_col(host: Column) -> Column:
         ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
     )
     return F.when(
-        (n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES),
+        (n >= 3) & last2.isin(*suffixes_for(suffix_version)),
         F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), last2),
     ).otherwise(last2)
 
 
-def url_columns(url: Column, blocklist_version: int = CURRENT_BLOCKLIST) -> dict[str, Column]:
+def url_columns(
+    url: Column,
+    blocklist_version: int = CURRENT_BLOCKLIST,
+    suffix_version: int = CURRENT_SUFFIXES,
+) -> dict[str, Column]:
     """``url_norm`` / ``host`` / ``domain`` / ``blocked`` in one dict —
     callers project them in a single map-side select."""
     url_norm = normalize_url_col(url)
     host = host_col(url_norm)
-    domain = registrable_domain_col(host)
+    domain = registrable_domain_col(host, suffix_version)
     return {
         "url_norm": url_norm,
         "host": host,
@@ -169,6 +315,7 @@ def with_url_columns(
     df: DataFrame,
     url_col: str | Column,
     blocklist_version: int = CURRENT_BLOCKLIST,
+    suffix_version: int = CURRENT_SUFFIXES,
 ) -> DataFrame:
     """Staged form of :func:`url_columns` for corpus-sized scans:
     appends ``url_norm`` / ``host`` / ``domain`` / ``blocked``.
@@ -266,7 +413,8 @@ def with_url_columns(
     out = out.withColumn(
         "domain",
         F.when(
-            (F.size("__labels") >= 3) & F.col("__last2").isin(*MULTI_LABEL_SUFFIXES),
+            (F.size("__labels") >= 3)
+        & F.col("__last2").isin(*suffixes_for(suffix_version)),
             F.concat_ws(
                 ".", F.try_element_at(F.col("__labels"), F.lit(-3)), F.col("__last2")
             ),
@@ -329,8 +477,10 @@ def host_sql(url_norm_expr: str) -> str:
     )
 
 
-def registrable_domain_sql(host_expr: str) -> str:
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+def registrable_domain_sql(
+    host_expr: str, suffix_version: int = CURRENT_SUFFIXES
+) -> str:
+    suffixes = ", ".join(f"'{s}'" for s in suffixes_for(suffix_version))
     labels = f"string_split({host_expr}, '.')"
     n = f"len({labels})"
     last2 = f"({labels}[{n} - 1] || '.' || {labels}[{n}])"

@@ -59,6 +59,19 @@ CASES = [
     ("http://x.uni.edu.au/z", "http://x.uni.edu.au/z", "uni.edu.au"),
     # a host that IS a two-label suffix stays two labels (n >= 3 gate)
     ("http://co.kr/x", "http://co.kr/x", "co.kr"),
+    # r18: suffix table v2 corners (the fuller ICANN subset imported as
+    # versioned config — SUFFIX_VERSIONS[2])
+    ("http://www.canada.gc.ca/en", "http://www.canada.gc.ca/en", "canada.gc.ca"),
+    (
+        "https://portal.ville.gouv.fr:443/x",
+        "https://portal.ville.gouv.fr/x",
+        "ville.gouv.fr",
+    ),
+    ("http://x.university.edu.pl", "http://x.university.edu.pl", "university.edu.pl"),
+    ("http://a.company.co.ke/y", "http://a.company.co.ke/y", "company.co.ke"),
+    ("http://news.site.com.np", "http://news.site.com.np", "site.com.np"),
+    ("http://b.agency.gob.mx/z", "http://b.agency.gob.mx/z", "agency.gob.mx"),
+    ("http://w.tata.firm.in", "http://w.tata.firm.in", "tata.firm.in"),
 ]
 
 # adversarial URLs for the staged-vs-single-tree equivalence pin
@@ -277,6 +290,44 @@ class TestUrlNormalization:
         s_rows = sorted(single.collect())
         t_rows = sorted(staged.collect())
         assert s_rows == t_rows
+
+    def test_suffix_table_versioned_config(self, spark):
+        """r18 (r17 verdict #5): the suffix table is versioned config —
+        append-only (v1 ⊂ v2 exactly), unknown versions refused, the
+        joinable dim carries every version, and pinning
+        ``suffix_version=1`` reproduces the pre-widening extraction on
+        a v2-only corner (upgrades are data changes AND reversible per
+        query)."""
+        v1, v2 = urlops.suffixes_for(1), urlops.suffixes_for(2)
+        assert set(v1) < set(v2)
+        assert len(v1) == 31  # the r17 table, frozen
+        assert len(set(v2)) == len(v2)  # no duplicate entries
+        assert all(s == s.lower() and s.count(".") == 1 for s in v2)
+        assert urlops.suffixes_for() == v2  # CURRENT_SUFFIXES == 2
+        assert urlops.MULTI_LABEL_SUFFIXES == v2
+        with pytest.raises(ValueError, match="unknown suffix-table"):
+            urlops.suffixes_for(99)
+        dim = urlops.suffix_dim(spark)
+        counts = {
+            r.suffix_version: r.n
+            for r in dim.groupBy("suffix_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts == {1: len(v1), 2: len(v2)}
+        # gc.ca is v2-only: v1 extraction degrades to the 2-label tail
+        df = spark.createDataFrame([("www.canada.gc.ca",)], "host string")
+        got = df.select(
+            urlops.registrable_domain_col(F.col("host"), 1).alias("d1"),
+            urlops.registrable_domain_col(F.col("host"), 2).alias("d2"),
+        ).collect()[0]
+        assert (got.d1, got.d2) == ("gc.ca", "canada.gc.ca")
+        # the SQL twin versions identically
+        d1 = duckdb.sql(
+            "SELECT "
+            + urlops.registrable_domain_sql("'www.canada.gc.ca'", 1)
+        ).fetchone()[0]
+        assert d1 == "gc.ca"
 
     def test_staging_columns_do_not_swallow_caller_dunders(self, spark):
         """A caller's own '__'-prefixed column survives; a collision with

@@ -119,6 +119,53 @@ class TestWeightedGroupTopk:
             else:
                 assert got == base, f"scale {c} changed the draw"
 
+    def test_negligible_weight_boundary_quantizes_to_zero_tie(self, spark):
+        """r18 (r17 verdict #4): the documented weight-magnitude bound
+        at ``sampling.py`` — rows whose relative weight is negligible
+        (w_max/w ≳ 1e9) still quantize to an aes_key 0.0 tie — pinned
+        AT the boundary, on both engines, not just documented. The
+        0.0-tie rows must (a) carry key exactly 0.0, (b) rank strictly
+        after every row with a positive key (they lose the draw), and
+        (c) tie-break among themselves by id — and the whole draw must
+        still match the Python reference and the DuckDB twin
+        bit-for-bit, so the boundary is engine-independent."""
+        rows = [
+            ("g", 1, 1e10), ("g", 2, 1e10 / 2),  # exponent 1 and 2
+            # negligible tail: exponents 1e10 and 2e10 — u^exp underflows
+            # the 9-decimal quantization to 0.0 for any u < 1
+            ("g", 3, 1.0), ("g", 4, 0.5),
+        ]
+        df = spark.createDataFrame(rows, "grp string, id long, w double")
+        got = sorted(
+            (r.id, r.rank, r.aes_key)
+            for r in weighted_group_topk_sample(
+                df, "grp", "id", F.col("w"), 4, salt=SALT
+            ).collect()
+        )
+        keys = dict((i, k) for i, _, k in got)
+        assert keys[3] == 0.0 and keys[4] == 0.0
+        assert keys[1] > 0.0 and keys[2] > 0.0
+        ranks = dict((i, rk) for i, rk, _ in got)
+        assert max(ranks[1], ranks[2]) < min(ranks[3], ranks[4])
+        assert ranks[3] < ranks[4]  # 0.0 tie broken by id
+        # the Python reference truncates at the module K=3; the 4th row
+        # is pinned by the explicit rank/key asserts and the DuckDB twin
+        exp = _expected(rows)["g"]
+        assert sorted(got, key=lambda t: t[1])[: len(exp)] == exp
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE tb AS SELECT * FROM (VALUES "
+            + ",".join(f"('{g}', {i}, {w})" for g, i, w in rows)
+            + ") v(grp, id, w)"
+        )
+        duck = sorted(
+            (r[1], r[4], r[3])
+            for r in con.execute(
+                weighted_group_topk_sql("tb", "grp", "id", "w", 4, salt=SALT)
+            ).fetchall()
+        )
+        assert got == duck
+
     def test_duckdb_twin_identical(self, spark):
         spark_rows = sorted(
             (r.grp, r.id, r.rank, r.aes_key) for r in self._run(spark)
