@@ -1576,3 +1576,176 @@ class TestHdRotation:
             )
             < 1e-9
         )
+
+
+class TestOpqLearnedRotation:
+    """r18 stretch (r17 verdict #8): Ge et al. 2013 non-parametric OPQ —
+    alternating codebook training and orthogonal-Procrustes rotation
+    updates, driver-side numpy on the deterministic id-mod sample (the
+    PQ trainer's sampling contract). Pins: orthogonality, objective
+    monotonicity (the warm-start property), identity-init iteration 1 ==
+    plain PQ, a strict win on anisotropic data (the case the rotation
+    exists for), determinism, and Spark-side serving parity."""
+
+    DIM = 16
+    N = 96
+
+    def _aniso_vecs(self):
+        """Deterministic anisotropic corpus: latent coordinates with
+        geometrically decaying scales, MIXED off-axis by the HD
+        transform — per-subspace energy is then badly imbalanced in the
+        ambient basis, which is exactly what a learned rotation fixes
+        (Ge et al. §1)."""
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        rng = np.random.RandomState(17)
+        scales = 2.0 ** -(np.arange(self.DIM) / 2.0)
+        z = rng.randn(self.N, self.DIM) * scales
+        q = S._np_hd_matrix(self.DIM, S.hd_signs(self.DIM, "mix"))
+        return np.round(z @ q, 6)
+
+    def _df(self, spark, x):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def _train(self, spark, **kw):
+        from homelogging_spark.operators import similarity as S
+
+        x = self._aniso_vecs()
+        args = dict(
+            dim=self.DIM, n_subspaces=4, n_centroids=8,
+            n_kmeans_iters=2, n_alt_iters=5, sample_mod=None,
+        )
+        args.update(kw)
+        return x, S.opq_learn_rotation(self._df(spark, x), **args)
+
+    def test_rotation_is_orthogonal(self, spark):
+        import numpy as np
+
+        _, out = self._train(spark)
+        r = np.asarray(out["rotation"])
+        assert np.max(np.abs(r.T @ r - np.eye(self.DIM))) < 1e-9
+
+    def test_objective_monotone_and_beats_plain_pq(self, spark):
+        """identity init: iteration 1's training MSE IS plain PQ's
+        (same trainer, unrotated data); the alternation must never
+        increase it, and on this anisotropic corpus the learned
+        rotation must win STRICTLY."""
+        _, out = self._train(spark, init="identity")
+        mses = out["train_mse"]
+        assert all(b <= a + 1e-15 for a, b in zip(mses, mses[1:])), mses
+        assert mses[-1] < mses[0] * 0.95, mses  # strict, with margin
+
+    def test_hd_init_never_worse_than_structured_transform(self, spark):
+        """init='hd': iteration 1 is exactly the opq_panel HD leg's
+        objective (structured rotation + PQ); further alternation can
+        only improve it — the learned-vs-structured comparison the
+        panel's measured-honesty note asks for."""
+        _, out = self._train(spark, init="hd")
+        mses = out["train_mse"]
+        assert all(b <= a + 1e-15 for a, b in zip(mses, mses[1:])), mses
+
+    def test_deterministic(self, spark):
+        _, out1 = self._train(spark)
+        _, out2 = self._train(spark)
+        assert out1["rotation"] == out2["rotation"]
+        assert out1["train_mse"] == out2["train_mse"]
+
+    def test_identity_init_first_iteration_is_plain_pq(self, spark):
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        x, out = self._train(spark, init="identity", n_alt_iters=1)
+        books, recon = S._np_pq_train(x, 4, 8, 2)
+        pq_mse = float(((x - recon) ** 2).sum() / (len(x) * self.DIM))
+        assert out["train_mse"][0] == pytest.approx(pq_mse, rel=0, abs=0)
+        # and the returned codebooks are the plain-PQ ones exactly
+        assert np.allclose(np.asarray(out["codebooks"]), np.asarray(books))
+
+    def test_hd_matrix_matches_expression_rotation(self, spark):
+        """The numpy HD matrix used for init='hd' computes the same
+        transform as the hd_rotate expression (row-vector convention
+        x @ R == the expr's y), so the two OPQ families share one
+        geometry."""
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        x = self._aniso_vecs()[:5]
+        df = self._df(spark, x)
+        expr = {
+            r.vec_id: np.array(r.r)
+            for r in df.select(
+                "vec_id", S.hd_rotate(F.col("embedding"), self.DIM).alias("r")
+            ).collect()
+        }
+        r_mat = S._np_hd_matrix(self.DIM, S.hd_signs(self.DIM))
+        ref = np.asarray(x) @ r_mat
+        for i in range(5):
+            assert np.max(np.abs(expr[i] - ref[i])) < 1e-9
+
+    def test_spark_serving_parity_and_end_to_end_adc(self, spark):
+        """opq_rotate (Arrow-batch matmul) equals the numpy rotation;
+        the rotated corpus encodes through the UNCHANGED Spark PQ
+        machinery against the trained codebooks and ADC-ranks end to
+        end — the serving chain a learned generation would use."""
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+
+        x, out = self._train(spark)
+        r = np.asarray(out["rotation"])
+        df = self._df(spark, x)
+        served = {
+            row.vec_id: np.array(row.embedding)
+            for row in S.opq_rotate(df, out["rotation"], self.DIM).collect()
+        }
+        ref = np.asarray(x) @ r
+        for i in range(self.N):
+            assert np.max(np.abs(served[i] - ref[i])) < 1e-12
+        codebook = spark.createDataFrame(
+            [
+                (m, k, [float(v) for v in cent])
+                for m, cb in enumerate(out["codebooks"])
+                for k, cent in enumerate(cb)
+            ],
+            "subspace int, cid bigint, cemb array<double>",
+        )
+        rotated = S.opq_rotate(df, out["rotation"], self.DIM)
+        codes = S.pq_codes(
+            rotated, 4, 8, 2, self.DIM, sample_mod=None, codebook=codebook
+        )
+        queries = rotated.where(F.col("vec_id") < 3)
+        top = S.pq_adc_topk(
+            queries, codes, codebook, k=4, n_subspaces=4, dim=self.DIM,
+            rank_decimals=6,
+        )
+        assert top.count() == 12  # 3 queries x k
+        # ADC over codes must surface each query's own (zero-distance)
+        # code as rank 1 or tied — sanity that the chain is coherent
+        r1 = {r.query_id: r.vec_id for r in top.where(F.col("rank") == 1).collect()}
+        assert set(r1) == {0, 1, 2}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from homelogging_spark.operators import similarity as S
+
+        x = self._aniso_vecs()
+        with _pytest.raises(ValueError, match="init"):
+            S.opq_learn_rotation(
+                self._df(spark, x), dim=self.DIM, init="nope", sample_mod=None
+            )
+        with _pytest.raises(ValueError, match="rotation must be"):
+            S.opq_rotate(self._df(spark, x), [[1.0, 0.0], [0.0, 1.0]], self.DIM)
+        # the overfit guard (measured on the fixture: an n_train < 2*dim
+        # rotation DEGRADES the corpus — SCALE.md r18): refused up front
+        with _pytest.raises(ValueError, match="overfit"):
+            S.opq_learn_rotation(
+                self._df(spark, x[: self.DIM]), dim=self.DIM, sample_mod=None
+            )
