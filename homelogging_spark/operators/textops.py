@@ -1266,3 +1266,216 @@ def classifier_score_sql(
     # kept is null-safe exactly like the Spark side: degenerate docs
     # (NULL logit) read as dropped, score itself stays NULL
     return {"score": score, "kept": f"COALESCE(({score}) >= 0.0, FALSE)"}
+
+
+# --- n-gram LM perplexity filter (r19 runway, CCNet stage) --------------------
+
+def ngram_lm_counts(
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Train the bigram language-model statistics a CCNet-style
+    perplexity filter scores against (Wenzek et al. 2020 use a KenLM
+    5-gram; the add-k-smoothed bigram here is the same *stage* with a
+    self-contained, oracle-replayable model): from a REFERENCE corpus
+    (the high-quality slice perplexity is measured relative to),
+    produce
+
+    - ``bigrams``: (w1, w2, c) — adjacent-token pair counts;
+    - ``contexts``: (w1, c) — context counts, DERIVED as the sum of the
+      kept bigram counts per w1 so the conditional is exactly
+      normalized against the same table the scorer joins;
+    - ``stats``: one row (n_vocab) — distinct context types, the V in
+      add-k smoothing.
+
+    ``min_count`` is the 100 TB table-size dial: hapax bigrams (the
+    Heaps-tail mass of a web corpus) are dropped BEFORE the context
+    sum, so the model stays self-consistent under the cut. Scale
+    shape: one reference scan → explode to pairs (map-side) → one
+    partial-agg shuffle on (w1, w2); the context table and stats fold
+    from the bounded bigram table. The artifacts are
+    maintenance-friendly the same way BM25's (dfreq, stats) are —
+    additive across doc-disjoint batches (each bigram occurrence
+    counts once), so the ``bm25_stats_batch_merger`` generation
+    pattern applies verbatim when the reference corpus streams."""
+    from homelogging_spark.functions.texthash import tokens
+
+    toks = tokens(F.col(text_col))
+    pairs = (
+        ref_docs.select(toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda p: F.struct(
+                        F.element_at(F.col("__toks"), p).alias("w1"),
+                        F.element_at(F.col("__toks"), p + 1).alias("w2"),
+                    ),
+                )
+            ).alias("pair")
+        )
+        .select("pair.w1", "pair.w2")
+    )
+    bigrams = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c"))
+    stats = contexts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    return {"bigrams": bigrams, "contexts": contexts, "stats": stats}
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm: dict,
+    k: float = 0.5,
+    ppl_threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram perplexity against :func:`ngram_lm_counts`
+    statistics — the LM-based member of the quality-stage family
+    (heuristic ``quality_columns`` → versioned linear
+    ``classifier_quality_filter`` → this, the CCNet design: documents
+    whose perplexity under a reference-corpus LM is high read as far
+    from the reference distribution).
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` (add-k smoothing —
+    closed-form, no backoff state, so the DuckDB twin replays it
+    exactly); ``nll`` = mean −ln P over the doc's bigrams; ``ppl`` =
+    exp(nll). Documents with fewer than two tokens emit
+    ``n_bigrams=0`` with NULL nll/ppl and ``keep=true`` (no evidence
+    against them — the classifier stage's null-safety convention,
+    inverted deliberately: a degenerate doc is the LENGTH gate's job,
+    not the LM's). With ``ppl_threshold`` set, ``keep = ppl <= t``.
+
+    Determinism: nll sums libm ``ln`` terms, so the emitted nll/ppl
+    are QUANTIZED (the bm25 score discipline — quantize rounds away
+    both the last-ulp libm disagreement and the sub-1e-12 float
+    summation-order noise at document lengths).
+
+    Scale shape: pairs derive map-side from each doc row; the score is
+    two hash joins against the bounded LM tables (broadcast when the
+    model fits — a min_count-cut bigram table usually does; Spark
+    picks by size) + one partial-agg shuffle on the doc id. The
+    corpus is scanned once; nothing corpus-sized is ever collected."""
+    from homelogging_spark.functions.numeric import quantize
+    from homelogging_spark.functions.texthash import tokens
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", (F.size("__toks") - 1).alias("__n_pairs")
+    )
+    pairs = base.where(F.col("__n_pairs") >= 1).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n_pairs")),
+                lambda p: F.struct(
+                    F.element_at(F.col("__toks"), p).alias("w1"),
+                    F.element_at(F.col("__toks"), p + 1).alias("w2"),
+                ),
+            )
+        ).alias("pair"),
+    ).select(id_col, "pair.w1", "pair.w2")
+    joined = (
+        pairs.join(
+            lm["bigrams"].withColumnRenamed("c", "__c12"), ["w1", "w2"], "left"
+        )
+        .join(lm["contexts"].withColumnRenamed("c", "__c1"), ["w1"], "left")
+        .crossJoin(F.broadcast(lm["stats"]))
+    )
+    nlp = -(
+        F.log(F.coalesce(F.col("__c12"), F.lit(0)).cast("double") + F.lit(float(k)))
+        - F.log(
+            F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+            + F.lit(float(k)) * F.col("n_vocab").cast("double")
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.avg(nlp).alias("__nll"),
+    )
+    sel = [
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+            "n_bigrams"
+        ),
+        quantize("__nll").alias("nll"),
+        quantize(F.exp(F.col("__nll"))).alias("ppl"),
+    ]
+    if ppl_threshold is not None:
+        sel.append(
+            F.coalesce(
+                quantize(F.exp(F.col("__nll")))
+                <= F.lit(float(ppl_threshold)),
+                F.lit(True),
+            ).alias("keep")
+        )
+    return base.select(id_col, "__n_pairs").join(scored, id_col, "left").select(*sel)
+
+
+def ngram_lm_score_sql(
+    ref_source: str,
+    score_source: str,
+    k: float = 0.5,
+    ppl_threshold: float | None = None,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_lm_counts` + :func:`ngram_lm_score`
+    — identical smoothing arithmetic, identical quantization, so the
+    emitted (n_bigrams, nll, ppl, keep) hash-match."""
+    from homelogging_spark.functions.numeric import quantize_sql
+    from homelogging_spark.functions.texthash import tokens_sql
+
+    toks = tokens_sql(text_col)
+    keep_sql = (
+        ""
+        if ppl_threshold is None
+        else f", COALESCE({quantize_sql('exp(__nll)')} <= {float(ppl_threshold)!r}, TRUE) AS keep"
+    )
+    return f"""
+WITH ref_pairs AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT {toks} AS t FROM {ref_source}) r,
+       LATERAL unnest(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+),
+bigrams AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM ref_pairs
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_count)}
+),
+contexts AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM bigrams GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM contexts),
+base AS (
+  SELECT {id_col}, {toks} AS t, len({toks}) - 1 AS n_pairs
+  FROM {score_source}
+),
+doc_pairs AS (
+  SELECT {id_col}, t[i] AS w1, t[i+1] AS w2
+  FROM base, LATERAL unnest(range(1, len(t))) u(i)
+  WHERE n_pairs >= 1
+),
+scored AS (
+  SELECT p.{id_col},
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         avg(-(ln(COALESCE(b.c, 0) + {float(k)!r})
+               - ln(COALESCE(cx.c, 0) + {float(k)!r} * s.n_vocab))) AS __nll
+  FROM doc_pairs p
+  LEFT JOIN bigrams b USING (w1, w2)
+  LEFT JOIN contexts cx USING (w1)
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT base.{id_col},
+       COALESCE(scored.n_bigrams, 0) AS n_bigrams,
+       {quantize_sql('__nll')} AS nll,
+       {quantize_sql('exp(__nll)')} AS ppl{keep_sql}
+FROM base LEFT JOIN scored USING ({id_col})
+"""

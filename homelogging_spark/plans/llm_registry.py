@@ -2335,6 +2335,59 @@ def _bm25_state_served_oracle() -> str:
 ORACLE_BM25_STATE_SERVED = _bm25_state_served_oracle()
 
 
+LM_PPL_THRESHOLD = 34.0  # splits the fixture corpus ~80/20 (config)
+LM_MIN_COUNT = 2  # hapax bigrams cut — exercises the table-size dial
+
+
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter (r18, unit-only — the
+    r19 registration candidate on the free cap slot): the reference
+    slice (doc_id % 4 == 0) trains add-k-smoothed bigram statistics
+    (``textops.ngram_lm_counts``, min_count=2 so the hapax cut is
+    ACTIVE), and every other document is scored by mean bigram
+    negative log-likelihood against them
+    (``textops.ngram_lm_score``) — the LM-based member of the
+    quality-stage family beside the heuristic panel and the versioned
+    linear classifier (Wenzek et al. 2020's perplexity stage with a
+    self-contained, oracle-replayable model). keep = ppl <= 34
+    (config; splits the fixture ~80/20 so both verdicts fire).
+
+    Scale: one reference scan + one partial-agg shuffle builds the
+    bounded bigram table; scoring is two hash joins against it plus a
+    doc-id partial agg — the corpus is scanned once. The oracle
+    replays train → smooth → score → threshold end-to-end in SQL."""
+    from homelogging_spark.operators.textops import (
+        ngram_lm_counts,
+        ngram_lm_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    rest = docs.where(F.col("doc_id") % 4 != 0)
+    lm = ngram_lm_counts(ref, min_count=LM_MIN_COUNT)
+    return ngram_lm_score(
+        rest, lm, k=0.5, ppl_threshold=LM_PPL_THRESHOLD
+    )
+
+
+ORACLE_LM_PERPLEXITY_FILTER = None  # assigned below (needs textops import)
+
+
+def _lm_perplexity_filter_oracle() -> str:
+    from homelogging_spark.operators.textops import ngram_lm_score_sql
+
+    return ngram_lm_score_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0)",
+        k=0.5,
+        ppl_threshold=LM_PPL_THRESHOLD,
+        min_count=LM_MIN_COUNT,
+    )
+
+
+ORACLE_LM_PERPLEXITY_FILTER = _lm_perplexity_filter_oracle()
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     out = similarity.lsh_near_dup_pairs(emb, threshold=0.4)

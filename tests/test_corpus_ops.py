@@ -1039,3 +1039,108 @@ class TestStreamingBloomDedup:
             )
         assert sum(r.exact_dup for r in got) == 6
         assert sum(r.keep for r in got) == 20
+
+
+class TestNgramLm:
+    """r18 (r19 registration runway): CCNet-style bigram perplexity
+    filter — hand-computed smoothing arithmetic, DuckDB twin identity,
+    min_count self-consistency, degenerate-doc convention."""
+
+    REF = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "a dog sat"),
+    ]
+    # ref bigrams (min_count=1): the cat x2, cat sat, sat on, on the,
+    # the mat, cat ran, a dog, dog sat
+    SCORE = [
+        (10, "the cat sat"),        # all in-model bigrams
+        (11, "purple elephants"),   # fully OOV pair
+        (12, "single"),             # 1 token: degenerate
+        (13, ""),                   # empty: degenerate
+    ]
+
+    def _lm(self, spark, min_count=1):
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        return textops.ngram_lm_counts(ref, min_count=min_count)
+
+    def test_counts_and_hand_computed_score(self, spark):
+        import math
+
+        lm = self._lm(spark)
+        big = {(r.w1, r.w2): r.c for r in lm["bigrams"].collect()}
+        assert big[("the", "cat")] == 2 and big[("cat", "sat")] == 1
+        ctx = {r.w1: r.c for r in lm["contexts"].collect()}
+        assert ctx["the"] == 3  # the cat x2 + the mat
+        n_vocab = lm["stats"].collect()[0].n_vocab
+        assert n_vocab == len(ctx)
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in textops.ngram_lm_score(docs, lm, k=0.5).collect()
+        }
+
+        def p(w1, w2):
+            return (big.get((w1, w2), 0) + 0.5) / (
+                ctx.get(w1, 0) + 0.5 * n_vocab
+            )
+
+        exp_nll = -(math.log(p("the", "cat")) + math.log(p("cat", "sat"))) / 2
+        q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert got[10].n_bigrams == 2
+        assert got[10].nll == pytest.approx(q(exp_nll), abs=1e-9)
+        assert got[10].ppl == pytest.approx(q(math.exp(exp_nll)), abs=1e-9)
+        # fully-OOV pair: both counts 0 -> P = 0.5 / (0.5 V) = 1/V
+        oov_nll = math.log(n_vocab)
+        assert got[11].nll == pytest.approx(q(oov_nll), abs=1e-9)
+        # degenerate docs: no bigrams, NULL scores
+        for d in (12, 13):
+            assert got[d].n_bigrams == 0
+            assert got[d].nll is None and got[d].ppl is None
+
+    def test_threshold_keep_and_degenerate_convention(self, spark):
+        lm = self._lm(spark)
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in textops.ngram_lm_score(
+                docs, lm, k=0.5, ppl_threshold=5.0
+            ).collect()
+        }
+        assert got[10].keep is True       # in-model: ppl ~2.83
+        # fully OOV: P = 1/V with V = 6 context types -> ppl 6.0 > 5
+        assert got[11].ppl == 6.0 and got[11].keep is False
+        assert got[12].keep is True and got[13].keep is True  # no evidence
+
+    def test_min_count_cut_keeps_model_self_consistent(self, spark):
+        lm = self._lm(spark, min_count=2)
+        big = {(r.w1, r.w2): r.c for r in lm["bigrams"].collect()}
+        assert big == {("the", "cat"): 2}  # every hapax bigram cut
+        ctx = {r.w1: r.c for r in lm["contexts"].collect()}
+        assert ctx == {"the": 2}  # contexts sum the KEPT table only
+        assert lm["stats"].collect()[0].n_vocab == 1
+
+    def test_duckdb_twin_identical(self, spark):
+        import duckdb
+
+        lm = self._lm(spark)
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        spark_rows = sorted(
+            tuple(r)
+            for r in textops.ngram_lm_score(
+                docs, lm, k=0.5, ppl_threshold=12.0
+            ).collect()
+        )
+        con = duckdb.connect()
+        for name, rows in (("ref", self.REF), ("score", self.SCORE)):
+            con.execute(f"CREATE TABLE {name} (doc_id BIGINT, text VARCHAR)")
+            con.executemany(f"INSERT INTO {name} VALUES (?, ?)", rows)
+        duck_rows = sorted(
+            tuple(r)
+            for r in con.execute(
+                textops.ngram_lm_score_sql(
+                    "ref", "score", k=0.5, ppl_threshold=12.0
+                )
+            ).fetchall()
+        )
+        assert spark_rows == duck_rows

@@ -1085,6 +1085,37 @@ class TestBm25StateServed:
         assert compare("bm25_state_served", spark_pdf, duck_pdf)
 
 
+class TestLmPerplexityFilter:
+    """r18 runway: the CCNet-style bigram-perplexity filter must
+    hash-match its DuckDB train→smooth→score→threshold twin at sf0.001
+    — the driver gate run at unit level (registration candidate for
+    the r19 free cap slot)."""
+
+    def test_matches_duckdb_twin_and_both_verdicts_fire(self, spark, sf_dir):
+        import os
+
+        import duckdb
+
+        from homelogging_spark.plans.llm_registry import (
+            ORACLE_LM_PERPLEXITY_FILTER,
+            q_lm_perplexity_filter,
+        )
+        from homelogging_spark.tables import TABLE_NAMES
+        from tools.check_oracle import compare
+
+        spark_pdf = q_lm_perplexity_filter(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_pdf = con.execute(ORACLE_LM_PERPLEXITY_FILTER).fetchdf()
+        assert len(spark_pdf) > 0
+        assert compare("lm_perplexity_filter", spark_pdf, duck_pdf)
+        # the threshold is not vacuous on the fixture: both verdicts fire
+        assert set(spark_pdf["keep"].unique()) == {True, False}
+
+
 class TestPqAdcTopk:
     """PQ asymmetric-distance search: ADC(q, v) must equal the L2 of q
     to v's codebook reconstruction EXACTLY (that is its definition),
