@@ -70,6 +70,10 @@ BROADCAST_NESTED_LOOP_OK = {
     # per-term frame (a designed 1-row broadcast, the stats-dim shape);
     # everything else is hash joins over bounded frames
     "bm25_state_served",
+    # r18 runway (registers r19): the LM's 1-row n_vocab stats frame is
+    # the same designed 1-row broadcast as bm25's — entry added with the
+    # staged query so the r16 retired-allowlist failure mode can't recur
+    "lm_perplexity_filter",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
