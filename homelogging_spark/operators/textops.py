@@ -1298,8 +1298,10 @@ def ngram_lm_counts(
     from the bounded bigram table. The artifacts are
     maintenance-friendly the same way BM25's (dfreq, stats) are —
     additive across doc-disjoint batches (each bigram occurrence
-    counts once), so the ``bm25_stats_batch_merger`` generation
-    pattern applies verbatim when the reference corpus streams."""
+    counts once): ``streaming.pipeline.start_ngram_lm_stream``
+    maintains the raw-count state incrementally and
+    :func:`ngram_lm_from_state` loads it with the cut applied
+    consistently, pinned score-identical to this batch trainer."""
     from homelogging_spark.functions.texthash import tokens
 
     toks = tokens(F.col(text_col))
@@ -1323,6 +1325,30 @@ def ngram_lm_counts(
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .where(F.col("c") >= min_count)
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c"))
+    stats = contexts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    return {"bigrams": bigrams, "contexts": contexts, "stats": stats}
+
+
+def ngram_lm_from_state(
+    spark,
+    state_path: str,
+    min_count: int = 1,
+) -> dict:
+    """Load a :func:`streaming.pipeline.start_ngram_lm_stream` state
+    generation into the dict :func:`ngram_lm_score` consumes. The
+    state stores RAW bigram counts (``min_count`` is not additive-safe
+    across micro-batches — a pair cut per batch could cross the
+    threshold globally), so the cut is applied HERE, and the contexts
+    table and n_vocab derive from the CUT table — exactly the
+    self-consistency :func:`ngram_lm_counts` guarantees, so a
+    state-loaded model scores row-identically to the batch-trained one
+    over the same reference corpus (pinned in ``TestNgramLmStream``)."""
+    import os
+
+    bigrams = spark.read.parquet(os.path.join(state_path, "bigrams")).where(
+        F.col("c") >= min_count
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c"))
     stats = contexts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))

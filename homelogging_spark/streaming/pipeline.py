@@ -651,6 +651,161 @@ def start_bm25_stats_stream(
     return writer.start()
 
 
+def ngram_lm_batch_merger(
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_id: str | None = None,
+):
+    """The ``foreachBatch`` body of :func:`start_ngram_lm_stream` —
+    incremental maintenance of the bigram-LM statistics
+    ``textops.ngram_lm_score`` serves from, following
+    :func:`bm25_stats_batch_merger` exactly (stage-then-rename
+    generations, max_batch_id exactly-once watermark, run-id lineage
+    guard, corpus fingerprint):
+
+    - ``bigrams``: (w1, w2, c) — RAW adjacent-pair counts, additive
+      across doc-disjoint batches. Deliberately UNCUT: ``min_count``
+      is not additive-safe (a pair cut per batch could cross the
+      threshold globally), so the cut — and the contexts/n_vocab that
+      must stay consistent with it — is applied at LOAD time by
+      :func:`ngram_lm_from_state`.
+    - ``stats``: one row (n_docs, max_batch_id, corpus_digest,
+      run_id) — the same drift/lineage guards as the BM25 state.
+    """
+    from homelogging_spark.functions.texthash import tokens
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+    from homelogging_spark.operators.textops import corpus_digest_col
+
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hadoop, fs = _fs(spark, state_path)
+        P = hadoop.Path
+        tmp, trash = state_path + ".__tmp", state_path + ".__trash"
+        if not fs.exists(P(state_path)) and fs.exists(P(trash)):
+            _rename_or_raise(fs, P(trash), P(state_path), "lm state repair")
+        exists = fs.exists(P(state_path))
+        old = None
+        if exists:
+            old = (
+                spark.read.parquet(os.path.join(state_path, "stats"))
+                .collect()[0]
+                .asDict()
+            )
+            if int(batch_id) <= old["max_batch_id"]:
+                stored_run = old.get("run_id")
+                if (
+                    run_id is not None
+                    and stored_run is not None
+                    and stored_run != run_id
+                ):
+                    raise ValueError(
+                        f"ngram-lm state at {state_path} was built by "
+                        f"run {stored_run!r} up to batch "
+                        f"{old['max_batch_id']}; run {run_id!r} "
+                        f"delivered batch {int(batch_id)}, which would "
+                        "be silently skipped as redelivered. Resume the "
+                        "original checkpoint, or rebuild the state "
+                        "under a fresh state_path."
+                    )
+                return
+        toks = tokens(F.col(text_col))
+        agg = batch.select(
+            corpus_digest_col(F.col(id_col)).alias("__h")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.bit_xor(F.col("__h")), F.lit(0)).alias("digest"),
+        ).collect()[0]
+        pairs = (
+            batch.select(toks.alias("__toks"))
+            .where(F.size("__toks") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - 1),
+                        lambda p: F.struct(
+                            F.element_at(F.col("__toks"), p).alias("w1"),
+                            F.element_at(F.col("__toks"), p + 1).alias("w2"),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .select("pair.w1", "pair.w2")
+        )
+        big_b = pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        if exists:
+            bigrams = (
+                spark.read.parquet(os.path.join(state_path, "bigrams"))
+                .withColumnRenamed("c", "__old")
+                .join(big_b.withColumnRenamed("c", "__new"), ["w1", "w2"], "full")
+                .select(
+                    "w1",
+                    "w2",
+                    (
+                        F.coalesce(F.col("__old"), F.lit(0))
+                        + F.coalesce(F.col("__new"), F.lit(0))
+                    ).cast("bigint").alias("c"),
+                )
+            )
+            n_docs = int(old["n_docs"]) + int(agg.n)
+            old_digest = old.get("corpus_digest")
+            digest = (
+                None
+                if old_digest is None
+                else int(old_digest) ^ int(agg.digest)
+            )
+        else:
+            bigrams = big_b
+            n_docs, digest = int(agg.n), int(agg.digest)
+        stats = spark.createDataFrame(
+            [(n_docs, int(batch_id), digest, run_id)],
+            "n_docs bigint, max_batch_id bigint, "
+            "corpus_digest bigint, run_id string",
+        )
+        fs.delete(P(tmp), True)
+        bigrams.write.mode("overwrite").parquet(os.path.join(tmp, "bigrams"))
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "stats")
+        )
+        fs.delete(P(trash), True)
+        if exists:
+            _rename_or_raise(fs, P(state_path), P(trash), "lm state swap")
+        _rename_or_raise(fs, P(tmp), P(state_path), "lm state swap")
+        fs.delete(P(trash), True)
+
+    return merge_batch
+
+
+def start_ngram_lm_stream(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental bigram-LM statistics maintenance (r18): the
+    reference corpus a CCNet-style perplexity filter scores against is
+    itself a maintained artifact — foreachBatch folds doc micro-batches
+    into the raw-count state generation
+    (:func:`ngram_lm_batch_merger`), and
+    :func:`ngram_lm_from_state` loads it with the ``min_count`` cut
+    applied consistently. Same guarantees as the BM25 stats stream:
+    stage-then-rename generations, max_batch_id exactly-once, run-id
+    lineage guard; served scores pinned row-identical to the batch
+    computation (``TestNgramLmStream``)."""
+    writer = stream.writeStream.foreachBatch(
+        ngram_lm_batch_merger(state_path, id_col, text_col, run_id=checkpoint_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_dedup_batch_writer(
     old_df: DataFrame,
     out_path: str,

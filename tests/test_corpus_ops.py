@@ -1144,3 +1144,128 @@ class TestNgramLm:
             ).fetchall()
         )
         assert spark_rows == duck_rows
+
+
+class TestNgramLmStream:
+    """r18: the perplexity filter's reference statistics as a
+    maintained artifact — the bm25_stats_batch_merger discipline
+    applied to bigram counts (raw counts in state, min_count cut at
+    load so the cut stays additive-safe)."""
+
+    REF = TestNgramLm.REF
+    SCORE = TestNgramLm.SCORE
+
+    def _merge_all(self, spark, state, run_id=None):
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        merger = ngram_lm_batch_merger(state, run_id=run_id)
+        chunks = [self.REF[:1], self.REF[1:2], self.REF[2:]]
+        for i, chunk in enumerate(chunks):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        return merger
+
+    def test_state_loaded_model_scores_identically(self, spark, tmp_path):
+        """Stream-merged state + load-time cut == batch-trained model,
+        at BOTH min_count dials (the cut is load-time exactly so this
+        holds)."""
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        for mc in (1, 2):
+            batch_lm = textops.ngram_lm_counts(ref, min_count=mc)
+            state_lm = textops.ngram_lm_from_state(spark, state, min_count=mc)
+            assert sorted(map(tuple, batch_lm["bigrams"].collect())) == sorted(
+                map(tuple, state_lm["bigrams"].collect())
+            )
+            b = sorted(
+                tuple(r)
+                for r in textops.ngram_lm_score(
+                    docs, batch_lm, ppl_threshold=5.0
+                ).collect()
+            )
+            s = sorted(
+                tuple(r)
+                for r in textops.ngram_lm_score(
+                    docs, state_lm, ppl_threshold=5.0
+                ).collect()
+            )
+            assert b == s
+
+    def test_replay_noop_and_run_identity_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        state = str(tmp_path / "lm_state")
+        merger = self._merge_all(spark, state, run_id="ckpt-A")
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert (stats.n_docs, stats.max_batch_id, stats.run_id) == (
+            3, 2, "ckpt-A",
+        )
+        before = sorted(
+            map(tuple, spark.read.parquet(state + "/bigrams").collect())
+        )
+        # same-run replay: exactly-once no-op
+        merger(
+            spark.createDataFrame(self.REF[:1], "doc_id long, text string"), 0
+        )
+        assert sorted(
+            map(tuple, spark.read.parquet(state + "/bigrams").collect())
+        ) == before
+        # fresh checkpoint restarting at 0: loud error, never data loss
+        with _pytest.raises(ValueError, match="redelivered"):
+            ngram_lm_batch_merger(state, run_id="ckpt-B")(
+                spark.createDataFrame(
+                    self.REF[:1], "doc_id long, text string"
+                ),
+                0,
+            )
+
+    def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
+        import shutil
+
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        before = sorted(
+            map(tuple, spark.read.parquet(state + "/bigrams").collect())
+        )
+        shutil.move(state, state + ".__trash")
+        ngram_lm_batch_merger(state)(
+            spark.createDataFrame(self.REF[2:], "doc_id long, text string"), 2
+        )
+        assert sorted(
+            map(tuple, spark.read.parquet(state + "/bigrams").collect())
+        ) == before
+
+    def test_stream_e2e_equals_direct_merges(self, spark, tmp_path):
+        from homelogging_spark.streaming.pipeline import start_ngram_lm_stream
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        for chunk in (self.REF[:1], self.REF[1:2], self.REF[2:]):
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        state = str(tmp_path / "lm_state")
+        q = start_ngram_lm_stream(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+        ref_state = str(tmp_path / "ref_state")
+        self._merge_all(spark, ref_state)
+        assert sorted(
+            map(tuple, spark.read.parquet(state + "/bigrams").collect())
+        ) == sorted(
+            map(tuple, spark.read.parquet(ref_state + "/bigrams").collect())
+        )
+        got = spark.read.parquet(state + "/stats").collect()[0]
+        exp = spark.read.parquet(ref_state + "/stats").collect()[0]
+        assert (got.n_docs, got.corpus_digest) == (exp.n_docs, exp.corpus_digest)
