@@ -133,14 +133,114 @@ def _ppm_tokens(data: bytes, n: int, start: int = 2) -> tuple[list[int], int]:
     return vals, i + 1  # exactly one whitespace byte before the raster
 
 
-def decode_basic_image(data: bytes) -> tuple[int, int, float]:
-    """Dependency-free decoder for the two trivial uncompressed formats
-    — binary PPM (``P6``, maxval 255) and uncompressed 24/32-bit BMP —
-    returning (width, height, mean_luma) with Rec.601 luma in [0, 255].
-    Pure numpy over the raster; anything else raises
-    ``NotImplementedError`` (inject a real codec via ``decoder=``)."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG per-row filtering (spec §6: None/Sub/Up/Average/
+    Paeth) over ``h`` rows of ``1 + stride`` bytes. None/Up/Sub are
+    vectorized (Sub via per-byte-lane cumsum mod 256); Average/Paeth
+    keep the per-byte fold their left-and-above recurrence requires —
+    fine for the fixture-scale rasters this dependency-free path
+    exists for (a production image pipeline injects a real codec via
+    ``decoder=``)."""
     import numpy as np
 
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent fold
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype} unsupported")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png(data: bytes) -> tuple[int, int, float]:
+    """Real PNG decode via the stdlib zlib: IHDR → concatenated IDAT
+    inflate → per-row unfilter → Rec.601 mean luma. Supports the
+    canonical subset an engine can decode dependency-free — 8-bit
+    depth, color types 0/2/4/6, non-interlaced; everything else raises
+    ``NotImplementedError`` with the reason."""
+    import zlib
+
+    import numpy as np
+
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _, _, interlace = body[8:13]
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type} unsupported")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG unsupported")
+            nch = _PNG_CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise NotImplementedError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch).astype(np.float64)
+    if nch <= 2:  # grayscale (+alpha): luma IS the gray channel
+        luma = px[..., 0]
+    else:  # RGB(+alpha)
+        luma = px[..., 0] * _LUMA_R + px[..., 1] * _LUMA_G + px[..., 2] * _LUMA_B
+    return w, h, float(luma.mean())
+
+
+def decode_basic_image(data: bytes) -> tuple[int, int, float]:
+    """Dependency-free decoder for the three formats decodable without
+    image libraries — binary PPM (``P6``, maxval 255), uncompressed
+    24/32-bit BMP, and (r18) non-interlaced 8-bit PNG via the stdlib
+    zlib inflate + full filter reversal — returning (width, height,
+    mean_luma) with Rec.601 luma in [0, 255]. Pure numpy over the
+    raster; anything else raises ``NotImplementedError`` (inject a
+    real codec via ``decoder=``)."""
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(data)
     if data[:2] == b"P6":
         (w, h, maxval), off = _ppm_tokens(data, 3)
         if maxval != 255:
@@ -171,8 +271,9 @@ def decode_basic_image(data: bytes) -> tuple[int, int, float]:
         luma = bgr[..., 2] * _LUMA_R + bgr[..., 1] * _LUMA_G + bgr[..., 0] * _LUMA_B
         return w, nrows, float(luma.mean())
     raise NotImplementedError(
-        "unrecognized image format (only P6 PPM and uncompressed BMP are "
-        "decoded dependency-free); inject decoder= for real codecs"
+        "unrecognized image format (only P6 PPM, uncompressed BMP, and "
+        "non-interlaced 8-bit PNG are decoded dependency-free); inject "
+        "decoder= for real codecs"
     )
 
 

@@ -385,6 +385,132 @@ class TestMultimodal:
         assert luma == pytest.approx(expected)
 
     @staticmethod
+    def _png(w, h, nch, color_type, rows):
+        """Hand-assembled PNG: IHDR/IDAT/IEND with real CRCs, stdlib
+        zlib deflate. ``rows`` = list of (filter_type, filtered_bytes)
+        — filtering is done BY THE TEST per the spec, so the decoder's
+        unfilter logic is what's exercised."""
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(bytes([ft]) + fb for ft, fb in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_decode_png_rgb_all_simple_filters(self):
+        """r18: the PNG branch — 3x2 RGB raster filtered with None /
+        Sub / Up across rows (hand-filtered per spec §6); the decoder
+        must reconstruct the exact raster (checked via mean luma
+        computed independently from the intended pixels)."""
+        import numpy as np
+
+        px = np.array(
+            [
+                [[10, 20, 30], [60, 40, 20], [200, 100, 0]],
+                [[15, 25, 35], [65, 45, 25], [205, 105, 5]],
+            ],
+            dtype=np.int32,
+        )
+        # row 0: filter 1 (Sub) — filtered[x] = raw[x] - raw[x-3]
+        r0 = px[0].reshape(-1)
+        f0 = (
+            ((r0 - np.concatenate([[0, 0, 0], r0[:-3]])) & 0xFF)
+            .astype(np.uint8)
+            .tobytes()
+        )
+        # row 1: filter 2 (Up) — filtered[x] = raw[x] - above[x]
+        f1 = ((px[1].reshape(-1) - r0) & 0xFF).astype(np.uint8).tobytes()
+        data = self._png(3, 2, 3, 2, [(1, f0), (2, f1)])
+        w, h, luma = multimodal.decode_basic_image(data)
+        assert (w, h) == (3, 2)
+        exp = (
+            px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        ).mean()
+        assert luma == pytest.approx(float(exp))
+
+    def test_decode_png_gray_average_and_paeth(self):
+        """Grayscale rows filtered with Average (3) and Paeth (4) —
+        the left-dependent fold branch."""
+        import numpy as np
+
+        top = np.array([8, 250, 13, 77], dtype=np.int32)
+        bot = np.array([100, 3, 255, 40], dtype=np.int32)
+        # row 0 Average: pred = (left + 0)//2
+        f0, left = [], 0
+        for v in top:
+            f0.append((int(v) - (left >> 1)) & 0xFF)
+            left = int(v)
+        # row 1 Paeth: pred = paeth(left, above, upper-left)
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        f1 = []
+        for x, v in enumerate(bot):
+            a = int(bot[x - 1]) if x else 0
+            c = int(top[x - 1]) if x else 0
+            f1.append((int(v) - paeth(a, int(top[x]), c)) & 0xFF)
+        data = self._png(4, 2, 1, 0, [(3, bytes(f0)), (4, bytes(f1))])
+        w, h, luma = multimodal.decode_basic_image(data)
+        assert (w, h) == (4, 2)
+        assert luma == pytest.approx(float(np.concatenate([top, bot]).mean()))
+
+    def test_decode_png_unsupported_shapes_raise(self):
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        # 16-bit depth refused with the reason
+        ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        with pytest.raises(NotImplementedError, match="bit depth"):
+            multimodal.decode_basic_image(bad)
+        # interlaced refused
+        ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+        bad_i = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            multimodal.decode_basic_image(bad_i)
+
+    def test_decode_png_end_to_end(self, spark):
+        """Drive the PNG path through mapInPandas beside PPM — one
+        decode stage, mixed formats in one batch."""
+        import numpy as np
+
+        px = np.full((2, 2, 3), 120, dtype=np.int32)
+        raw_row = (px[0].reshape(-1) & 0xFF).astype(np.uint8).tobytes()
+        png = self._png(2, 2, 3, 2, [(0, raw_row), (0, raw_row)])
+        ppm = b"P6\n2 1\n255\n" + bytes([120] * 6)
+        df = spark.createDataFrame(
+            [(0, bytearray(png)), (1, bytearray(ppm))],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+        assert (rows[0].width, rows[0].height) == (2, 2)
+        assert rows[0].mean_luma == pytest.approx(120.0)
+        assert rows[1].mean_luma == pytest.approx(120.0)
+
+    @staticmethod
     def _wav(pcm: bytes, n_channels: int, rate: int, bits: int, extra_chunk=True):
         """Canonical RIFF/WAVE bytes; optionally inserts a LIST chunk
         between fmt and data (real encoders do — the walker must skip)."""
