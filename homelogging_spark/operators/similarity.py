@@ -1910,6 +1910,62 @@ def opq_learn_rotation(
     }
 
 
+def rotate_by_matrix(emb: Column, rotation) -> Column:
+    """Apply an EXPLICIT rotation matrix as a map-side column
+    expression: ``y_j = Σ_i x_i · R[i][j]`` with index-order summation
+    (``_fold_sum`` — the exact bracketing DuckDB's ``list_reduce``
+    uses, so :func:`rotate_by_matrix_sql` replays it bit-for-bit).
+    This is the oracle-replayable serving form for a LEARNED rotation
+    frozen as config (``opq_rotations.rotation_for``): unlike the HD
+    transform there is no popcount closed form, so the matrix itself
+    is the config — dim² literals, the ``hd_rotate`` expression-size
+    precedent at dim 64. O(dim²) flops per vector; production swaps in
+    :func:`opq_rotate` (Arrow-batch dgemm) where no oracle must replay
+    the rotation, same discipline as expr-vs-fwht."""
+    r = [[float(v) for v in row] for row in rotation]
+    dim = len(r)
+    if any(len(row) != dim for row in r):
+        raise ValueError("rotation must be a square dim x dim matrix")
+    x = F.transform(emb, lambda v: v.cast("double"))
+    cols = [
+        F.array(*[F.lit(r[i][j]) for i in range(dim)]) for j in range(dim)
+    ]
+    return F.array(
+        *[_fold_sum(F.zip_with(x, cols[j], lambda a, b: a * b)) for j in range(dim)]
+    )
+
+
+def rotate_by_matrix_sql(
+    corpus_sql: str,
+    rotation,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`rotate_by_matrix` — identical matrix
+    literals, identical summation bracketing (``list_reduce`` over the
+    index-ordered products). Yields ``(id_col, emb_col)``."""
+    r = [[float(v) for v in row] for row in rotation]
+    dim = len(r)
+    if any(len(row) != dim for row in r):
+        raise ValueError("rotation must be a square dim x dim matrix")
+    # literals in SCIENTIFIC notation: DuckDB parses plain decimal
+    # literals as DECIMAL(19,18) — 18 fraction digits, which silently
+    # rounds the 17-significant-digit repr of a double and breaks
+    # bit-equality by an ulp per product; exponent form parses as
+    # DOUBLE directly (17 sig digits round-trips every double)
+    lit = lambda v: f"{v:.16e}"  # noqa: E731
+    comps = []
+    for j in range(dim):
+        col_j = "[" + ", ".join(lit(r[i][j]) for i in range(dim)) + "]"
+        comps.append(
+            f"list_reduce(list_transform(range({dim}), i -> "
+            f"CAST({emb_col}[i+1] AS DOUBLE) * ({col_j})[i+1]), "
+            f"(x, y) -> x + y)"
+        )
+    arr = "[" + ", ".join(comps) + "]"
+    return f"SELECT {id_col}, {arr} AS {emb_col} FROM ({corpus_sql})"
+
+
 def opq_rotate(
     df: DataFrame,
     rotation,

@@ -2234,6 +2234,79 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 ORACLE_OPQ_INDEX_SEARCH = _opq_index_search_oracle()
 
 
+def q_opq_learned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-rotation OPQ search under a config-frozen matrix (r18,
+    unit-only — an r19/r20 registration candidate needing a funding
+    consolidation): the rotation is Ge et al. alternating optimization
+    trained OFFLINE and committed as versioned config
+    (``opq_rotations.rotation_for`` — the BPE DEFAULT_MERGES design
+    applied to a trained artifact), so the serving chain
+    rotate → PQ-train → encode → ADC-rank is fully oracle-replayable
+    even though the SVD training step never is. Rotation applied as
+    the ``rotate_by_matrix`` expression (bit-identical on both
+    engines); the PQ chain is ``q_pq_adc_topk``'s exactly (4×8,
+    sample_mod=16, rank keys quantized at 6 decimals).
+
+    Scale: identical shape to ``opq_index_search`` with the structured
+    rotation swapped for the frozen learned one — one rotation pass
+    fused into each scan, broadcast codebook, codes-only ranking; at
+    production dim the expression form gives way to ``opq_rotate``'s
+    dgemm exactly as expr gives way to fwht."""
+    from homelogging_spark.operators.opq_rotations import rotation_for
+
+    r = rotation_for()
+    queries, corpus = _emb_split(spark, sf_dir)
+    rot = lambda df: df.select(  # noqa: E731
+        "vec_id",
+        similarity.rotate_by_matrix(F.col("embedding"), r).alias("embedding"),
+    )
+    rot_corpus = rot(corpus)
+    codebook = _cached_quantizer(
+        spark,
+        sf_dir,
+        "opq_learned_pq",
+        lambda: similarity.pq_codebook(
+            rot_corpus, n_subspaces=4, n_centroids=8, dim=EMB_DIM
+        ),
+    )
+    codes = similarity.pq_codes(
+        rot_corpus, n_subspaces=4, n_centroids=8, dim=EMB_DIM, codebook=codebook
+    )
+    out = similarity.pq_adc_topk(
+        rot(queries),
+        codes,
+        codebook,
+        k=5,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+def _opq_learned_search_oracle() -> str:
+    from homelogging_spark.operators.opq_rotations import rotation_for
+
+    r = rotation_for()
+    rot_corpus = similarity.rotate_by_matrix_sql(_IDX_CORPUS_SQL, r)
+    rot_queries = similarity.rotate_by_matrix_sql(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+        r,
+    )
+    return f"""
+WITH base AS ({similarity.pq_adc_topk_sql(
+        rot_corpus, rot_corpus, rot_queries,
+        k=5, n_subspaces=4, n_centroids=8, n_iters=IVF_KMEANS_ITERS,
+        dim=EMB_DIM, sample_mod=16, rank_decimals=6)})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
+ORACLE_OPQ_LEARNED_SEARCH = _opq_learned_search_oracle()
+
+
 def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
     """Materialized BM25 corpus-statistics state for the documents
     table — built once per sf_dir THROUGH the incremental merger

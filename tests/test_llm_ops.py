@@ -1211,6 +1211,91 @@ class TestBm25StateServed:
         assert compare("bm25_state_served", spark_pdf, duck_pdf)
 
 
+class TestOpqLearnedSearch:
+    """r18 runway: learned-rotation OPQ under the config-frozen matrix
+    must hash-match its DuckDB twin at sf0.001 — the driver gate at
+    unit level (registration candidate for a funded r19/r20 slot)."""
+
+    def test_rotation_config_is_orthogonal_and_audited(self):
+        import numpy as np
+
+        from homelogging_spark.operators.opq_rotations import (
+            rotation_audit,
+            rotation_for,
+        )
+
+        r = np.asarray(rotation_for())
+        assert r.shape == (64, 64)
+        assert np.max(np.abs(r.T @ r - np.eye(64))) < 1e-9
+        a = rotation_audit()
+        assert a["dim"] == 64 and len(a["digest"]) == 32
+        with pytest.raises(ValueError, match="unknown OPQ rotation"):
+            rotation_for(99)
+
+    def test_matrix_rotation_twins_bit_equal(self, spark):
+        """rotate_by_matrix vs its DuckDB twin: BIT-equal (the whole
+        oracle chain hangs on it), and both equal numpy x @ R to
+        fp-rounding."""
+        import duckdb
+        import numpy as np
+
+        from homelogging_spark.operators import similarity as S
+        from homelogging_spark.operators.opq_rotations import rotation_for
+
+        r = rotation_for()
+        import random
+
+        rng = random.Random(5)
+        vecs = [
+            [round(rng.gauss(0, 1), 3) for _ in range(64)] for _ in range(4)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            row.vec_id: list(row.r)
+            for row in df.select(
+                "vec_id", S.rotate_by_matrix(F.col("embedding"), r).alias("r")
+            ).collect()
+        }
+        vals = ", ".join(
+            "(%d, [%s])" % (i, ",".join(repr(float(x)) for x in v))
+            for i, v in enumerate(vecs)
+        )
+        sql = S.rotate_by_matrix_sql(
+            f"SELECT vec_id, embedding FROM (VALUES {vals}) t(vec_id, embedding)",
+            r,
+        )
+        duck = {row[0]: row[1] for row in duckdb.sql(sql).fetchall()}
+        assert duck == got  # bit-equal
+        ref = np.asarray(vecs) @ np.asarray(r)
+        for i in range(4):
+            assert np.max(np.abs(np.asarray(got[i]) - ref[i])) < 1e-9
+
+    def test_matches_duckdb_twin(self, spark, sf_dir):
+        import os
+
+        import duckdb
+
+        from homelogging_spark.plans.llm_registry import (
+            ORACLE_OPQ_LEARNED_SEARCH,
+            q_opq_learned_search,
+        )
+        from homelogging_spark.tables import TABLE_NAMES
+        from tools.check_oracle import compare
+
+        spark_pdf = q_opq_learned_search(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_pdf = con.execute(ORACLE_OPQ_LEARNED_SEARCH).fetchdf()
+        assert len(spark_pdf) > 0
+        assert compare("opq_learned_search", spark_pdf, duck_pdf)
+
+
 class TestLmPerplexityFilter:
     """r18 runway: the CCNet-style bigram-perplexity filter must
     hash-match its DuckDB train→smooth→score→threshold twin at sf0.001

@@ -74,6 +74,10 @@ BROADCAST_NESTED_LOOP_OK = {
     # the same designed 1-row broadcast as bm25's — entry added with the
     # staged query so the r16 retired-allowlist failure mode can't recur
     "lm_perplexity_filter",
+    # r18 runway: the learned-rotation ADC chain plans pq_adc_topk's
+    # same broadcast-codebook constant-width lookups (entry pre-added
+    # with the staged query, same rationale as above)
+    "opq_learned_search",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
