@@ -1335,6 +1335,8 @@ def ngram_lm_from_state(
     spark,
     state_path: str,
     min_count: int = 1,
+    verify_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> dict:
     """Load a :func:`streaming.pipeline.start_ngram_lm_stream` state
     generation into the dict :func:`ngram_lm_score` consumes. The
@@ -1344,11 +1346,69 @@ def ngram_lm_from_state(
     table and n_vocab derive from the CUT table — exactly the
     self-consistency :func:`ngram_lm_counts` guarantees, so a
     state-loaded model scores row-identically to the batch-trained one
-    over the same reference corpus (pinned in ``TestNgramLmStream``)."""
+    over the same reference corpus (pinned in ``TestNgramLmStream``).
+    Both state layouts load transparently (the r19 hash-partitioned
+    layout adds `part`/`pmax` bookkeeping columns, projected away
+    here); a partitioned state interrupted between swap renames is
+    repaired before reading, the same restore the merger runs.
+
+    ``verify_corpus`` (r19 — the ``bm25_topk(verify_state=True)``
+    discipline applied to the LM tier): pass the reference-corpus
+    frame the statistics are SUPPOSED to describe, and the load
+    compares the state generation's fingerprint (n_docs + the
+    order-insensitive md5-XOR digest of doc ids) against it with one
+    1-row aggregate, raising on mismatch — a state that lags or leads
+    the reference slice fails loudly instead of silently shifting
+    every conditional probability. Opt-in for the same reason BM25's
+    is: scoring against statistics trained on a DIFFERENT (larger,
+    frozen) reference corpus is the normal CCNet posture, and must
+    stay expressible — without verification, by design."""
     import os
 
-    bigrams = spark.read.parquet(os.path.join(state_path, "bigrams")).where(
-        F.col("c") >= min_count
+    from homelogging_spark.streaming.pipeline import (
+        _read_state_stats,
+        _repair_partitioned_state,
+    )
+
+    _repair_partitioned_state(spark, state_path, "bigrams")
+    if verify_corpus is not None:
+        state = _read_state_stats(spark, state_path)
+        if state is None:
+            raise ValueError(
+                f"ngram-lm state at {state_path} has no committed stats "
+                "generation to verify against"
+            )
+        if state.get("corpus_digest") is None:
+            raise ValueError(
+                "verify_corpus given but the state carries no "
+                "corpus_digest (a merge over legacy state propagated "
+                "the unknown); rebuild the state or load without "
+                "verification"
+            )
+        got = verify_corpus.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.bit_xor(corpus_digest_col(F.col(id_col))), F.lit(0)
+            ).alias("digest"),
+        ).collect()[0]
+        if int(state["n_docs"]) != int(got.n) or int(
+            state["corpus_digest"]
+        ) != int(got.digest):
+            raise ValueError(
+                f"ngram-lm state/corpus drift: state covers "
+                f"n_docs={int(state['n_docs'])} "
+                f"(digest={int(state['corpus_digest'])}) but the "
+                f"reference frame has n={int(got.n)} "
+                f"(digest={int(got.digest)}); the served conditionals "
+                "would not describe this reference corpus. Re-run the "
+                "LM stats stream, or load without verify_corpus if "
+                "scoring against a frozen external reference is "
+                "intended."
+            )
+    bigrams = (
+        spark.read.parquet(os.path.join(state_path, "bigrams"))
+        .select("w1", "w2", "c")
+        .where(F.col("c") >= min_count)
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c").cast("bigint").alias("c"))
     stats = contexts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))

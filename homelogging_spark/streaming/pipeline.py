@@ -459,11 +459,298 @@ def start_kmv_rollup_stream(
     return writer.start()
 
 
+# --- partitioned state generations (r19, r18 verdict #2) ---------------------
+# The r17/r18 statistics states (BM25 dfreq, ngram-LM bigrams) rewrite
+# the FULL count table every micro-batch — correct, but the rewrite cost
+# grows with STATE size, not batch size, so a long-lived stream over a
+# growing vocabulary pays ever more per batch. The partitioned layout
+# hash-partitions the count table by its leading key
+# (`part = pmod(xxhash64(term), P)` — stable across batches, so a pair
+# always lands in the same partition) and a micro-batch rewrites ONLY
+# the partitions its keys touch: read old `part IN touched` (partition
+# pruning keeps the scan to those directories), full-outer merge with
+# the batch delta, stage under a dot-prefixed tmp root (invisible to
+# partition discovery), then stage-then-rename PER PARTITION; the
+# single stats row commits LAST and remains the generation's commit
+# point. Per-batch cost becomes O(touched fraction of state), bounded
+# by batch vocabulary — the measurement is in SCALE.md r19.
+#
+# Crash consistency (the whole-dir swap's guarantees, re-derived per
+# partition):
+# - every partition's files carry a constant ``pmax`` column — the
+#   highest batch id folded into that partition. A crash AFTER some
+#   partition swaps but BEFORE the stats commit leaves the checkpoint
+#   unadvanced; on redelivery the merge SKIPS partitions whose pmax
+#   already reached the batch id (they committed in the crashed
+#   attempt), folds the rest, and then commits stats — each partition
+#   folds each batch exactly once, no double counts.
+# - a crash BETWEEN the two renames of one partition's swap leaves the
+#   live dir missing and the trash dir holding the last committed
+#   generation; :func:`_repair_partitioned_state` restores it, and runs
+#   at the head of every merge AND load.
+# - readers that load between partition commits and the stats commit
+#   can observe counts from batch N+1 beside stats from batch N — the
+#   documented cost of per-partition commits (the whole-dir layout
+#   swapped both together). The stats row is the truth of what is
+#   COMMITTED; serving paths that need strict generation consistency
+#   verify against it (corpus-fingerprint checks catch exactly this
+#   drift), and the fixture/serving flows here always merge-then-load.
+
+
+def _part_expr(key_col: str, n_partitions: int):
+    """Stable partition assignment for a partitioned state table.
+    ``xxhash64`` is deterministic for a given input across Spark
+    sessions, so a key's partition never moves between batches; the
+    leading key (term / w1) keeps each context's rows colocated."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(n_partitions))).cast(
+        "int"
+    )
+
+
+def _repair_partitioned_state(spark, state_path: str, table: str) -> None:
+    """Restore a partitioned state interrupted between swap renames:
+    any ``part=K`` sitting in the trash root while missing live IS the
+    last committed generation (crash between live->trash and
+    tmp->live) — move it back; one present in BOTH survived a crash
+    after commit but before trash cleanup — drop the trash copy. Same
+    for the stats dir. Idempotent; runs at merge and load time."""
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+
+    hadoop, fs = _fs(spark, state_path)
+    P = hadoop.Path
+    table_root = os.path.join(state_path, table)
+    trash_root = P(os.path.join(state_path, f".__trash_{table}"))
+    if fs.exists(trash_root):
+        for st in fs.listStatus(trash_root):
+            name = st.getPath().getName()
+            live = P(os.path.join(table_root, name))
+            if not fs.exists(live):
+                fs.mkdirs(P(table_root))
+                _rename_or_raise(
+                    fs, st.getPath(), live, f"{table} partition repair"
+                )
+            else:
+                fs.delete(st.getPath(), True)
+        fs.delete(trash_root, True)
+    stats_live = P(os.path.join(state_path, "stats"))
+    stats_trash = P(os.path.join(state_path, ".__trash_stats"))
+    if fs.exists(stats_trash):
+        if not fs.exists(stats_live):
+            _rename_or_raise(fs, stats_trash, stats_live, "stats repair")
+        else:
+            fs.delete(stats_trash, True)
+
+
+def _read_state_stats(spark, state_path: str) -> dict | None:
+    """The committed stats row of a partitioned state, or None before
+    the first commit."""
+    from homelogging_spark.operators.maintenance import _fs
+
+    hadoop, fs = _fs(spark, state_path)
+    p = os.path.join(state_path, "stats")
+    if not fs.exists(hadoop.Path(p)):
+        return None
+    return spark.read.parquet(p).collect()[0].asDict()
+
+
+def _redelivery_guard(
+    old: dict | None,
+    batch_id: int,
+    run_id: str | None,
+    what: str,
+    state_path: str,
+) -> bool:
+    """True when the batch is a same-lineage redelivery (merge must
+    no-op); raises when a regressed batch id arrives under a DIFFERENT
+    checkpoint lineage — a fresh stream renumbering from 0, whose
+    batches a silent no-op would drop (the r17 ADVICE data-loss
+    window)."""
+    if old is None or int(batch_id) > int(old["max_batch_id"]):
+        return False
+    stored_run = old.get("run_id")
+    if run_id is not None and stored_run is not None and stored_run != run_id:
+        raise ValueError(
+            f"{what} state at {state_path} was built by run "
+            f"{stored_run!r} up to batch {old['max_batch_id']}; run "
+            f"{run_id!r} delivered batch {int(batch_id)}, which would "
+            "be silently skipped as redelivered. Resume the original "
+            "checkpoint, or rebuild the state under a fresh state_path."
+        )
+    return True
+
+
+def _layout_guard(
+    old: dict | None, n_partitions: int | None, what: str, state_path: str
+) -> None:
+    """A merger configured for one layout must never fold into a state
+    committed under another: a legacy merger appending root-level files
+    beside ``part=K`` dirs (or vice versa) would double-count half the
+    table on the next load. Raise; the operator rebuilds."""
+    if old is None:
+        return
+    stored = old.get("n_partitions")
+    if (stored or None) != (n_partitions or None):
+        raise ValueError(
+            f"{what} state at {state_path} is committed with "
+            f"n_partitions={stored!r} but this merger is configured "
+            f"with n_partitions={n_partitions!r}; state layout is fixed "
+            "at creation — rebuild under a fresh state_path to change it."
+        )
+
+
+def _commit_stats(spark, state_path: str, stats_df) -> None:
+    """Stage-then-rename of the stats subdir alone — the commit point
+    of a partitioned generation (legacy layouts swap the whole state
+    dir instead)."""
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+
+    hadoop, fs = _fs(spark, state_path)
+    P = hadoop.Path
+    live = os.path.join(state_path, "stats")
+    tmp = os.path.join(state_path, ".__tmp_stats")
+    trash = os.path.join(state_path, ".__trash_stats")
+    fs.delete(P(tmp), True)
+    stats_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(P(trash), True)
+    if fs.exists(P(live)):
+        _rename_or_raise(fs, P(live), P(trash), "stats swap")
+    _rename_or_raise(fs, P(tmp), P(live), "stats swap")
+    fs.delete(P(trash), True)
+
+
+def _merge_partitioned_counts(
+    spark,
+    state_path: str,
+    table: str,
+    delta,
+    key_cols: list[str],
+    cnt_col: str,
+    batch_id: int,
+    n_partitions: int,
+) -> list[int]:
+    """Fold a keyed count delta into a hash-partitioned state table,
+    rewriting ONLY touched partitions. Returns the partition ids
+    actually rewritten (redelivered-to-a-partition skips excluded) —
+    the observability hook the subset-rewrite pin asserts on.
+
+    Scale shape: the old side reads `part IN touched` (directory-level
+    partition pruning), the merge is one full-outer hash join keyed on
+    the count key, and the write repartitions to one task per touched
+    partition so each ``part=K`` dir stays one file per generation —
+    no small-file accretion across batches."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+
+    hadoop, fs = _fs(spark, state_path)
+    P = hadoop.Path
+    table_root = os.path.join(state_path, table)
+    tmp_root = os.path.join(state_path, f".__tmp_{table}")
+    trash_root = os.path.join(state_path, f".__trash_{table}")
+    part = _part_expr(key_cols[0], n_partitions)
+    delta = delta.withColumn("part", part)
+    touched = sorted(
+        int(r.part) for r in delta.select("part").distinct().collect()
+    )
+    if not touched:
+        if not fs.exists(P(table_root)):
+            # zero-key first batch: commit an EMPTY schema-bearing
+            # partition so loaders (which read the table path) see the
+            # empty table, matching the legacy layout's empty write
+            delta.select(
+                *key_cols, F.col(cnt_col).cast("bigint").alias(cnt_col)
+            ).withColumn(
+                "pmax", F.lit(int(batch_id)).cast("bigint")
+            ).limit(0).write.mode("overwrite").parquet(
+                os.path.join(table_root, "part=0")
+            )
+        return []
+    exists = fs.exists(P(table_root))
+    skip: set[int] = set()
+    if exists:
+        # per-partition watermark: a partition whose pmax already
+        # reached this batch id committed in a crashed attempt — fold
+        # the remaining partitions only (exactly-once per partition)
+        marks = (
+            spark.read.parquet(table_root)
+            .where(F.col("part").isin(touched))
+            .groupBy("part")
+            .agg(F.max("pmax").alias("pmax"))
+            .collect()
+        )
+        skip = {
+            int(r.part)
+            for r in marks
+            if r.pmax is not None and int(r.pmax) >= int(batch_id)
+        }
+    still = [t for t in touched if t not in skip]
+    if not still:
+        return []
+    delta_still = delta.where(F.col("part").isin(still))
+    if exists:
+        old_still = (
+            spark.read.parquet(table_root)
+            .where(F.col("part").isin(still))
+            .select(*key_cols, F.col(cnt_col).alias("__old"))
+        )
+        merged = (
+            old_still.join(
+                delta_still.select(*key_cols, F.col(cnt_col).alias("__new")),
+                key_cols,
+                "full",
+            ).select(
+                *key_cols,
+                (
+                    F.coalesce(F.col("__old"), F.lit(0))
+                    + F.coalesce(F.col("__new"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias(cnt_col),
+            )
+        )
+    else:
+        merged = delta_still.select(
+            *key_cols, F.col(cnt_col).cast("bigint").alias(cnt_col)
+        )
+    merged = merged.withColumn("part", part).withColumn(
+        "pmax", F.lit(int(batch_id)).cast("bigint")
+    )
+    fs.delete(P(tmp_root), True)
+    merged.repartition(len(still), "part").write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(tmp_root)
+    fs.mkdirs(P(table_root))
+    fs.delete(P(trash_root), True)
+    fs.mkdirs(P(trash_root))
+    for t in still:
+        child = f"part={t}"
+        live_p = P(os.path.join(table_root, child))
+        tmp_p = P(os.path.join(tmp_root, child))
+        trash_p = P(os.path.join(trash_root, child))
+        if fs.exists(live_p):
+            _rename_or_raise(fs, live_p, trash_p, f"{table} partition swap")
+        _rename_or_raise(fs, tmp_p, live_p, f"{table} partition swap")
+    fs.delete(P(trash_root), True)
+    fs.delete(P(tmp_root), True)
+    LOG.info(
+        "%s: batch %s rewrote %d/%d partitions %s",
+        table,
+        batch_id,
+        len(still),
+        n_partitions,
+        still,
+    )
+    return still
+
+
 def bm25_stats_batch_merger(
     state_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     run_id: str | None = None,
+    n_partitions: int | None = None,
 ):
     """The ``foreachBatch`` body of :func:`start_bm25_stats_stream`,
     exposed so replay idempotency is directly testable (the
@@ -509,7 +796,14 @@ def bm25_stats_batch_merger(
     text: NULL-text docs would count toward n_docs but contribute no
     length, so the served avgdl would divide by ALL docs where the
     batch path's avg divides by non-NULL ones; the recompute-identity
-    pin applies to non-NULL-text corpora."""
+    pin applies to non-NULL-text corpora.
+
+    ``n_partitions`` (r19, r18 verdict #2): None keeps the r18
+    whole-generation swap; an int selects the hash-partitioned dfreq
+    layout (see the partitioned-state block above) where a micro-batch
+    rewrites only the term partitions it touches. Layout is fixed at
+    state creation and recorded in the stats row; a mismatched merger
+    raises instead of corrupting the table."""
     from homelogging_spark.functions.texthash import tokens
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
 
@@ -519,40 +813,34 @@ def bm25_stats_batch_merger(
         spark = batch.sparkSession
         hadoop, fs = _fs(spark, state_path)
         P = hadoop.Path
-        tmp, trash = state_path + ".__tmp", state_path + ".__trash"
-        if not fs.exists(P(state_path)) and fs.exists(P(trash)):
-            # crash landed between the swap renames: trash IS the last
-            # committed generation — restore before merging
-            _rename_or_raise(fs, P(trash), P(state_path), "bm25 state repair")
-        exists = fs.exists(P(state_path))
-        old = None
-        if exists:
-            old = (
-                spark.read.parquet(os.path.join(state_path, "stats"))
-                .collect()[0]
-                .asDict()
-            )
-            if int(batch_id) <= old["max_batch_id"]:
-                stored_run = old.get("run_id")
-                if (
-                    run_id is not None
-                    and stored_run is not None
-                    and stored_run != run_id
-                ):
-                    # r18 (r17 ADVICE): a regressed batch id under a
-                    # DIFFERENT checkpoint lineage is not a redelivery —
-                    # it is a fresh stream whose ids restarted at 0, and
-                    # no-opping would silently drop its batches
-                    raise ValueError(
-                        f"bm25 state at {state_path} was built by run "
-                        f"{stored_run!r} up to batch "
-                        f"{old['max_batch_id']}; run {run_id!r} "
-                        f"delivered batch {int(batch_id)}, which would "
-                        "be silently skipped as redelivered. Resume the "
-                        "original checkpoint, or rebuild the state "
-                        "under a fresh state_path."
-                    )
+        if n_partitions is not None:
+            _repair_partitioned_state(spark, state_path, "dfreq")
+            old = _read_state_stats(spark, state_path)
+            _layout_guard(old, n_partitions, "bm25", state_path)
+            if _redelivery_guard(old, batch_id, run_id, "bm25", state_path):
                 return  # redelivered micro-batch: additive merge skipped
+            exists = old is not None
+        else:
+            tmp, trash = state_path + ".__tmp", state_path + ".__trash"
+            if not fs.exists(P(state_path)) and fs.exists(P(trash)):
+                # crash landed between the swap renames: trash IS the
+                # last committed generation — restore before merging
+                _rename_or_raise(
+                    fs, P(trash), P(state_path), "bm25 state repair"
+                )
+            exists = fs.exists(P(state_path))
+            old = None
+            if exists:
+                old = (
+                    spark.read.parquet(os.path.join(state_path, "stats"))
+                    .collect()[0]
+                    .asDict()
+                )
+                _layout_guard(old, None, "bm25", state_path)
+                if _redelivery_guard(
+                    old, batch_id, run_id, "bm25", state_path
+                ):
+                    return  # redelivered micro-batch: merge skipped
         staged = batch.select(
             F.col(id_col), tokens(F.col(text_col)).alias("__toks")
         ).select(
@@ -575,18 +863,6 @@ def bm25_stats_batch_merger(
             .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         )
         if exists:
-            dfreq = (
-                spark.read.parquet(os.path.join(state_path, "dfreq"))
-                .withColumnRenamed("df", "__old")
-                .join(df_b.withColumnRenamed("df", "__new"), "term", "full")
-                .select(
-                    "term",
-                    (
-                        F.coalesce(F.col("__old"), F.lit(0))
-                        + F.coalesce(F.col("__new"), F.lit(0))
-                    ).cast("bigint").alias("df"),
-                )
-            )
             n_docs = int(old["n_docs"]) + int(agg.n)
             total_dl = int(old["total_dl"]) + int(agg.dl)
             # XOR-accumulate the corpus fingerprint; a legacy state
@@ -599,9 +875,50 @@ def bm25_stats_batch_merger(
                 else int(old_digest) ^ int(agg.digest)
             )
         else:
-            dfreq = df_b
             n_docs, total_dl = int(agg.n), int(agg.dl)
             digest = int(agg.digest)
+        if n_partitions is not None:
+            _merge_partitioned_counts(
+                spark,
+                state_path,
+                "dfreq",
+                df_b,
+                ["term"],
+                "df",
+                batch_id,
+                n_partitions,
+            )
+            stats = spark.createDataFrame(
+                [
+                    (
+                        n_docs,
+                        total_dl,
+                        int(batch_id),
+                        digest,
+                        run_id,
+                        int(n_partitions),
+                    )
+                ],
+                "n_docs bigint, total_dl bigint, max_batch_id bigint, "
+                "corpus_digest bigint, run_id string, n_partitions int",
+            )
+            _commit_stats(spark, state_path, stats)
+            return
+        if exists:
+            dfreq = (
+                spark.read.parquet(os.path.join(state_path, "dfreq"))
+                .withColumnRenamed("df", "__old")
+                .join(df_b.withColumnRenamed("df", "__new"), "term", "full")
+                .select(
+                    "term",
+                    (
+                        F.coalesce(F.col("__old"), F.lit(0))
+                        + F.coalesce(F.col("__new"), F.lit(0))
+                    ).cast("bigint").alias("df"),
+                )
+            )
+        else:
+            dfreq = df_b
         stats = spark.createDataFrame(
             [(n_docs, total_dl, int(batch_id), digest, run_id)],
             "n_docs bigint, total_dl bigint, max_batch_id bigint, "
@@ -630,6 +947,7 @@ def start_bm25_stats_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    n_partitions: int | None = None,
 ) -> StreamingQuery:
     """Incremental BM25 corpus-statistics maintenance (r17, the r16
     verdict's stretch): foreachBatch folds each micro-batch of docs
@@ -644,7 +962,13 @@ def start_bm25_stats_stream(
     with a DIFFERENT checkpoint delivers regressed batch ids, the r17
     ADVICE data-loss window."""
     writer = stream.writeStream.foreachBatch(
-        bm25_stats_batch_merger(state_path, id_col, text_col, run_id=checkpoint_dir)
+        bm25_stats_batch_merger(
+            state_path,
+            id_col,
+            text_col,
+            run_id=checkpoint_dir,
+            n_partitions=n_partitions,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -656,6 +980,7 @@ def ngram_lm_batch_merger(
     id_col: str = "doc_id",
     text_col: str = "text",
     run_id: str | None = None,
+    n_partitions: int | None = None,
 ):
     """The ``foreachBatch`` body of :func:`start_ngram_lm_stream` —
     incremental maintenance of the bigram-LM statistics
@@ -671,46 +996,72 @@ def ngram_lm_batch_merger(
       must stay consistent with it — is applied at LOAD time by
       :func:`ngram_lm_from_state`.
     - ``stats``: one row (n_docs, max_batch_id, corpus_digest,
-      run_id) — the same drift/lineage guards as the BM25 state.
-    """
+      run_id) — the same drift/lineage guards as the BM25 state —
+      plus (r19, the capstats "no silent growth" discipline) the
+      state-size honesty metrics ``n_bigrams`` / ``n_hapax`` /
+      ``state_bytes``: the raw table is deliberately uncut, so its
+      growth — and the hapax mass a ``min_count=2`` load would shed —
+      is OBSERVABLE on every merge, before it hurts. The metrics are
+      a single count/filtered-count scan of the committed table's `c`
+      column (columnar prune, no shuffle beyond the partial agg) plus
+      one filesystem content summary; at LM-state scale (vocabulary-
+      bounded, not corpus-bounded) that is noise next to the merge.
+
+    ``n_partitions`` (r19, r18 verdict #2): None keeps the r18
+    whole-generation swap; an int selects the hash-partitioned layout
+    (see the partitioned-state block above) where a micro-batch
+    rewrites only the partitions its bigrams touch — per-batch cost
+    bounded by batch vocabulary instead of state size. Layout is fixed
+    at state creation and recorded in the stats row; a mismatched
+    merger raises instead of corrupting the table."""
     from homelogging_spark.functions.texthash import tokens
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
     from homelogging_spark.operators.textops import corpus_digest_col
 
     from pyspark.sql import functions as F
 
+    def _size_metrics(bigrams_df, fs, hadoop, path: str) -> tuple:
+        row = bigrams_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.coalesce(
+                F.sum((F.col("c") == 1).cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("nh"),
+        ).collect()[0]
+        nbytes = int(fs.getContentSummary(hadoop.Path(path)).getLength())
+        return int(row.nb), int(row.nh), nbytes
+
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         hadoop, fs = _fs(spark, state_path)
         P = hadoop.Path
-        tmp, trash = state_path + ".__tmp", state_path + ".__trash"
-        if not fs.exists(P(state_path)) and fs.exists(P(trash)):
-            _rename_or_raise(fs, P(trash), P(state_path), "lm state repair")
-        exists = fs.exists(P(state_path))
-        old = None
-        if exists:
-            old = (
-                spark.read.parquet(os.path.join(state_path, "stats"))
-                .collect()[0]
-                .asDict()
-            )
-            if int(batch_id) <= old["max_batch_id"]:
-                stored_run = old.get("run_id")
-                if (
-                    run_id is not None
-                    and stored_run is not None
-                    and stored_run != run_id
-                ):
-                    raise ValueError(
-                        f"ngram-lm state at {state_path} was built by "
-                        f"run {stored_run!r} up to batch "
-                        f"{old['max_batch_id']}; run {run_id!r} "
-                        f"delivered batch {int(batch_id)}, which would "
-                        "be silently skipped as redelivered. Resume the "
-                        "original checkpoint, or rebuild the state "
-                        "under a fresh state_path."
-                    )
+        if n_partitions is not None:
+            _repair_partitioned_state(spark, state_path, "bigrams")
+            old = _read_state_stats(spark, state_path)
+            _layout_guard(old, n_partitions, "ngram-lm", state_path)
+            if _redelivery_guard(
+                old, batch_id, run_id, "ngram-lm", state_path
+            ):
                 return
+            exists = old is not None
+        else:
+            tmp, trash = state_path + ".__tmp", state_path + ".__trash"
+            if not fs.exists(P(state_path)) and fs.exists(P(trash)):
+                _rename_or_raise(
+                    fs, P(trash), P(state_path), "lm state repair"
+                )
+            exists = fs.exists(P(state_path))
+            old = None
+            if exists:
+                old = (
+                    spark.read.parquet(os.path.join(state_path, "stats"))
+                    .collect()[0]
+                    .asDict()
+                )
+                _layout_guard(old, None, "ngram-lm", state_path)
+                if _redelivery_guard(
+                    old, batch_id, run_id, "ngram-lm", state_path
+                ):
+                    return
         toks = tokens(F.col(text_col))
         agg = batch.select(
             corpus_digest_col(F.col(id_col)).alias("__h")
@@ -738,6 +1089,54 @@ def ngram_lm_batch_merger(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
         if exists:
+            n_docs = int(old["n_docs"]) + int(agg.n)
+            old_digest = old.get("corpus_digest")
+            digest = (
+                None
+                if old_digest is None
+                else int(old_digest) ^ int(agg.digest)
+            )
+        else:
+            n_docs, digest = int(agg.n), int(agg.digest)
+
+        def _stats_df(nb: int, nh: int, nbytes: int):
+            return spark.createDataFrame(
+                [
+                    (
+                        n_docs,
+                        int(batch_id),
+                        digest,
+                        run_id,
+                        nb,
+                        nh,
+                        nbytes,
+                        None if n_partitions is None else int(n_partitions),
+                    )
+                ],
+                "n_docs bigint, max_batch_id bigint, "
+                "corpus_digest bigint, run_id string, "
+                "n_bigrams bigint, n_hapax bigint, state_bytes bigint, "
+                "n_partitions int",
+            )
+
+        if n_partitions is not None:
+            _merge_partitioned_counts(
+                spark,
+                state_path,
+                "bigrams",
+                big_b,
+                ["w1", "w2"],
+                "c",
+                batch_id,
+                n_partitions,
+            )
+            live = os.path.join(state_path, "bigrams")
+            nb, nh, nbytes = _size_metrics(
+                spark.read.parquet(live).select("c"), fs, hadoop, live
+            )
+            _commit_stats(spark, state_path, _stats_df(nb, nh, nbytes))
+            return
+        if exists:
             bigrams = (
                 spark.read.parquet(os.path.join(state_path, "bigrams"))
                 .withColumnRenamed("c", "__old")
@@ -751,24 +1150,19 @@ def ngram_lm_batch_merger(
                     ).cast("bigint").alias("c"),
                 )
             )
-            n_docs = int(old["n_docs"]) + int(agg.n)
-            old_digest = old.get("corpus_digest")
-            digest = (
-                None
-                if old_digest is None
-                else int(old_digest) ^ int(agg.digest)
-            )
         else:
             bigrams = big_b
-            n_docs, digest = int(agg.n), int(agg.digest)
-        stats = spark.createDataFrame(
-            [(n_docs, int(batch_id), digest, run_id)],
-            "n_docs bigint, max_batch_id bigint, "
-            "corpus_digest bigint, run_id string",
-        )
         fs.delete(P(tmp), True)
         bigrams.write.mode("overwrite").parquet(os.path.join(tmp, "bigrams"))
-        stats.coalesce(1).write.mode("overwrite").parquet(
+        # metrics over the staged (about-to-commit) table — read back
+        # the columnar file rather than recomputing the merge lineage
+        nb, nh, nbytes = _size_metrics(
+            spark.read.parquet(os.path.join(tmp, "bigrams")).select("c"),
+            fs,
+            hadoop,
+            os.path.join(tmp, "bigrams"),
+        )
+        _stats_df(nb, nh, nbytes).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp, "stats")
         )
         fs.delete(P(trash), True)
@@ -787,6 +1181,7 @@ def start_ngram_lm_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    n_partitions: int | None = None,
 ) -> StreamingQuery:
     """Incremental bigram-LM statistics maintenance (r18): the
     reference corpus a CCNet-style perplexity filter scores against is
@@ -799,7 +1194,13 @@ def start_ngram_lm_stream(
     lineage guard; served scores pinned row-identical to the batch
     computation (``TestNgramLmStream``)."""
     writer = stream.writeStream.foreachBatch(
-        ngram_lm_batch_merger(state_path, id_col, text_col, run_id=checkpoint_dir)
+        ngram_lm_batch_merger(
+            state_path,
+            id_col,
+            text_col,
+            run_id=checkpoint_dir,
+            n_partitions=n_partitions,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

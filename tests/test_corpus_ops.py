@@ -1269,3 +1269,245 @@ class TestNgramLmStream:
         got = spark.read.parquet(state + "/stats").collect()[0]
         exp = spark.read.parquet(ref_state + "/stats").collect()[0]
         assert (got.n_docs, got.corpus_digest) == (exp.n_docs, exp.corpus_digest)
+
+    def test_size_metrics_emitted_per_merge(self, spark, tmp_path):
+        """r19 (r18 verdict #4, the capstats 'no silent growth'
+        discipline): every merge's stats row carries the raw table's
+        size honesty metrics — row count, hapax mass (what a
+        min_count=2 load would shed), and on-disk bytes — hand-checked
+        against the fixture corpus."""
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        rows = spark.read.parquet(state + "/bigrams").collect()
+        exp_nb = len(rows)
+        exp_nh = sum(1 for r in rows if r.c == 1)
+        assert (stats.n_bigrams, stats.n_hapax) == (exp_nb, exp_nh)
+        assert exp_nh > 0  # fixture has hapax mass — the metric is live
+        assert stats.state_bytes > 0
+        assert stats.n_partitions is None  # legacy layout recorded as such
+
+
+class TestNgramLmStreamPartitioned:
+    """r19 (r18 verdict #2): the hash-partitioned state layout — a
+    micro-batch rewrites only the bigram partitions it touches, with
+    the whole-dir swap's crash guarantees re-derived per partition and
+    the single stats row still the commit point."""
+
+    REF = TestNgramLm.REF
+    SCORE = TestNgramLm.SCORE
+    NP = 4
+
+    def _merge_all(self, spark, state, run_id=None):
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        merger = ngram_lm_batch_merger(
+            state, run_id=run_id, n_partitions=self.NP
+        )
+        chunks = [self.REF[:1], self.REF[1:2], self.REF[2:]]
+        for i, chunk in enumerate(chunks):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        return merger
+
+    def _pmax(self, spark, state):
+        return {
+            int(r.part): int(r.pmax)
+            for r in spark.read.parquet(state + "/bigrams")
+            .groupBy("part")
+            .agg(F.max("pmax").alias("pmax"))
+            .collect()
+        }
+
+    def test_partitioned_state_scores_identically(self, spark, tmp_path):
+        """Layout is invisible to serving: partitioned stream-merged
+        state + load-time cut == batch-trained model at both dials."""
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        for mc in (1, 2):
+            batch_lm = textops.ngram_lm_counts(ref, min_count=mc)
+            state_lm = textops.ngram_lm_from_state(spark, state, min_count=mc)
+            b = sorted(
+                tuple(r)
+                for r in textops.ngram_lm_score(
+                    docs, batch_lm, ppl_threshold=5.0
+                ).collect()
+            )
+            s = sorted(
+                tuple(r)
+                for r in textops.ngram_lm_score(
+                    docs, state_lm, ppl_threshold=5.0
+                ).collect()
+            )
+            assert b == s
+
+    def test_small_batch_rewrites_strict_subset(self, spark, tmp_path):
+        """The layout's whole point (r18 verdict #2's Done pin): after
+        a full fold, a small batch rewrites a STRICT subset of
+        partitions — untouched partitions keep their old pmax
+        watermark — and the folded state still scores identically to
+        the batch trainer over the union corpus."""
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        state = str(tmp_path / "lm_state")
+        merger = self._merge_all(spark, state)
+        before = self._pmax(spark, state)
+        assert len(before) == self.NP  # fixture vocabulary covers all parts
+        extra = [(99, "zebra quokka")]
+        merger(spark.createDataFrame(extra, "doc_id long, text string"), 3)
+        after = self._pmax(spark, state)
+        rewritten = {p for p, m in after.items() if m == 3}
+        assert rewritten  # the batch landed somewhere
+        assert len(rewritten) < self.NP  # strict subset
+        untouched = {p: m for p, m in after.items() if p not in rewritten}
+        assert untouched == {p: m for p, m in before.items() if p not in rewritten}
+        # parity on the union corpus is unchanged by the partial rewrite
+        ref = spark.createDataFrame(
+            self.REF + extra, "doc_id long, text string"
+        )
+        batch_lm = textops.ngram_lm_counts(ref, min_count=1)
+        state_lm = textops.ngram_lm_from_state(spark, state, min_count=1)
+        assert sorted(map(tuple, batch_lm["bigrams"].collect())) == sorted(
+            map(tuple, state_lm["bigrams"].collect())
+        )
+
+    def test_crashed_attempt_partitions_not_double_folded(
+        self, spark, tmp_path
+    ):
+        """Crash AFTER some partition swaps but BEFORE the stats
+        commit: on redelivery the per-partition pmax watermark skips
+        the already-committed partitions, so no bigram is folded
+        twice. Simulated by restoring the pre-batch stats dir (the
+        commit point) after a completed merge, then redelivering."""
+        import shutil
+
+        state = str(tmp_path / "lm_state")
+        merger = self._merge_all(spark, state)
+        shutil.copytree(state + "/stats", str(tmp_path / "stats_snapshot"))
+        extra = spark.createDataFrame(
+            [(99, "zebra quokka")], "doc_id long, text string"
+        )
+        merger(extra, 3)
+        good = sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/bigrams")
+                .select("w1", "w2", "c")
+                .collect(),
+            )
+        )
+        # crash simulation: partitions committed, stats row rolled back
+        shutil.rmtree(state + "/stats")
+        shutil.copytree(str(tmp_path / "stats_snapshot"), state + "/stats")
+        merger(extra, 3)  # redelivery
+        again = sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/bigrams")
+                .select("w1", "w2", "c")
+                .collect(),
+            )
+        )
+        assert again == good  # exactly-once per partition held
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert stats.max_batch_id == 3  # and the commit point advanced
+
+    def test_crash_between_partition_swap_renames_is_repaired(
+        self, spark, tmp_path
+    ):
+        """A partition sitting in the trash root while missing live IS
+        the last committed generation — both the next merge and the
+        loader restore it before reading."""
+        import os
+        import shutil
+
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        before = sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/bigrams")
+                .select("w1", "w2", "c")
+                .collect(),
+            )
+        )
+        part = sorted(os.listdir(state + "/bigrams"))[0]
+        os.makedirs(state + "/.__trash_bigrams", exist_ok=True)
+        shutil.move(
+            state + "/bigrams/" + part,
+            state + "/.__trash_bigrams/" + part,
+        )
+        state_lm = textops.ngram_lm_from_state(spark, state, min_count=1)
+        assert sorted(
+            map(tuple, state_lm["bigrams"].collect())
+        ) == before
+        assert not os.path.exists(state + "/.__trash_bigrams")
+
+    def test_layout_mismatch_raises(self, spark, tmp_path):
+        """A merger configured for the other layout must refuse to
+        fold — appending root files beside part= dirs (or vice versa)
+        would double-count half the table on load."""
+        import pytest as _pytest
+
+        from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        batch = spark.createDataFrame(
+            [(99, "zebra quokka")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="n_partitions"):
+            ngram_lm_batch_merger(state)(batch, 3)
+        legacy = str(tmp_path / "legacy_state")
+        ngram_lm_batch_merger(legacy)(batch, 0)
+        with _pytest.raises(ValueError, match="n_partitions"):
+            ngram_lm_batch_merger(legacy, n_partitions=self.NP)(batch, 1)
+
+    def test_verify_corpus_gate(self, spark, tmp_path):
+        """The bm25 verify_state discipline on the LM tier: loading
+        with the exact reference frame passes; a lagging/leading frame
+        raises instead of silently shifting every conditional."""
+        import pytest as _pytest
+
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        lm = textops.ngram_lm_from_state(
+            spark, state, min_count=2, verify_corpus=ref
+        )
+        assert lm["bigrams"].count() > 0
+        with _pytest.raises(ValueError, match="drift"):
+            textops.ngram_lm_from_state(
+                spark, state, min_count=2, verify_corpus=ref.limit(2)
+            )
+
+    def test_metrics_and_replay(self, spark, tmp_path):
+        """Partitioned stats rows carry the size metrics and the
+        layout marker; same-run replay stays the exactly-once no-op."""
+        state = str(tmp_path / "lm_state")
+        merger = self._merge_all(spark, state, run_id="ckpt-A")
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        rows = (
+            spark.read.parquet(state + "/bigrams")
+            .select("w1", "w2", "c")
+            .collect()
+        )
+        assert stats.n_bigrams == len(rows)
+        assert stats.n_hapax == sum(1 for r in rows if r.c == 1)
+        assert stats.state_bytes > 0
+        assert stats.n_partitions == self.NP
+        before = sorted(map(tuple, rows))
+        merger(
+            spark.createDataFrame(self.REF[:1], "doc_id long, text string"), 0
+        )
+        assert sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/bigrams")
+                .select("w1", "w2", "c")
+                .collect(),
+            )
+        ) == before

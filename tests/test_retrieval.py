@@ -392,6 +392,72 @@ class TestBm25StatsStream:
             ref_stats.n_docs, ref_stats.total_dl,
         )
 
+    def test_partitioned_dfreq_layout_serves_identically(
+        self, spark, tmp_path
+    ):
+        """r19 (r18 verdict #2): the hash-partitioned dfreq layout — a
+        micro-batch rewrites only the term partitions it touches (the
+        pmax watermark shows untouched partitions keeping their old
+        batch id) and serving from the partitioned state stays
+        row-identical to the recomputing path."""
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state_part")
+        merger = bm25_stats_batch_merger(state, n_partitions=4)
+        for i, chunk in enumerate(self._chunks()):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        table = spark.read.parquet(state + "/dfreq")
+        dfreq = {r.term: r.df for r in table.select("term", "df").collect()}
+        toks = {d: t.split() for d, t in DOCS}
+        exp_df = {}
+        for v in toks.values():
+            for t in set(v):
+                exp_df[t] = exp_df.get(t, 0) + 1
+        assert dfreq == exp_df
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert (stats.n_docs, stats.n_partitions) == (len(DOCS), 4)
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        recomputed = sorted(
+            tuple(r) for r in bm25_topk(docs, q, k=10, k1=K1, b=B).collect()
+        )
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, q, k=10, k1=K1, b=B,
+                dfreq=spark.read.parquet(state + "/dfreq"),
+                stats=spark.read.parquet(state + "/stats"),
+                verify_state=True,
+            ).collect()
+        )
+        assert served == recomputed
+        # subset rewrite: a one-term batch leaves other partitions'
+        # pmax watermarks untouched
+        before = {
+            int(r.part): int(r.pmax)
+            for r in table.groupBy("part").agg(
+                F.max("pmax").alias("pmax")
+            ).collect()
+        }
+        assert len(before) == 4
+        merger(
+            spark.createDataFrame(
+                [(99, "zebra")], "doc_id long, text string"
+            ),
+            3,
+        )
+        after = {
+            int(r.part): int(r.pmax)
+            for r in spark.read.parquet(state + "/dfreq")
+            .groupBy("part")
+            .agg(F.max("pmax").alias("pmax"))
+            .collect()
+        }
+        rewritten = {p for p, m in after.items() if m == 3}
+        assert rewritten and len(rewritten) < 4
+
 
 class TestRrfFuse:
     def test_fusion_hand_check_and_leg_counts(self, spark):
