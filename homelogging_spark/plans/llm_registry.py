@@ -2410,34 +2410,111 @@ ORACLE_BM25_STATE_SERVED = _bm25_state_served_oracle()
 
 LM_PPL_THRESHOLD = 34.0  # splits the fixture corpus ~80/20 (config)
 LM_MIN_COUNT = 2  # hapax bigrams cut — exercises the table-size dial
+LM_STATE_PARTITIONS = 8  # hash-partitioned state layout (r19)
+
+
+def _lm_state_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized bigram-LM reference statistics for the documents
+    table's reference slice (doc_id % 4 == 0) — built once per sf_dir
+    THROUGH the incremental merger in its r19 HASH-PARTITIONED layout
+    (three doc_id-sliced micro-batches folded by
+    ``streaming.pipeline.ngram_lm_batch_merger(n_partitions=8)``, the
+    exact foreachBatch body the stream runs — so batches 1 and 2
+    exercise the touched-partition-only rewrite path), then SERVED
+    from parquet. The ``_bm25_state_root`` discipline applied to the
+    LM tier: the certified chain is stream-merge → committed
+    generation → verified load → score."""
+    import os
+    import shutil
+
+    from homelogging_spark.streaming.pipeline import ngram_lm_batch_merger
+    from homelogging_spark.tables import (
+        _fixture_build_lock,
+        _fixture_path,
+        _fixture_stale,
+    )
+
+    path = _fixture_path(sf_dir, "lm_state")
+    src = os.path.join(sf_dir, "documents.parquet")
+    probe = os.path.join(path, "stats")
+
+    def _stale() -> bool:
+        if _fixture_stale(probe, src) or not os.path.exists(
+            os.path.join(path, "bigrams")
+        ):
+            return True
+        # the generation must be the partitioned layout with the size
+        # metrics and the fingerprint the verified load checks —
+        # pre-r19 states rebuild once
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        parts = _glob.glob(os.path.join(probe, "*.parquet"))
+        if not parts:
+            return True
+        names = _pq.read_schema(parts[0]).names
+        return "corpus_digest" not in names or "n_partitions" not in names
+
+    if _stale():
+        with _fixture_build_lock(path):
+            if _stale():
+                shutil.rmtree(path, ignore_errors=True)
+                ref = (
+                    load_table(spark, sf_dir, "documents")
+                    .select("doc_id", "text")
+                    .where(F.col("doc_id") % 4 == 0)
+                )
+                merger = ngram_lm_batch_merger(
+                    path, n_partitions=LM_STATE_PARTITIONS
+                )
+                for i in range(3):
+                    merger(ref.where(F.col("doc_id") % 3 == i), i)
+    return path
 
 
 def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style bigram-LM perplexity filter (r18, unit-only — the
-    r19 registration candidate on the free cap slot): the reference
-    slice (doc_id % 4 == 0) trains add-k-smoothed bigram statistics
-    (``textops.ngram_lm_counts``, min_count=2 so the hapax cut is
-    ACTIVE), and every other document is scored by mean bigram
-    negative log-likelihood against them
-    (``textops.ngram_lm_score``) — the LM-based member of the
-    quality-stage family beside the heuristic panel and the versioned
-    linear classifier (Wenzek et al. 2020's perplexity stage with a
+    """CCNet-style bigram-LM perplexity filter SERVED from the
+    stream-maintained statistics state (written r18, registered r19 on
+    the free cap slot): the reference slice (doc_id % 4 == 0) is
+    folded into a hash-partitioned raw-count state generation through
+    the incremental merger (``_lm_state_root``), loaded with the
+    min_count=2 hapax cut applied consistently at load
+    (``textops.ngram_lm_from_state`` — raw counts in state because the
+    cut is not additive-safe across micro-batches) AND with
+    ``verify_corpus=ref``, so the registered row exercises the
+    corpus-fingerprint drift check live (the ``bm25_state_served``
+    posture); every other document is scored by mean bigram negative
+    log-likelihood against the loaded model (``textops.
+    ngram_lm_score``) — the LM-based member of the quality-stage
+    family beside the heuristic panel and the versioned linear
+    classifier (Wenzek et al. 2020's perplexity stage with a
     self-contained, oracle-replayable model). keep = ppl <= 34
     (config; splits the fixture ~80/20 so both verdicts fire).
 
-    Scale: one reference scan + one partial-agg shuffle builds the
-    bounded bigram table; scoring is two hash joins against it plus a
-    doc-id partial agg — the corpus is scanned once. The oracle
-    replays train → smooth → score → threshold end-to-end in SQL."""
+    The oracle is the plain BATCH-TRAINING SQL replay (train → smooth
+    → score → threshold end-to-end) — the operator's claim is that
+    serving from the maintained, partition-incrementally-built state
+    emits the batch path's rows verbatim, so hash-matching the
+    recompute IS the certification (the skew_split_join /
+    bm25_state_served oracle pattern).
+
+    Scale: the state build amortizes across queries (one partial-agg
+    shuffle per batch, touched-partition rewrites); scoring is two
+    hash joins against the bounded cut table plus a doc-id partial
+    agg — the corpus is scanned once at serve time."""
     from homelogging_spark.operators.textops import (
-        ngram_lm_counts,
+        ngram_lm_from_state,
         ngram_lm_score,
     )
 
+    state = _lm_state_root(spark, sf_dir)
     docs = _docs(spark, sf_dir)
     ref = docs.where(F.col("doc_id") % 4 == 0)
     rest = docs.where(F.col("doc_id") % 4 != 0)
-    lm = ngram_lm_counts(ref, min_count=LM_MIN_COUNT)
+    lm = ngram_lm_from_state(
+        spark, state, min_count=LM_MIN_COUNT, verify_corpus=ref
+    )
     return ngram_lm_score(
         rest, lm, k=0.5, ppl_threshold=LM_PPL_THRESHOLD
     )
@@ -2910,6 +2987,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_cycle_search": q_index_cycle_search,
     "opq_index_search": q_opq_index_search,
     "bm25_state_served": q_bm25_state_served,
+    "lm_perplexity_filter": q_lm_perplexity_filter,
     "opq_panel": q_opq_panel,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -2947,6 +3025,7 @@ LLM_ORACLES: dict[str, str] = {
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
     "opq_index_search": ORACLE_OPQ_INDEX_SEARCH,
     "bm25_state_served": ORACLE_BM25_STATE_SERVED,
+    "lm_perplexity_filter": ORACLE_LM_PERPLEXITY_FILTER,
     "opq_panel": ORACLE_OPQ_PANEL,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
