@@ -2988,6 +2988,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opq_index_search": q_opq_index_search,
     "bm25_state_served": q_bm25_state_served,
     "lm_perplexity_filter": q_lm_perplexity_filter,
+    "opq_learned_search": q_opq_learned_search,
     "opq_panel": q_opq_panel,
     "pq_adc_topk": q_pq_adc_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -3026,6 +3027,7 @@ LLM_ORACLES: dict[str, str] = {
     "opq_index_search": ORACLE_OPQ_INDEX_SEARCH,
     "bm25_state_served": ORACLE_BM25_STATE_SERVED,
     "lm_perplexity_filter": ORACLE_LM_PERPLEXITY_FILTER,
+    "opq_learned_search": ORACLE_OPQ_LEARNED_SEARCH,
     "opq_panel": ORACLE_OPQ_PANEL,
     "pq_adc_topk": ORACLE_PQ_ADC_TOPK,
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,

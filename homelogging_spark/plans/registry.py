@@ -118,22 +118,64 @@ FROM events GROUP BY 2
 """
 
 
-# --- A3/W2: latest entry per key (Kasa/KasaLogger.cs:59-62) ------------------
+# --- A3/W2 + F8: deterministic row picks (Kasa/KasaLogger.cs:59-62,
+# Tapo/TapoLogger.cs:52) ------------------------------------------------------
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W2 ``Last()`` per key + F8 ``Where(...).FirstOrDefault()`` in
+    one panel — the r19 merge of `latest_per_key` and `first_match`
+    (the window-slot consolidation funding the `opq_learned_search`
+    registration, per the COVERAGE.md registry-growth policy): both
+    are deterministic single-row PICKS from an ordered event scan —
+    last reading per meter vs first row matching a predicate — so one
+    ``family``-labeled union certifies both legs verbatim. Latest leg
+    (A3/W2): the original one-shuffle row_number window, event_id = -1
+    sentinel (bigint n/a cells use sentinels — typed NULLs mis-sort in
+    the driver compare). First leg (F8): the original filtered
+    orderBy+limit(1) TakeOrderedAndProject with its quantized value,
+    ts = typed NULL timestamp (safe). Each leg keeps its original
+    plan; the union is free."""
     events = load_table(spark, sf_dir, "events")
     latest = latest_per_key(
         events.select("user_id", "ts", "event_type", "value"), ["user_id"], "ts"
+    ).select(
+        F.lit("latest").alias("family"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
     )
-    return latest.select("user_id", "ts", "event_type", "value")
+    first = (
+        events.where(F.col("value") > 99.0)
+        .orderBy("event_id")
+        .limit(1)
+        .select(
+            F.lit("first").alias("family"),
+            "event_id",
+            "user_id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            "event_type",
+            quantize("value").alias("value"),
+        )
+    )
+    return latest.unionByName(first)
 
 
 ORACLE_LATEST_PER_KEY = """
-SELECT user_id, ts, event_type, value FROM (
+SELECT 'latest' AS family, CAST(-1 AS BIGINT) AS event_id,
+       user_id, ts, event_type, value FROM (
   SELECT user_id, ts, event_type, value,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_type DESC, value DESC) AS rn
   FROM events
 ) WHERE rn = 1
+UNION ALL
+SELECT 'first' AS family, event_id, user_id,
+       CAST(NULL AS TIMESTAMP) AS ts, event_type, value FROM (
+  SELECT event_id, user_id, event_type,
+         floor((value) * 1000000 + 0.5) / 1000000 AS value
+  FROM events WHERE value > 99.0 ORDER BY event_id LIMIT 1
+)
 """
 
 
@@ -670,24 +712,10 @@ WHERE meter_id NOT IN (SELECT meter_id FROM u)
 """
 
 
-# --- F8: first-match limit 1 -------------------------------------------------
-def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``Where(...).FirstOrDefault()`` (``Tapo/TapoLogger.cs:52``) — made
-    deterministic with an explicit order key before limit(1)."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.where(F.col("value") > 99.0)
-        .orderBy("event_id")
-        .limit(1)
-        .select("event_id", "user_id", "event_type", quantize("value").alias("value"))
-    )
-
-
-ORACLE_FIRST_MATCH = """
-SELECT event_id, user_id, event_type,
-       floor((value) * 1000000 + 0.5) / 1000000 AS value
-FROM events WHERE value > 99.0 ORDER BY event_id LIMIT 1
-"""
+# F8 (first-match limit 1, Tapo/TapoLogger.cs:52 ``Where(...).
+# FirstOrDefault()``) is certified by q_latest_per_key's 'first' leg —
+# the standalone row was consolidated into the pick panel in r19 to
+# fund the opq_learned_search registration.
 
 
 # --- F7/K3: multi-valued entries + registered value names --------------------
@@ -2805,7 +2833,15 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # bm25_state_served registration); its r16 row certifies the
     # lsh/ivf/exact panel only. ann_topk is r18-stale anyway (last
     # green r16), so the tag costs zero extra window slots.
+    # (expired on its green CORRECTNESS_r18 row; kept until pruned.)
     "ann_topk": 18,
+    # r19: latest_per_key absorbed the retired first_match row as its
+    # family='first' leg (the stale-stale consolidation funding the
+    # opq_learned_search registration); its r17 row certifies the
+    # bare latest-per-key projection only. latest_per_key was
+    # r19-stale anyway (last green r17), so the tag costs zero extra
+    # window slots.
+    "latest_per_key": 19,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2889,6 +2925,11 @@ MERGED_FROM: dict[str, list[str]] = {
     # leg-labeled union certifies both verbatim, funding
     # hybrid_search_panel
     "pulse_accumulate": ["pulse_step_emit"],
+    # r19: both rows were deterministic single-row picks from an
+    # ordered event scan (A3/W2 last-per-key vs F8 first-match-limit-1)
+    # — one family-labeled union certifies both legs verbatim, funding
+    # the opq_learned_search registration
+    "latest_per_key": ["first_match"],
 }
 
 
@@ -2992,7 +3033,6 @@ _UNORDERED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_normalized_join": q_key_normalized_join,
     "device_class_scan": q_device_class_scan,
     "doc_upsert": q_doc_upsert,
-    "first_match": q_first_match,
     "thermostat_mode": q_thermostat_mode,
     "tag_mode_report": q_tag_mode_report,
     "asof_price_join": q_asof_price_join,
@@ -3046,7 +3086,6 @@ _UNORDERED_ORACLES: dict[str, str] = {
     "key_normalized_join": ORACLE_KEY_NORMALIZED_JOIN,
     "device_class_scan": ORACLE_DEVICE_CLASS_SCAN,
     "doc_upsert": ORACLE_DOC_UPSERT,
-    "first_match": ORACLE_FIRST_MATCH,
     "thermostat_mode": ORACLE_THERMOSTAT_MODE,
     "tag_mode_report": ORACLE_TAG_MODE_REPORT,
     "asof_price_join": ORACLE_ASOF_PRICE_JOIN,
