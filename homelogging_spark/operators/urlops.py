@@ -35,7 +35,9 @@ Registrable domain = last two host labels, or last three when the
 two-label tail is a multi-label public suffix (``SUFFIX_VERSIONS`` — a
 documented config SUBSET of the Mozilla public-suffix list, versioned
 append-only since r18: v1 is the r17 31-entry table, v2 imports the
-fuller ICANN-section second-level registries; extending it is a data
+fuller ICANN-section second-level registries, v3 (r19) adds the PSL
+wildcard/exception RULE GRAMMAR — `*.tld` entries and the `!www.ck`
+carve-out; extending it is a data
 change, and ``suffix_version=`` pins any query to a table generation).
 Blocklists are versioned config the same way (``BLOCKLIST_VERSIONS``).
 
@@ -61,11 +63,14 @@ TRACKING_PARAM_RE = (
 # THREE labels — VERSIONED config since r18 (the MERGE_VERSIONS /
 # BLOCKLIST_VERSIONS design: suffix-table upgrades are data changes;
 # append-only — a version's entries are never removed, and version N is
-# always a subset of N+1, pinned in test_urlops). Scope note: the table
-# holds TWO-label suffixes only; PSL wildcard rules (*.bd, *.np,
-# *.sch.uk, ...) are representable only by enumerating their common
-# children (com.bd, com.np, ... below) — hosts under an unenumerated
-# wildcard child degrade to the 2-label tail, documented behavior.
+# always a subset of N+1, pinned in test_urlops). Scope note through
+# v2: the table holds plain TWO-label entries only; PSL wildcard rules
+# were representable only by enumerating their common children
+# (com.bd, com.np, ... below). v3 (r19, r18 verdict #5) adds the PSL
+# RULE GRAMMAR itself: `*.tld` wildcard entries (any label directly
+# under the TLD is a public suffix) and `!host` exception entries
+# (carve-outs from a wildcard — `!www.ck` makes www.ck registrable
+# again), parsed by the accessors below.
 _SUFFIXES_V1: tuple[str, ...] = (
     "ac.jp", "ac.uk", "co.id", "co.il", "co.in", "co.jp", "co.kr",
     "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br",
@@ -178,14 +183,39 @@ _SUFFIXES_V2_ADDED: tuple[str, ...] = (
     "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
 )
 
+# r19 (r18 verdict #5): the PSL rule grammar — the ICANN-section
+# single-label wildcard rules, verbatim from the public Mozilla list
+# (publicsuffix.org), plus its one exception rule. A `*.tld` rule makes
+# EVERY label directly under the tld a public suffix (so registrable
+# domains there take three labels); a `!host` exception re-opens one
+# wildcard match (its public suffix drops the leftmost label, so the
+# exception host itself is the registrable domain). The v2 enumerated
+# children (com.bd, com.np, ...) stay — append-only — and agree with
+# the wildcard on every host they both match.
+_SUFFIX_RULES_V3_ADDED: tuple[str, ...] = (
+    "*.bd", "*.ck", "*.er", "*.fj", "*.gu", "*.kh", "*.mm", "*.np",
+    "*.pg",
+    "!www.ck",
+)
+
 SUFFIX_VERSIONS: dict[int, tuple[str, ...]] = {
     1: _SUFFIXES_V1,
     2: tuple(sorted(set(_SUFFIXES_V1) | set(_SUFFIXES_V2_ADDED))),
+    3: tuple(
+        sorted(
+            set(_SUFFIXES_V1)
+            | set(_SUFFIXES_V2_ADDED)
+            | set(_SUFFIX_RULES_V3_ADDED)
+        )
+    ),
 }
-CURRENT_SUFFIXES = 2
+CURRENT_SUFFIXES = 3
 
 
 def suffixes_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
+    """The raw rule table of a version — plain two-label suffixes
+    plus (v3+) `*.tld` / `!host` grammar entries. Matching code uses
+    the parsed accessors below."""
     if version not in SUFFIX_VERSIONS:
         raise ValueError(
             f"unknown suffix-table version {version!r}; "
@@ -194,18 +224,39 @@ def suffixes_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
     return SUFFIX_VERSIONS[version]
 
 
+def plain_suffixes_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
+    """The plain two-label entries of a version's rule table."""
+    return tuple(
+        s for s in suffixes_for(version) if not s.startswith(("*.", "!"))
+    )
+
+
+def wildcard_tlds_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
+    """TLDs under a `*.tld` wildcard rule (empty before v3)."""
+    return tuple(
+        s[2:] for s in suffixes_for(version) if s.startswith("*.")
+    )
+
+
+def exception_hosts_for(version: int = CURRENT_SUFFIXES) -> tuple[str, ...]:
+    """`!host` exception entries, bang stripped (empty before v3)."""
+    return tuple(s[1:] for s in suffixes_for(version) if s.startswith("!"))
+
+
 def suffix_dim(spark: SparkSession) -> DataFrame:
     """The suffix tables as a joinable config table
-    ``(suffix_version, suffix)`` — dim-sized, broadcast by joins."""
+    ``(suffix_version, suffix)`` — dim-sized, broadcast by joins; v3
+    rows include the rule-grammar entries verbatim."""
     rows = [
         (v, s) for v in sorted(SUFFIX_VERSIONS) for s in suffixes_for(v)
     ]
     return spark.createDataFrame(rows, "suffix_version int, suffix string")
 
 
-# back-compat module constant: the CURRENT version's table (every
-# in-repo consumer routes through this or suffixes_for)
-MULTI_LABEL_SUFFIXES: tuple[str, ...] = suffixes_for()
+# back-compat module constant: the CURRENT version's PLAIN two-label
+# table (the pre-v3 meaning — callers that membership-test a host tail
+# against it, like the test reference implementation, keep working)
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = plain_suffixes_for()
 
 # versioned domain blocklists (the MERGE_VERSIONS / QUALITY_MODEL_VERSIONS
 # design: curation policy upgrades are data changes; append-only)
@@ -274,11 +325,35 @@ def host_col(url_norm: Column) -> Column:
     )
 
 
+def _multi_label_cond(
+    labels: Column, n: Column, last2: Column, suffix_version: int
+) -> Column:
+    """True when the host's registrable domain takes THREE labels:
+    its 2-label tail is a plain multi-label suffix, or (v3+) its TLD
+    is under a `*.tld` wildcard rule and the tail is not an `!host`
+    exception (the PSL prevailing-rule algorithm restricted to this
+    table's rule shapes — single-label wildcard bases, 2-label
+    exceptions). A 2-label host under a wildcard (e.g. ``foo.ck`` —
+    itself a public suffix, no registrable domain per PSL) degrades to
+    the 2-label tail like every other suffix-only host here,
+    documented behavior."""
+    cond = (n >= 3) & last2.isin(*plain_suffixes_for(suffix_version))
+    wild = wildcard_tlds_for(suffix_version)
+    if wild:
+        w = F.try_element_at(labels, F.lit(-1)).isin(*wild)
+        exc = exception_hosts_for(suffix_version)
+        if exc:
+            w = w & ~last2.isin(*exc)
+        cond = cond | ((n >= 3) & w)
+    return cond
+
+
 def registrable_domain_col(
     host: Column, suffix_version: int = CURRENT_SUFFIXES
 ) -> Column:
     """eTLD+1 under the config suffix subset (module docstring);
-    ``suffix_version`` pins the table generation (r18)."""
+    ``suffix_version`` pins the table generation (r18); v3 applies the
+    wildcard/exception rule grammar (r19)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # try_element_at: a single-label host (no dot) must degrade to the
@@ -288,7 +363,7 @@ def registrable_domain_col(
         ".", F.try_element_at(labels, F.lit(-2)), F.try_element_at(labels, F.lit(-1))
     )
     return F.when(
-        (n >= 3) & last2.isin(*suffixes_for(suffix_version)),
+        _multi_label_cond(labels, n, last2, suffix_version),
         F.concat_ws(".", F.try_element_at(labels, F.lit(-3)), last2),
     ).otherwise(last2)
 
@@ -413,8 +488,12 @@ def with_url_columns(
     out = out.withColumn(
         "domain",
         F.when(
-            (F.size("__labels") >= 3)
-        & F.col("__last2").isin(*suffixes_for(suffix_version)),
+            _multi_label_cond(
+                F.col("__labels"),
+                F.size("__labels"),
+                F.col("__last2"),
+                suffix_version,
+            ),
             F.concat_ws(
                 ".", F.try_element_at(F.col("__labels"), F.lit(-3)), F.col("__last2")
             ),
@@ -480,12 +559,25 @@ def host_sql(url_norm_expr: str) -> str:
 def registrable_domain_sql(
     host_expr: str, suffix_version: int = CURRENT_SUFFIXES
 ) -> str:
-    suffixes = ", ".join(f"'{s}'" for s in suffixes_for(suffix_version))
+    """DuckDB twin of :func:`registrable_domain_col`, version-gated the
+    same way: the wildcard/exception disjunct is emitted only for
+    versions whose rule table carries those entries."""
+    suffixes = ", ".join(f"'{s}'" for s in plain_suffixes_for(suffix_version))
     labels = f"string_split({host_expr}, '.')"
     n = f"len({labels})"
     last2 = f"({labels}[{n} - 1] || '.' || {labels}[{n}])"
+    cond = f"{last2} IN ({suffixes})"
+    wild = wildcard_tlds_for(suffix_version)
+    if wild:
+        tlds = ", ".join(f"'{t}'" for t in wild)
+        w = f"{labels}[{n}] IN ({tlds})"
+        exc = exception_hosts_for(suffix_version)
+        if exc:
+            hosts = ", ".join(f"'{h}'" for h in exc)
+            w = f"({w} AND {last2} NOT IN ({hosts}))"
+        cond = f"({cond} OR {w})"
     return (
-        f"(CASE WHEN {n} >= 3 AND {last2} IN ({suffixes}) "
+        f"(CASE WHEN {n} >= 3 AND {cond} "
         f"THEN {labels}[{n} - 2] || '.' || {last2} "
         f"ELSE {last2} END)"
     )

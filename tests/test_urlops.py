@@ -298,13 +298,24 @@ class TestUrlNormalization:
         ``suffix_version=1`` reproduces the pre-widening extraction on
         a v2-only corner (upgrades are data changes AND reversible per
         query)."""
-        v1, v2 = urlops.suffixes_for(1), urlops.suffixes_for(2)
-        assert set(v1) < set(v2)
+        v1, v2, v3 = (
+            urlops.suffixes_for(1),
+            urlops.suffixes_for(2),
+            urlops.suffixes_for(3),
+        )
+        assert set(v1) < set(v2) < set(v3)
         assert len(v1) == 31  # the r17 table, frozen
         assert len(set(v2)) == len(v2)  # no duplicate entries
         assert all(s == s.lower() and s.count(".") == 1 for s in v2)
-        assert urlops.suffixes_for() == v2  # CURRENT_SUFFIXES == 2
-        assert urlops.MULTI_LABEL_SUFFIXES == v2
+        # v3 = v2 + the rule-grammar entries, nothing else
+        assert set(v3) - set(v2) == set(urlops._SUFFIX_RULES_V3_ADDED)
+        assert urlops.suffixes_for() == v3  # CURRENT_SUFFIXES == 3
+        # the back-compat plain table is v3's plain entries == v2
+        assert urlops.MULTI_LABEL_SUFFIXES == urlops.plain_suffixes_for(3)
+        assert set(urlops.MULTI_LABEL_SUFFIXES) == set(v2)
+        assert urlops.plain_suffixes_for(2) == v2  # pre-v3 versions: all plain
+        assert urlops.wildcard_tlds_for(2) == ()
+        assert urlops.exception_hosts_for(2) == ()
         with pytest.raises(ValueError, match="unknown suffix-table"):
             urlops.suffixes_for(99)
         dim = urlops.suffix_dim(spark)
@@ -314,7 +325,7 @@ class TestUrlNormalization:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        assert counts == {1: len(v1), 2: len(v2)}
+        assert counts == {1: len(v1), 2: len(v2), 3: len(v3)}
         # gc.ca is v2-only: v1 extraction degrades to the 2-label tail
         df = spark.createDataFrame([("www.canada.gc.ca",)], "host string")
         got = df.select(
@@ -328,6 +339,65 @@ class TestUrlNormalization:
             + urlops.registrable_domain_sql("'www.canada.gc.ca'", 1)
         ).fetchone()[0]
         assert d1 == "gc.ca"
+
+    def test_wildcard_and_exception_rules_v3(self, spark):
+        """r19 (r18 verdict #5): the PSL rule grammar — `*.tld`
+        wildcards and the `!www.ck` exception — pinned on the spec's
+        own canonical cases, identical on all THREE engine forms
+        (expression, staged, DuckDB twin), and reversible: pinning
+        ``suffix_version=2`` reproduces the pre-wildcard extraction."""
+        cases = [
+            # (host, v3 expected, v2 expected)
+            # the wildcard: any label directly under .ck is a public
+            # suffix, so the registrable domain takes three labels
+            ("bar.foo.ck", "bar.foo.ck", "foo.ck"),
+            ("a.bar.foo.ck", "bar.foo.ck", "foo.ck"),
+            # the exception re-opens www.ck: it IS the registrable
+            # domain, and deeper hosts resolve to it
+            ("www.ck", "www.ck", "www.ck"),
+            ("foo.www.ck", "www.ck", "www.ck"),
+            # a 2-label host under a wildcard is itself a public
+            # suffix — degrades to the 2-label tail (documented)
+            ("foo.ck", "foo.ck", "foo.ck"),
+            # another wildcard TLD, no exception
+            ("shop.example.mm", "shop.example.mm", "example.mm"),
+            # v2's enumerated children agree with the v3 wildcard
+            ("x.gov.bd", "x.gov.bd", "x.gov.bd"),
+            # plain rules unaffected by the grammar
+            ("shop.retail.co.uk", "retail.co.uk", "retail.co.uk"),
+            ("a.b.example.com", "example.com", "example.com"),
+        ]
+        df = spark.createDataFrame(
+            [(h,) for h, _, _ in cases], "host string"
+        )
+        got = {
+            r.host: (r.d3, r.d2)
+            for r in df.select(
+                "host",
+                urlops.registrable_domain_col(F.col("host"), 3).alias("d3"),
+                urlops.registrable_domain_col(F.col("host"), 2).alias("d2"),
+            ).collect()
+        }
+        for host, exp3, exp2 in cases:
+            assert got[host] == (exp3, exp2), host
+            s3 = duckdb.sql(
+                "SELECT " + urlops.registrable_domain_sql(f"'{host}'", 3)
+            ).fetchone()[0]
+            s2 = duckdb.sql(
+                "SELECT " + urlops.registrable_domain_sql(f"'{host}'", 2)
+            ).fetchone()[0]
+            assert (s3, s2) == (exp3, exp2), host
+        # staged form matches the expression form under v3 (the
+        # staged≡single-tree equivalence held on the new disjunct too)
+        urls = spark.createDataFrame(
+            [(f"http://{h}/p",) for h, _, _ in cases], "url string"
+        )
+        staged = {
+            r.url: r.domain
+            for r in urlops.with_url_columns(urls, "url").collect()
+        }
+        for host, exp3, _ in cases:
+            assert staged[f"http://{host}/p"] == exp3, host
 
     def test_staging_columns_do_not_swallow_caller_dunders(self, spark):
         """A caller's own '__'-prefixed column survives; a collision with
