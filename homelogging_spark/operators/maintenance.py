@@ -785,6 +785,13 @@ INDEX_ARTIFACTS = (
 # trained on hd_rotate'd vectors — same generation, same swap
 OPQ_ARTIFACTS = ("opq_signs", "opq_codebook", "opq_codes")
 
+# r19 (r18 verdict #8): generations built with opq_impl='learned'
+# commit the trained rotation MATRIX as data ((i, j, val) rows — the
+# opq_signs discipline applied to a dim x dim artifact) instead of the
+# structured ±1 diagonal; serving derives the rotation from the
+# artifact and asserts the config version in opq_meta re-derives it.
+OPQ_ROTATION = "opq_rotation"
+
 # r18 (r17 verdict #2): one-row provenance artifact written with the OPQ
 # frames — (opq_impl, opq_seed, dim). The 'expr'/'fwht' rotation impls
 # differ at fp-rounding level, so a generation's codes are only
@@ -825,6 +832,12 @@ def load_index(spark: SparkSession, index_root: str) -> dict:
     if fs.exists(hadoop.Path(os.path.join(index_root, OPQ_ARTIFACTS[0]))):
         for a in OPQ_ARTIFACTS:
             idx[a] = spark.read.parquet(os.path.join(index_root, a))
+    elif fs.exists(hadoop.Path(os.path.join(index_root, OPQ_ROTATION))):
+        # r19 learned-rotation tier: the matrix artifact replaces the
+        # signs diagonal; codebook/codes load under the same names
+        for a in (OPQ_ROTATION, "opq_codebook", "opq_codes"):
+            idx[a] = spark.read.parquet(os.path.join(index_root, a))
+    if "opq_codebook" in idx:
         meta_path = os.path.join(index_root, OPQ_META)
         if fs.exists(hadoop.Path(meta_path)):
             idx[OPQ_META] = spark.read.parquet(meta_path)
@@ -928,10 +941,33 @@ def index_cycle(
         raise ValueError(f"target_cell_rows must be >= 1, got {target_cell_rows}")
     if growth_factor <= 1:
         raise ValueError(f"growth_factor must be > 1, got {growth_factor}")
-    if opq_impl not in ("expr", "fwht"):
+    if opq_impl not in ("expr", "fwht", "learned"):
         # validated up front: the Lloyd-chain training below is eager,
         # so a late raise would come minutes into a rebuild
-        raise ValueError(f"opq_impl must be 'expr' or 'fwht', got {opq_impl!r}")
+        raise ValueError(
+            f"opq_impl must be 'expr', 'fwht' or 'learned', got {opq_impl!r}"
+        )
+    learned_rotation = None
+    if opq_impl == "learned" and opq_seed is not None:
+        # r19 (r18 verdict #8): the learned tier's "seed" is the frozen
+        # rotation CONFIG version ("v1" -> opq_rotations v1) — validated
+        # and resolved up front so an unknown version never costs a
+        # training pass, and so the same opq_seed drift machinery below
+        # covers rotation-version changes unmodified
+        from homelogging_spark.operators.opq_rotations import rotation_for
+
+        if not (opq_seed.startswith("v") and opq_seed[1:].isdigit()):
+            raise ValueError(
+                "opq_impl='learned' takes opq_seed='v<version>' naming a "
+                f"frozen opq_rotations config version, got {opq_seed!r}"
+            )
+        learned_rotation = rotation_for(int(opq_seed[1:]))
+        if len(learned_rotation) != dim:
+            raise ValueError(
+                f"opq_rotations {opq_seed} is "
+                f"{len(learned_rotation)}-dimensional but dim={dim} was "
+                "requested"
+            )
     _require_rename_atomic(index_root, "index_cycle")
     hadoop, fs = _fs(spark, index_root)
     P = hadoop.Path
@@ -946,7 +982,9 @@ def index_cycle(
     cent_path = os.path.join(index_root, "centroids")
     if fs.exists(P(cent_path)):
         current_k = spark.read.parquet(cent_path).count()
-    opq_live = fs.exists(P(os.path.join(index_root, OPQ_ARTIFACTS[0])))
+    opq_live = fs.exists(
+        P(os.path.join(index_root, OPQ_ARTIFACTS[0]))
+    ) or fs.exists(P(os.path.join(index_root, OPQ_ROTATION)))
     opq_missing = opq_seed is not None and not opq_live
     if opq_seed is not None and opq_live:
         # r18: validate the request against the committed generation's
@@ -967,7 +1005,7 @@ def index_cycle(
                 )
             if meta.opq_seed != opq_seed or meta.opq_impl != opq_impl:
                 opq_missing = True  # provenance drift: rebuild the tier
-        else:
+        elif fs.exists(P(os.path.join(index_root, "opq_signs"))):
             # pre-r18 generation (tier present, no meta): the signs
             # artifact is the only provenance — seed drift rebuilds,
             # impl drift is undetectable until the rebuild records it
@@ -981,6 +1019,10 @@ def index_cycle(
             ]
             if stored_signs != similarity.hd_signs(dim, opq_seed):
                 opq_missing = True
+        else:
+            # rotation artifact without a meta row: torn/hand-edited
+            # (learned generations always commit meta) — rebuild
+            opq_missing = True
     if (
         current_k
         and not opq_missing
@@ -1028,16 +1070,49 @@ def index_cycle(
         ("sq8_codes", sq8_codes),
     ]
     if opq_seed is not None:
-        signs = similarity.hd_signs(dim, opq_seed)
-        if opq_impl == "fwht":
+        if opq_impl == "learned":
+            # r19: the frozen learned rotation (resolved up front)
+            # applied as the oracle-replayable expression; the matrix
+            # commits as data so serving never depends on the config
+            # module agreeing with the generation
+            rot = vecs.select(
+                F.col(id_col),
+                similarity.rotate_by_matrix(
+                    F.col(emb_col), learned_rotation
+                ).alias(emb_col),
+            )
+            rotation_df = spark.createDataFrame(
+                [
+                    (i, j, float(v))
+                    for i, row in enumerate(learned_rotation)
+                    for j, v in enumerate(row)
+                ],
+                "i int, j int, val double",
+            )
+            rot_frame = (OPQ_ROTATION, rotation_df)
+        elif opq_impl == "fwht":
+            signs = similarity.hd_signs(dim, opq_seed)
             rot = similarity.hd_rotate_fwht(
                 vecs, dim, signs=signs, id_col=id_col, emb_col=emb_col
             )
+            rot_frame = (
+                "opq_signs",
+                spark.createDataFrame(
+                    list(enumerate(signs)), "i int, sign double"
+                ),
+            )
         else:
+            signs = similarity.hd_signs(dim, opq_seed)
             rot = vecs.select(
                 F.col(id_col),
                 similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(
                     emb_col
+                ),
+            )
+            rot_frame = (
+                "opq_signs",
+                spark.createDataFrame(
+                    list(enumerate(signs)), "i int, sign double"
                 ),
             )
         opq_codebook = similarity.pq_codebook(
@@ -1048,18 +1123,16 @@ def index_cycle(
             rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
             sample_mod, codebook=opq_codebook,
         )
-        signs_df = spark.createDataFrame(
-            list(enumerate(signs)), "i int, sign double"
-        )
         # provenance row (r18): which impl encoded this generation's
-        # codes, from which seed the signs derive, at what dim —
-        # asserted by the next cycle and by opq_search
+        # codes, from which seed the signs derive (learned: which
+        # rotation config version), at what dim — asserted by the next
+        # cycle and by the serving paths
         meta_df = spark.createDataFrame(
             [(opq_impl, opq_seed, dim)],
             "opq_impl string, opq_seed string, dim int",
         )
         frames += [
-            ("opq_signs", signs_df),
+            rot_frame,
             ("opq_codebook", opq_codebook),
             ("opq_codes", opq_codes),
             (OPQ_META, meta_df),
@@ -1117,6 +1190,13 @@ def opq_search(
     from homelogging_spark.operators import similarity
 
     if "opq_signs" not in idx:
+        if OPQ_ROTATION in idx:
+            raise KeyError(
+                "index generation carries the LEARNED-rotation OPQ tier "
+                "(opq_rotation matrix, no signs diagonal); serve it with "
+                "ivf_opq_search (or pq_adc_topk over rotate_by_matrix'd "
+                "queries), not opq_search"
+            )
         raise KeyError(
             "index generation carries no OPQ tier; rebuild with "
             "index_cycle(opq_seed=...) first"
@@ -1154,6 +1234,115 @@ def opq_search(
         id_col=id_col,
         emb_col=emb_col,
         rank_decimals=rank_decimals,
+    )
+
+
+def _generation_rotation(idx: dict, dim: int):
+    """Resolve a generation's OPQ rotation from its COMMITTED artifact
+    (never from live config alone), with the opq_search provenance
+    discipline: when the meta row is present it must RE-DERIVE the
+    artifact exactly, so a torn or hand-edited generation fails loudly.
+    Returns a Column->Column transform for query-side rotation."""
+    from homelogging_spark.operators import similarity
+
+    if OPQ_ROTATION in idx:
+        rows = idx[OPQ_ROTATION].orderBy("i", "j").collect()
+        if len(rows) != dim * dim:
+            raise ValueError(
+                f"opq_rotation artifact has {len(rows)} entries, expected "
+                f"dim*dim={dim * dim}"
+            )
+        mat = [[0.0] * dim for _ in range(dim)]
+        for r in rows:
+            mat[int(r.i)][int(r.j)] = float(r.val)
+        if OPQ_META in idx:
+            meta = idx[OPQ_META].collect()[0]
+            if int(meta.dim) != dim:
+                raise ValueError(
+                    f"opq_meta records dim={int(meta.dim)} but dim={dim} "
+                    "was requested; this generation serves a different "
+                    "dimension"
+                )
+            if meta.opq_impl != "learned":
+                raise ValueError(
+                    f"opq_meta records impl={meta.opq_impl!r} but the "
+                    "generation carries a rotation-matrix artifact — torn "
+                    "or hand-edited; rebuild with index_cycle"
+                )
+            from homelogging_spark.operators.opq_rotations import rotation_for
+
+            cfg = rotation_for(int(meta.opq_seed[1:]))
+            if [[float(v) for v in row] for row in cfg] != mat:
+                raise ValueError(
+                    "opq_meta rotation version does not re-derive the "
+                    "committed opq_rotation matrix — the generation is "
+                    "torn or hand-edited; rebuild with index_cycle"
+                )
+        return lambda c: similarity.rotate_by_matrix(c, mat)
+    if "opq_signs" in idx:
+        signs = [float(r.sign) for r in idx["opq_signs"].orderBy("i").collect()]
+        if len(signs) != dim:
+            raise ValueError(
+                f"opq_signs artifact has {len(signs)} rows, expected "
+                f"dim={dim}"
+            )
+        return lambda c: similarity.hd_rotate(c, dim, signs=signs)
+    raise KeyError(
+        "index generation carries no OPQ tier; rebuild with "
+        "index_cycle(opq_seed=...) first"
+    )
+
+
+def ivf_opq_search(
+    queries,
+    idx: dict,
+    k: int = 5,
+    nprobe: int = 2,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rank_decimals: int | None = 6,
+):
+    """Serve IVF-OPQ top-k from ONE committed :func:`index_cycle`
+    generation (r19, the r18 verdict's stretch): the generation's
+    coarse tier (``centroids``/``cells`` — raw space) prunes the
+    search to ``nprobe`` cells per query, and its OPQ tier
+    (``opq_codes``/``opq_codebook`` — rotated space, learned-rotation
+    generations included) ADC-ranks the survivors, with the rotation
+    resolved from the COMMITTED artifact and applied QUERY-side only
+    (:func:`_generation_rotation`, the opq_search provenance
+    discipline: meta must re-derive the artifact or serving refuses).
+
+    The cross-space composition is sound because the rotation is
+    orthogonal: raw-space cosine pruning selects exactly the cells a
+    rotated-space prune would (inner products and norms invariant), so
+    the best-quality code tier also rides the cheapest candidate path
+    — probes are Q·nprobe rows, the corpus moves as codes only, and
+    neither corpus nor query embeddings are materialized in rotated
+    form beyond the Q dim-sized query rows."""
+    from homelogging_spark.operators import similarity
+
+    if "opq_codebook" not in idx:
+        raise KeyError(
+            "index generation carries no OPQ tier; rebuild with "
+            "index_cycle(opq_seed=...) first"
+        )
+    rotate = _generation_rotation(idx, dim)
+    return similarity.ivf_pq_topk(
+        queries,
+        idx["cells"],
+        idx["opq_codes"],
+        idx["opq_codebook"],
+        idx["centroids"],
+        k=k,
+        nprobe=nprobe,
+        n_subspaces=n_subspaces,
+        dim=dim,
+        id_col=id_col,
+        emb_col=emb_col,
+        rank_decimals=rank_decimals,
+        rotate=rotate,
     )
 
 

@@ -962,6 +962,7 @@ def ivf_pq_topk_sql(
     dim: int = 64,
     sample_mod: int | None = 16,
     rank_decimals: int = 6,
+    rotation=None,
 ) -> str:
     """DuckDB twin of :func:`ivf_pq_topk` end-to-end: the coarse
     quantizer (``kmeans_lite_sql`` chain on the corpus, ``g_`` prefix —
@@ -969,12 +970,24 @@ def ivf_pq_topk_sql(
     coexist in one WITH clause), cosine cell assignment for the corpus,
     ``nprobe`` probes per query, and the :func:`pq_adc_topk_sql` ADC
     lookup restricted to the probed candidate pairs. Ranking quantized
-    as in the ADC twin. Returns (query_id, rank, vec_id, adc_d2 raw)."""
+    as in the ADC twin. Returns (query_id, rank, vec_id, adc_d2 raw).
+
+    ``rotation`` (r19): twin of the Spark side's ``rotate`` dial — the
+    coarse chain and both cell assignments stay in the RAW space while
+    the PQ train/encode/distance-table sides run on
+    :func:`rotate_by_matrix_sql`-rotated sources, the IVF-OPQ
+    composition's exact shape."""
     from homelogging_spark.functions.numeric import quantize_sql
 
     sub_dim = dim // n_subspaces
+    if rotation is not None:
+        rot_train = rotate_by_matrix_sql(train_sql, rotation)
+        rot_encode = rotate_by_matrix_sql(encode_sql, rotation)
+        rot_queries = rotate_by_matrix_sql(queries_sql, rotation)
+    else:
+        rot_train, rot_encode, rot_queries = train_sql, encode_sql, queries_sql
     chains, cb_selects = _pq_codebook_ctes(
-        train_sql, n_subspaces, n_centroids, n_iters, dim, sample_mod
+        rot_train, n_subspaces, n_centroids, n_iters, dim, sample_mod
     )
     coarse = kmeans_lite_sql(
         encode_sql, coarse_k, coarse_iters, dim, sample_mod, prefix="g_"
@@ -1021,7 +1034,7 @@ cand AS (SELECT DISTINCT p.query_id, cl.vec_id
          FROM probes p JOIN cells cl USING (centroid_id)),
 scored AS (
   SELECT v.vec_id, cb.subspace, cb.cid, {enc_d2} AS d2
-  FROM ({encode_sql}) v, cb
+  FROM ({rot_encode}) v, cb
 ),
 best AS (
   SELECT vec_id, subspace, cid FROM (
@@ -1030,7 +1043,7 @@ best AS (
     FROM scored) WHERE rn = 1
 ),
 codes AS (SELECT vec_id, {code_cols} FROM best GROUP BY 1),
-q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM ({queries_sql})),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM ({rot_queries})),
 dtab AS (SELECT query_id, cb.subspace, cb.cid, {q_d2} AS d2 FROM q, cb),
 unpiv AS ({unpiv}),
 summed AS (
@@ -1150,6 +1163,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     rank_decimals: int | None = None,
+    rotate=None,
 ) -> DataFrame:
     """The FAISS IVF-PQ architecture (Jégou et al. 2011 §V) as a
     DataFrame composition: a coarse quantizer prunes the search to the
@@ -1168,7 +1182,18 @@ def ivf_pq_topk(
     Scale shape: probes are Q·nprobe rows joined to the cell index on
     centroid_id (shuffle bounded by the probed cells ~ nprobe/K of the
     corpus), candidates then ride the `pq_adc_topk` lookup path.
-    Returns (query_id, rank, vec_id, adc_d2)."""
+    Returns (query_id, rank, vec_id, adc_d2).
+
+    ``rotate`` (r19, the IVF-OPQ composition — r18 verdict #8): an
+    optional Column->Column transform applied to the QUERY embedding
+    for the ADC distance table ONLY. Pass the generation's OPQ
+    rotation when ``codes``/``codebook`` live in rotated space while
+    ``centroids``/``cell_assignments`` live in the raw space: the
+    rotation is orthogonal, so raw-space coarse pruning selects
+    exactly the cells a rotated-space prune would (inner products and
+    norms are invariant), and only the dim-sized query vectors are
+    ever rotated — the corpus is touched in neither space at serve
+    time."""
     sub_dim = dim // n_subspaces
     probes = ivf_assign(queries, centroids, nprobe, id_col, emb_col).select(
         F.col(id_col).alias("query_id"), "centroid_id"
@@ -1186,9 +1211,10 @@ def ivf_pq_topk(
     q_sub = F.slice(
         F.col("q_emb"), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
     )
+    q_emb = F.col(emb_col) if rotate is None else rotate(F.col(emb_col))
     dtab = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+            F.col(id_col).alias("query_id"), q_emb.alias("q_emb")
         )
         .crossJoin(F.broadcast(codebook))
         .select(

@@ -2234,6 +2234,120 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 ORACLE_OPQ_INDEX_SEARCH = _opq_index_search_oracle()
 
 
+def _learned_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized index generation whose OPQ tier is the LEARNED
+    rotation (r19, the r18 verdict's stretch): one
+    ``index_cycle(opq_impl='learned', opq_seed='v1')`` run commits the
+    coarse tier (raw-space centroids/cells), the rotation MATRIX as
+    data, and the rotated-space codebook/codes — the generation
+    ``ivf_opq_search`` composes coarse prune + learned-rotation ADC
+    re-rank from. Separate root from ``_ivf_index_root`` because a
+    generation carries exactly one rotation impl (the opq_meta
+    contract)."""
+    import os
+    import shutil
+
+    from homelogging_spark.operators import maintenance
+    from homelogging_spark.tables import (
+        _fixture_build_lock,
+        _fixture_path,
+        _fixture_stale,
+    )
+
+    path = _fixture_path(sf_dir, "learned_index")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    probe = os.path.join(path, "centroids")
+
+    def _stale() -> bool:
+        return _fixture_stale(probe, src) or any(
+            not os.path.exists(os.path.join(path, a))
+            for a in maintenance.INDEX_ARTIFACTS
+            + (
+                maintenance.OPQ_ROTATION,
+                "opq_codebook",
+                "opq_codes",
+                maintenance.OPQ_META,
+            )
+        )
+
+    if _stale():
+        with _fixture_build_lock(path):
+            if _stale():
+                shutil.rmtree(path, ignore_errors=True)
+                _, corpus = _emb_split(spark, sf_dir)
+                maintenance.index_cycle(
+                    spark,
+                    corpus.select("vec_id", "embedding"),
+                    path,
+                    k_min=INDEX_CYCLE_K,
+                    k_max=INDEX_CYCLE_K,
+                    n_iters=IVF_KMEANS_ITERS,
+                    pq_subspaces=4,
+                    pq_centroids=8,
+                    dim=EMB_DIM,
+                    opq_seed="v1",
+                    opq_impl="learned",
+                )
+    return path
+
+
+def q_ivf_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ composition SERVED from one committed generation (r19,
+    unit-only — the r20 registration candidate, needs a funding
+    consolidation): the generation's raw-space coarse tier prunes each
+    query to its {IVF_NPROBE} nearest cells, and its LEARNED-rotation
+    OPQ tier ADC-ranks the survivors from codes only
+    (``maintenance.ivf_opq_search`` — rotation resolved from the
+    committed matrix artifact, asserted against the config version in
+    opq_meta, applied query-side only). The best-quality code tier on
+    the cheapest candidate path: probes are Q·nprobe rows, the corpus
+    moves as codes, and the cross-space composition is sound because
+    the rotation is orthogonal (raw-space cosine pruning selects the
+    cells a rotated-space prune would).
+
+    The oracle replays the full chain: coarse k-means + assignments in
+    the raw space, rotation/PQ-train/encode/ADC in the rotated space —
+    ``ivf_pq_topk_sql(rotation=...)`` with the same frozen literals
+    ``rotate_by_matrix`` embeds, bit-equal on both engines."""
+    from homelogging_spark.operators.maintenance import (
+        ivf_opq_search,
+        load_index,
+    )
+
+    idx = load_index(spark, _learned_index_root(spark, sf_dir))
+    queries, _ = _emb_split(spark, sf_dir)
+    out = ivf_opq_search(
+        queries.select("vec_id", "embedding"),
+        idx,
+        k=5,
+        nprobe=IVF_NPROBE,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    )
+
+
+def _ivf_opq_search_oracle() -> str:
+    from homelogging_spark.operators.opq_rotations import rotation_for
+
+    return f"""
+WITH base AS ({similarity.ivf_pq_topk_sql(
+        _IDX_CORPUS_SQL,
+        _IDX_CORPUS_SQL,
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}",
+        k=5, nprobe=IVF_NPROBE, n_subspaces=4, n_centroids=8,
+        coarse_k=INDEX_CYCLE_K, coarse_iters=IVF_KMEANS_ITERS, dim=EMB_DIM,
+        rotation=rotation_for(1))})
+SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
+"""
+
+
+ORACLE_IVF_OPQ_SEARCH = _ivf_opq_search_oracle()
+
+
 def q_opq_learned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEARNED-rotation OPQ search under a config-frozen matrix (r18,
     unit-only — an r19/r20 registration candidate needing a funding

@@ -1296,6 +1296,35 @@ class TestOpqLearnedSearch:
         assert compare("opq_learned_search", spark_pdf, duck_pdf)
 
 
+class TestIvfOpqSearch:
+    """r19 stretch (r18 verdict #8): the IVF-OPQ composition served
+    from ONE committed learned-rotation generation must hash-match its
+    DuckDB coarse-prune + rotated-ADC twin — the driver gate run at
+    unit level (registration candidate for an r20 funded slot)."""
+
+    def test_matches_duckdb_twin(self, spark, sf_dir):
+        import os
+
+        import duckdb
+
+        from homelogging_spark.plans.llm_registry import (
+            ORACLE_IVF_OPQ_SEARCH,
+            q_ivf_opq_search,
+        )
+        from homelogging_spark.tables import TABLE_NAMES
+        from tools.check_oracle import compare
+
+        spark_pdf = q_ivf_opq_search(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_pdf = con.execute(ORACLE_IVF_OPQ_SEARCH).fetchdf()
+        assert len(spark_pdf) > 0
+        assert compare("ivf_opq_search", spark_pdf, duck_pdf)
+
+
 class TestLmPerplexityFilter:
     """r18 runway: the CCNet-style bigram-perplexity filter must
     hash-match its DuckDB train→smooth→score→threshold twin at sf0.001

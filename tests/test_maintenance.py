@@ -943,6 +943,130 @@ class TestIndexCycle:
             )
         ) == served_codes
 
+    def test_opq_learned_tier_and_ivf_opq_search(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r19 (r18 verdict #8): opq_impl='learned' commits the frozen
+        rotation MATRIX as data beside the rotated codebook/codes, and
+        ``ivf_opq_search`` composes the generation's raw-space coarse
+        prune with the learned-rotation ADC re-rank. With nprobe
+        covering every cell the composition collapses to pq_adc_topk
+        over the rotated frames (the prune-free equivalence); the
+        provenance guards carry over (impl change refused, torn
+        generation refused, opq_search pointed at the right server)."""
+        import math
+
+        import homelogging_spark.operators.opq_rotations as opqr
+        from homelogging_spark.operators import similarity
+        from homelogging_spark.operators.maintenance import (
+            index_cycle,
+            ivf_opq_search,
+            load_index,
+            opq_search,
+        )
+
+        c, s = math.cos(0.5), math.sin(0.5)
+        R = [[0.0] * self.DIM for _ in range(self.DIM)]
+        for b in range(self.DIM // 2):
+            R[2 * b][2 * b] = c
+            R[2 * b][2 * b + 1] = -s
+            R[2 * b + 1][2 * b] = s
+            R[2 * b + 1][2 * b + 1] = c
+        monkeypatch.setitem(
+            opqr.OPQ_ROTATION_VERSIONS, 99, tuple(tuple(r) for r in R)
+        )
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        out = self._cycle(
+            spark, corpus, root, opq_seed="v99", opq_impl="learned"
+        )
+        assert out["refreshed"] is True and out["opq"] is True
+        idx = load_index(spark, root)
+        assert "opq_signs" not in idx
+        # the matrix artifact is the config, frozen as data
+        assert idx["opq_rotation"].count() == self.DIM * self.DIM
+        got = {
+            (r.i, r.j): r.val for r in idx["opq_rotation"].collect()
+        }
+        assert all(
+            got[(i, j)] == R[i][j]
+            for i in range(self.DIM)
+            for j in range(self.DIM)
+        )
+        meta = idx["opq_meta"].collect()[0]
+        assert (meta.opq_impl, meta.opq_seed) == ("learned", "v99")
+        # codes consistent with a re-encode of the rotated corpus
+        rot = corpus.select(
+            "vec_id",
+            similarity.rotate_by_matrix(F.col("embedding"), R).alias(
+                "embedding"
+            ),
+        )
+        re_codes = similarity.pq_codes(
+            rot, 2, 4, 1, self.DIM, sample_mod=None,
+            codebook=idx["opq_codebook"],
+        )
+        code_cols = [c for c in re_codes.columns if c.startswith("code_")]
+        assert sorted(
+            map(tuple, idx["opq_codes"].select("vec_id", *code_cols).collect())
+        ) == sorted(map(tuple, re_codes.select("vec_id", *code_cols).collect()))
+        # prune-free equivalence: nprobe = K collapses to pq_adc_topk
+        queries = corpus.where(F.col("vec_id") < 3)
+        served_all = ivf_opq_search(
+            queries, idx, k=4, nprobe=int(out["k"]), n_subspaces=2,
+            dim=self.DIM,
+        )
+        in_mem = similarity.pq_adc_topk(
+            rot.where(F.col("vec_id") < 3),
+            idx["opq_codes"],
+            idx["opq_codebook"],
+            k=4, n_subspaces=2, dim=self.DIM, rank_decimals=6,
+        )
+        assert sorted(
+            (r.query_id, r.rank, r.vec_id) for r in served_all.collect()
+        ) == sorted((r.query_id, r.rank, r.vec_id) for r in in_mem.collect())
+        # ...and a pruned serve returns pair-restricted rows from the
+        # same chain (k per query, every distance a candidate's)
+        served = ivf_opq_search(
+            queries, idx, k=4, nprobe=2, n_subspaces=2, dim=self.DIM
+        )
+        assert served.groupBy("query_id").count().agg(
+            F.max("count")
+        ).collect()[0][0] <= 4
+        # occupancy-in-band + matching provenance: no-op
+        again = self._cycle(
+            spark, corpus, root, opq_seed="v99", opq_impl="learned"
+        )
+        assert again["refreshed"] is False and again["opq"] is True
+        # impl change refused without the force flag
+        with pytest.raises(ValueError, match="opq_impl"):
+            self._cycle(spark, corpus, root, opq_seed="gen1", opq_impl="expr")
+        # the signs server points at the right one for this layout
+        with pytest.raises(KeyError, match="ivf_opq_search"):
+            opq_search(queries, idx, dim=self.DIM)
+        # torn generation: meta version that does not re-derive the
+        # committed matrix refuses to serve
+        monkeypatch.setitem(
+            opqr.OPQ_ROTATION_VERSIONS,
+            99,
+            tuple(
+                tuple(-v for v in row) for row in R
+            ),
+        )
+        with pytest.raises(ValueError, match="re-derive"):
+            ivf_opq_search(queries, idx, k=4, n_subspaces=2, dim=self.DIM)
+        # unknown rotation version refused up front, before training
+        with pytest.raises(ValueError, match="unknown OPQ rotation"):
+            self._cycle(
+                spark, corpus, str(tmp_path / "other"),
+                opq_seed="v123", opq_impl="learned",
+            )
+        with pytest.raises(ValueError, match="v<version>"):
+            self._cycle(
+                spark, corpus, str(tmp_path / "other"),
+                opq_seed="gen1", opq_impl="learned",
+            )
+
     def test_opq_fwht_impl_generation_is_self_consistent(self, spark, tmp_path):
         """r17: the O(d log d) butterfly encode dial builds a servable
         generation — codes recompute identically UNDER THE SAME IMPL

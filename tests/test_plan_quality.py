@@ -78,6 +78,11 @@ BROADCAST_NESTED_LOOP_OK = {
     # same broadcast-codebook constant-width lookups (entry pre-added
     # with the staged query, same rationale as above)
     "opq_learned_search",
+    # r19 runway (registers r20 if funded): the IVF-OPQ composition
+    # plans index_cycle_search's broadcast-centroid probe + the
+    # broadcast-codebook ADC lookup — the same designed constant-width
+    # BNLJs; entry pre-added with the staged query
+    "ivf_opq_search",
     "semantic_dedup",
     "grid_resample_locf",
     "curriculum_order",
