@@ -2828,13 +2828,9 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # bucket_downsample_panel's series leg — expired on their green
     # CORRECTNESS_r17 rows and were pruned in r18.)
     #
-    # r18: ann_topk absorbed the retired sq8_topk row as its
-    # method='sq8' leg (window-slot consolidation funding the
-    # bm25_state_served registration); its r16 row certifies the
-    # lsh/ivf/exact panel only. ann_topk is r18-stale anyway (last
-    # green r16), so the tag costs zero extra window slots.
-    # (expired on its green CORRECTNESS_r18 row; kept until pruned.)
-    "ann_topk": 18,
+    # (r18's ann_topk: 18 tag — the sq8-leg merge — expired on its
+    # green CORRECTNESS_r18 row and was pruned in r19.)
+    #
     # r19: latest_per_key absorbed the retired first_match row as its
     # family='first' leg (the stale-stale consolidation funding the
     # opq_learned_search registration); its r17 row certifies the
