@@ -2429,7 +2429,14 @@ def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
     foreachBatch body the stream runs), then SERVED from parquet. The
     `_ivf_index_root` discipline applied to the lexical tier: the
     certified chain is stream-merge → committed generation → load →
-    rank."""
+    rank. r19: the generation builds in the HASH-PARTITIONED layout
+    (``n_partitions=8`` — batches 1 and 2 exercise the
+    touched-partition-only rewrite), which is invisible to serving:
+    ``bm25_topk`` selects (term, df) by name, so the bookkeeping
+    part/pmax columns project away and the registered row's emitted
+    values are IDENTICAL to the legacy layout's (re-verified
+    hash-equal against the unchanged recompute oracle at
+    sf0.001/0.01/0.1 — a plan-internal change, no window tag)."""
     import os
     import shutil
 
@@ -2449,14 +2456,18 @@ def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(path, "dfreq")
         ):
             return True
-        # r18: the generation must carry the corpus fingerprint the
-        # serve-time drift check verifies — pre-r18 states rebuild once
+        # the generation must carry the corpus fingerprint the
+        # serve-time drift check verifies (r18) and the partitioned
+        # layout marker (r19) — older fixture states rebuild once
         import glob as _glob
 
         import pyarrow.parquet as _pq
 
         parts = _glob.glob(os.path.join(probe, "*.parquet"))
-        return not parts or "corpus_digest" not in _pq.read_schema(parts[0]).names
+        if not parts:
+            return True
+        names = _pq.read_schema(parts[0]).names
+        return "corpus_digest" not in names or "n_partitions" not in names
 
     if _stale():
         with _fixture_build_lock(path):
@@ -2465,7 +2476,7 @@ def _bm25_state_root(spark: SparkSession, sf_dir: str) -> str:
                 docs = load_table(spark, sf_dir, "documents").select(
                     "doc_id", "text"
                 )
-                merger = bm25_stats_batch_merger(path)
+                merger = bm25_stats_batch_merger(path, n_partitions=8)
                 for i in range(3):
                     merger(docs.where(F.col("doc_id") % 3 == i), i)
     return path
