@@ -1286,6 +1286,30 @@ def _generation_rotation(idx: dict, dim: int):
                 f"opq_signs artifact has {len(signs)} rows, expected "
                 f"dim={dim}"
             )
+        # r20 (r19 ADVICE #3): the signs branch enforces the SAME meta
+        # consistency opq_search does — without it, ivf_opq_search over
+        # a signs generation would serve a torn/hand-edited generation
+        # that opq_search refuses (asymmetric provenance enforcement).
+        if OPQ_META in idx:
+            meta = idx[OPQ_META].collect()[0]
+            if int(meta.dim) != dim:
+                raise ValueError(
+                    f"opq_meta records dim={int(meta.dim)} but dim={dim} "
+                    "was requested; this generation serves a different "
+                    "dimension"
+                )
+            if meta.opq_impl not in ("expr", "fwht"):
+                raise ValueError(
+                    f"opq_meta records impl={meta.opq_impl!r} but the "
+                    "generation carries a signs-diagonal artifact — torn "
+                    "or hand-edited; rebuild with index_cycle"
+                )
+            if similarity.hd_signs(dim, meta.opq_seed) != signs:
+                raise ValueError(
+                    "opq_meta seed does not derive the committed "
+                    "opq_signs diagonal — the generation is torn or "
+                    "hand-edited; rebuild with index_cycle(opq_seed=...)"
+                )
         return lambda c: similarity.hd_rotate(c, dim, signs=signs)
     raise KeyError(
         "index generation carries no OPQ tier; rebuild with "

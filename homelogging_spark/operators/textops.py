@@ -1415,6 +1415,34 @@ def ngram_lm_from_state(
     return {"bigrams": bigrams, "contexts": contexts, "stats": stats}
 
 
+def bm25_from_state(spark, state_path: str) -> dict:
+    """Load a :func:`streaming.pipeline.bm25_stats_batch_merger` state
+    generation into the ``(dfreq, stats)`` frames :func:`bm25_topk`
+    serves from — THE load path for external consumers (r20, r19
+    ADVICE #1). The point of the function is the repair-on-read
+    guarantee: a partitioned state interrupted between a partition's
+    two swap renames (live dir missing, trash holding the last
+    committed generation) is restored BEFORE reading — the same
+    ``_repair_partitioned_state`` the merger runs — where a raw
+    ``spark.read.parquet(state + "/dfreq")`` would silently drop that
+    partition's terms (and ``verify_state=True`` would still pass,
+    because n_docs/digest live in the untouched stats row). Legacy
+    whole-generation-swap states repair through the same call. Both
+    layouts load transparently: the partitioned layout's ``part`` /
+    ``pmax`` bookkeeping columns are projected away here."""
+    import os
+
+    from homelogging_spark.streaming.pipeline import _repair_partitioned_state
+
+    _repair_partitioned_state(spark, state_path, "dfreq")
+    return {
+        "dfreq": spark.read.parquet(
+            os.path.join(state_path, "dfreq")
+        ).select("term", "df"),
+        "stats": spark.read.parquet(os.path.join(state_path, "stats")),
+    }
+
+
 def ngram_lm_score(
     docs: DataFrame,
     lm: dict,

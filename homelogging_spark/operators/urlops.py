@@ -184,7 +184,7 @@ _SUFFIXES_V2_ADDED: tuple[str, ...] = (
 )
 
 # r19 (r18 verdict #5): the PSL rule grammar — the ICANN-section
-# single-label wildcard rules, verbatim from the public Mozilla list
+# single-label wildcard rules from the public Mozilla list
 # (publicsuffix.org), plus its one exception rule. A `*.tld` rule makes
 # EVERY label directly under the tld a public suffix (so registrable
 # domains there take three labels); a `!host` exception re-opens one
@@ -192,9 +192,15 @@ _SUFFIXES_V2_ADDED: tuple[str, ...] = (
 # exception host itself is the registrable domain). The v2 enumerated
 # children (com.bd, com.np, ...) stay — append-only — and agree with
 # the wildcard on every host they both match.
+# r20 (r19 ADVICE #2): `*.fj` and `*.gu` were dropped from the frozen
+# v3 BEFORE shipping — both registries moved to enumerated second-level
+# suffixes and the PSL removed their wildcard rules (gu in 2018, fj in
+# 2019), so treating all of .fj/.gu as wildcard public suffixes would
+# mis-split directly-registered domains there (www.example.fj ->
+# 'www.example.fj' instead of 'example.fj') — and the table's
+# append-only policy would have made the wrong entries permanent.
 _SUFFIX_RULES_V3_ADDED: tuple[str, ...] = (
-    "*.bd", "*.ck", "*.er", "*.fj", "*.gu", "*.kh", "*.mm", "*.np",
-    "*.pg",
+    "*.bd", "*.ck", "*.er", "*.kh", "*.mm", "*.np", "*.pg",
     "!www.ck",
 )
 

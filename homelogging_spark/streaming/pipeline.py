@@ -515,11 +515,27 @@ def _repair_partitioned_state(spark, state_path: str, table: str) -> None:
     last committed generation (crash between live->trash and
     tmp->live) — move it back; one present in BOTH survived a crash
     after commit but before trash cleanup — drop the trash copy. Same
-    for the stats dir. Idempotent; runs at merge and load time."""
+    for the stats dir. Idempotent; runs at merge and load time.
+
+    r20 (r19 ADVICE #1): also restores the LEGACY layout's
+    whole-generation swap (state dir missing, sibling ``.__trash``
+    holding the last committed generation) — the repair the legacy
+    mergers run inline — so the state LOADERS
+    (:func:`textops.bm25_from_state`,
+    :func:`textops.ngram_lm_from_state`) give the load-side repair
+    guarantee on BOTH layouts through this one call."""
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
 
     hadoop, fs = _fs(spark, state_path)
     P = hadoop.Path
+    if not fs.exists(P(state_path)) and fs.exists(P(state_path + ".__trash")):
+        _rename_or_raise(
+            fs,
+            P(state_path + ".__trash"),
+            P(state_path),
+            "legacy state repair",
+        )
+        return
     table_root = os.path.join(state_path, table)
     trash_root = P(os.path.join(state_path, f".__trash_{table}"))
     if fs.exists(trash_root):
@@ -658,14 +674,27 @@ def _merge_partitioned_counts(
         if not fs.exists(P(table_root)):
             # zero-key first batch: commit an EMPTY schema-bearing
             # partition so loaders (which read the table path) see the
-            # empty table, matching the legacy layout's empty write
+            # empty table, matching the legacy layout's empty write.
+            # r20 (r19 ADVICE #4): staged through the tmp root and
+            # rename-committed like every real partition — a crash
+            # mid-write must never leave a torn parquet file in the
+            # live tree for loaders to fail on.
+            fs.delete(P(tmp_root), True)
             delta.select(
                 *key_cols, F.col(cnt_col).cast("bigint").alias(cnt_col)
             ).withColumn(
                 "pmax", F.lit(int(batch_id)).cast("bigint")
             ).limit(0).write.mode("overwrite").parquet(
-                os.path.join(table_root, "part=0")
+                os.path.join(tmp_root, "part=0")
             )
+            fs.mkdirs(P(table_root))
+            _rename_or_raise(
+                fs,
+                P(os.path.join(tmp_root, "part=0")),
+                P(os.path.join(table_root, "part=0")),
+                f"{table} empty-commit swap",
+            )
+            fs.delete(P(tmp_root), True)
         return []
     exists = fs.exists(P(table_root))
     skip: set[int] = set()
@@ -803,7 +832,20 @@ def bm25_stats_batch_merger(
     layout (see the partitioned-state block above) where a micro-batch
     rewrites only the term partitions it touches. Layout is fixed at
     state creation and recorded in the stats row; a mismatched merger
-    raises instead of corrupting the table."""
+    raises instead of corrupting the table.
+
+    Sizing P (r20, r19 verdict #5 — measured in SCALE.md r19): the
+    touched fraction per batch follows the birthday formula
+    ``1 - exp(-V_batch/P)``, so P should sit well above the per-batch
+    vocabulary for the write elision to bite — LOW THOUSANDS for
+    production text streams (P=2048: a 50-term batch rewrites ~2% of a
+    full-vocabulary state). Below ~1e6 state keys the per-partition
+    job overhead dominates and the legacy whole-swap layout is the
+    right default — which is why the sf0.01 fixtures use P=8 (plan
+    certification, not throughput). Dir count scales with TOUCHED
+    vocabulary, not P: a high P never fans a small batch into P
+    writes (pinned at P=1024 in
+    ``TestBm25StatsStream.test_high_partition_count_layout``)."""
     from homelogging_spark.functions.texthash import tokens
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
 
@@ -1013,7 +1055,11 @@ def ngram_lm_batch_merger(
     rewrites only the partitions its bigrams touch — per-batch cost
     bounded by batch vocabulary instead of state size. Layout is fixed
     at state creation and recorded in the stats row; a mismatched
-    merger raises instead of corrupting the table."""
+    merger raises instead of corrupting the table. Sizing P: same rule
+    as :func:`bm25_stats_batch_merger` (low thousands for production
+    text streams, legacy layout below ~1e6 keys — SCALE.md r19); note
+    the bigram key space is vocabulary², so steady-state LM states hit
+    the partitioned regime sooner than df tables."""
     from homelogging_spark.functions.texthash import tokens
     from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
     from homelogging_spark.operators.textops import corpus_digest_col

@@ -1187,6 +1187,53 @@ class TestIndexCycle:
                 k=3, n_subspaces=2, dim=self.DIM,
             )
 
+    def test_ivf_opq_search_signs_branch_meta_consistency(
+        self, spark, tmp_path
+    ):
+        """r20 (r19 ADVICE #3): ``ivf_opq_search`` over a SIGNS-based
+        generation enforces the same opq_meta provenance checks
+        ``opq_search`` does — a torn/hand-edited generation (seed that
+        no longer derives the diagonal, impl claiming 'learned' beside
+        a signs artifact, or a dim mismatch) is refused by BOTH
+        servers, not just one."""
+        from homelogging_spark.operators.maintenance import (
+            ivf_opq_search, load_index,
+        )
+
+        root = str(tmp_path / "index")
+        corpus = self._corpus(spark, 64)
+        self._cycle(spark, corpus, root, opq_seed="g")
+        queries = corpus.where(F.col("vec_id") < 2)
+        # intact generation serves
+        ok = ivf_opq_search(
+            queries, load_index(spark, root),
+            k=3, nprobe=1, n_subspaces=2, dim=self.DIM,
+        )
+        assert ok.count() > 0
+
+        def _meta(impl, seed, dim):
+            spark.createDataFrame(
+                [(impl, seed, dim)],
+                "opq_impl string, opq_seed string, dim int",
+            ).write.mode("overwrite").parquet(os.path.join(root, "opq_meta"))
+            return load_index(spark, root)
+
+        with pytest.raises(ValueError, match="torn or hand-edited"):
+            ivf_opq_search(
+                queries, _meta("expr", "WRONG-SEED", self.DIM),
+                k=3, nprobe=1, n_subspaces=2, dim=self.DIM,
+            )
+        with pytest.raises(ValueError, match="signs-diagonal"):
+            ivf_opq_search(
+                queries, _meta("learned", "g", self.DIM),
+                k=3, nprobe=1, n_subspaces=2, dim=self.DIM,
+            )
+        with pytest.raises(ValueError, match="different"):
+            ivf_opq_search(
+                queries, _meta("expr", "g", self.DIM * 2),
+                k=3, nprobe=1, n_subspaces=2, dim=self.DIM,
+            )
+
     def test_crash_between_swap_renames_is_repaired(self, spark, tmp_path):
         import os as _os
         import shutil

@@ -458,6 +458,178 @@ class TestBm25StatsStream:
         rewritten = {p for p, m in after.items() if m == 3}
         assert rewritten and len(rewritten) < 4
 
+    def test_high_partition_count_layout(self, spark, tmp_path):
+        """r20 (r19 verdict #5): the production P sizing (low
+        thousands for text streams, SCALE.md r19) holds at P=1024 —
+        the dir count tracks TOUCHED vocabulary, not P (no
+        1024-dir fan-out on a small batch), the committed layout pins
+        P=1024 against mismatched mergers, swap repair works over the
+        high-P layout, and serving stays row-identical to the
+        recomputing path."""
+        import os
+        import shutil
+
+        from homelogging_spark.operators.textops import bm25_from_state
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state_p1024")
+        merger = bm25_stats_batch_merger(state, n_partitions=1024)
+        for i, chunk in enumerate(self._chunks()):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        parts = [
+            d for d in os.listdir(state + "/dfreq") if d.startswith("part=")
+        ]
+        vocab = {t for _, txt in DOCS for t in txt.split()}
+        assert 0 < len(parts) <= len(vocab)  # touched-bounded, not P
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert (stats.n_docs, stats.n_partitions) == (len(DOCS), 1024)
+        with pytest.raises(ValueError, match="n_partitions"):
+            bm25_stats_batch_merger(state, n_partitions=8)(
+                spark.createDataFrame(
+                    [(99, "zebra")], "doc_id long, text string"
+                ),
+                3,
+            )
+        # torn-swap repair under the high-P layout
+        full = sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/dfreq")
+                .select("term", "df")
+                .collect(),
+            )
+        )
+        os.makedirs(state + "/.__trash_dfreq", exist_ok=True)
+        shutil.move(
+            state + "/dfreq/" + parts[0],
+            state + "/.__trash_dfreq/" + parts[0],
+        )
+        st = bm25_from_state(spark, state)
+        assert sorted(map(tuple, st["dfreq"].collect())) == full
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, q, k=10, k1=K1, b=B,
+                dfreq=st["dfreq"], stats=st["stats"], verify_state=True,
+            ).collect()
+        )
+        recomputed = sorted(
+            tuple(r) for r in bm25_topk(docs, q, k=10, k1=K1, b=B).collect()
+        )
+        assert served == recomputed
+
+    def test_loader_repairs_torn_partition_swap(self, spark, tmp_path):
+        """r20 (r19 ADVICE #1): the BM25 state LOADER gives the same
+        load-side repair guarantee the LM loader has — a partition
+        sitting in the trash root while missing live (crash between the
+        two swap renames) is restored before reading, where a raw
+        ``spark.read.parquet(state + '/dfreq')`` would silently drop
+        that partition's terms (and verify_state would still pass:
+        n_docs/digest live in the untouched stats row)."""
+        import os
+        import shutil
+
+        from homelogging_spark.operators.textops import bm25_from_state
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state_part")
+        merger = bm25_stats_batch_merger(state, n_partitions=4)
+        for i, chunk in enumerate(self._chunks()):
+            merger(
+                spark.createDataFrame(chunk, "doc_id long, text string"), i
+            )
+        full = sorted(
+            map(
+                tuple,
+                spark.read.parquet(state + "/dfreq")
+                .select("term", "df")
+                .collect(),
+            )
+        )
+        part = sorted(os.listdir(state + "/dfreq"))[0]
+        os.makedirs(state + "/.__trash_dfreq", exist_ok=True)
+        shutil.move(
+            state + "/dfreq/" + part, state + "/.__trash_dfreq/" + part
+        )
+        # the raw read really would drop the torn partition's terms
+        torn = spark.read.parquet(state + "/dfreq").select("term", "df")
+        assert torn.count() < len(full)
+        st = bm25_from_state(spark, state)
+        assert sorted(map(tuple, st["dfreq"].collect())) == full
+        assert not os.path.exists(state + "/.__trash_dfreq")
+        # and serving through the loader matches the recomputing path
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        q = spark.createDataFrame(QUERY, "query_id long, term string")
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, q, k=10, k1=K1, b=B,
+                dfreq=st["dfreq"], stats=st["stats"], verify_state=True,
+            ).collect()
+        )
+        recomputed = sorted(
+            tuple(r) for r in bm25_topk(docs, q, k=10, k1=K1, b=B).collect()
+        )
+        assert served == recomputed
+
+    def test_partitioned_zero_key_first_batch_rename_committed(
+        self, spark, tmp_path
+    ):
+        """r20 (r19 ADVICE #4): the zero-key first batch's empty
+        schema-bearing commit rides the same tmp-root stage + rename
+        as real partitions — no tmp residue, loaders see the empty
+        table, and a later real batch folds normally on top."""
+        import os
+
+        from homelogging_spark.operators.textops import bm25_from_state
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state_part")
+        merger = bm25_stats_batch_merger(state, n_partitions=4)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        merger(empty, 0)
+        assert not os.path.exists(state + "/.__tmp_dfreq")
+        assert os.path.isdir(state + "/dfreq/part=0")
+        st = bm25_from_state(spark, state)
+        assert st["dfreq"].count() == 0
+        stats = st["stats"].collect()[0]
+        assert (stats.n_docs, stats.total_dl) == (0, 0)
+        merger(
+            spark.createDataFrame(DOCS[:2], "doc_id long, text string"), 1
+        )
+        st2 = bm25_from_state(spark, state)
+        toks = {d: t.split() for d, t in DOCS[:2]}
+        exp = {}
+        for v in toks.values():
+            for t in set(v):
+                exp[t] = exp.get(t, 0) + 1
+        assert {r.term: r.df for r in st2["dfreq"].collect()} == exp
+
+    def test_loader_repairs_legacy_whole_generation_swap(
+        self, spark, tmp_path
+    ):
+        """The legacy layout's crash window (whole state dir in the
+        sibling trash) repairs through the same loader call — both
+        layouts get repair-on-read from one entry point."""
+        import os
+        import shutil
+
+        from homelogging_spark.operators.textops import bm25_from_state
+
+        state = str(tmp_path / "bm25_state")
+        self._merge_all(spark, state)
+        before = self._state(spark, state)
+        shutil.move(state, state + ".__trash")
+        st = bm25_from_state(spark, state)
+        assert {r.term: r.df for r in st["dfreq"].collect()} == before[0]
+        assert os.path.exists(state) and not os.path.exists(
+            state + ".__trash"
+        )
+
 
 class TestRrfFuse:
     def test_fusion_hand_check_and_leg_counts(self, spark):

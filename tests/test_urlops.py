@@ -316,6 +316,14 @@ class TestUrlNormalization:
         assert urlops.plain_suffixes_for(2) == v2  # pre-v3 versions: all plain
         assert urlops.wildcard_tlds_for(2) == ()
         assert urlops.exception_hosts_for(2) == ()
+        # r20 (r19 ADVICE #2): the frozen v3 wildcard set — *.fj/*.gu
+        # were dropped before freezing (both registries left the PSL
+        # wildcard section when they moved to enumerated second-level
+        # suffixes: gu in 2018, fj in 2019)
+        assert urlops.wildcard_tlds_for(3) == (
+            "bd", "ck", "er", "kh", "mm", "np", "pg",
+        )
+        assert urlops.exception_hosts_for(3) == ("www.ck",)
         with pytest.raises(ValueError, match="unknown suffix-table"):
             urlops.suffixes_for(99)
         dim = urlops.suffix_dim(spark)
