@@ -2133,20 +2133,38 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_index_cycle_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search SERVED from ``maintenance.index_cycle``-maintained
-    artifacts: the nightly cycle trains the occupancy-sized coarse
-    quantizer and re-materializes cells + codebook + codes
-    stage-then-switch; the query loads that generation from parquet and
-    ranks with ``similarity.ivf_pq_topk`` — certifying the refresh →
-    index → search chain under the driver oracle (every double
-    round-trips parquet bit-exactly, so the served ranking equals the
-    in-memory one)."""
-    from homelogging_spark.operators.maintenance import load_index
+    """Search SERVED from the ``maintenance.index_cycle``-maintained
+    generation, as a method-labeled two-leg panel (r20: absorbs the
+    retired ``opq_index_search`` row — the funding stale-stale
+    consolidation for the ``ivf_opq_search`` registration, the
+    ``latest_per_key``/``ann_topk`` precedent; both legs were
+    r18-green and each keeps its original plan verbatim):
+
+    - ``method='ivf_pq'`` — the original r14 row: the nightly cycle
+      trains the occupancy-sized coarse quantizer and re-materializes
+      cells + codebook + codes stage-then-switch; the leg loads that
+      generation from parquet and ranks with ``similarity.ivf_pq_topk``
+      — certifying the refresh → index → search chain (every double
+      round-trips parquet bit-exactly, so the served ranking equals
+      the in-memory one).
+    - ``method='opq'`` — the retired r18 row verbatim: OPQ rotated-PQ
+      search from the SAME generation's rotation signs + rotated
+      codebook/codes via ``maintenance.opq_search``, rotation applied
+      QUERY-side only (queries are dim-sized; the corpus is read as
+      codes) — the r16 verdict's production path end-to-end: refresh →
+      rotate → encode → commit → load → search. Oracle-replicable
+      because the fixture generation encodes via the 'expr' rotation,
+      which ``hd_rotate_sql`` replays bit-for-bit.
+
+    One generation load feeds both legs; the union is bounded (2·Q·k
+    rows), no shuffle beyond each leg's own top-k."""
+    from homelogging_spark.operators.maintenance import load_index, opq_search
 
     idx = load_index(spark, _ivf_index_root(spark, sf_dir))
     queries, _ = _emb_split(spark, sf_dir)
-    out = similarity.ivf_pq_topk(
-        queries.select("vec_id", "embedding"),
+    q = queries.select("vec_id", "embedding")
+    ivf = similarity.ivf_pq_topk(
+        q,
         idx["cells"],
         idx["codes"],
         idx["codebook"],
@@ -2157,9 +2175,25 @@ def q_index_cycle_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMB_DIM,
         rank_decimals=6,
     )
-    return out.select(
-        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
+    opq = opq_search(
+        q,
+        idx,
+        k=5,
+        n_subspaces=4,
+        dim=EMB_DIM,
+        rank_decimals=6,
     )
+
+    def _leg(out: DataFrame, method: str) -> DataFrame:
+        return out.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "rank",
+            "vec_id",
+            quantize("adc_d2").alias("adc_d2"),
+        )
+
+    return _leg(ivf, "ivf_pq").unionByName(_leg(opq, "opq"))
 
 
 _IDX_CORPUS_SQL = (
@@ -2168,8 +2202,8 @@ _IDX_CORPUS_SQL = (
 
 # Unlike ORACLE_IVF_PQ_TOPK (codebook trained on the full table, K=8),
 # the cycle trains BOTH quantizers on the retained corpus with the
-# clamp-pinned K — the oracle replays exactly that.
-ORACLE_INDEX_CYCLE_SEARCH = f"""
+# clamp-pinned K — the ivf_pq leg's oracle replays exactly that.
+_ORACLE_IVF_PQ_LEG = f"""
 WITH base AS ({similarity.ivf_pq_topk_sql(
     _IDX_CORPUS_SQL,
     _IDX_CORPUS_SQL,
@@ -2180,40 +2214,10 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 """
 
 
-def q_opq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ rotated-PQ search SERVED from the ``index_cycle`` generation
-    (written r17, registered r18 on the pre-funded slot): the nightly
-    cycle materializes the rotation signs + rotated
-    codebook/codes alongside the IVF-PQ tier, and
-    ``maintenance.opq_search`` ranks from those committed artifacts with
-    the rotation applied QUERY-side only (queries are dim-sized; the
-    corpus is read as codes). The production path the r16 verdict's
-    missing #2 asked for, end-to-end: refresh → rotate → encode →
-    commit → load → search.
-
-    Oracle-replicable because the fixture generation encodes via the
-    'expr' rotation, which ``hd_rotate_sql`` replays bit-for-bit — the
-    DuckDB twin retrains the rotated codebook with the same sampled
-    Lloyd chain and re-ranks identically (the ``pq_adc_topk_sql``
-    discipline)."""
-    from homelogging_spark.operators.maintenance import load_index, opq_search
-
-    idx = load_index(spark, _ivf_index_root(spark, sf_dir))
-    queries, _ = _emb_split(spark, sf_dir)
-    out = opq_search(
-        queries.select("vec_id", "embedding"),
-        idx,
-        k=5,
-        n_subspaces=4,
-        dim=EMB_DIM,
-        rank_decimals=6,
-    )
-    return out.select(
-        "query_id", "rank", "vec_id", quantize("adc_d2").alias("adc_d2")
-    )
-
-
-def _opq_index_search_oracle() -> str:
+def _opq_leg_oracle() -> str:
+    # the retired opq_index_search oracle verbatim (r18): rotate both
+    # sides with the seed-derived diagonal, retrain the rotated
+    # codebook with the same sampled Lloyd chain, re-rank identically
     rot_corpus = similarity.hd_rotate_sql(
         _IDX_CORPUS_SQL, EMB_DIM, seed=OPQ_INDEX_SEED
     )
@@ -2231,7 +2235,12 @@ SELECT query_id, rank, vec_id, {quantize_sql('adc_d2')} AS adc_d2 FROM base
 """
 
 
-ORACLE_OPQ_INDEX_SEARCH = _opq_index_search_oracle()
+ORACLE_INDEX_CYCLE_SEARCH = f"""
+WITH ivf_leg AS ({_ORACLE_IVF_PQ_LEG}), opq_leg AS ({_opq_leg_oracle()})
+SELECT 'ivf_pq' AS method, query_id, rank, vec_id, adc_d2 FROM ivf_leg
+UNION ALL
+SELECT 'opq' AS method, query_id, rank, vec_id, adc_d2 FROM opq_leg
+"""
 
 
 def _learned_index_root(spark: SparkSession, sf_dir: str) -> str:
@@ -2292,9 +2301,10 @@ def _learned_index_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_ivf_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-OPQ composition SERVED from one committed generation (r19,
-    unit-only — the r20 registration candidate, needs a funding
-    consolidation): the generation's raw-space coarse tier prunes each
+    """IVF-OPQ composition SERVED from one committed generation
+    (written r19, REGISTERED r20 on the slot freed by the
+    opq_index_search → index_cycle_search panel consolidation — the
+    r19 verdict's #1): the generation's raw-space coarse tier prunes each
     query to its {IVF_NPROBE} nearest cells, and its LEARNED-rotation
     OPQ tier ADC-ranks the survivors from codes only
     (``maintenance.ivf_opq_search`` — rotation resolved from the
@@ -2361,7 +2371,8 @@ def q_opq_learned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); the PQ chain is ``q_pq_adc_topk``'s exactly (4×8,
     sample_mod=16, rank keys quantized at 6 decimals).
 
-    Scale: identical shape to ``opq_index_search`` with the structured
+    Scale: identical shape to ``index_cycle_search``'s opq leg (the
+    retired opq_index_search row) with the structured
     rotation swapped for the frozen learned one — one rotation pass
     fused into each scan, broadcast codebook, codes-only ranking; at
     production dim the expression form gives way to ``opq_rotate``'s
@@ -2495,8 +2506,11 @@ def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew_split_join oracle pattern). ``verify_state=True`` (r18): the
     registered row also exercises the corpus-fingerprint drift check —
     the state generation's digest must match the scored frame or the
-    query raises instead of serving shifted idfs."""
-    from homelogging_spark.operators.textops import bm25_topk
+    query raises instead of serving shifted idfs. r20 (r19 ADVICE #1):
+    the state loads through :func:`textops.bm25_from_state`, which
+    repairs an interrupted partition swap BEFORE reading — the load-
+    side repair guarantee the LM tier already had, now on BM25 too."""
+    from homelogging_spark.operators.textops import bm25_from_state, bm25_topk
 
     state = _bm25_state_root(spark, sf_dir)
     docs = _docs(spark, sf_dir)
@@ -2504,12 +2518,13 @@ def q_bm25_state_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, terms in sorted(HYBRID_QUERY_TERMS.items()) for t in terms],
         "query_id long, term string",
     )
+    st = bm25_from_state(spark, state)
     out = bm25_topk(
         docs,
         q_panel,
         k=HYBRID_K,
-        dfreq=spark.read.parquet(state + "/dfreq"),
-        stats=spark.read.parquet(state + "/stats"),
+        dfreq=st["dfreq"],
+        stats=st["stats"],
         verify_state=True,
     )
     return out.select("query_id", "rank", "doc_id", "score", "n_terms_hit")
@@ -3110,7 +3125,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search_panel": q_hybrid_search_panel,
     "ivf_pq_topk": q_ivf_pq_topk,
     "index_cycle_search": q_index_cycle_search,
-    "opq_index_search": q_opq_index_search,
+    "ivf_opq_search": q_ivf_opq_search,
     "bm25_state_served": q_bm25_state_served,
     "lm_perplexity_filter": q_lm_perplexity_filter,
     "opq_learned_search": q_opq_learned_search,
@@ -3149,7 +3164,7 @@ LLM_ORACLES: dict[str, str] = {
     "hybrid_search_panel": ORACLE_HYBRID_SEARCH_PANEL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "index_cycle_search": ORACLE_INDEX_CYCLE_SEARCH,
-    "opq_index_search": ORACLE_OPQ_INDEX_SEARCH,
+    "ivf_opq_search": ORACLE_IVF_OPQ_SEARCH,
     "bm25_state_served": ORACLE_BM25_STATE_SERVED,
     "lm_perplexity_filter": ORACLE_LM_PERPLEXITY_FILTER,
     "opq_learned_search": ORACLE_OPQ_LEARNED_SEARCH,

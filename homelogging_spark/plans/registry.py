@@ -2831,13 +2831,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # (r18's ann_topk: 18 tag — the sq8-leg merge — expired on its
     # green CORRECTNESS_r18 row and was pruned in r19.)
     #
-    # r19: latest_per_key absorbed the retired first_match row as its
-    # family='first' leg (the stale-stale consolidation funding the
-    # opq_learned_search registration); its r17 row certifies the
-    # bare latest-per-key projection only. latest_per_key was
-    # r19-stale anyway (last green r17), so the tag costs zero extra
-    # window slots.
-    "latest_per_key": 19,
+    # (r19's latest_per_key: 19 tag — the first_match merge — expired
+    # on its green CORRECTNESS_r19 row and was pruned in r20.)
+    #
+    # r20: index_cycle_search absorbed the retired opq_index_search
+    # row as its method='opq' leg (the stale-stale consolidation
+    # funding the ivf_opq_search registration); its r18 row certifies
+    # the bare ivf_pq serving only. index_cycle_search was r20-stale
+    # anyway (last green r18), so the tag costs zero extra window
+    # slots.
+    "index_cycle_search": 20,
 }
 
 # Window-slot consolidation history: merged query -> the retired names
@@ -2926,6 +2929,11 @@ MERGED_FROM: dict[str, list[str]] = {
     # — one family-labeled union certifies both legs verbatim, funding
     # the opq_learned_search registration
     "latest_per_key": ["first_match"],
+    # r20: both rows were top-k searches served from the SAME committed
+    # index_cycle generation (IVF-PQ coarse+ADC vs OPQ rotated ADC) —
+    # one method-labeled union certifies both legs verbatim, funding
+    # the ivf_opq_search registration (the r19 verdict's #1)
+    "index_cycle_search": ["opq_index_search"],
 }
 
 

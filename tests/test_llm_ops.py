@@ -1142,33 +1142,38 @@ class TestCurriculumOrder:
         assert max(sizes.values()) - min(sizes.values()) <= 1
 
 
-class TestOpqIndexSearch:
-    """r17 runway (registration candidate for the next round's
-    pre-funded slot): OPQ search served from the index_cycle generation
-    must hash-match its DuckDB twin at sf0.001 — the registered-query
-    gate applied at unit level, exactly as the driver would run it."""
+class TestIndexCycleSearchPanel:
+    """r20: the method-labeled served-search panel (the
+    opq_index_search → index_cycle_search stale-stale consolidation
+    funding the ivf_opq_search registration) must hash-match the
+    two-leg union oracle at sf0.001 — the registered-query gate
+    applied at unit level, exactly as the driver would run it."""
 
-    def test_served_matches_duckdb_twin(self, spark, sf_dir):
+    def test_panel_matches_duckdb_twin(self, spark, sf_dir):
         import os
 
         import duckdb
 
         from homelogging_spark.plans.llm_registry import (
-            ORACLE_OPQ_INDEX_SEARCH,
-            q_opq_index_search,
+            ORACLE_INDEX_CYCLE_SEARCH,
+            q_index_cycle_search,
         )
         from homelogging_spark.tables import TABLE_NAMES
         from tools.check_oracle import compare
 
-        spark_pdf = q_opq_index_search(spark, sf_dir).toPandas()
+        spark_pdf = q_index_cycle_search(spark, sf_dir).toPandas()
         con = duckdb.connect()
         for t in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-        duck_pdf = con.execute(ORACLE_OPQ_INDEX_SEARCH).fetchdf()
+        duck_pdf = con.execute(ORACLE_INDEX_CYCLE_SEARCH).fetchdf()
         assert len(spark_pdf) > 0
-        assert compare("opq_index_search", spark_pdf, duck_pdf)
+        # both legs present with equal row counts (same Q·k shape)
+        methods = spark_pdf.groupby("method").size().to_dict()
+        assert set(methods) == {"ivf_pq", "opq"}
+        assert methods["ivf_pq"] == methods["opq"]
+        assert compare("index_cycle_search", spark_pdf, duck_pdf)
 
     def test_generation_artifact_set_includes_opq(self, spark, sf_dir):
         """The shared fixture generation now carries the OPQ trio, and

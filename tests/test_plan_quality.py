@@ -58,13 +58,13 @@ BROADCAST_NESTED_LOOP_OK = {
     "ivf_pq_topk",
     # r14: serves ivf_pq_topk's exact probe/ADC chain from the
     # cycle-maintained parquet artifacts — same broadcast-codebook /
-    # broadcast-centroid constant-width BNLJ, never a corpus cartesian
+    # broadcast-centroid constant-width BNLJ, never a corpus cartesian.
+    # r20: the panel's absorbed method='opq' leg (the retired
+    # opq_index_search row, r18) adds the identical broadcast-codebook
+    # ADC lookups plus the query-side rotation (a dim-sized
+    # projection, no join at all) — its allowlist entry carried here
+    # with the merge, the sq8_topk→ann_topk precedent
     "index_cycle_search",
-    # r18: the OPQ tier served from the same cycle generation — the
-    # identical broadcast-codebook / broadcast-centroid constant-width
-    # ADC lookups as index_cycle_search, plus the query-side rotation
-    # (a dim-sized projection, no join at all)
-    "opq_index_search",
     # r18: BM25 served from the maintained state generation — the
     # (N, total_dl) stats frame is ONE row crossed onto the pruned
     # per-term frame (a designed 1-row broadcast, the stats-dim shape);
@@ -78,7 +78,7 @@ BROADCAST_NESTED_LOOP_OK = {
     # same broadcast-codebook constant-width lookups (entry pre-added
     # with the staged query, same rationale as above)
     "opq_learned_search",
-    # r19 runway (registers r20 if funded): the IVF-OPQ composition
+    # r19 runway (REGISTERED r20): the IVF-OPQ composition
     # plans index_cycle_search's broadcast-centroid probe + the
     # broadcast-codebook ADC lookup — the same designed constant-width
     # BNLJs; entry pre-added with the staged query
