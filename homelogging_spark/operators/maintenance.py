@@ -1378,23 +1378,30 @@ def nightly_cycle(
     index_root: str | None = None,
     rollup_path: str | None = None,
     changed_dates: Sequence[str] | None = None,
-    order: Sequence[str] = ("layout", "index", "rollup"),
+    order: Sequence[str] = ("layout", "index", "rollup", "state"),
     layout_kwargs: dict | None = None,
     index_kwargs: dict | None = None,
     rollup_kwargs: dict | None = None,
+    state_relayouts: Sequence[dict] | None = None,
 ):
     """THE nightly maintenance entry point (r16, r15 verdict #5): one
-    idempotent call composing the three maintenance cycles a production
+    idempotent call composing the maintenance cycles a production
     deployment runs together — the K1 layout cycle
     (:func:`maintenance_cycle`: recover → compact → incremental layout
     rewrite), the ANN index cycle (:func:`index_cycle`: occupancy-
-    triggered artifact refresh), and the continuous-aggregate rollup
-    refresh (``ingest.refresh_rollup``) — returning ONE maintenance-log
-    DataFrame (``stage, action, n, detail``) for the maintenance
-    journal ("no silent maintenance").
+    triggered artifact refresh), the continuous-aggregate rollup
+    refresh (``ingest.refresh_rollup``), and (r20, r19 verdict #8) the
+    streaming-state relayout/compaction leg
+    (``streaming.pipeline.state_relayout``: fold a cooled
+    high-P partitioned BM25/LM state's per-partition files into a
+    smaller P or the legacy single-table layout, no-op when already
+    there) — returning ONE maintenance-log DataFrame
+    (``stage, action, n, detail``) for the maintenance journal ("no
+    silent maintenance").
 
     Stages run in ``order`` and are INDEPENDENT by construction: they
-    touch disjoint roots (readings table / index root / rollup table),
+    touch disjoint roots (readings table / index root / rollup table /
+    streaming-state roots),
     so any ordering yields the identical final state — pinned in
     ``tests/test_maintenance.TestNightlyCycle`` for both orderings.
     Crash-repair is covered ACROSS the composition regardless of
@@ -1413,7 +1420,7 @@ def nightly_cycle(
     created from a handful of driver-side counters (dim-sized)."""
     from homelogging_spark.operators.ingest import refresh_rollup
 
-    known = {"layout", "index", "rollup"}
+    known = {"layout", "index", "rollup", "state"}
     if set(order) - known or len(set(order)) != len(list(order)):
         raise ValueError(f"order must be distinct stages from {known}: {order!r}")
     rows: list[tuple[str, str, int, str]] = []
@@ -1462,6 +1469,23 @@ def nightly_cycle(
                     "full" if changed_dates is None else _csv(list(changed_dates)),
                 )
             )
+        elif stage == "state" and state_relayouts is not None:
+            # r20 (r19 verdict #8): partitioned-state compaction joins
+            # the audited log — each spec is state_relayout's kwargs
+            # (state_path, table, key_cols, cnt_col, n_partitions)
+            from homelogging_spark.streaming.pipeline import state_relayout
+
+            for spec in state_relayouts:
+                rep = state_relayout(spark, **spec)
+                rows.append(
+                    (
+                        "state",
+                        "relayout" if rep["rewritten"] else "noop",
+                        -1 if rep["n_keys"] is None else int(rep["n_keys"]),
+                        f"{spec['state_path']}:{spec['table']} "
+                        f"{rep['from']}->{rep['to']}",
+                    )
+                )
     return spark.createDataFrame(
         rows, "stage string, action string, n bigint, detail string"
     )

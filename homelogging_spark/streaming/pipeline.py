@@ -774,6 +774,92 @@ def _merge_partitioned_counts(
     return still
 
 
+def state_relayout(
+    spark,
+    state_path: str,
+    table: str,
+    key_cols: list[str],
+    cnt_col: str,
+    n_partitions: int | None = None,
+) -> dict:
+    """Re-commit a count state under a different partition layout —
+    the state-maintenance compaction leg (r20, r19 verdict #8): a
+    steady-state partitioned table carries one file per ``part=K`` dir,
+    so a generously-sized P (the right call while the stream is hot)
+    leaves P small files for every loader to open once the state stops
+    growing; folding it to a smaller P — or to the legacy single-table
+    layout (``n_partitions=None``) — is the small-file compaction the
+    readings table gets from ``compact_partition``. The same call
+    migrates UP to a partitioned layout, closing the loop
+    ``_layout_guard`` deliberately refuses at merge time ("rebuild
+    under a fresh state_path to change it").
+
+    Semantics: counts, stats, digest, run-id lineage and the
+    ``max_batch_id`` watermark are preserved verbatim — only the
+    layout changes. Every new partition's ``pmax`` is the committed
+    ``max_batch_id`` (every folded batch is folded into every
+    partition, so redelivery skipping stays exactly-once). Commit is
+    the legacy whole-generation swap: the new state stages in a
+    sibling tmp dir and the two renames are crash-covered by
+    :func:`_repair_partitioned_state`'s legacy-restore path, which
+    every merger and loader already runs.
+
+    Returns ``{"rewritten", "n_keys", "from", "to"}`` — ``rewritten``
+    False when the state is already at the target layout (no-op, the
+    ``index_cycle`` occupancy-gate discipline). Scale: one scan of the
+    vocabulary-bounded state table and one write; never touches the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from homelogging_spark.operators.maintenance import _fs, _rename_or_raise
+
+    _repair_partitioned_state(spark, state_path, table)
+    old = _read_state_stats(spark, state_path)
+    if old is None:
+        raise ValueError(
+            f"state at {state_path} has no committed stats generation "
+            "to re-layout"
+        )
+    stored = old.get("n_partitions") or None
+    target = n_partitions or None
+    if stored == target:
+        return {
+            "rewritten": False, "n_keys": None, "from": stored, "to": target,
+        }
+    hadoop, fs = _fs(spark, state_path)
+    P = hadoop.Path
+    counts = spark.read.parquet(os.path.join(state_path, table)).select(
+        *key_cols, F.col(cnt_col).cast("bigint").alias(cnt_col)
+    )
+    n_keys = counts.count()
+    tmp = state_path + ".__tmp_relayout"
+    fs.delete(P(tmp), True)
+    if target is None:
+        counts.write.mode("overwrite").parquet(os.path.join(tmp, table))
+    else:
+        counts.withColumn("part", _part_expr(key_cols[0], target)).withColumn(
+            "pmax", F.lit(int(old["max_batch_id"])).cast("bigint")
+        ).repartition(int(target), "part").write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(os.path.join(tmp, table))
+    stats = spark.read.parquet(os.path.join(state_path, "stats")).withColumn(
+        "n_partitions",
+        F.lit(target).cast("int"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "stats")
+    )
+    trash = state_path + ".__trash"
+    fs.delete(P(trash), True)
+    _rename_or_raise(fs, P(state_path), P(trash), "state relayout swap")
+    _rename_or_raise(fs, P(tmp), P(state_path), "state relayout swap")
+    fs.delete(P(trash), True)
+    LOG.info(
+        "%s: relayout %s -> %s (%d keys)", state_path, stored, target, n_keys
+    )
+    return {"rewritten": True, "n_keys": n_keys, "from": stored, "to": target}
+
+
 def bm25_stats_batch_merger(
     state_path: str,
     id_col: str = "doc_id",

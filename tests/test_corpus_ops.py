@@ -1446,6 +1446,51 @@ class TestNgramLmStreamPartitioned:
         ) == before
         assert not os.path.exists(state + "/.__trash_bigrams")
 
+    def test_state_relayout_preserves_lm_scoring(self, spark, tmp_path):
+        """r20 (r19 verdict #8): relayouting the LM state (whose stats
+        row carries the extra size-honesty columns) to the legacy
+        layout preserves bigrams, stats and digest verbatim — a
+        state-loaded model over the relayouted generation scores
+        row-identically to the batch-trained one."""
+        from homelogging_spark.streaming.pipeline import state_relayout
+
+        state = str(tmp_path / "lm_state")
+        self._merge_all(spark, state)
+        before_stats = spark.read.parquet(state + "/stats").collect()[0]
+        rep = state_relayout(spark, state, "bigrams", ["w1", "w2"], "c", None)
+        assert (rep["rewritten"], rep["from"], rep["to"]) == (
+            True, self.NP, None,
+        )
+        stats = spark.read.parquet(state + "/stats").collect()[0]
+        assert stats.n_partitions is None
+        assert (stats.n_docs, stats.max_batch_id, stats.corpus_digest) == (
+            before_stats.n_docs,
+            before_stats.max_batch_id,
+            before_stats.corpus_digest,
+        )
+        assert (stats.n_bigrams, stats.n_hapax) == (
+            before_stats.n_bigrams, before_stats.n_hapax,
+        )
+        ref = spark.createDataFrame(self.REF, "doc_id long, text string")
+        docs = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        batch_lm = textops.ngram_lm_counts(ref, min_count=2)
+        state_lm = textops.ngram_lm_from_state(
+            spark, state, min_count=2, verify_corpus=ref
+        )
+        b = sorted(
+            tuple(r)
+            for r in textops.ngram_lm_score(
+                docs, batch_lm, ppl_threshold=5.0
+            ).collect()
+        )
+        s = sorted(
+            tuple(r)
+            for r in textops.ngram_lm_score(
+                docs, state_lm, ppl_threshold=5.0
+            ).collect()
+        )
+        assert b == s
+
     def test_layout_mismatch_raises(self, spark, tmp_path):
         """A merger configured for the other layout must refuse to
         fold — appending root files beside part= dirs (or vice versa)

@@ -1422,6 +1422,44 @@ class TestNightlyCycle:
         # rollup refresh is idempotent by dynamic-overwrite (same rows)
         assert log2[("rollup", "refreshed")] == -1
 
+    def test_state_leg_relayout_logged_then_noop(self, spark, tmp_path):
+        """r20 (r19 verdict #8): the streaming-state relayout leg joins
+        the audited maintenance log — first run folds the partitioned
+        BM25 state to the legacy layout and logs the key count; the
+        second run logs the no-op (the occupancy-gate discipline)."""
+        from homelogging_spark.operators.maintenance import nightly_cycle
+        from homelogging_spark.streaming.pipeline import bm25_stats_batch_merger
+
+        state = str(tmp_path / "bm25_state")
+        merger = bm25_stats_batch_merger(state, n_partitions=4)
+        merger(
+            spark.createDataFrame(
+                [(1, "grid power"), (2, "power meter")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        spec = dict(
+            state_path=state, table="dfreq", key_cols=["term"],
+            cnt_col="df", n_partitions=None,
+        )
+        log = {
+            (r.stage, r.action): (r.n, r.detail)
+            for r in nightly_cycle(
+                spark, state_relayouts=[spec]
+            ).collect()
+        }
+        assert log == {
+            ("state", "relayout"): (3, f"{state}:dfreq 4->None"),
+        }
+        log2 = {
+            (r.stage, r.action): r.n
+            for r in nightly_cycle(
+                spark, state_relayouts=[spec]
+            ).collect()
+        }
+        assert log2 == {("state", "noop"): -1}
+
     def test_crash_repair_holds_with_index_first(self, spark, tmp_path):
         """A layout crash from a previous run (complete staging + journal
         marker, live partition still old) must be rolled FORWARD by the
