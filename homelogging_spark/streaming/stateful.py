@@ -824,3 +824,145 @@ def streaming_poll_schedule_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+ROLLOVER_TWS_OUTPUT_DDL = OUTPUT_DDL + ", stalled boolean"
+ROLLOVER_TWS_STATE_DDL = (
+    "last_raw double, offset double, deadline_ms bigint, "
+    "stalled_emitted boolean"
+)
+
+
+class CounterRolloverProcessor(StatefulProcessor):
+    """ST2/ST3 counter-rollover correction with a timer-driven
+    STALLED-COUNTER alert — the third twin graduated onto
+    transformWithState (r20, r19 verdict #8 stretch), and like
+    :class:`PollScheduleProcessor` one whose timer is a genuinely new
+    capability: downstream of a cumulative counter, a meter that stops
+    reporting is indistinguishable from a meter consuming nothing (the
+    corrected series just holds its last value), so coverage and cost
+    queries silently treat dead hardware as zero usage. Here the
+    processor arms an event-time timer ``stall_s`` past each meter's
+    latest reading; if the WATERMARK passes that deadline with no new
+    reading, the counter provably stalled for the full window and ONE
+    ``stalled=true`` row is emitted carrying the last corrected value
+    (ts = the deadline, the moment the stall became provable) — re-armed
+    by the next real reading.
+
+    Fold arithmetic is line-for-line ``_apply_rollover`` (drop detected
+    as ``raw < last_raw``, pre-reset raw accumulated into the running
+    offset — the reference's mutable EnergyOffset semantics,
+    ``Tapo/TapoLogger.cs:87-107``), so non-stalled rows equal the
+    classic twin's exactly — pinned runtime-free in
+    test_streaming_stateful.py, the PollScheduleProcessor harness."""
+
+    def __init__(self, stall_s: float = 3600.0):
+        self._stall_s = stall_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._st = handle.getValueState("roll", ROLLOVER_TWS_STATE_DDL)
+
+    def handleInputRows(
+        self,
+        key: tuple,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._st.get() if self._st.exists() else None
+        last_raw, offset, deadline_ms, _ = (
+            cur if cur is not None else (None, 0.0, None, False)
+        )
+        pdf = _collect_sorted(rows)
+        if pdf is None:
+            return
+        out_offset, out_corrected = [], []
+        last_ms = None
+        for row in pdf.itertuples():
+            raw = float(row.raw)
+            if last_raw is not None and raw < last_raw:
+                offset += last_raw
+            out_offset.append(offset)
+            out_corrected.append(raw + offset)
+            last_raw = raw
+            last_ms = int(row.ts.value // 1_000_000)  # ns -> ms truncation
+        if deadline_ms is not None:
+            # re-arm: the old stall deadline is superseded by new data
+            self._handle.deleteTimer(deadline_ms)
+        deadline_ms = last_ms + int(self._stall_s * 1000.0)
+        self._handle.registerTimer(deadline_ms)
+        self._st.update((last_raw, offset, deadline_ms, False))
+        yield pd.DataFrame(
+            {
+                "meter_id": key[0],
+                "ts": pdf["ts"].values,
+                "raw": pdf["raw"].values,
+                "offset": out_offset,
+                "corrected": out_corrected,
+                "stalled": False,
+            }
+        )
+
+    def handleExpiredTimer(
+        self,
+        key: tuple,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        cur = self._st.get() if self._st.exists() else None
+        if cur is None:
+            return
+        last_raw, offset, deadline_ms, emitted = cur
+        if (
+            deadline_ms is not None
+            and not emitted
+            and expiredTimerInfo.getExpiryTimeInMs() == deadline_ms
+        ):
+            # the watermark passed last_reading + stall_s with no new
+            # reading landing first: the counter provably stalled for
+            # the full window. Emit the alert once; the next real
+            # reading resets the flag and re-arms the timer.
+            self._st.update((last_raw, offset, deadline_ms, True))
+            yield pd.DataFrame(
+                {
+                    "meter_id": [key[0]],
+                    "ts": [pd.Timestamp(deadline_ms, unit="ms")],
+                    "raw": [last_raw],
+                    "offset": [offset],
+                    "corrected": [
+                        last_raw + offset if last_raw is not None else None
+                    ],
+                    "stalled": [True],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_counter_rollover_tws(
+    stream: DataFrame, stall_s: float = 3600.0
+) -> DataFrame:
+    """:func:`streaming_counter_rollover` on
+    ``transformWithStateInPandas`` with the watermark-driven
+    ``stalled`` alert the classic twin cannot express (see
+    :class:`CounterRolloverProcessor`). ``stream`` needs
+    ``withWatermark("ts", ...)`` applied upstream and the RocksDB
+    state store provider. Non-stalled rows carry the classic twin's
+    exact schema plus ``stalled=false``; the extras are exactly the
+    meters whose last reading the watermark left ``stall_s`` behind."""
+    if ensure_protobuf() == "missing":
+        raise ImportError(
+            "transformWithStateInPandas requires a 'google.protobuf' "
+            "runtime (Spark's TWS state-server protocol); neither the "
+            "wheel nor the repo's vendored shim (vendor/google/protobuf) "
+            "is available — install protobuf or use the "
+            "applyInPandasWithState twin streaming_counter_rollover "
+            "(identical corrected rows minus the stalled alert)"
+        )
+    return stream.groupBy("meter_id").transformWithStateInPandas(
+        statefulProcessor=CounterRolloverProcessor(stall_s),
+        outputStructType=ROLLOVER_TWS_OUTPUT_DDL,
+        outputMode="append",
+        timeMode="eventTime",
+    )

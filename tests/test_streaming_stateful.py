@@ -1421,3 +1421,211 @@ class TestStreamingPollScheduleTws:
         # p1: its schedule row + exactly one overdue row; wm: schedule
         # row only (its own deadline is past the final watermark)
         assert rows == [("p1", False, 0), ("p1", True, 0), ("wm", False, 0)]
+
+
+class TestStreamingCounterRolloverTws:
+    """CounterRolloverProcessor — the ST2/ST3 twin on transformWithState
+    (r20): fold parity with the classic twin pinned runtime-free, plus
+    the timer-driven stalled-counter alert the classic twin cannot
+    express."""
+
+    _FakeValueState = TestStreamingPollScheduleTws._FakeValueState
+    _FakeHandle = TestStreamingPollScheduleTws._FakeHandle
+    _FakeGroupState = TestStreamingPollScheduleTws._FakeGroupState
+
+    @staticmethod
+    def _batch_pdf(rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "meter_id": ["m1"] * len(rows),
+                "ts": [pd.Timestamp(r[0]) for r in rows],
+                "raw": [r[1] for r in rows],
+            }
+        )
+
+    def test_fold_rows_match_classic_twin(self):
+        """Line-for-line parity: the SAME batches through the classic
+        _apply_rollover and the TWS processor emit identical corrected
+        rows (the TWS rows minus the stalled column) — including a
+        mid-batch reset and a cross-batch reset."""
+        from homelogging_spark.streaming.stateful import (
+            CounterRolloverProcessor,
+            _apply_rollover,
+        )
+
+        batches = [
+            [("2024-04-01T00:00:00", 100.0), ("2024-04-01T00:10:00", 120.0)],
+            [("2024-04-01T00:20:00", 5.0),  # reset: offset += 120
+             ("2024-04-01T00:30:00", 25.0)],
+            [("2024-04-01T00:40:00", 3.0)],  # reset again: offset += 25
+        ]
+        gstate = self._FakeGroupState()
+        classic_rows = []
+        for b in batches:
+            for frame in _apply_rollover(
+                ("m1",), iter([self._batch_pdf(b)]), gstate
+            ):
+                classic_rows += [
+                    tuple(r) for r in frame.itertuples(index=False)
+                ]
+
+        proc = CounterRolloverProcessor(stall_s=3600.0)
+        handle = self._FakeHandle()
+        proc.init(handle)
+        tws_rows = []
+        for b in batches:
+            for frame in proc.handleInputRows(
+                ("m1",), iter([self._batch_pdf(b)]), None
+            ):
+                assert not frame.stalled.any()
+                tws_rows += [
+                    tuple(r)
+                    for r in frame.drop(columns=["stalled"]).itertuples(
+                        index=False
+                    )
+                ]
+        assert tws_rows == classic_rows and len(tws_rows) == 5
+        assert [r[3] for r in tws_rows] == [0.0, 0.0, 120.0, 120.0, 145.0]
+        # exactly ONE live timer: last reading + stall_s
+        import pandas as pd
+
+        expect = pd.Timestamp("2024-04-01T00:40:00") + pd.Timedelta(hours=1)
+        assert handle.timers == {int(expect.value // 1_000_000)}
+
+    def test_timer_emits_stall_once_and_rearms(self):
+        """The watermark passing last_reading + stall_s with no new
+        reading emits exactly one stalled=true row carrying the last
+        corrected value (duplicate firing is a no-op; a stale timer
+        never emits); the next real reading resets the flag and
+        re-arms."""
+        import pandas as pd
+
+        from homelogging_spark.streaming.stateful import (
+            CounterRolloverProcessor,
+        )
+
+        proc = CounterRolloverProcessor(stall_s=600.0)
+        handle = self._FakeHandle()
+        proc.init(handle)
+        list(
+            proc.handleInputRows(
+                ("m1",),
+                iter([self._batch_pdf(
+                    [("2024-04-01T00:00:00", 100.0),
+                     ("2024-04-01T00:05:00", 7.0)]  # offset 100
+                )]),
+                None,
+            )
+        )
+        deadline = int(
+            pd.Timestamp("2024-04-01T00:15:00").value // 1_000_000
+        )
+        assert handle.timers == {deadline}
+
+        class _Exp:
+            def __init__(self, ms):
+                self._ms = ms
+
+            def getExpiryTimeInMs(self):
+                return self._ms
+
+        first = list(proc.handleExpiredTimer(("m1",), None, _Exp(deadline)))
+        second = list(proc.handleExpiredTimer(("m1",), None, _Exp(deadline)))
+        assert len(first) == 1 and second == []
+        row = first[0].iloc[0]
+        assert bool(row.stalled)
+        assert (row.raw, row.offset, row.corrected) == (7.0, 100.0, 107.0)
+        assert row.ts == pd.Timestamp("2024-04-01T00:15:00")
+        assert list(proc.handleExpiredTimer(("m1",), None, _Exp(123))) == []
+        # next real reading: normal row, offset arithmetic continues
+        frames = list(
+            proc.handleInputRows(
+                ("m1",),
+                iter([self._batch_pdf([("2024-04-01T00:30:00", 9.0)])]),
+                None,
+            )
+        )
+        r = frames[0].iloc[0]
+        assert (bool(r.stalled), r.offset, r.corrected) == (False, 100.0, 109.0)
+        new_deadline = int(
+            pd.Timestamp("2024-04-01T00:40:00").value // 1_000_000
+        )
+        assert handle.timers == {new_deadline}
+
+    def test_tws_stream_emits_stall_on_watermark(self, spark, tmp_path):
+        """e2e on RocksDB: a meter that stops reporting gets exactly
+        one stalled=true row once the watermark passes its
+        last_reading + stall_s; its corrected rows equal the classic
+        twin's. Skipped where protobuf is unavailable (the processor
+        logic is pinned runtime-free above either way)."""
+        if ensure_protobuf() == "missing":
+            pytest.skip("no google.protobuf runtime (wheel or vendored shim)")
+        from homelogging_spark.streaming.stateful import (
+            streaming_counter_rollover_tws,
+        )
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        b1 = [
+            {"meter_id": "c1", "ts": "2024-04-01T00:00:00Z", "raw": 50.0},
+            {"meter_id": "c1", "ts": "2024-04-01T00:10:00Z", "raw": 2.0},
+        ]
+        # watermark-advancing sentinel: 02:00 pushes the watermark past
+        # c1's stall deadline (01:10) but not its own (03:00)
+        b2 = [
+            {"meter_id": "wm", "ts": "2024-04-01T02:00:00Z", "raw": 1.0},
+        ]
+        for name, batch in (("a", b1), ("b", b2)):
+            (src / f"{name}.json").write_text(
+                "\n".join(json.dumps(r) for r in batch)
+            )
+        stream = (
+            spark.readStream.format("json")
+            .schema("meter_id string, ts timestamp, raw double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+            .withWatermark("ts", "0 seconds")
+        )
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        try:
+            out_dir = tmp_path / "out"
+            q = (
+                streaming_counter_rollover_tws(stream)
+                .writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+        rows = sorted(
+            (r.meter_id, bool(r.stalled), r.raw, r.offset, r.corrected)
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+        # c1: two corrected rows (reset folds 50 into the offset) +
+        # exactly one stalled row holding the last corrected value;
+        # wm: its own deadline is past the final watermark
+        assert rows == [
+            ("c1", False, 2.0, 50.0, 52.0),
+            ("c1", False, 50.0, 0.0, 50.0),
+            ("c1", True, 2.0, 50.0, 52.0),
+            ("wm", False, 1.0, 0.0, 1.0),
+        ]
