@@ -1071,15 +1071,13 @@ def index_cycle(
     ]
     if opq_seed is not None:
         if opq_impl == "learned":
-            # r19: the frozen learned rotation (resolved up front)
-            # applied as the oracle-replayable expression; the matrix
-            # commits as data so serving never depends on the config
-            # module agreeing with the generation
-            rot = vecs.select(
-                F.col(id_col),
-                similarity.rotate_by_matrix(
-                    F.col(emb_col), learned_rotation
-                ).alias(emb_col),
+            # r19: the frozen learned rotation (resolved up front); the
+            # matrix commits as data so serving never depends on the
+            # config module agreeing with the generation. r20: applied
+            # via the Arrow-batch bit-exact twin of the
+            # oracle-replayable expression (same committed codes).
+            rot_of = lambda frame: similarity.rotate_by_matrix_rows(  # noqa: E731
+                frame, learned_rotation, id_col=id_col, emb_col=emb_col
             )
             rotation_df = spark.createDataFrame(
                 [
@@ -1092,8 +1090,8 @@ def index_cycle(
             rot_frame = (OPQ_ROTATION, rotation_df)
         elif opq_impl == "fwht":
             signs = similarity.hd_signs(dim, opq_seed)
-            rot = similarity.hd_rotate_fwht(
-                vecs, dim, signs=signs, id_col=id_col, emb_col=emb_col
+            rot_of = lambda frame: similarity.hd_rotate_fwht(  # noqa: E731
+                frame, dim, signs=signs, id_col=id_col, emb_col=emb_col
             )
             rot_frame = (
                 "opq_signs",
@@ -1103,11 +1101,11 @@ def index_cycle(
             )
         else:
             signs = similarity.hd_signs(dim, opq_seed)
-            rot = vecs.select(
-                F.col(id_col),
-                similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(
-                    emb_col
-                ),
+            # r20: Arrow-batch bit-exact twin of the hd_rotate
+            # expression — generations stay 'expr'-impl (identical
+            # codes), only the evaluation vehicle changes
+            rot_of = lambda frame: similarity.hd_rotate_rows(  # noqa: E731
+                frame, dim, signs=signs, id_col=id_col, emb_col=emb_col
             )
             rot_frame = (
                 "opq_signs",
@@ -1115,9 +1113,17 @@ def index_cycle(
                     list(enumerate(signs)), "i int, sign double"
                 ),
             )
+        # training sample taken BEFORE the (pushdown-opaque) rotation —
+        # same rows as the in-operator sample_mod filter, and only the
+        # sample is rotated for training (r20)
+        rot = rot_of(vecs)
+        if sample_mod:
+            rot_train = rot_of(vecs.where(F.col(id_col) % sample_mod == 0))
+        else:
+            rot_train = rot
         opq_codebook = similarity.pq_codebook(
-            rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
-            sample_mod,
+            rot_train, pq_subspaces, pq_centroids, n_iters, dim, id_col,
+            emb_col, None,
         )
         opq_codes = similarity.pq_codes(
             rot, pq_subspaces, pq_centroids, n_iters, dim, id_col, emb_col,
@@ -1220,9 +1226,11 @@ def opq_search(
                 "diagonal — the generation is torn or hand-edited; "
                 "rebuild with index_cycle(opq_seed=...)"
             )
-    rotated = queries.select(
-        F.col(id_col),
-        similarity.hd_rotate(F.col(emb_col), dim, signs=signs).alias(emb_col),
+    # r20: Arrow-batch bit-exact twin of the hd_rotate expression — same
+    # outputs, O(1) plan instead of a dim² HOF tree rebuilt+reanalyzed
+    # per invocation (guide §4.2; see similarity.rotate_by_matrix_rows)
+    rotated = similarity.hd_rotate_rows(
+        queries, dim, signs=signs, id_col=id_col, emb_col=emb_col
     )
     return similarity.pq_adc_topk(
         rotated,
@@ -1242,7 +1250,9 @@ def _generation_rotation(idx: dict, dim: int):
     (never from live config alone), with the opq_search provenance
     discipline: when the meta row is present it must RE-DERIVE the
     artifact exactly, so a torn or hand-edited generation fails loudly.
-    Returns a Column->Column transform for query-side rotation."""
+    Returns a DataFrame-level transform ``(df, id_col, emb_col) -> df``
+    for query-side rotation (r20: the Arrow-batch bit-exact twins —
+    same outputs as the expression forms, O(1) plan size)."""
     from homelogging_spark.operators import similarity
 
     if OPQ_ROTATION in idx:
@@ -1278,7 +1288,9 @@ def _generation_rotation(idx: dict, dim: int):
                     "committed opq_rotation matrix — the generation is "
                     "torn or hand-edited; rebuild with index_cycle"
                 )
-        return lambda c: similarity.rotate_by_matrix(c, mat)
+        return lambda df, i, e: similarity.rotate_by_matrix_rows(
+            df, mat, id_col=i, emb_col=e
+        )
     if "opq_signs" in idx:
         signs = [float(r.sign) for r in idx["opq_signs"].orderBy("i").collect()]
         if len(signs) != dim:
@@ -1310,7 +1322,9 @@ def _generation_rotation(idx: dict, dim: int):
                     "opq_signs diagonal — the generation is torn or "
                     "hand-edited; rebuild with index_cycle(opq_seed=...)"
                 )
-        return lambda c: similarity.hd_rotate(c, dim, signs=signs)
+        return lambda df, i, e: similarity.hd_rotate_rows(
+            df, dim, signs=signs, id_col=i, emb_col=e
+        )
     raise KeyError(
         "index generation carries no OPQ tier; rebuild with "
         "index_cycle(opq_seed=...) first"

@@ -1184,9 +1184,11 @@ def ivf_pq_topk(
     corpus), candidates then ride the `pq_adc_topk` lookup path.
     Returns (query_id, rank, vec_id, adc_d2).
 
-    ``rotate`` (r19, the IVF-OPQ composition — r18 verdict #8): an
-    optional Column->Column transform applied to the QUERY embedding
-    for the ADC distance table ONLY. Pass the generation's OPQ
+    ``rotate`` (r19, the IVF-OPQ composition — r18 verdict #8; r20: a
+    DataFrame-level transform ``(df, id_col, emb_col) -> df`` so the
+    Arrow-batch bit-exact rotation twins can serve here): applied to
+    the QUERY side for the ADC distance table ONLY. Pass the
+    generation's OPQ
     rotation when ``codes``/``codebook`` live in rotated space while
     ``centroids``/``cell_assignments`` live in the raw space: the
     rotation is orthogonal, so raw-space coarse pruning selects
@@ -1211,10 +1213,10 @@ def ivf_pq_topk(
     q_sub = F.slice(
         F.col("q_emb"), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
     )
-    q_emb = F.col(emb_col) if rotate is None else rotate(F.col(emb_col))
+    q_src = queries if rotate is None else rotate(queries, id_col, emb_col)
     dtab = (
-        queries.select(
-            F.col(id_col).alias("query_id"), q_emb.alias("q_emb")
+        q_src.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
         )
         .crossJoin(F.broadcast(codebook))
         .select(
@@ -1990,6 +1992,141 @@ def rotate_by_matrix_sql(
         )
     arr = "[" + ", ".join(comps) + "]"
     return f"SELECT {id_col}, {arr} AS {emb_col} FROM ({corpus_sql})"
+
+
+def _fold_matmul(m, r_arr):
+    """``y = x · R`` with INDEX-ORDER LEFT-FOLD summation — the numpy
+    twin of :func:`_fold_sum` over ``zip_with`` products: one vectorized
+    add per input dimension, ``((0.0 + x_0·R[0,:]) + x_1·R[1,:]) + …``,
+    so every output element reproduces the Catalyst expression's IEEE
+    op sequence bit-for-bit (multiplies are element-independent; adds
+    happen in the same order with the same 0.0 seed). NOT a dgemm —
+    BLAS reorders the reduction; this form trades a constant factor of
+    throughput for bit-equality with the SQL-replayable expression."""
+    import numpy as np
+
+    acc = np.zeros((m.shape[0], r_arr.shape[1]))
+    for i in range(r_arr.shape[0]):
+        acc = acc + m[:, i : i + 1] * r_arr[i]
+    return acc
+
+
+def _rotate_rows_foldexact(
+    df: DataFrame,
+    r_list: list[list[float]],
+    dim: int,
+    id_col: str,
+    emb_col: str,
+    pre_scale: list[float] | None = None,
+    post_scale: float | None = None,
+) -> DataFrame:
+    """Shared Arrow-batch driver for the bit-exact rotation twins:
+    ``y = fold_matmul(x ⊙ pre_scale, R) · post_scale`` over
+    ``mapInPandas`` batches. Emits ``(id_col, emb_col array<double>)``
+    exactly like :func:`opq_rotate`; embeddings must be non-null and
+    dim-length (the expression forms would produce nulls there — the
+    corpora this serves are dense by construction, so fail loudly
+    instead)."""
+    pre = None if pre_scale is None else [float(v) for v in pre_scale]
+
+    def rotate_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        r_arr = np.asarray(r_list, dtype=np.float64)
+        pre_arr = None if pre is None else np.asarray(pre, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"embedding length {m.shape[1]} != dim {dim}"
+                )
+            if pre_arr is not None:
+                m = m * pre_arr
+            out = _fold_matmul(m, r_arr)
+            if post_scale is not None:
+                out = out * post_scale
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, emb_col: list(out)}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, emb_col).mapInPandas(
+        rotate_batches, schema=f"{id_col} {id_type}, {emb_col} array<double>"
+    )
+
+
+def rotate_by_matrix_rows(
+    df: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batch twin of :func:`rotate_by_matrix` — bit-for-bit the
+    same outputs (same cast-to-double widening, same index-order
+    left-fold via :func:`_fold_matmul`), evaluated as ``dim`` vectorized
+    numpy adds per batch instead of a dim² Catalyst HOF tree.
+
+    Why it exists (r20 optimization): the expression form costs three
+    ways the plan never shows — ~dim² py4j round-trips to BUILD the
+    expression per invocation, Catalyst analysis/codegen of the ~60 KB
+    plan per invocation, and interpreted lambda evaluation of dim²
+    products PER ROW at execution (higher-order functions don't
+    codegen their lambdas). This form is O(1) plan size and hands whole
+    Arrow batches to numpy (guide §4.2) while keeping the DuckDB
+    oracle's bit-exact replay, so it is also the 100 TB posture — the
+    same shape as :func:`opq_rotate` minus BLAS's reduction reorder.
+    Trade-off: ``mapInPandas`` is an opaque boundary, so filters no
+    longer push below the rotation — callers must filter/sample BEFORE
+    rotating (they do: rotate-then-filter ≡ filter-then-rotate on an
+    id column the rotation doesn't touch)."""
+    r = [[float(v) for v in row] for row in rotation]
+    dim = len(r)
+    if any(len(row) != dim for row in r):
+        raise ValueError("rotation must be a square dim x dim matrix")
+    return _rotate_rows_foldexact(df, r, dim, id_col, emb_col)
+
+
+def hd_rotate_rows(
+    df: DataFrame,
+    dim: int,
+    seed: str = "opq",
+    signs: list[float] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batch twin of :func:`hd_rotate` (the EXPRESSION form, not
+    the butterfly): ``y = (1/sqrt(dim)) · H · (s ⊙ x)`` with the
+    expression's exact op order — pre-multiply by the ±1 diagonal
+    (zip_with's ``x·s``), per-output-j index-order left-fold of
+    ``±sx_i`` (multiplying by ±1.0 is IEEE-exact identity/negation, the
+    same bits as the expression's conditional negate), then the final
+    ``· 1/sqrt(dim)``. Unlike :func:`hd_rotate_fwht` this keeps
+    bit-equality with the SQL-replayable form, so it can serve oracle
+    queries; see :func:`rotate_by_matrix_rows` for why (plan-size +
+    interpreted-HOF cost of the expression form)."""
+    if dim & (dim - 1):
+        raise ValueError(f"hd_rotate_rows needs a power-of-two dim, got {dim}")
+    sign_list = hd_signs(dim, seed) if signs is None else list(signs)
+    if len(sign_list) != dim or any(s not in (1.0, -1.0) for s in sign_list):
+        raise ValueError("signs must be a dim-length list of +/-1.0")
+    h = [
+        [-1.0 if (i & j).bit_count() % 2 else 1.0 for j in range(dim)]
+        for i in range(dim)
+    ]
+    return _rotate_rows_foldexact(
+        df,
+        h,
+        dim,
+        id_col,
+        emb_col,
+        pre_scale=sign_list,
+        post_scale=1.0 / float(dim) ** 0.5,
+    )
 
 
 def opq_rotate(

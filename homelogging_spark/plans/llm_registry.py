@@ -1731,13 +1731,13 @@ FROM base
 
 
 def _rotated_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table under the frozen OPQ structured rotation
-    (``similarity.hd_rotate`` — orthogonal, map-side), memoized like
-    the quantizers so train/encode/search legs share one lineage."""
+    """The embeddings table under the frozen OPQ structured rotation —
+    r20: ``similarity.hd_rotate_rows``, the Arrow-batch bit-exact twin
+    of the hd_rotate expression (same outputs; O(1) plan instead of a
+    dim² HOF tree per invocation, numpy instead of interpreted lambdas
+    per row — guide §4.2)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", similarity.hd_rotate(F.col("embedding"), EMB_DIM).alias("embedding")
-    )
+    return similarity.hd_rotate_rows(emb, EMB_DIM)
 
 
 def q_opq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,20 +1791,32 @@ def q_opq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-subspace threads — halves the first-action training wall
     from concurrent.futures import ThreadPoolExecutor
 
+    # the rotated side's id-mod training sample is taken BEFORE the
+    # (r20, pushdown-opaque) Arrow rotation — same rows as the
+    # in-operator sample_mod=16 filter, and the training pass rotates
+    # only the sample; the raw side keeps the in-operator sample (the
+    # filter pushes to the scan there)
+    rot_train = similarity.hd_rotate_rows(
+        emb.where(F.col("vec_id") % 16 == 0), EMB_DIM
+    )
     with ThreadPoolExecutor(max_workers=2) as pool:
         books = dict(
             zip(
                 ("pq", "opq_pq"),
                 pool.map(
-                    lambda tag_table: _cached_quantizer(
+                    lambda ttm: _cached_quantizer(
                         spark,
                         sf_dir,
-                        tag_table[0],
+                        ttm[0],
                         lambda: similarity.pq_codebook(
-                            tag_table[1], n_subspaces=4, n_centroids=8, dim=EMB_DIM
+                            ttm[1],
+                            n_subspaces=4,
+                            n_centroids=8,
+                            dim=EMB_DIM,
+                            sample_mod=ttm[2],
                         ),
                     ),
-                    (("pq", emb), ("opq_pq", rot)),
+                    (("pq", emb, 16), ("opq_pq", rot_train, None)),
                 ),
             )
         )
@@ -2381,17 +2393,25 @@ def q_opq_learned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = rotation_for()
     queries, corpus = _emb_split(spark, sf_dir)
-    rot = lambda df: df.select(  # noqa: E731
-        "vec_id",
-        similarity.rotate_by_matrix(F.col("embedding"), r).alias("embedding"),
+    # r20: Arrow-batch bit-exact twin of the rotate_by_matrix expression
+    # (similarity.rotate_by_matrix_rows) — same outputs, O(1) plan
+    # instead of a dim² HOF tree rebuilt + reanalyzed per invocation and
+    # interpreted per row. mapInPandas is opaque to filter pushdown, so
+    # the codebook's id-mod TRAINING SAMPLE is taken BEFORE the rotation
+    # (filter-then-rotate ≡ rotate-then-filter on vec_id; same rows the
+    # in-operator sample_mod filter selected, and at scale the training
+    # pass now rotates only the sample).
+    rot = lambda df: similarity.rotate_by_matrix_rows(  # noqa: E731
+        df.select("vec_id", "embedding"), r
     )
     rot_corpus = rot(corpus)
+    rot_train = rot(corpus.where(F.col("vec_id") % 16 == 0))
     codebook = _cached_quantizer(
         spark,
         sf_dir,
         "opq_learned_pq",
         lambda: similarity.pq_codebook(
-            rot_corpus, n_subspaces=4, n_centroids=8, dim=EMB_DIM
+            rot_train, n_subspaces=4, n_centroids=8, dim=EMB_DIM, sample_mod=None
         ),
     )
     codes = similarity.pq_codes(

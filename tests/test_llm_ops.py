@@ -1854,6 +1854,124 @@ class TestHdRotation:
         )
 
 
+class TestRotateRowsBitExact:
+    """r20 optimization: the Arrow-batch rotation twins must be
+    BIT-equal to the expression forms they replace (the oracle chain —
+    PQ training argmins downstream — hangs on exact equality, not
+    closeness). repr() comparison so -0.0 vs 0.0 or a last-ulp drift
+    fails loudly."""
+
+    DIM = 8
+
+    def _vecs(self, n=7):
+        import random
+
+        rng = random.Random(23)
+        # unrounded gaussians: full 52-bit mantissas, negatives included
+        return [[rng.gauss(0, 1) for _ in range(self.DIM)] for _ in range(n)]
+
+    def _matrix(self):
+        import random
+
+        rng = random.Random(31)
+        # deliberately NOT orthogonal — the twin must not assume it
+        return [
+            [rng.gauss(0, 1) for _ in range(self.DIM)] for _ in range(self.DIM)
+        ]
+
+    def _cmp(self, spark, df, expr_col, rows_df):
+        expr = {
+            r.vec_id: r.embedding
+            for r in df.select("vec_id", expr_col.alias("embedding")).collect()
+        }
+        rows = {r.vec_id: r.embedding for r in rows_df.collect()}
+        assert set(expr) == set(rows)
+        for k in expr:
+            assert repr(expr[k]) == repr(rows[k])
+
+    def test_rotate_by_matrix_rows_bitexact(self, spark):
+        from homelogging_spark.operators import similarity as S
+
+        m = self._matrix()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._vecs())],
+            "vec_id long, embedding array<double>",
+        )
+        self._cmp(
+            spark,
+            df,
+            S.rotate_by_matrix(F.col("embedding"), m),
+            S.rotate_by_matrix_rows(df, m),
+        )
+
+    def test_rotate_by_matrix_rows_float32_input(self, spark):
+        # array<float> source: the expression casts per element, the
+        # twin widens via numpy — both exact, results bit-equal
+        from homelogging_spark.operators import similarity as S
+
+        m = self._matrix()
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._vecs())],
+            "vec_id long, embedding array<float>",
+        )
+        self._cmp(
+            spark,
+            df,
+            S.rotate_by_matrix(F.col("embedding"), m),
+            S.rotate_by_matrix_rows(df, m),
+        )
+
+    def test_hd_rotate_rows_bitexact(self, spark):
+        from homelogging_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._vecs())],
+            "vec_id long, embedding array<double>",
+        )
+        self._cmp(
+            spark,
+            df,
+            S.hd_rotate(F.col("embedding"), self.DIM),
+            S.hd_rotate_rows(df, self.DIM),
+        )
+
+    def test_hd_rotate_rows_explicit_signs(self, spark):
+        from homelogging_spark.operators import similarity as S
+
+        signs = S.hd_signs(self.DIM, seed="other")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._vecs(3))],
+            "vec_id long, embedding array<double>",
+        )
+        self._cmp(
+            spark,
+            df,
+            S.hd_rotate(F.col("embedding"), self.DIM, signs=signs),
+            S.hd_rotate_rows(df, self.DIM, signs=signs),
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from homelogging_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="square"):
+            S.rotate_by_matrix_rows(df, [[1.0, 0.0]])
+        with _pytest.raises(ValueError, match="power-of-two"):
+            S.hd_rotate_rows(df, 3)
+        with _pytest.raises(ValueError, match="signs"):
+            S.hd_rotate_rows(df, 2, signs=[0.5, 1.0])
+        # wrong embedding length fails loudly at execution
+        bad = S.rotate_by_matrix_rows(
+            df, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        with _pytest.raises(Exception, match="embedding length"):
+            bad.collect()
+
+
 class TestOpqLearnedRotation:
     """r18 stretch (r17 verdict #8): Ge et al. 2013 non-parametric OPQ —
     alternating codebook training and orthogonal-Procrustes rotation
