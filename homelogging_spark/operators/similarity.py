@@ -119,19 +119,61 @@ def lsh_table_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """(id, table_idx, bucket) — one row per LSH table. The shuffle key of
-    every downstream candidate join."""
+    every downstream candidate join.
+
+    r20: Arrow-batch evaluation (``mapInPandas`` + numpy) replacing the
+    per-plane ``lsh_bucket`` expression columns — bucket ids identical
+    bit-for-bit (each dot is the same index-order left-fold the
+    expression and the DuckDB twin compute — :func:`_fold_matmul` — and
+    the bucket is integer arithmetic on its exact sign), while the plan
+    drops the n_planes·dim literal arrays whose py4j construction +
+    analysis dominated the LSH legs' per-invocation cost. Row ORDER
+    within a partition differs from the ``posexplode`` form (grouped by
+    table instead of interleaved); every consumer keys on
+    (table_idx, bucket) or aggregates, so order is immaterial."""
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
-    buckets = F.array(
-        *[
-            lsh_bucket(
-                F.col(emb_col),
-                all_planes[t * planes_per_table : (t + 1) * planes_per_table],
+    p_cols = [
+        [float(all_planes[j][i]) for j in range(n_tables * planes_per_table)]
+        for i in range(dim)
+    ]  # dim x n_planes: row i = every plane's i-th component
+
+    def bucket_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        p_arr = np.asarray(p_cols, dtype=np.float64)
+        pow2 = 1 << np.arange(planes_per_table, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
             )
-            for t in range(n_tables)
-        ]
-    )
-    return df.select(
-        F.col(id_col), F.posexplode(buckets).alias("table_idx", "bucket")
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"embedding length {m.shape[1]} != dim {dim}"
+                )
+            dots = _fold_matmul(m, p_arr)
+            bits = dots > 0
+            ids = pdf[id_col].values
+            frames = []
+            for t in range(n_tables):
+                sl = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "table_idx": np.full(len(ids), t, dtype=np.int32),
+                            "bucket": (sl * pow2).sum(axis=1).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, emb_col).mapInPandas(
+        bucket_batches,
+        schema=f"{id_col} {id_type}, table_idx int, bucket bigint",
     )
 
 

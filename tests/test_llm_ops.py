@@ -1971,6 +1971,36 @@ class TestRotateRowsBitExact:
         with _pytest.raises(Exception, match="embedding length"):
             bad.collect()
 
+    def test_lsh_table_buckets_matches_expression(self, spark):
+        # the Arrow-batch lsh_table_buckets must reproduce the
+        # lsh_bucket EXPRESSION's bucket ids exactly (same fold, same
+        # sign test, integer bucket arithmetic) — lsh_bucket stays as
+        # the reference twin this pin evaluates
+        from homelogging_spark.operators import similarity as S
+
+        n_tables, ppt = 2, 6
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self._vecs())],
+            "vec_id long, embedding array<double>",
+        )
+        planes = S.hyperplanes(n_tables * ppt, self.DIM)
+        expr_rows = set()
+        for t in range(n_tables):
+            got = df.select(
+                "vec_id",
+                S.lsh_bucket(
+                    F.col("embedding"), planes[t * ppt : (t + 1) * ppt]
+                ).alias("b"),
+            ).collect()
+            expr_rows |= {(r.vec_id, t, r.b) for r in got}
+        arrow_rows = {
+            (r.vec_id, r.table_idx, r.bucket)
+            for r in S.lsh_table_buckets(
+                df, n_tables=n_tables, planes_per_table=ppt, dim=self.DIM
+            ).collect()
+        }
+        assert arrow_rows == expr_rows
+
 
 class TestOpqLearnedRotation:
     """r18 stretch (r17 verdict #8): Ge et al. 2013 non-parametric OPQ —
