@@ -185,14 +185,29 @@ def exact_topk(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query side over one corpus
-    scan, rank per query. Returns (query_id, rank, vec_id, cosine)."""
+    scan, rank per query. Returns (query_id, rank, vec_id, cosine).
+
+    r20: norms are computed once per VECTOR (each side projects its own
+    norm before the pair join) instead of once per PAIR — the
+    :func:`norm` docstring's own prescription, bit-identical values
+    (the cosine is the same dot/(q_norm·c_norm) expression, only the
+    norm sub-expressions moved below the join), 3x less fold work in
+    the Q·N scoring stage."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("__qn"),
     )
-    scored = corpus.select(F.col(id_col), F.col(emb_col)).crossJoin(
-        F.broadcast(q)
-    ).select(
-        "query_id", id_col, cosine(F.col("q_emb"), F.col(emb_col)).alias("cosine")
+    c = corpus.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("__cn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        (
+            dot_product(F.col("q_emb"), F.col(emb_col))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -224,10 +239,24 @@ def lsh_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"))
+    # norms once per vector (r20, bit-identical — see exact_topk)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("__cn"),
+    )
     scored = cand.join(F.broadcast(q), "query_id").join(c, "cand_id").select(
-        "query_id", "cand_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+        "query_id",
+        "cand_id",
+        (
+            dot_product(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
@@ -576,14 +605,26 @@ def ivf_topk(
     verified by exact cosine. The scale shape: shuffle on centroid_id
     (cells ~ corpus/K vectors), query work ~ nprobe/K of the corpus —
     the classic recall/cost dial alongside the LSH variant."""
+    # norms once per vector (r20, bit-identical — see exact_topk)
     cells = ivf_assign(corpus, centroids, 1, id_col, emb_col).select(
-        F.col(id_col).alias("cand_id"), F.col(emb_col).alias("c_emb"), "centroid_id"
+        F.col(id_col).alias("cand_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("__cn"),
+        "centroid_id",
     )
     probes = ivf_assign(queries, centroids, nprobe, id_col, emb_col).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "centroid_id"
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("__qn"),
+        "centroid_id",
     )
     scored = probes.join(cells, "centroid_id").select(
-        "query_id", "cand_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine")
+        "query_id",
+        "cand_id",
+        (
+            dot_product(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cosine"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
