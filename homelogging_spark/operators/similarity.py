@@ -846,34 +846,69 @@ def pq_codes(
             corpus, n_subspaces, n_centroids, n_iters, dim, id_col, emb_col, sample_mod
         )
 
-    sub = F.slice(
-        F.col(emb_col), F.col("subspace") * sub_dim + F.lit(1), F.lit(sub_dim)
+    # r20: MAP-SIDE Arrow-batch encode. The old shape scored N·K·M
+    # (id, subspace, cid, d2) rows through a per-(id, subspace) window
+    # argmin plus a groupBy pivot — two full shuffles of the code
+    # stream whose only job was an argmin. The codebook is K·M
+    # metadata-sized rows (the FAISS posture: codebooks live in RAM),
+    # so collect it once per encode and assign codes in numpy over
+    # Arrow batches: zero exchanges, one corpus pass. Bit-equality
+    # with the window form: d2 replays l2_sq's exact op order
+    # (subtract, square, index-order left-fold — one vectorized add
+    # per sub-dimension), np.argmin keeps the FIRST minimum over cids
+    # scanned in ascending order == the window's (d2, cid) ordering,
+    # so codes are bit-identical. recon_mse sums the M subspace minima
+    # in fixed subspace order (the old groupBy summed them in shuffle
+    # arrival order — both land on the same quantized value, which is
+    # all any consumer emits; re-proved against the unchanged
+    # window-based DuckDB twin at 3 SFs).
+    cb = sorted(
+        (int(r["subspace"]), int(r["cid"]), [float(v) for v in r["cemb"]])
+        for r in codebook.select("subspace", "cid", "cemb").collect()
     )
-    scored = (
-        corpus.select(F.col(id_col), F.col(emb_col))
-        .crossJoin(F.broadcast(codebook))
-        .select(
-            F.col(id_col),
-            "subspace",
-            "cid",
-            l2_sq(sub, F.col("cemb")).alias("d2"),
-        )
-    )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.col("d2"), F.col("cid"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "subspace", "cid", "d2")
-    )
-    code_cols = [
-        F.max(F.when(F.col("subspace") == m, F.col("cid")))
-        .cast("bigint")
-        .alias(f"code_{m}")
-        for m in range(n_subspaces)
-    ]
-    return best.groupBy(id_col).agg(
-        *code_cols,
-        (F.sum("d2") / F.lit(float(dim))).alias("recon_mse"),
+    cents = {m: [(cid, c) for s, cid, c in cb if s == m] for m in range(n_subspaces)}
+    for m, lst in cents.items():
+        if not lst:
+            raise ValueError(f"codebook has no centroids for subspace {m}")
+        if any(len(c) != sub_dim for _, c in lst):
+            raise ValueError(f"subspace {m} centroid length != {sub_dim}")
+    cid_lists = [[cid for cid, _ in cents[m]] for m in range(n_subspaces)]
+    cent_lists = [[c for _, c in cents[m]] for m in range(n_subspaces)]
+
+    def encode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids = [np.asarray(v, dtype=np.int64) for v in cid_lists]
+        mats = [np.asarray(v, dtype=np.float64) for v in cent_lists]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            if x.shape[1] != dim:
+                raise ValueError(f"embedding length {x.shape[1]} != dim {dim}")
+            n = x.shape[0]
+            out = {id_col: pdf[id_col].values}
+            total = np.zeros(n)
+            for m in range(n_subspaces):
+                sub = x[:, m * sub_dim : (m + 1) * sub_dim]
+                d2 = np.zeros((n, mats[m].shape[0]))
+                for i in range(sub_dim):
+                    diff = sub[:, i : i + 1] - mats[m][:, i]
+                    d2 = d2 + diff * diff
+                best = np.argmin(d2, axis=1)
+                out[f"code_{m}"] = cids[m][best]
+                total = total + d2[np.arange(n), best]
+            out["recon_mse"] = total / float(dim)
+            yield pd.DataFrame(out)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    code_schema = ", ".join(f"code_{m} bigint" for m in range(n_subspaces))
+    return corpus.select(F.col(id_col), F.col(emb_col)).mapInPandas(
+        encode_batches,
+        schema=f"{id_col} {id_type}, {code_schema}, recon_mse double",
     )
 
 
