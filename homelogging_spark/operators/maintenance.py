@@ -803,6 +803,12 @@ OPQ_ROTATION = "opq_rotation"
 # load; they backfill provenance on their next rebuild.
 OPQ_META = "opq_meta"
 
+# r20: per-HANDLE memo keys for resolved+verified serving state (see
+# opq_search / _generation_rotation) — verification runs once per
+# load_index() result, never per search; a fresh load always re-verifies.
+_VERIFIED_SIGNS = "__verified_signs"
+_VERIFIED_ROTATION = "__verified_rotation"
+
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
     """Read the four IVF-PQ index artifacts a :func:`index_cycle` run
@@ -1207,25 +1213,34 @@ def opq_search(
             "index generation carries no OPQ tier; rebuild with "
             "index_cycle(opq_seed=...) first"
         )
-    sign_rows = idx["opq_signs"].orderBy("i").collect()
-    signs = [float(r.sign) for r in sign_rows]
-    if len(signs) != dim:
-        raise ValueError(
-            f"opq_signs artifact has {len(signs)} rows, expected dim={dim}"
-        )
-    if OPQ_META in idx:
-        meta = idx[OPQ_META].collect()[0]
-        if int(meta.dim) != dim:
+    # r20: resolution + provenance verification memoized PER HANDLE —
+    # the idx dict IS the loaded generation (the FAISS in-memory-index
+    # posture: verify once per load, serve many searches). A fresh
+    # load_index() always re-collects and re-verifies, so an in-place
+    # hand-edit is still refused at the next load; within one handle
+    # the artifacts are immutable by the stage-then-switch commit.
+    signs = idx.get((_VERIFIED_SIGNS, dim))
+    if signs is None:
+        sign_rows = idx["opq_signs"].orderBy("i").collect()
+        signs = [float(r.sign) for r in sign_rows]
+        if len(signs) != dim:
             raise ValueError(
-                f"opq_meta records dim={int(meta.dim)} but dim={dim} was "
-                "requested; this generation serves a different dimension"
+                f"opq_signs artifact has {len(signs)} rows, expected dim={dim}"
             )
-        if similarity.hd_signs(dim, meta.opq_seed) != signs:
-            raise ValueError(
-                "opq_meta seed does not derive the committed opq_signs "
-                "diagonal — the generation is torn or hand-edited; "
-                "rebuild with index_cycle(opq_seed=...)"
-            )
+        if OPQ_META in idx:
+            meta = idx[OPQ_META].collect()[0]
+            if int(meta.dim) != dim:
+                raise ValueError(
+                    f"opq_meta records dim={int(meta.dim)} but dim={dim} was "
+                    "requested; this generation serves a different dimension"
+                )
+            if similarity.hd_signs(dim, meta.opq_seed) != signs:
+                raise ValueError(
+                    "opq_meta seed does not derive the committed opq_signs "
+                    "diagonal — the generation is torn or hand-edited; "
+                    "rebuild with index_cycle(opq_seed=...)"
+                )
+        idx[(_VERIFIED_SIGNS, dim)] = signs
     # r20: Arrow-batch bit-exact twin of the hd_rotate expression — same
     # outputs, O(1) plan instead of a dim² HOF tree rebuilt+reanalyzed
     # per invocation (guide §4.2; see similarity.rotate_by_matrix_rows)
@@ -1252,8 +1267,22 @@ def _generation_rotation(idx: dict, dim: int):
     artifact exactly, so a torn or hand-edited generation fails loudly.
     Returns a DataFrame-level transform ``(df, id_col, emb_col) -> df``
     for query-side rotation (r20: the Arrow-batch bit-exact twins —
-    same outputs as the expression forms, O(1) plan size)."""
+    same outputs as the expression forms, O(1) plan size).
+
+    r20: resolution + verification memoized per HANDLE (the idx dict —
+    see opq_search): a generation is verified once per load_index()
+    result and served many times from the resolved transform; a fresh
+    load always re-collects and re-verifies, so in-place hand-edits are
+    still refused at the next load."""
     from homelogging_spark.operators import similarity
+
+    memo = idx.get((_VERIFIED_ROTATION, dim))
+    if memo is not None:
+        return memo
+
+    def _memoized(fn):
+        idx[(_VERIFIED_ROTATION, dim)] = fn
+        return fn
 
     if OPQ_ROTATION in idx:
         rows = idx[OPQ_ROTATION].orderBy("i", "j").collect()
@@ -1288,8 +1317,10 @@ def _generation_rotation(idx: dict, dim: int):
                     "committed opq_rotation matrix — the generation is "
                     "torn or hand-edited; rebuild with index_cycle"
                 )
-        return lambda df, i, e: similarity.rotate_by_matrix_rows(
-            df, mat, id_col=i, emb_col=e
+        return _memoized(
+            lambda df, i, e: similarity.rotate_by_matrix_rows(
+                df, mat, id_col=i, emb_col=e
+            )
         )
     if "opq_signs" in idx:
         signs = [float(r.sign) for r in idx["opq_signs"].orderBy("i").collect()]
@@ -1322,8 +1353,10 @@ def _generation_rotation(idx: dict, dim: int):
                     "opq_signs diagonal — the generation is torn or "
                     "hand-edited; rebuild with index_cycle(opq_seed=...)"
                 )
-        return lambda df, i, e: similarity.hd_rotate_rows(
-            df, dim, signs=signs, id_col=i, emb_col=e
+        return _memoized(
+            lambda df, i, e: similarity.hd_rotate_rows(
+                df, dim, signs=signs, id_col=i, emb_col=e
+            )
         )
     raise KeyError(
         "index generation carries no OPQ tier; rebuild with "
