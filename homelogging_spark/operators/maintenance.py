@@ -803,11 +803,15 @@ OPQ_ROTATION = "opq_rotation"
 # load; they backfill provenance on their next rebuild.
 OPQ_META = "opq_meta"
 
-# r20: per-HANDLE memo keys for resolved+verified serving state (see
-# opq_search / _generation_rotation) — verification runs once per
-# load_index() result, never per search; a fresh load always re-verifies.
-_VERIFIED_SIGNS = "__verified_signs"
-_VERIFIED_ROTATION = "__verified_rotation"
+# r21 (r20 verdict #1): per-HANDLE memo keys for the COLLECTED serving
+# artifacts (see opq_search / _generation_rotation) — the memo caches
+# the Spark collect() jobs (signs/rotation rows + the opq_meta row),
+# NEVER the verification outcome: the pure-Python provenance
+# re-derivation comparison runs on EVERY serve, so a generation whose
+# meta no longer re-derives the committed artifact is refused even
+# from a warm handle. A fresh load_index() re-collects as before.
+_COLLECTED_SIGNS = "__collected_signs"
+_COLLECTED_ROTATION = "__collected_rotation"
 
 
 def load_index(spark: SparkSession, index_root: str) -> dict:
@@ -1213,34 +1217,37 @@ def opq_search(
             "index generation carries no OPQ tier; rebuild with "
             "index_cycle(opq_seed=...) first"
         )
-    # r20: resolution + provenance verification memoized PER HANDLE —
-    # the idx dict IS the loaded generation (the FAISS in-memory-index
-    # posture: verify once per load, serve many searches). A fresh
-    # load_index() always re-collects and re-verifies, so an in-place
-    # hand-edit is still refused at the next load; within one handle
-    # the artifacts are immutable by the stage-then-switch commit.
-    signs = idx.get((_VERIFIED_SIGNS, dim))
-    if signs is None:
+    # r21: the per-HANDLE memo caches the COLLECTED artifacts (the
+    # Spark jobs: signs rows + the opq_meta row), never the verification
+    # outcome — the pure-Python seed→signs re-derivation below re-runs
+    # on EVERY serve, so a torn generation is refused even from a warm
+    # handle. The idx dict IS the loaded generation (the FAISS
+    # in-memory-index posture: collect once per load, serve many
+    # searches); a fresh load_index() always re-collects.
+    cached = idx.get((_COLLECTED_SIGNS, dim))
+    if cached is None:
         sign_rows = idx["opq_signs"].orderBy("i").collect()
         signs = [float(r.sign) for r in sign_rows]
         if len(signs) != dim:
             raise ValueError(
                 f"opq_signs artifact has {len(signs)} rows, expected dim={dim}"
             )
-        if OPQ_META in idx:
-            meta = idx[OPQ_META].collect()[0]
-            if int(meta.dim) != dim:
-                raise ValueError(
-                    f"opq_meta records dim={int(meta.dim)} but dim={dim} was "
-                    "requested; this generation serves a different dimension"
-                )
-            if similarity.hd_signs(dim, meta.opq_seed) != signs:
-                raise ValueError(
-                    "opq_meta seed does not derive the committed opq_signs "
-                    "diagonal — the generation is torn or hand-edited; "
-                    "rebuild with index_cycle(opq_seed=...)"
-                )
-        idx[(_VERIFIED_SIGNS, dim)] = signs
+        meta = idx[OPQ_META].collect()[0] if OPQ_META in idx else None
+        cached = (signs, meta)
+        idx[(_COLLECTED_SIGNS, dim)] = cached
+    signs, meta = cached
+    if meta is not None:
+        if int(meta.dim) != dim:
+            raise ValueError(
+                f"opq_meta records dim={int(meta.dim)} but dim={dim} was "
+                "requested; this generation serves a different dimension"
+            )
+        if similarity.hd_signs(dim, meta.opq_seed) != signs:
+            raise ValueError(
+                "opq_meta seed does not derive the committed opq_signs "
+                "diagonal — the generation is torn or hand-edited; "
+                "rebuild with index_cycle(opq_seed=...)"
+            )
     # r20: Arrow-batch bit-exact twin of the hd_rotate expression — same
     # outputs, O(1) plan instead of a dim² HOF tree rebuilt+reanalyzed
     # per invocation (guide §4.2; see similarity.rotate_by_matrix_rows)
@@ -1269,33 +1276,32 @@ def _generation_rotation(idx: dict, dim: int):
     for query-side rotation (r20: the Arrow-batch bit-exact twins —
     same outputs as the expression forms, O(1) plan size).
 
-    r20: resolution + verification memoized per HANDLE (the idx dict —
-    see opq_search): a generation is verified once per load_index()
-    result and served many times from the resolved transform; a fresh
-    load always re-collects and re-verifies, so in-place hand-edits are
-    still refused at the next load."""
+    r21 (r20 verdict #1): the per-handle memo caches the COLLECTED
+    artifacts (the Spark jobs: rotation/signs rows + the opq_meta row),
+    never the verification outcome — the pure-Python re-derivation
+    comparison (a config-dict lookup + an O(dim²) equality / dim md5
+    hashes) re-runs on EVERY serve, so a generation whose meta no
+    longer re-derives the committed artifact is refused even from a
+    warm handle. A fresh load always re-collects."""
     from homelogging_spark.operators import similarity
 
-    memo = idx.get((_VERIFIED_ROTATION, dim))
-    if memo is not None:
-        return memo
-
-    def _memoized(fn):
-        idx[(_VERIFIED_ROTATION, dim)] = fn
-        return fn
-
     if OPQ_ROTATION in idx:
-        rows = idx[OPQ_ROTATION].orderBy("i", "j").collect()
-        if len(rows) != dim * dim:
-            raise ValueError(
-                f"opq_rotation artifact has {len(rows)} entries, expected "
-                f"dim*dim={dim * dim}"
-            )
-        mat = [[0.0] * dim for _ in range(dim)]
-        for r in rows:
-            mat[int(r.i)][int(r.j)] = float(r.val)
-        if OPQ_META in idx:
-            meta = idx[OPQ_META].collect()[0]
+        cached = idx.get((_COLLECTED_ROTATION, dim))
+        if cached is None:
+            rows = idx[OPQ_ROTATION].orderBy("i", "j").collect()
+            if len(rows) != dim * dim:
+                raise ValueError(
+                    f"opq_rotation artifact has {len(rows)} entries, expected "
+                    f"dim*dim={dim * dim}"
+                )
+            mat = [[0.0] * dim for _ in range(dim)]
+            for r in rows:
+                mat[int(r.i)][int(r.j)] = float(r.val)
+            meta = idx[OPQ_META].collect()[0] if OPQ_META in idx else None
+            cached = (mat, meta)
+            idx[(_COLLECTED_ROTATION, dim)] = cached
+        mat, meta = cached
+        if meta is not None:
             if int(meta.dim) != dim:
                 raise ValueError(
                     f"opq_meta records dim={int(meta.dim)} but dim={dim} "
@@ -1317,24 +1323,29 @@ def _generation_rotation(idx: dict, dim: int):
                     "committed opq_rotation matrix — the generation is "
                     "torn or hand-edited; rebuild with index_cycle"
                 )
-        return _memoized(
-            lambda df, i, e: similarity.rotate_by_matrix_rows(
-                df, mat, id_col=i, emb_col=e
-            )
+        return lambda df, i, e: similarity.rotate_by_matrix_rows(
+            df, mat, id_col=i, emb_col=e
         )
     if "opq_signs" in idx:
-        signs = [float(r.sign) for r in idx["opq_signs"].orderBy("i").collect()]
-        if len(signs) != dim:
-            raise ValueError(
-                f"opq_signs artifact has {len(signs)} rows, expected "
-                f"dim={dim}"
-            )
+        cached = idx.get((_COLLECTED_SIGNS, dim))
+        if cached is None:
+            signs = [
+                float(r.sign) for r in idx["opq_signs"].orderBy("i").collect()
+            ]
+            if len(signs) != dim:
+                raise ValueError(
+                    f"opq_signs artifact has {len(signs)} rows, expected "
+                    f"dim={dim}"
+                )
+            meta = idx[OPQ_META].collect()[0] if OPQ_META in idx else None
+            cached = (signs, meta)
+            idx[(_COLLECTED_SIGNS, dim)] = cached
+        signs, meta = cached
         # r20 (r19 ADVICE #3): the signs branch enforces the SAME meta
         # consistency opq_search does — without it, ivf_opq_search over
         # a signs generation would serve a torn/hand-edited generation
         # that opq_search refuses (asymmetric provenance enforcement).
-        if OPQ_META in idx:
-            meta = idx[OPQ_META].collect()[0]
+        if meta is not None:
             if int(meta.dim) != dim:
                 raise ValueError(
                     f"opq_meta records dim={int(meta.dim)} but dim={dim} "
@@ -1353,10 +1364,8 @@ def _generation_rotation(idx: dict, dim: int):
                     "opq_signs diagonal — the generation is torn or "
                     "hand-edited; rebuild with index_cycle(opq_seed=...)"
                 )
-        return _memoized(
-            lambda df, i, e: similarity.hd_rotate_rows(
-                df, dim, signs=signs, id_col=i, emb_col=e
-            )
+        return lambda df, i, e: similarity.hd_rotate_rows(
+            df, dim, signs=signs, id_col=i, emb_col=e
         )
     raise KeyError(
         "index generation carries no OPQ tier; rebuild with "

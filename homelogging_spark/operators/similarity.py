@@ -130,7 +130,17 @@ def lsh_table_buckets(
     analysis dominated the LSH legs' per-invocation cost. Row ORDER
     within a partition differs from the ``posexplode`` form (grouped by
     table instead of interleaved); every consumer keys on
-    (table_idx, bucket) or aggregates, so order is immaterial."""
+    (table_idx, bucket) or aggregates, so order is immaterial.
+
+    Edge-semantics scope (applies to every r20 Arrow twin here —
+    ``lsh_table_buckets``, ``pq_codes``, ``rotate_by_matrix_rows``,
+    ``hd_rotate_rows``): the bit-equality claim vs the expression/
+    DuckDB forms holds for FINITE, dense, dim-length embeddings. A
+    null embedding raises in the numpy stack (the expression form
+    yielded null dots → bucket 0 / null d2), and a NaN projection
+    flips the sign test (Spark evaluates ``NaN > 0`` true, numpy
+    false). Registry inputs are generated finite-dense, so neither
+    case is reachable from a declared query."""
     all_planes = hyperplanes(n_tables * planes_per_table, dim)
     p_cols = [
         [float(all_planes[j][i]) for j in range(n_tables * planes_per_table)]
@@ -834,12 +844,13 @@ def pq_codes(
     100 TB-scale vector search RAM-resident. Returns per-vector codes
     plus the reconstruction MSE (the quality dial).
 
-    Scale shape: ALL sub-codebooks union into one tiny broadcast frame
-    (subspace, centroid_id, centroid); assignment is one broadcast
-    nested-loop over K·M rows per vector — a constant-width map-side
-    lookup — followed by a single shuffle on the vector id for the
-    argmin-per-subspace pivot. No stage touches more than
-    O(N · K · M) rows, and nothing is ever collected to the driver."""
+    Scale shape (r20 map-side encode): the K·M-row codebook — metadata-
+    sized by construction, the FAISS posture of RAM-resident codebooks —
+    is collected to the DRIVER once per encode (a Spark job at call
+    time, so ``pq_codes`` is eager even inside query builders) and
+    shipped into an Arrow ``mapInPandas`` encode: the argmin runs in
+    numpy per batch, zero exchanges, one corpus pass. The corpus itself
+    is never collected; only the O(K·M) codebook crosses the driver."""
     sub_dim = dim // n_subspaces
     if codebook is None:
         codebook = pq_codebook(

@@ -1211,7 +1211,12 @@ def _cached_index_handle(spark: SparkSession, root: str) -> dict:
     try:
         stamp = _os.path.getmtime(marker)
     except OSError:
-        stamp = None
+        # r21 (r20 ADVICE #2): an unstat-able marker (non-local index
+        # root, missing _SUCCESS) must NOT collapse every generation at
+        # this root onto one stale stamp=None entry — skip the cache and
+        # load fresh, paying the metadata latency but never serving a
+        # stale handle.
+        return load_index(spark, root)
     key = (spark.sparkContext.applicationId, root, stamp)
     got = _INDEX_HANDLE_CACHE.get(key)
     if got is None:
