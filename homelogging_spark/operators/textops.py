@@ -241,11 +241,19 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-doc top-k terms by tf·idf with idf = ln(N / df). Two shuffles,
-    both on high-cardinality keys: (term) for document frequencies,
-    (doc) for the per-doc rank — the df table carries one row per
-    distinct term and broadcasts back onto the exploded terms. Ties
-    break by term text so the selection is deterministic."""
+    """Per-doc top-k terms by tf·idf with idf = ln(N / df). Three
+    shuffles, all on high-cardinality keys and all carrying only the
+    post-partial-agg (doc, term, tf) rows: (doc, term) for tf, (term)
+    for document frequencies, (doc) for the per-doc rank. Ties break by
+    term text so the selection is deterministic.
+
+    r21: df comes from a count window over tf partitioned on the term —
+    the same value as the former ``tf.groupBy("term")`` + broadcast
+    join (df = number of tf rows carrying the term), but the tf subtree
+    (scan → tokenize → explode → partial agg) appears ONCE in the plan
+    instead of twice: the broadcast build side re-computed the whole
+    exploded aggregation just to count rows per term (guide §2.4 —
+    duplicated subtrees are hidden second scans)."""
     from pyspark.sql import Window
 
     from homelogging_spark.functions.texthash import tokens
@@ -257,12 +265,12 @@ def tfidf_top_terms(
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    # document frequency per term + the corpus size as a 1-row cross
-    # (broadcast) — idf computed once per TERM, not per occurrence
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # corpus size as a 1-row cross (broadcast) — a column-pruned count
+    # scan, the cheapest way to attach the scalar
     n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_total"))
+    w_df = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df).cast("bigint"))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -450,7 +450,14 @@ def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram — the standard shift detector between crawl snapshots.
     Counts are exact; p/q use additive smoothing (+0.5 per bin) so the
     ln is total; per-bin contributions emitted (their sum is the PSI).
-    One scan, one tiny (2 x bins) aggregate."""
+    One scan, one tiny (2 x bins) aggregate.
+
+    r21: the totals ride a global window over the 10-bin aggregate
+    instead of a separate ``counts.agg`` + broadcast cross — the
+    broadcast build side re-computed the whole counts subtree, so the
+    documents scan (and its per-row regexp_extract) ran TWICE per
+    invocation (guide §2.4). The window is a single-partition pass
+    over at most PSI_NBINS rows, bounded at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     snap_a = F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10
     bin_ = F.least(
@@ -464,10 +471,10 @@ def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
         )
     )
-    tot = counts.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    w_all = Window.partitionBy()
+    j = counts.withColumn("ta", F.sum("n_a").over(w_all)).withColumn(
+        "tb", F.sum("n_b").over(w_all)
     )
-    j = counts.crossJoin(F.broadcast(tot))
     p = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * PSI_NBINS)
     q = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * PSI_NBINS)
     contrib = (p - q) * F.log(p / q)

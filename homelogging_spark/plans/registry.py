@@ -1749,9 +1749,22 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
         rho.cast("bigint").alias("rho"),
     )
-    per_et = regs.groupBy("event_type", "bucket").agg(F.max("rho").alias("M"))
-    merged = per_et.groupBy("bucket").agg(F.max("M").alias("M")).select(
-        F.lit("ALL").alias("event_type"), "bucket", "M"
+    # r21 (guide §2.4): ONE grouping-sets aggregation emits the per-type
+    # registers AND the merged grand-total registers from a single scan
+    # — the former per_et ∪ re-agg(per_et) union embedded the whole
+    # register subtree twice, so events was scanned twice. max(rho) over
+    # all rows per bucket == max of the per-type maxes (register-wise
+    # merge is associative), so the rows are identical.
+    allregs = (
+        regs.groupingSets(
+            [["event_type", "bucket"], ["bucket"]], "event_type", "bucket"
+        )
+        .agg(F.max("rho").alias("M"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "bucket",
+            "M",
+        )
     )
 
     def estimate(df: DataFrame) -> DataFrame:
@@ -1763,15 +1776,15 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / s).alias("hll_raw"),
         )
 
-    ests = estimate(per_et).unionByName(estimate(merged))
-    exact = (
-        events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_exact"))
-        .unionByName(
-            events.agg(F.countDistinct("user_id").alias("n_exact")).select(
-                F.lit("ALL").alias("event_type"), "n_exact"
-            )
-        )
+    ests = estimate(allregs)
+    # r21: rollup replaces the per-type ∪ global countDistinct pair —
+    # the same two grains from one scan (exact distincts per group are
+    # unchanged; the fixture's event_type is never NULL, so the
+    # coalesced 'ALL' label can only be the rollup total row).
+    exact = events.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n_exact"
     )
     return ests.join(exact, "event_type").select(
         "event_type",
@@ -1883,15 +1896,23 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), F.least(F.lit(_HQ_B - 1), F.floor(F.col("value") / _HQ_WIDTH))
     ).cast("int")
     base = events.select("event_type", b.alias("bucket"))
-    hist = base.groupBy("event_type", "bucket").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
+    # r21 (guide §2.4): ONE grouping-sets aggregation emits the per-type
+    # histogram AND the merged TOTAL histogram from a single scan — the
+    # former hist ∪ re-agg(hist) union embedded the histogram subtree
+    # (and its events scan) twice. count(*) per (bucket) over all rows
+    # == sum of the per-type counts (counts are integers, exact in
+    # doubles), so the sketch rows are bit-identical.
+    allh = (
+        base.groupingSets(
+            [["event_type", "bucket"], ["bucket"]], "event_type", "bucket"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .select(
+            F.coalesce("event_type", F.lit("TOTAL")).alias("event_type"),
+            "bucket",
+            "cnt",
+        )
     )
-    merged = (
-        hist.groupBy("bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select(F.lit("TOTAL").alias("event_type"), "bucket", "cnt")
-    )
-    allh = hist.unionByName(merged)
     w_n = Window.partitionBy("event_type")
     w_cum = (
         Window.partitionBy("event_type")
@@ -1912,10 +1933,17 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c50, e50 = crossing(0.5)
     c95, e95 = crossing(0.95)
-    p50 = c.where(c50).select(
-        "event_type", F.col("n").cast("bigint").alias("n"), e50.alias("p50_est")
+    # r21 (guide §2.4): both crossings read in ONE conditional
+    # aggregation over c — the former p50/p95 filtered frames joined on
+    # event_type embedded the whole sketch subtree twice. Exactly one
+    # row per group satisfies each crossing condition (the cumulative
+    # sum crosses q·n once), so max(when(cond, est)) IS that row's
+    # estimate, and n is constant within a group.
+    ests = c.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(c50, e50)).alias("p50_est"),
+        F.max(F.when(c95, e95)).alias("p95_est"),
     )
-    p95 = c.where(c95).select("event_type", e95.alias("p95_est"))
     exact = (
         events.rollup("event_type")
         .agg(
@@ -1928,7 +1956,7 @@ def q_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_exact",
         )
     )
-    out = p50.join(p95, "event_type").join(exact, "event_type")
+    out = ests.join(exact, "event_type")
     q50, q95 = quantize("p50_est"), quantize("p95_est")
     x50, x95 = quantize("p50_exact"), quantize("p95_exact")
     return out.select(
@@ -2020,19 +2048,36 @@ def q_sketch_rollup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel_err").alias("err"),
     )
 
-    def quant_leg(metric: str) -> DataFrame:
-        return hist.select(
-            F.lit("histogram").alias("sketch"),
+    # r21 (guide §2.4): the two histogram metrics explode from ONE hist
+    # row instead of unioning two projections of the hist frame — the
+    # union form embedded the whole quantile-rollup subtree (scans,
+    # sketch aggregation, windows) once per metric.
+    def metric_struct(metric: str):
+        return F.struct(
             F.lit(metric).alias("metric"),
-            "event_type",
-            F.col("n").cast("bigint").alias("n"),
-            F.lit(None).cast("bigint").alias("n_buckets"),
             F.col(f"{metric}_est").alias("est"),
             F.col(f"{metric}_exact").alias("exact"),
             F.col(f"abs_err_{metric}").alias("err"),
         )
 
-    return h.unionByName(quant_leg("p50")).unionByName(quant_leg("p95"))
+    quant = hist.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.explode(F.array(metric_struct("p50"), metric_struct("p95"))).alias(
+            "m"
+        ),
+    ).select(
+        F.lit("histogram").alias("sketch"),
+        F.col("m.metric").alias("metric"),
+        "event_type",
+        "n",
+        F.lit(None).cast("bigint").alias("n_buckets"),
+        F.col("m.est").alias("est"),
+        F.col("m.exact").alias("exact"),
+        F.col("m.err").alias("err"),
+    )
+
+    return h.unionByName(quant)
 
 
 ORACLE_SKETCH_ROLLUP_PANEL = f"""
