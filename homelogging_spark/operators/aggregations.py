@@ -320,13 +320,18 @@ def robust_outliers(
     absolute deviation are 50%-breakdown estimators (Iglewicz & Hoaglin
     1993: modified z = 0.6745 (x − med) / MAD, flag |z| > 3.5).
 
-    Two shuffles by construction (median needs a full pass before
-    deviations exist): per-key median, co-keyed join back, per-key MAD,
-    join back, then the per-row score is map-side. ``approx=True`` is
-    the 100 TB dial — both percentile passes switch to Spark's
-    mergeable Greenwald-Khanna sketch (``percentile_approx``, no
-    full-sort state; engine-internal, so the registered query pins the
-    exact form and the approx form is unit-pinned for tolerance).
+    r21 shape (guide §2.4): the median and the MAD are per-key window
+    aggregates over ONE exchange on the keys — the former groupBy +
+    join-back pair embedded the deviation subtree twice (its scan and
+    the median aggregation re-ran inside the MAD branch), costing four
+    scans and four exchanges for the same rows. Both windows share the
+    key partitioning, so the sequential dependency (MAD needs the
+    median's deviations) adds a second Window pass, never a second
+    shuffle. ``approx=True`` is the 100 TB dial — both percentile
+    passes switch to Spark's mergeable Greenwald-Khanna sketch
+    (``percentile_approx``, no full-sort state; engine-internal, so the
+    registered query pins the exact form and the approx form is
+    unit-pinned for tolerance).
 
     A key whose MAD is 0 (at least half its values identical) emits
     NULL ``robust_z`` and ``is_outlier`` = (deviation > 0): the
@@ -335,17 +340,23 @@ def robust_outliers(
     unquantifiable."""
     v = F.col(value_col).cast("double")
 
-    def med_expr(col: str):
-        return (
-            F.percentile_approx(col, F.lit(0.5), F.lit(10000)).cast("double")
-            if approx
-            else F.percentile(col, F.lit(0.5))
-        )
+    w_key = Window.partitionBy(*keys)
 
-    med = df.groupBy(*keys).agg(med_expr(value_col).alias("_med"))
-    dev = df.join(med, list(keys)).withColumn("_dev", F.abs(v - F.col("_med")))
-    mad = dev.groupBy(*keys).agg(med_expr("_dev").alias("_mad"))
-    scored = dev.join(mad, list(keys))
+    def med_expr(col: str):
+        # the cast must wrap the WINDOWED column, not the bare aggregate
+        # (over() applies to the aggregate expression itself)
+        if approx:
+            return (
+                F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+                .over(w_key)
+                .cast("double")
+            )
+        return F.percentile(col, F.lit(0.5)).over(w_key)
+
+    dev = df.withColumn("_med", med_expr(value_col)).withColumn(
+        "_dev", F.abs(v - F.col("_med"))
+    )
+    scored = dev.withColumn("_mad", med_expr("_dev"))
     z = F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad")
     return scored.select(
         *keys,

@@ -46,6 +46,8 @@ sitting beside the dedup/similarity operators.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,11 +318,19 @@ def cm_query(
     depth: int = 4,
     width: int = 256,
     salt: str = "cm",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Frequency estimate per key: min over the key's ``depth`` register
     cells. The register table (≤ depth·width rows) is broadcast; the
     key panel streams through one scan + a bounded-fanout join. The
-    estimate NEVER under-counts (the count-min guarantee; pinned)."""
+    estimate NEVER under-counts (the count-min guarantee; pinned).
+
+    ``carry_cols``: extra ``keys`` columns carried through the probe
+    verbatim (functionally dependent on the key, e.g. its exact count)
+    — this lets a caller probe ON its key frame instead of joining the
+    estimate back, which would embed the key frame's subtree twice
+    (guide §2.4)."""
+    carry = list(carry_cols)
     key = F.col(key_col)
     coords = F.array(
         *[
@@ -331,13 +341,15 @@ def cm_query(
             for r in range(depth)
         ]
     )
-    exploded = keys.select(key_col, F.explode(coords).alias("c")).select(
-        key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col")
+    exploded = keys.select(key_col, *carry, F.explode(coords).alias("c")).select(
+        key_col, *carry, F.col("c.row").alias("row"), F.col("c.col").alias("col")
     )
     joined = exploded.join(F.broadcast(sketch), ["row", "col"], "left").select(
-        key_col, F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt")
+        key_col,
+        *carry,
+        F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt"),
     )
-    return joined.groupBy(key_col).agg(F.min("cnt").alias("cm_est"))
+    return joined.groupBy(key_col, *carry).agg(F.min("cnt").alias("cm_est"))
 
 
 def heavy_hitters_report(
@@ -364,10 +376,15 @@ def heavy_hitters_report(
         .limit(k)
     )
     sk = cm_sketch(df, key_col, depth, width, salt)
-    est = cm_query(sk, exact.select(key_col), key_col, depth, width, salt)
+    # r21 (guide §2.4): probe ON the exact frame, carrying n_exact —
+    # the former exact.join(est) embedded the exact top-k subtree (a
+    # full scan + aggregation of df) twice, once as the join's left
+    # side and once under the probe.
+    est = cm_query(
+        sk, exact, key_col, depth, width, salt, carry_cols=["n_exact"]
+    )
     return (
-        exact.join(est, key_col)
-        .select(
+        est.select(
             key_col,
             "n_exact",
             F.col("cm_est").cast("bigint").alias("cm_est"),

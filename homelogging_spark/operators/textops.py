@@ -444,9 +444,19 @@ def bm25_topk(
         dfreq = dfreq.join(F.broadcast(q_terms), "term").select(
             "term", F.col("df").cast("double").alias("df")
         )
+        with_df = tf.join(F.broadcast(dfreq), "term")
     else:
-        dfreq = tf.groupBy("term").agg(
-            F.count(F.lit(1)).cast("double").alias("df")
+        # r21 (guide §2.4): df via a count window over the PRUNED tf
+        # frame partitioned on the term — the same value as the former
+        # tf.groupBy("term") + broadcast join (df = tf rows per term),
+        # but the tf subtree (corpus tokenize + explode + prune + agg)
+        # appears once in the plan instead of twice. The window's
+        # exchange moves only the query-term tf rows.
+        with_df = tf.withColumn(
+            "df",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("term"))
+            .cast("double"),
         )
     if stats is not None:
         if verify_state:
@@ -513,7 +523,7 @@ def bm25_topk(
     # that term's contribution in score AND n_terms_hit
     q_pairs = queries.select("query_id", "term").distinct()
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        with_df
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q_pairs), "term")
         .groupBy("query_id", id_col)
@@ -770,6 +780,7 @@ def repetition_columns(
     text: Column,
     max_bigram_cover: float = 0.2,
     max_dup_trigram: float = 0.3,
+    toks: Column | None = None,
 ) -> dict[str, Column]:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     the rules RefinedWeb/Dolma reuse) as composable columns: the
@@ -784,10 +795,15 @@ def repetition_columns(
     gram's occurrence count), and the trigram duplicate fraction is
     ``1 - distinct/total`` on the same row. All JVM column expressions
     inside whole-stage codegen; at 100 TB this is a pure map over the
-    corpus scan. Mirrors ``repetition_scores_sql``."""
+    corpus scan. Mirrors ``repetition_scores_sql``.
+
+    ``toks``: optionally an already-staged token-array COLUMN (the
+    ``quality_columns`` convention) so callers consuming several
+    text-signal families alias ``tokens(text)`` once."""
     from homelogging_spark.functions.texthash import tokens, word_shingles
 
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     n = F.size(toks)
     big = F.array_sort(word_shingles(toks, 2, distinct=False))
     tri = word_shingles(toks, 3, distinct=False)

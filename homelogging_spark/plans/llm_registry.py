@@ -195,9 +195,36 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     both former rows appears verbatim under its leg, so one row set
     certifies both at full fidelity."""
     docs = _docs(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    cols = textops.quality_columns(F.col("text"))
-    rep = textops.repetition_columns(F.col("text"))
+    # r21 (guide §4 per-row work): STAGE the token array and the
+    # language-ID verdict as materialized columns — the former single
+    # projection re-embedded the tokenize subtree in every signal
+    # family and evaluated the language_id CASE tree twice (pred_lang
+    # + agree). Higher-order array functions are CodegenFallback
+    # (interpreted), so expression-tree duplication is paid per row at
+    # execution, not folded by codegen; CollapseProject keeps
+    # multi-referenced non-cheap aliases staged.
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    cols = textops.quality_columns(F.col("text"), toks=toks)
+    rep = textops.repetition_columns(F.col("text"), toks=toks)
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        textops.language_id(toks).alias("__pred"),
+        cols["n_tokens"].cast("bigint").alias("__n_tokens"),
+        quantize(cols["mean_token_len"]).alias("__mean_token_len"),
+        quantize(cols["stopword_ratio"]).alias("__stopword_ratio"),
+        quantize(cols["punct_ratio"]).alias("__punct_ratio"),
+        quantize(cols["quality_score"]).alias("__quality_score"),
+        quantize(rep["top_bigram_cover"]).alias("__top_bigram_cover"),
+        quantize(rep["dup_trigram_frac"]).alias("__dup_trigram_frac"),
+        rep["keep"].alias("__rep_keep"),
+    )
     # n/a encoding per dtype: doubles carry typed NULLs (the
     # battery_panel-proven shape — null doubles hash identically on
     # both engines), while strings/booleans/bigints carry explicit
@@ -207,20 +234,20 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which columns are meaningful on a row.
     nd = F.lit(None).cast("double")
     na_b = F.lit(-1).cast("bigint")
-    doc_leg = docs.select(
+    doc_leg = scored.select(
         F.lit("doc").alias("panel"),
         F.col("doc_id"),
-        textops.language_id(toks).alias("pred_lang"),
+        F.col("__pred").alias("pred_lang"),
         F.col("lang").alias("label_lang"),
-        (textops.language_id(toks) == F.col("lang")).alias("agree"),
-        cols["n_tokens"].cast("bigint").alias("n_tokens"),
-        quantize(cols["mean_token_len"]).alias("mean_token_len"),
-        quantize(cols["stopword_ratio"]).alias("stopword_ratio"),
-        quantize(cols["punct_ratio"]).alias("punct_ratio"),
-        quantize(cols["quality_score"]).alias("quality_score"),
-        quantize(rep["top_bigram_cover"]).alias("top_bigram_cover"),
-        quantize(rep["dup_trigram_frac"]).alias("dup_trigram_frac"),
-        rep["keep"].alias("rep_keep"),
+        (F.col("__pred") == F.col("lang")).alias("agree"),
+        F.col("__n_tokens").alias("n_tokens"),
+        F.col("__mean_token_len").alias("mean_token_len"),
+        F.col("__stopword_ratio").alias("stopword_ratio"),
+        F.col("__punct_ratio").alias("punct_ratio"),
+        F.col("__quality_score").alias("quality_score"),
+        F.col("__top_bigram_cover").alias("top_bigram_cover"),
+        F.col("__dup_trigram_frac").alias("dup_trigram_frac"),
+        F.col("__rep_keep").alias("rep_keep"),
         na_b.alias("n_docs"),
         na_b.alias("total_chars"),
         nd.alias("avg_chars"),
