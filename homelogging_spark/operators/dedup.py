@@ -94,13 +94,24 @@ def hashed_shingle_base(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    with_content_hash: bool = False,
 ) -> DataFrame:
     """(id, bh): distinct 60-bit hashes of a doc's word shingles — the
     frame every LSH stage (signatures, bands, Jaccard verify) consumes.
-    At production scale this is the materialized signatures table."""
-    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    At production scale this is the materialized signatures table.
+
+    ``with_content_hash`` adds the exact-dup digest (md5 of the text)
+    as a ``content_hash`` column, so a caller that persists this base
+    serves its exact-digest stage from the SAME materialized scan
+    instead of re-reading the raw corpus (guide §2.4)."""
+    cols = [F.col(id_col)]
+    if with_content_hash:
+        cols.append(F.md5(F.col(text_col)).alias("content_hash"))
+    sets = df.select(
+        *cols, word_shingles(tokens(F.col(text_col)), n=shingle_n).alias("shingles")
+    )
     return sets.select(
-        F.col(id_col),
+        *[c for c in sets.columns if c != "shingles"],
         F.array_distinct(shingle_base_hash(F.col("shingles"))).alias("bh"),
     )
 
@@ -470,20 +481,25 @@ def incremental_dedup(
     ``(id, exact_dup, near_dup, dup_of, best_jaccard, keep)`` with
     ``dup_of`` = the smallest matching old id and ``best_jaccard`` the
     highest verified similarity (NULL when no near-match)."""
-    old_dig = old_df.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
-    new_dig = new_df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    # r21 (guide §2.4): both sides' exact-dup digests ride the SAME
+    # persisted signature base the LSH stages consume (content_hash
+    # folded into the materialized scan) — the digest legs previously
+    # re-scanned the raw corpus just to md5 it.
+    base_new = tracked_persist(
+        hashed_shingle_base(
+            new_df, id_col, text_col, shingle_n, with_content_hash=True
+        )
     )
+    base_old = tracked_persist(
+        hashed_shingle_base(
+            old_df, id_col, text_col, shingle_n, with_content_hash=True
+        )
+    )
+    old_dig = base_old.select("content_hash").distinct()
+    new_dig = base_new.select(id_col, "content_hash")
     exact = new_dig.join(
         old_dig.withColumn("_hit", F.lit(True)), "content_hash", "left"
     ).select(id_col, F.coalesce("_hit", F.lit(False)).alias("exact_dup"))
-
-    base_new = tracked_persist(
-        hashed_shingle_base(new_df, id_col, text_col, shingle_n)
-    )
-    base_old = tracked_persist(
-        hashed_shingle_base(old_df, id_col, text_col, shingle_n)
-    )
     nb = band_frame(base_new, id_col, n_hashes, n_bands).alias("n")
     ob_frame = band_frame(base_old, id_col, n_hashes, n_bands)
     if old_bucket_cap is not None:

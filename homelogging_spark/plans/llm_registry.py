@@ -918,9 +918,6 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homelogging_spark.operators import sampling
 
     docs = _docs(spark, sf_dir)
-    rep = textops.repetition_scores(docs).select(
-        "doc_id", F.col("keep").alias("rep_ok")
-    )
     # one staged token array feeds the quality signals AND the model
     # features — without it each consumer re-embeds tokens(text) and
     # CollapseProject leaves the duplicates inside when-branches where
@@ -933,6 +930,11 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qc = textops.quality_columns(F.col("text"), toks=F.col("__toks"))
     mf = textops._model_feature_columns(F.col("text"), toks=F.col("__toks"))
+    # r21 (guide §2.4): the repetition gate rides the SAME staged
+    # projection (toks passed through) — the former repetition_scores
+    # frame re-scanned and re-tokenized the corpus just to join one
+    # boolean back on doc_id.
+    rep_cols = textops.repetition_columns(F.col("text"), toks=F.col("__toks"))
     mdl = textops.model_for()
     mdl_score = F.lit(float(mdl["bias"]))
     for fname in sorted(mdl["weights"]):
@@ -947,6 +949,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and be mislabeled 'budget' (identically in both engines, so
         # the oracle could never catch it)
         F.coalesce(mdl_score >= F.lit(0.0), F.lit(False)).alias("mdl_ok"),
+        rep_cols["keep"].alias("rep_ok"),
     )
     # h and ranked are each referenced by multiple plan branches of the
     # final assembly (stage CASE + two left joins); without persist the
@@ -956,7 +959,7 @@ def q_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from homelogging_spark.functions.cachelife import tracked_persist
 
     h = tracked_persist(
-        q.join(rep, "doc_id").withColumn(
+        q.withColumn(
             "hyg_ok",
             # null-safe like mdl_ok: NULL quality (degenerate doc) must
             # read as a hygiene drop, not fall out of the verdict CASE
