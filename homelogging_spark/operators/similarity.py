@@ -290,27 +290,30 @@ def topk_recall(
     the same convention as ``hll_distinct_rollup``'s rel_err column.
 
     Scale shape: the truth side is |Q|·k rows (queries are the small
-    side by construction), the semi-join + per-query count collapse to a
-    broadcast, and the recall column rides back on the ANN rows with a
-    second tiny broadcast join. At 100 TB the exact side is priced per
-    probe query — production runs it over a sampled query panel, which
-    this operator expresses unchanged (pass the sampled exact frame)."""
+    side by construction) and broadcasts onto the ANN rows as a hit
+    marker; the per-query hit count is a window sum over the bounded
+    (|Q|·k) ANN result. At 100 TB the exact side is priced per probe
+    query — production runs it over a sampled query panel, which this
+    operator expresses unchanged (pass the sampled exact frame).
+
+    r21 (guide §2.4): the former semi-join + join-back referenced
+    ``ann`` twice, so the ENTIRE ANN search subtree (bucketing/probing/
+    scoring) executed twice per leg just to attach one ratio. The hit
+    marker + window form references it once; the window's exchange
+    moves only the |Q|·k result rows. n_hits is an integer either way,
+    so recall_at_k is bit-identical."""
     truth = exact.where(F.col("rank") <= k).select(
-        "query_id", F.col(id_col).alias("cand_id")
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.lit(True).alias("__hit"),
     )
-    hits = (
-        ann.join(F.broadcast(truth), ["query_id", "cand_id"], "leftsemi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__n_hits"))
-    )
-    return (
-        ann.join(F.broadcast(hits), "query_id", "left")
-        .withColumn(
-            "recall_at_k",
-            F.coalesce(F.col("__n_hits"), F.lit(0)) / F.lit(float(k)),
-        )
-        .drop("__n_hits")
-    )
+    marked = ann.join(F.broadcast(truth), ["query_id", "cand_id"], "left")
+    n_hits = F.sum(
+        F.when(F.col("__hit"), F.lit(1)).otherwise(F.lit(0))
+    ).over(Window.partitionBy("query_id"))
+    return marked.withColumn(
+        "recall_at_k", n_hits / F.lit(float(k))
+    ).drop("__hit")
 
 
 def ivf_assign(
