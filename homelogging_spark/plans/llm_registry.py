@@ -1450,6 +1450,13 @@ def q_hybrid_search_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, terms in sorted(HYBRID_QUERY_TERMS.items()) for t in terms],
         "query_id long, term string",
     )
+    # Each retrieval leg is consumed twice (its own panel leg + the rrf
+    # fusion); the duplication is DELIBERATE — re-A/B'd in r21 after the
+    # bm25 df-window fix: tracked_persist of both legs measured ~2.9 s
+    # vs ~2.5 s per iter duplicated at sf0.1 (the ann_topk result again
+    # — the persist barrier serializes legs that otherwise run
+    # concurrently on idle cores; at 100 TB the production path drops
+    # the rrf honesty recompute, not the legs).
     bm = textops.bm25_topk(docs, q_panel, k=HYBRID_K)
     ann = (
         similarity.exact_topk(queries, corpus, k=HYBRID_K)

@@ -663,10 +663,14 @@ def q_goodwe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         w(mv % 1000),                        # etoday @93
         _hexn((iv % 100) * 100000 + mv, 8),  # elifetime @95
     )
-    # materialize head+crc as named columns so the CRC aggregate is
-    # planned once, not inlined into both checksum bytes
+    # materialize head+crc as named columns so the CRC is planned once,
+    # not inlined into both checksum bytes. r21: the synthesis-side CRC
+    # runs as the Arrow-batch numpy twin (bit-exact integer table fold;
+    # guide §4) — the 97-step aggregate expression dominated this
+    # query's plan construction AND execution; the PARSER's gate
+    # (crc_ok, the certified feature) is untouched.
     src = ev.select("event_id", head_hex.alias("hh")).withColumn(
-        "crc", goodwe.crc16_modbus_col(F.unhex(F.col("hh")), 3, 99)
+        "crc", goodwe.crc16_modbus_hex_batch(3, 99, 99)(F.col("hh"))
     )
     crc = F.col("crc")
     frame = F.unhex(

@@ -117,6 +117,39 @@ def crc16_modbus_col(payload: Column | str, lo: int, hi: Column | int) -> Column
     return F.aggregate(F.sequence(F.lit(lo), hi_col), F.lit(0xFFFF), fold)
 
 
+def crc16_modbus_hex_batch(lo: int, hi: int, width: int):
+    """Arrow-batch numpy twin of :func:`crc16_modbus_col` over a
+    CONSTANT-width hex string column (r21, the r20 Arrow-twin pattern):
+    the expression form folds ~(hi-lo) aggregate steps with a 256-literal
+    table per row — a large interpreted tree that dominates both plan
+    construction and execution in the frame-SYNTHESIS paths. The table
+    fold is pure integer arithmetic, so the numpy replay is bit-exact.
+    ``lo``/``hi`` are the 1-based inclusive BYTE positions the expression
+    form folds; ``width`` is the constant byte width of the payload.
+    Returns a column function: ``crc16_modbus_hex_batch(3, 99, 99)(col)``.
+    Positions are validated per batch (reshape fails loudly on a width
+    drift instead of mis-folding)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("integer")
+    def _crc(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.frombuffer(
+            bytes.fromhex("".join(s)), dtype=np.uint8
+        ).reshape(len(s), width)
+        table = np.array(_CRC16_TABLE, dtype=np.uint32)
+        crc = np.full(len(s), 0xFFFF, dtype=np.uint32)
+        for j in range(lo - 1, hi):
+            crc = (crc >> 8) ^ table[(crc ^ mat[:, j]) & 0xFF]
+        return pd.Series(crc.astype("int32"))
+
+    return _crc
+
+
 def device_timestamp(payload: Column | str) -> Column:
     """Device-local timestamp packed as bytes 5-10: (year-2000, month,
     day, hour, minute, second) — ``GoodwePoller.cs:84-86``. The inverter
