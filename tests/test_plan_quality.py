@@ -290,6 +290,15 @@ class TestPlanQuality:
             )
             if worst > 4000:
                 offenders.append((name, f"Filter predicate {worst} chars"))
+            # r21 plan-size guardrail (r20 verdict #10): the dim²
+            # expression-tree pathology the r20 Arrow twins removed
+            # produced 100KB+ formatted plans (opq_learned_search was
+            # 104 KB, ann_topk 173 KB) whose py4j construction and
+            # Catalyst analysis dominated wall-clock. Registry-wide max
+            # today is ~58 KB (ann_topk); a plan past 100 KB means a
+            # per-element expression tree snuck back in.
+            if len(plan) > 100_000:
+                offenders.append((name, f"formatted plan {len(plan)} chars"))
         assert offenders == []
 
 
