@@ -269,8 +269,18 @@ class TestPlanQuality:
     def test_no_cartesian_products_anywhere(self, spark, scope):
         import __spark_entry__ as entry
 
+        # measure CANONICAL plans: under the session-scoped fixture,
+        # frames persisted by earlier tests make matching subtrees
+        # render as InMemoryRelation blocks that embed the full cached
+        # child plan in the formatted text — inflating the size gate
+        # below without any real plan change. Released frames are
+        # merely recomputed, never wrong (cachelife contract).
+        from homelogging_spark.functions.cachelife import release_caches
+
         offenders = []
         for name, fn in entry.queries().items():
+            release_caches()
+            spark.catalog.clearCache()
             plan = plan_of(fn(spark, SF))
             if "CartesianProduct" in plan:
                 offenders.append((name, "CartesianProduct"))
